@@ -1,0 +1,116 @@
+"""``create`` verb: table DDL.
+
+Reference: mssql_dataframe/core/create.py:29-221 — CREATE TABLE from a
+``{column: sql_type_string}`` dict, NOT NULL list, user primary key
+(single or composite) or an auto ``_pk INT IDENTITY(1,1) PRIMARY KEY``
+(reference: create.py:144-145).
+
+Spark realization: register the table in the copy-on-write store with a
+Spark schema derived from the conversion rules; the PK is recorded as
+table metadata (the Delta ``TBLPROPERTIES`` analog — SURVEY.md §1.1)
+and becomes the default match-column set for update/merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..conversion_rules import parse_column_spec, spark_type_to_spec
+from ..errors import SQLColumnDoesNotExist
+from ..identifiers import escape_table
+from ..store import TableStore
+
+
+class create:
+    """Namespace object mirroring the reference's ``SQLServer.create``."""
+
+    def __init__(self, store: TableStore):
+        self._store = store
+
+    def table(
+        self,
+        table_name: str,
+        columns: dict[str, str],
+        not_nullable: Optional[list[str]] = None,
+        primary_key_column: Optional[str | list[str]] = None,
+        sql_primary_key: bool = False,
+    ) -> None:
+        """Create a table (reference: create.py:29-221).
+
+        columns: {column_name: SQL type string, e.g. 'varchar(100)'}
+        primary_key_column: single name or list (composite PK)
+        sql_primary_key: auto ``_pk`` bigint identity primary key
+        """
+        escape_table(table_name)  # validates identifier lengths
+        not_nullable = list(not_nullable or [])
+        if sql_primary_key and primary_key_column is not None:
+            raise ValueError(
+                "either sql_primary_key or primary_key_column, not both "
+                "(reference create.py:96-100)"
+            )
+
+        column_types: dict[str, str] = {}
+        fields: list[T.StructField] = []
+        identity_col = None
+        pk: list[str] = []
+
+        if sql_primary_key:
+            identity_col = "_pk"
+            pk = ["_pk"]
+            column_types["_pk"] = "int identity"
+            fields.append(T.StructField("_pk", T.IntegerType(), False))
+
+        for col, spec_str in columns.items():
+            spec = parse_column_spec(spec_str)
+            column_types[col] = spec_str
+            nullable = col not in not_nullable
+            fields.append(T.StructField(col, spec.spark_type, nullable))
+            if "identity" in spec_str.lower() and identity_col is None:
+                identity_col = col
+
+        if primary_key_column is not None:
+            pk = (
+                [primary_key_column]
+                if isinstance(primary_key_column, str)
+                else list(primary_key_column)
+            )
+            for p in pk:
+                if p not in column_types:
+                    raise SQLColumnDoesNotExist(
+                        f"primary key column {p!r} not in columns"
+                    )
+            # PK columns are implicitly NOT NULL
+            fields = [
+                T.StructField(f.name, f.dataType, f.nullable and f.name not in pk)
+                for f in fields
+            ]
+
+        self._store.create(
+            table_name,
+            T.StructType(fields),
+            column_types,
+            primary_key=pk,
+            identity_column=identity_col,
+            not_nullable=not_nullable,
+        )
+
+    def table_from_dataframe(
+        self,
+        table_name: str,
+        dataframe: DataFrame,
+        primary_key: Optional[str | list[str]] = None,
+    ) -> None:
+        """Schema-derived creation — the convenience path Spark gives us
+        for free (SURVEY.md §1.2; the reference docstring mentions it at
+        create.py:24 but ships no implementation)."""
+        columns = {
+            f.name: spark_type_to_spec(f.dataType).render()
+            for f in dataframe.schema.fields
+        }
+        pk_cols = (
+            [primary_key] if isinstance(primary_key, str) else list(primary_key or [])
+        )
+        self.table(table_name, columns, primary_key_column=pk_cols or None)

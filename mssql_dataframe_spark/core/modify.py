@@ -1,0 +1,139 @@
+"""``modify`` verb: schema evolution DDL.
+
+Reference: mssql_dataframe/core/modify.py —
+- ``column(table, modify='add'|'alter'|'drop', ...)`` (modify.py:21-139)
+- ``primary_key(table, modify='add'|'drop', ...)`` (modify.py:141-228)
+
+Spark realization: ``add`` extends the schema metadata and lets the
+declared-schema read fill NULLs (no data rewrite — the Delta
+``ADD COLUMNS`` analog). ``alter`` and ``drop`` are copy-on-write
+cast-rewrites (Delta would use column mapping for drop; the rewrite
+keeps plain Parquet readable by any engine). ``primary_key`` updates
+table metadata and audits uniqueness with one distributed aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..conversion_rules import parse_column_spec
+from ..errors import (
+    SQLColumnDoesNotExist,
+    SQLRecastColumnUnchanged,
+    SQLUndefinedPrimaryKey,
+)
+from ..store import TableStore
+
+
+class modify:
+    def __init__(self, store: TableStore):
+        self._store = store
+
+    def column(
+        self,
+        table_name: str,
+        modify: str,
+        column_name: str,
+        data_type: Optional[str] = None,
+        is_nullable: bool = True,
+    ) -> None:
+        meta = self._store.meta(table_name)
+        schema = meta.spark_schema
+        if modify == "add":
+            spec = parse_column_spec(data_type)
+            new_schema = schema.add(column_name, spec.spark_type, True)
+            types = dict(meta.column_types)
+            types[column_name] = data_type
+            # metadata-only: the declared-schema read returns NULL for
+            # the new column in existing files (Parquet schema merge)
+            self._store.update_meta(
+                table_name,
+                spark_schema_json=new_schema.jsonValue(),
+                column_types=types,
+            )
+        elif modify == "alter":
+            if column_name not in schema.fieldNames():
+                raise SQLColumnDoesNotExist(column_name)
+            spec = parse_column_spec(data_type)
+            old = meta.column_types.get(column_name, "")
+            if parse_column_spec(old).render() == spec.render() and (
+                is_nullable == schema[column_name].nullable
+            ):
+                raise SQLRecastColumnUnchanged(
+                    f"column {column_name!r} is already {data_type!r}"
+                )
+            df = self._store.read(table_name).withColumn(
+                column_name, F.col(column_name).cast(spec.spark_type)
+            )
+            fields = [
+                T.StructField(
+                    f.name,
+                    spec.spark_type if f.name == column_name else f.dataType,
+                    is_nullable if f.name == column_name else f.nullable,
+                )
+                for f in schema.fields
+            ]
+            types = dict(meta.column_types)
+            types[column_name] = data_type
+            self._store.overwrite(
+                table_name, df, T.StructType(fields), types
+            )
+        elif modify == "drop":
+            if column_name not in schema.fieldNames():
+                raise SQLColumnDoesNotExist(column_name)
+            df = self._store.read(table_name).drop(column_name)
+            fields = [f for f in schema.fields if f.name != column_name]
+            types = {
+                k: v for k, v in meta.column_types.items() if k != column_name
+            }
+            self._store.overwrite(table_name, df, T.StructType(fields), types)
+        else:
+            raise ValueError("modify must be one of add|alter|drop")
+
+    def primary_key(
+        self,
+        table_name: str,
+        modify: str,
+        columns: Optional[str | list[str]] = None,
+        primary_key_name: Optional[str] = None,
+    ) -> None:
+        meta = self._store.meta(table_name)
+        if modify == "add":
+            cols = [columns] if isinstance(columns, str) else list(columns or [])
+            if not cols:
+                raise ValueError("columns required for primary_key add")
+            for c in cols:
+                if c not in meta.spark_schema.fieldNames():
+                    raise SQLColumnDoesNotExist(c)
+            # uniqueness audit: one distributed agg (SURVEY.md §2.1 #5)
+            dupes = (
+                self._store.read(table_name)
+                .groupBy(*cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dupes:
+                raise ValueError(
+                    f"cannot add primary key {cols}: duplicate key values exist"
+                )
+            props = dict(meta.properties)
+            if primary_key_name:
+                props["primary_key_name"] = primary_key_name
+            self._store.update_meta(
+                table_name, primary_key=cols, properties=props
+            )
+        elif modify == "drop":
+            if not meta.primary_key:
+                raise SQLUndefinedPrimaryKey(
+                    f"table {table_name!r} has no primary key"
+                )
+            props = dict(meta.properties)
+            props.pop("primary_key_name", None)
+            self._store.update_meta(table_name, primary_key=[], properties=props)
+        else:
+            raise ValueError("modify must be one of add|drop")

@@ -1,0 +1,88 @@
+"""``read`` verb: projection / filter / sort / limit over a stored table.
+
+Reference: mssql_dataframe/core/read.py:23-153 compiles one
+``SELECT {TOP n} {cols} FROM {t} {WHERE} {ORDER BY}`` string. Here the
+same five clauses build ONE Catalyst logical plan —
+``select → filter → orderBy → limit`` — and Catalyst pushes the filter
+and projection down into the Parquet scan (predicate pushdown + column
+pruning), which is the distributed analog of the reference's
+"pushdown" to SQL Server (SURVEY.md §4).
+
+Contract preserved:
+- primary-key columns are force-included in the projection so the
+  pandas index can be rebuilt (reference: read.py:77-82, 93),
+- unknown column -> SQLColumnDoesNotExist (reference: read.py:95-99),
+- ``where`` uses the reference's restricted grammar (dynamic.py:61-137),
+- non-int limit -> ValueError (reference: read.py:111-117),
+- order_column/order_direction are both-or-neither (read.py:119-135).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import SQLColumnDoesNotExist
+from ..identifiers import compile_where
+from ..store import TableStore
+
+
+class read:
+    def __init__(self, store: TableStore):
+        self._store = store
+
+    def table(
+        self,
+        table_name: str,
+        column_names: Optional[list[str]] = None,
+        where: Optional[str] = None,
+        limit: Optional[int] = None,
+        order_column: Optional[str] = None,
+        order_direction: Optional[str] = None,
+    ) -> DataFrame:
+        meta = self._store.meta(table_name)
+        df = self._store.read(table_name)
+
+        # projection with PK force-include (reference: read.py:77-101)
+        if column_names is not None:
+            missing = [c for c in column_names if c not in df.columns]
+            if missing:
+                raise SQLColumnDoesNotExist(
+                    f"columns {missing} do not exist in table {table_name!r}"
+                )
+            cols = list(dict.fromkeys(list(meta.primary_key) + list(column_names)))
+            df = df.select(*cols)
+
+        if where is not None:
+            df = df.filter(compile_where(where))
+
+        # both-or-neither validation (reference: read.py:119-135)
+        if (order_column is None) != (order_direction is None):
+            raise ValueError(
+                "order_column and order_direction must be supplied together"
+            )
+        if order_column is not None:
+            direction = str(order_direction).upper()
+            if direction not in ("ASC", "DESC"):
+                raise ValueError("order_direction must be ASC or DESC")
+            if order_column not in df.columns:
+                raise SQLColumnDoesNotExist(
+                    f"order column {order_column!r} not in result columns"
+                )
+            # SQL Server sorts NULLs first in ASC and last in DESC is
+            # engine-specific; tests show NULLs-first on DESC
+            # (reference tests/test_core/test_read.py:152-164)
+            col = F.col(order_column)
+            df = df.orderBy(
+                col.asc_nulls_first() if direction == "ASC"
+                else col.desc_nulls_first()
+            )
+
+        if limit is not None:
+            if not isinstance(limit, int) or isinstance(limit, bool):
+                raise ValueError("limit must be an integer (reference read.py:111-117)")
+            df = df.limit(limit)
+
+        return df

@@ -1,0 +1,51 @@
+"""``write`` verb namespace: insert / update / merge.
+
+Reference: mssql_dataframe/core/write/{insert,update,merge}.py.
+"""
+
+from __future__ import annotations
+
+from .insert import insert  # noqa: F401
+from .merge import merge_op  # noqa: F401
+from .update import update_op  # noqa: F401
+
+
+class write:
+    """Facade mirroring the reference's ``SQLServer.write`` composition
+    (reference: mssql_dataframe/core/write/__init__.py)."""
+
+    def __init__(self, store, include_metadata_timestamps: bool = False):
+        self._store = store
+        self.include_metadata_timestamps = include_metadata_timestamps
+
+    def insert(self, table_name, dataframe):
+        return insert(
+            self._store, table_name, dataframe, self.include_metadata_timestamps
+        )
+
+    def update(self, table_name, dataframe, match_columns=None):
+        return update_op(
+            self._store,
+            table_name,
+            dataframe,
+            match_columns,
+            self.include_metadata_timestamps,
+        )
+
+    def merge(
+        self,
+        table_name,
+        dataframe,
+        match_columns=None,
+        upsert=False,
+        delete_requires=None,
+    ):
+        return merge_op(
+            self._store,
+            table_name,
+            dataframe,
+            match_columns,
+            upsert,
+            delete_requires,
+            self.include_metadata_timestamps,
+        )

@@ -1,0 +1,119 @@
+"""``write.insert``: validated append.
+
+Reference pipeline (mssql_dataframe/core/write/insert.py:38-85):
+schema fetch -> validate/convert -> value prep -> bulk INSERT; plus the
+whitelisted schema-evolution retry that auto-adds ``_time_insert`` /
+``_time_update`` datetime2 columns with a warning
+(insert.py:87-138, _exceptions.py:15-50).
+
+Spark realization: the validated DataFrame is appended to the current
+snapshot as new Parquet files (Delta AddFile analog) — O(new data), no
+rewrite, no shuffle. Identity values are assigned with a distributed
+two-pass sequence (per-partition counts -> offsets), not a
+single-partition window, so the append scales.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ...store import TableStore
+from ...validation import precheck_dataframe
+
+logger = logging.getLogger("mssql_dataframe_spark")
+
+_TIME_COLUMNS = {"_time_insert": "datetime2", "_time_update": "datetime2"}
+
+
+def ensure_time_columns(store: TableStore, table_name: str, needed: list[str]):
+    """Auto-add metadata-timestamp columns (ONLY these — the reference
+    whitelists exactly ``_time_insert``/``_time_update`` and re-raises
+    for any other missing column; insert.py:117-133)."""
+    meta = store.meta(table_name)
+    schema = meta.spark_schema
+    changed = False
+    types = dict(meta.column_types)
+    for col in needed:
+        if col not in schema.fieldNames():
+            logger.warning(
+                "Creating column %s in table %s with data type DATETIME2.",
+                col, table_name,
+            )
+            schema = schema.add(col, T.TimestampNTZType(), True)
+            types[col] = _TIME_COLUMNS[col]
+            changed = True
+    if changed:
+        store.update_meta(
+            table_name,
+            spark_schema_json=schema.jsonValue(),
+            column_types=types,
+        )
+    return store.meta(table_name)
+
+
+def assign_identity(df: DataFrame, col: str, start: int,
+                    dtype: T.DataType) -> tuple[DataFrame, int]:
+    """Assign dense sequential identity values ``start, start+1, ...``.
+
+    Scale note: uses per-partition counts to compute offsets (two light
+    jobs) instead of a global single-partition window — the same
+    technique as RDD ``zipWithIndex``, expressed over DataFrames.
+    """
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    out = (
+        with_pid.withColumn(
+            col,
+            (offset_map[F.col("__pid")] + F.row_number().over(w) - 1).cast(dtype),
+        )
+        .drop("__pid")
+    )
+    return out, acc
+
+
+def insert(
+    store: TableStore,
+    table_name: str,
+    dataframe: DataFrame,
+    include_metadata_timestamps: bool = False,
+) -> DataFrame:
+    meta = store.meta(table_name)
+    if include_metadata_timestamps:
+        meta = ensure_time_columns(store, table_name, ["_time_insert"])
+
+    df = precheck_dataframe(dataframe, {
+        c: meta.column_types[c] for c in dataframe.columns
+    })
+
+    if include_metadata_timestamps:
+        df = df.withColumn("_time_insert", F.current_timestamp().cast("timestamp_ntz"))
+
+    identity = meta.identity_column
+    if identity and identity not in df.columns:
+        dtype = meta.spark_schema[identity].dataType
+        df, next_id = assign_identity(df, identity, meta.identity_next, dtype)
+        store.update_meta(table_name, identity_next=next_id)
+
+    # fill columns absent from the input with NULLs
+    for f in meta.spark_schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    store.append(table_name, df.select(*meta.spark_schema.fieldNames()))
+    return df

@@ -1,0 +1,94 @@
+"""``write.update``: set-based update of matched rows.
+
+Reference (mssql_dataframe/core/write/update.py:14-166): stage the
+dataframe into a temp table, then one server-side
+``UPDATE target SET c = source.c FROM target INNER JOIN source ON
+match-columns`` — only matched rows change, unmatched source rows are
+ignored, every dataframe column not in the match set is updated, and
+``_time_update = GETDATE()`` is stamped when metadata timestamps are on
+(update.py:135-136).
+
+Spark realization: no staging needed (the DataFrame IS the staged
+source — SURVEY.md §2.3 #17); one distributed left join rewrites the
+snapshot copy-on-write. Catalyst picks broadcast vs sort-merge for the
+join; with a small update batch against a large table this is a
+broadcast join, i.e. no shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ...errors import SQLColumnDoesNotExist, SQLUndefinedPrimaryKey
+from ...store import TableStore
+from ...validation import precheck_dataframe
+from .insert import ensure_time_columns
+
+
+def resolve_match_columns(meta, dataframe, match_columns) -> list[str]:
+    """Default match columns = table primary key (reference:
+    insert.py:225-232); error if neither is available."""
+    if match_columns:
+        cols = (
+            [match_columns] if isinstance(match_columns, str) else list(match_columns)
+        )
+    else:
+        cols = list(meta.primary_key)
+        if not cols:
+            raise SQLUndefinedPrimaryKey(
+                f"table {meta.name!r} has no primary key; supply match_columns"
+            )
+    for c in cols:
+        if c not in meta.spark_schema.fieldNames():
+            raise SQLColumnDoesNotExist(f"match column {c!r} not in table")
+        if c not in dataframe.columns:
+            raise SQLColumnDoesNotExist(f"match column {c!r} not in dataframe")
+    return cols
+
+
+def update_op(
+    store: TableStore,
+    table_name: str,
+    dataframe: DataFrame,
+    match_columns: Optional[list[str]] = None,
+    include_metadata_timestamps: bool = False,
+) -> DataFrame:
+    meta = store.meta(table_name)
+    if include_metadata_timestamps:
+        meta = ensure_time_columns(store, table_name, ["_time_update"])
+    match = resolve_match_columns(meta, dataframe, match_columns)
+
+    src = precheck_dataframe(
+        dataframe, {c: meta.column_types[c] for c in dataframe.columns}
+    )
+    update_cols = [c for c in src.columns if c not in match]
+    if not update_cols:
+        raise ValueError("dataframe has no non-match columns to update")
+
+    target = store.read(table_name)
+    renamed = src.select(
+        *[F.col(c).alias(f"__s_{c}") for c in src.columns]
+    ).withColumn("__s", F.lit(True))
+
+    cond = [target[k] == renamed[f"__s_{k}"] for k in match]
+    joined = target.join(renamed, cond, "left")
+
+    matched = F.col("__s").isNotNull()
+    out_cols = []
+    for f in meta.spark_schema.fields:
+        c = f.name
+        if c in update_cols:
+            col = F.when(matched, F.col(f"__s_{c}")).otherwise(target[c])
+        elif c == "_time_update" and include_metadata_timestamps:
+            col = F.when(
+                matched, F.current_timestamp().cast("timestamp_ntz")
+            ).otherwise(target[c])
+        else:
+            col = target[c]
+        out_cols.append(col.cast(f.dataType).alias(c))
+
+    store.overwrite(table_name, joined.select(*out_cols))
+    return src

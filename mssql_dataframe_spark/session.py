@@ -1,0 +1,97 @@
+"""Engine facade and SparkSession construction.
+
+``SparkEngine`` mirrors the reference's ``SQLServer`` facade
+(reference: mssql_dataframe/package.py:20-103): it composes the
+``create / modify / read / write`` verb namespaces over one session,
+logs versions, and warns when metadata timestamps are enabled.
+
+``connect()`` mirrors ``mssql_dataframe.connect()``
+(reference: connect.py:55-90) — it yields the session every other
+component shares, here a tuned local ``SparkSession``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import SparkSession
+
+from .core.create import create
+from .core.modify import modify
+from .core.read import read
+from .core.schema import get_schema
+from .core.write import write
+from .store import TableStore
+
+logger = logging.getLogger("mssql_dataframe_spark")
+
+__version__ = "0.1.0"
+
+DEFAULT_STORE = os.path.join(os.path.dirname(__file__), "..", ".spark_tables")
+
+
+def connect(
+    app_name: str = "mssql_dataframe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) the shared SparkSession.
+
+    Scale defaults: AQE on (runtime re-plan, skew-join handling,
+    partition coalescing), Arrow on for the pandas API edge, UTC
+    session timezone for deterministic timestamp semantics.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class SparkEngine:
+    """Facade composing the verb namespaces (reference: package.py:20-103)."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        store_root: str | None = None,
+        include_metadata_timestamps: bool = False,
+    ):
+        self.spark = spark or connect()
+        self.store = TableStore(self.spark, store_root or DEFAULT_STORE)
+        self.create = create(self.store)
+        self.modify = modify(self.store)
+        self.read = read(self.store)
+        self.write = write(self.store, include_metadata_timestamps)
+        logger.info(
+            "SparkEngine %s on Spark %s", __version__, self.spark.version
+        )
+        if include_metadata_timestamps:
+            # warning contract: reference package.py:67-83
+            logger.warning(
+                "SQL write operations will include metadata "
+                "_time_insert & _time_update columns."
+            )
+
+    def get_schema(self, table_name: str):
+        return get_schema(self.store, table_name)
+
+    def register_view(self, table_name: str, view_name: str | None = None):
+        """Expose a stored table to ``spark.sql`` queries."""
+        v = view_name or table_name.split(".")[-1]
+        self.store.read(table_name).createOrReplaceTempView(v)
+        return v
