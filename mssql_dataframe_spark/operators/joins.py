@@ -1,0 +1,115 @@
+"""Join operators Spark lacks natively: as-of join and banded range join.
+
+Both are built from compositions of existing DataFrame ops (SURVEY's
+custom-operator rule (a): composition before UDFs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: Optional[list[str]] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right_time <= left_time`` for the same key (``on``).
+
+    Implementation (scale-first): union the two sides tagged by origin,
+    ONE window pass per key ordered by (time, origin) carrying
+    ``last(value, ignorenulls=True)`` forward, then keep left rows.
+    This is a single shuffle on the key — no per-row subquery, no
+    broadcast of the big side, no skew beyond the key distribution.
+    An equality tie (right_time == left_time) matches, mirroring
+    ASOF JOIN semantics in DuckDB/kdb (>= match).
+    """
+    right_values = right_values or [
+        c for c in right.columns if c not in (on, right_time)
+    ]
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
+          for c in right_values],
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            l_tag.schema["__lrow"].dataType
+        ).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows (__is_left=0) sort before left rows at equal time, so a
+    # tie is visible to the left row -> inclusive (<=) semantics
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"__last_{c}")
+            for c in right_values
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"__last_{c}").alias(f"{c}{suffix}") for c in right_values],
+    )
+    return out
+
+
+def range_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    left_value: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: float,
+) -> DataFrame:
+    """Interval join ``right_lo <= left_value < right_hi`` without a
+    cartesian product: right intervals are exploded into the fixed-width
+    bands they cover, the join is an equi-join on the band id, and the
+    exact predicate filters afterwards.
+
+    At scale this turns BroadcastNestedLoopJoin into a shuffled
+    hash/sort-merge join keyed by band — the standard banded range-join
+    technique.
+    """
+    band = F.lit(band_width)
+    r_banded = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / band),
+                F.floor((F.col(right_hi) - F.lit(1e-9)) / band),
+            )
+        ),
+    )
+    l_banded = left.withColumn("__band", F.floor(F.col(left_value) / band))
+    return (
+        l_banded.join(r_banded, "__band")
+        .filter(
+            (F.col(left_value) >= F.col(right_lo))
+            & (F.col(left_value) < F.col(right_hi))
+        )
+        .drop("__band")
+    )
+    # no dedup needed: each left row lives in exactly one band, so it
+    # meets each right interval at most once

@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure built-in-function column expressions (JVM-side,
+whole-stage codegen) — no Python UDFs — so they scan at full Parquet
+speed and scale linearly with executors. Designed for the
+``documents(doc_id, text, lang, source, n_chars)`` table shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact multi-language stopword lists for the n-gram/stopword
+# language-ID heuristic. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "pour", "dans", "que"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation chunks
+    via regex, a cheap proxy for subword token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(pieces).cast("bigint")
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    # count every occurrence (not just distinct hits)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/word/character-class quality signals per document.
+
+    Columns: n_chars_calc, n_words, avg_word_len, punct_ratio,
+    digit_ratio, stopword_ratio_en, quality_flag.
+    """
+    toks = tokens(text_col)
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(toks)
+    punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    avg_wl = F.when(n_words > 0,
+                    (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    swr = stopword_ratio(text_col, "en")
+    out = df.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(avg_wl.cast("double"), 6).alias("avg_word_len"),
+        F.round((punct / F.greatest(n_chars, F.lit(1))).cast("double"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round((digits / F.greatest(n_chars, F.lit(1))).cast("double"), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(swr.cast("double"), 6).alias("stopword_ratio_en"),
+    )
+    return out.withColumn(
+        "quality_flag",
+        (
+            (F.col("n_words") >= 5)
+            & (F.col("avg_word_len") >= 2)
+            & (F.col("avg_word_len") <= 12)
+            & (F.col("punct_ratio") <= 0.2)
+        ).cast("boolean"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: argmax over per-language stopword
+    hit counts; 'und' (undetermined) when no stopwords hit.
+
+    Deterministic tie-break: language name ascending.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scores = []
+    for lang_name in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang_name]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang_name).alias("lang")))
+    arr = F.array(*scores)
+    max_score = F.array_max(arr)["score"]
+    # among max-score languages pick the lexicographically smallest —
+    # a deterministic tie-break both Spark and the SQL oracle share
+    winners = F.filter(arr, lambda s: s["score"] == max_score)
+    lang_col = F.when(max_score > 0, F.array_min(winners)["lang"]).otherwise(
+        F.lit("und")
+    )
+    return df.select(
+        "doc_id",
+        lang_col.alias("lang_pred"),
+        max_score.cast("bigint").alias("stopword_hits"),
+    )
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def shingles(col: str | Column, k: int = 8) -> Column:
+    """Character k-gram shingle array (positions 1..len-k+1), built with
+    ``sequence`` + ``transform`` — pure JVM expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k)))
+    )

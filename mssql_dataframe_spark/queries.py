@@ -1,0 +1,1274 @@
+"""Query registry: every operator exposed as a (spark, sf_dir) callable
+plus a DuckDB-oracle SQL twin for the correctness gate.
+
+Column-name contract: every computed column is aliased identically in
+the Spark plan and the oracle SQL. Float determinism: aggregates over
+doubles are summed as DECIMAL(18,4) and cast back to DOUBLE in BOTH
+engines so accumulation order cannot change the result bits
+(SURVEY.md §6 — the duckdb-oracle hash-match is the gate).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup as D
+from .operators import joins as J
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
+from .session import SparkEngine
+
+_SCRATCH = os.path.join(os.path.dirname(__file__), "..", ".spark_tables", "queries")
+
+REGISTRY: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = {"fn": fn, "sql": sql}
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet
+    reader rejects; read nanos as long and floor-convert to microsecond
+    timestamps (integer ``div`` — the ns epoch exceeds double mantissa
+    precision, so float division would corrupt timestamps). Matches
+    DuckDB's ns->us truncation semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _dsum(col, alias, scale=4):
+    """Order-insensitive double sum: decimal accumulate, double out."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish read path
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice"), "sum_base_price"),
+        _dsum(disc_price, "sum_disc_price"),
+        _dsum(charge, "sum_charge"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    sql="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / rollup / cube / distinct / set ops / pivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_top3_orders_per_customer",
+    sql="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_user_value",
+    sql="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS seq
+    FROM events
+    """,
+)
+def window_running(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w2).alias("seq"),
+    )
+
+
+@register(
+    "window_sessionization",
+    sql="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def window_sessionization(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "rollup_lineitem_status",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "sum_price")
+    )
+
+
+@register(
+    "distinct_aggregates",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_aggs(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("approx_count_distinct", sql=None)  # HLL sketch: rows-only check
+def approx_cd(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    sql="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < -500
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    poor = c.filter(F.col("c_acctbal") < -500).select("c_custkey")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # SQL set-op precedence: INTERSECT binds tighter; UNION/EXCEPT left-to-right
+    return (
+        rich.intersect(open_cust).union(poor).distinct().exceptAll(f_cust.distinct())
+    )
+
+
+@register(
+    "pivot_returnflag_linestatus",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_rf(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins: semi / anti / broadcast / as-of / range
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_anti_join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    p_orders = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(p_orders, "c_custkey", "left_semi")
+        .join(f_orders, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "broadcast_join_brand_volume",
+    sql="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 20
+    GROUP BY p.p_brand
+    """,
+)
+def broadcast_brand(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    sql="""
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS day_max_price
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, d.o_orderdate AS last_order_date,
+           d.day_max_price AS last_order_price
+    FROM events e
+    ASOF LEFT JOIN daily d
+      ON e.user_id = d.o_custkey AND d.o_orderdate <= e.ts
+    """,
+)
+def asof_events_orders(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("day_max_price")
+    )
+    joined = J.asof_join(
+        e.select("event_id", "user_id", "ts"),
+        daily.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            F.col("day_max_price"),
+        ),
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderdate", "day_max_price"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderdate").alias("last_order_date"),
+        F.col("day_max_price").alias("last_order_price"),
+    )
+
+
+@register(
+    "range_join_price_bands",
+    sql="""
+    WITH bands(band_name, lo, hi) AS (
+      VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
+             ('premium', 1200.0, 1800.0), ('luxury', 1800.0, 100000.0)
+    )
+    SELECT b.band_name, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def range_join_bands(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 500.0),
+            ("mid", 500.0, 1200.0),
+            ("premium", 1200.0, 1800.0),
+            ("luxury", 1800.0, 100000.0),
+        ],
+        ["band_name", "lo", "hi"],
+    )
+    joined = J.range_join_banded(p, bands, "p_retailprice", "lo", "hi", 500.0)
+    return joined.groupBy("band_name").agg(
+        F.count("*").alias("n_parts"), _dsum(F.col("p_retailprice"), "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function passthrough
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_functions",
+    sql="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_name, 1, 5) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           TRIM(p_name) AS name_trim
+    FROM part
+    """,
+)
+def string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(
+            F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")
+        ).alias("brand_size"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+@register(
+    "date_functions",
+    sql="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS days_since_95
+    FROM orders
+    """,
+)
+def date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+    )
+
+
+@register(
+    "json_extraction",
+    sql="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def json_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": (-?[0-9]+)', 1)
+        .cast("bigint")
+        .alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    sql=r"""
+    SELECT doc_id,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
+             AS n_tokens,
+           LENGTH(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+def _sw_sql_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+
+
+@register(
+    "text_quality_features",
+    sql=rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks,
+             LENGTH(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars_calc,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 6) AS avg_word_len,
+           ROUND(CAST(LENGTH(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+                 / GREATEST(n_chars, 1), 6) AS punct_ratio,
+           ROUND(CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / GREATEST(n_chars, 1), 6) AS digit_ratio,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, t -> lower(t) IN ({_sw_sql_list('en')}))) AS DOUBLE)
+                      / len(toks) ELSE 0.0 END, 6) AS stopword_ratio_en,
+           (len(toks) >= 5
+            AND (CASE WHEN len(toks) > 0
+                 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END) BETWEEN 2 AND 12
+            AND CAST(LENGTH(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+                / GREATEST(n_chars, 1) <= 0.2) AS quality_flag
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.quality_features(d)
+
+
+def _langid_sql() -> str:
+    cases = []
+    for lang in sorted(X.STOPWORDS):
+        cases.append(
+            f"len(list_filter(toks, t -> lower(t) IN ({_sw_sql_list(lang)}))) "
+            f"AS score_{lang}"
+        )
+    score_cols = ", ".join(cases)
+    langs = sorted(X.STOPWORDS)
+    greatest = "GREATEST(" + ", ".join(f"score_{m}" for m in langs) + ")"
+    # smallest lang name among max scores (same tie-break as the Spark op)
+    pick = "CASE " + " ".join(
+        f"WHEN score_{m} = {greatest} THEN '{m}'" for m in langs
+    ) + " END"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {score_cols} FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN {greatest} > 0 THEN {pick} ELSE 'und' END AS lang_pred,
+           CAST({greatest} AS BIGINT) AS stopword_hits
+    FROM s
+    """
+
+
+@register("text_lang_id", sql=_langid_sql())
+def text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.lang_id(d)
+
+
+@register(
+    "doc_fingerprint",
+    sql=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup (documents table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_text",
+    sql="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_text(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d, ["text"], "doc_id")
+
+
+@register(
+    "dedup_exact_prefix",
+    sql="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY lower(substring(text, 1, 16))
+    """,
+)
+def dedup_exact_prefix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__key", F.lower(F.substring("text", 1, 16))
+    )
+    return D.exact_dedup(d, ["__key"], "doc_id")
+
+
+_MH_BANDS = 8
+_MH_R = 2  # min-hashes per band: collide only if all agree
+_MH_K = 8
+
+
+def _mh_shingle_cte() -> str:
+    """(doc_id, sh) exploded distinct-shingle rows, MATERIALIZED so the
+    md5 pass runs once (DuckDB inlines plain CTEs per reference)."""
+    n_hashes = _MH_BANDS * _MH_R
+    band_sigs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * _MH_R + r}" for r in range(_MH_R))
+        + f")) AS sig_{b}"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    sh_rows AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN LENGTH(text) < {_MH_K} THEN []::VARCHAR[]
+                    ELSE [substring(text, i, {_MH_K})
+                          FOR i IN range(1, LENGTH(text) - {_MH_K} + 2)] END
+             )) AS sh
+      FROM documents
+    ), mins AS MATERIALIZED (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('h{i}:' || sh)) AS mh_{i}" for i in range(n_hashes))}
+      FROM sh_rows GROUP BY doc_id
+    ), sigs AS MATERIALIZED (
+      SELECT doc_id, {band_sigs} FROM mins
+    )"""
+
+
+def _minhash_sig_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig_{b} AS signature FROM sigs "
+        f"WHERE sig_{b} IS NOT NULL"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH {_mh_shingle_cte()}
+    {unions}
+    """
+
+
+@register("minhash_signatures", sql=_minhash_sig_sql())
+def minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(
+        d, "doc_id", "text", _MH_BANDS, _MH_K, rows_per_band=_MH_R
+    )
+
+
+def _minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_mh_shingle_cte()},
+    stacked AS MATERIALIZED (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS signature FROM sigs WHERE sig_{b} IS NOT NULL" for b in range(_MH_BANDS))}
+    ), cands AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.signature = b.signature
+       AND a.doc_id < b.doc_id
+    ), sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM sh_rows GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT c.id1, c.id2, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN sh_rows r1 ON r1.doc_id = c.id1
+      JOIN sh_rows r2 ON r2.doc_id = c.id2 AND r2.sh = r1.sh
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (s1.n + s2.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.id1
+    JOIN sizes s2 ON s2.doc_id = i.id2
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (s1.n + s2.n - i.n_inter), 6) >= {threshold}
+    """
+
+
+@register("minhash_dedup_pairs", sql=_minhash_pairs_sql(0.5))
+def minhash_dedup_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        d, "doc_id", "text", _MH_BANDS, _MH_K, 0.5, rows_per_band=_MH_R
+    )
+
+
+@register("simhash_near_dup_pairs", sql=None)  # xxhash64 n/a in duckdb: rows-only
+def simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_cosine_sql('q.v', 'e.v')}, 8) AS cosine_sim
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC)
+                AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.brute_force_topk(e, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _bucket_sql(vcol: str) -> str:
+    terms = []
+    for j in range(6):
+        plane = S.hyperplane(j, _DIM)
+        plane_sql = "[" + ", ".join(f"{w}.0" for w in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, {plane_sql}::DOUBLE[]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_topk",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_cosine_sql('q.v', 'e.v')}, 8) AS cosine_sim
+      FROM q JOIN e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC)
+                AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.lsh_ann_topk(e, q, dim=_DIM, k=10, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "embedding_near_dup_pairs",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND({_cosine_sql('a.v', 'b.v')}, 8) AS cosine_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.v', 'b.v')} >= 0.3
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(e, dim=_DIM, threshold=0.3, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed decode, real Spark plumbing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media_from_documents(d)
+    feats = M.extract_features(media, use_stub=True)
+    return feats.select("media_id", "kind", "n_bytes", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# streaming (events table, availableNow replay -> memory sink)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_tumbling_counts",
+    sql="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling(spark, sf_dir):
+    from .streaming import events as STR
+
+    out = STR.tumbling_window_counts(spark, sf_dir, "1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register("streaming_session_windows", sql=None)  # stateful session windows
+def streaming_sessions(spark, sf_dir):
+    from .streaming import events as STR
+
+    return STR.session_window_stats(spark, sf_dir, "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# engine verb pipelines (create/insert/read/update/merge on the COW store)
+# ---------------------------------------------------------------------------
+
+def _scratch_engine(spark) -> SparkEngine:
+    root = os.path.join(_SCRATCH, uuid.uuid4().hex)
+    return SparkEngine(spark=spark, store_root=root)
+
+
+@register(
+    "verb_insert_read",
+    sql="""
+    SELECT * FROM part
+    WHERE p_size >= 25 AND p_retailprice < 1500
+    ORDER BY p_partkey ASC
+    LIMIT 100
+    """,
+)
+def verb_insert_read(spark, sf_dir):
+    eng = _scratch_engine(spark)
+    part = _t(spark, sf_dir, "part")
+    eng.create.table_from_dataframe("dbo.part_copy", part, primary_key="p_partkey")
+    eng.write.insert("dbo.part_copy", part)
+    return eng.read.table(
+        "dbo.part_copy",
+        where="p_size >= 25 AND p_retailprice < 1500",
+        order_column="p_partkey",
+        order_direction="ASC",
+        limit=100,
+    )
+
+
+@register(
+    "verb_update",
+    sql="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def verb_update(spark, sf_dir):
+    eng = _scratch_engine(spark)
+    cust = _t(spark, sf_dir, "customer")
+    eng.create.table_from_dataframe("dbo.cust_copy", cust, primary_key="c_custkey")
+    eng.write.insert("dbo.cust_copy", cust)
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    eng.write.update("dbo.cust_copy", updates)
+    return eng.read.table("dbo.cust_copy").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
+    "verb_merge_upsert",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 4 != 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 2 = 0
+    """,
+)
+def verb_merge_upsert(spark, sf_dir):
+    eng = _scratch_engine(spark)
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0)
+    eng.create.table_from_dataframe("dbo.orders_m", target, primary_key="o_orderkey")
+    eng.write.insert("dbo.orders_m", target)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    eng.write.merge("dbo.orders_m", source, upsert=True)
+    return eng.read.table("dbo.orders_m")
+
+
+@register(
+    "verb_merge_delete",
+    sql="""
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def verb_merge_delete(spark, sf_dir):
+    eng = _scratch_engine(spark)
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0)
+    eng.create.table_from_dataframe("dbo.orders_d", target, primary_key="o_orderkey")
+    eng.write.insert("dbo.orders_d", target)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    eng.write.merge("dbo.orders_d", source)
+    return eng.read.table("dbo.orders_d")
+
+
+@register(
+    "verb_merge_delete_requires",
+    sql="""
+    -- matched + inserted: every source row (urgent/high, even keys)
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    UNION ALL
+    -- kept target rows: priorities outside the source's partitions
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      AND NOT (o_orderkey % 2 = 0 AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    """,
+)
+def verb_merge_delete_requires(spark, sf_dir):
+    eng = _scratch_engine(spark)
+    orders = _t(spark, sf_dir, "orders")
+    eng.create.table_from_dataframe("dbo.orders_dr", orders, primary_key="o_orderkey")
+    eng.write.insert("dbo.orders_dr", orders)
+    source = (
+        orders.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("M").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    eng.write.merge("dbo.orders_dr", source, delete_requires=["o_orderpriority"])
+    return eng.read.table("dbo.orders_dr")
+
+
+@register(
+    "verb_modify_schema",
+    sql="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS BIGINT) AS extra
+    FROM nation
+    """,
+)
+def verb_modify_schema(spark, sf_dir):
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe("dbo.nation_copy", nation, primary_key="n_nationkey")
+    eng.write.insert("dbo.nation_copy", nation)
+    eng.modify.column("dbo.nation_copy", "add", "extra", "int")
+    eng.modify.column("dbo.nation_copy", "alter", "extra", "bigint")
+    eng.modify.column("dbo.nation_copy", "add", "extra2", "varchar(10)")
+    eng.modify.column("dbo.nation_copy", "drop", "extra2")
+    return eng.read.table("dbo.nation_copy")
+
+
+@register(
+    "verb_read_where_grammar",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE (c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY')
+      AND c_acctbal > 1000 AND c_name IS NOT NULL
+    """,
+)
+def verb_read_where_grammar(spark, sf_dir):
+    eng = _scratch_engine(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    eng.create.table_from_dataframe("dbo.cust_w", cust, primary_key="c_custkey")
+    eng.write.insert("dbo.cust_w", cust)
+    return eng.read.table(
+        "dbo.cust_w",
+        where="(c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY') "
+        "AND c_acctbal > 1000 AND c_name IS NOT NULL",
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry-point helpers used by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+def all_queries():
+    return {name: spec["fn"] for name, spec in REGISTRY.items()}
+
+
+def all_oracles():
+    return {
+        name: spec["sql"] for name, spec in REGISTRY.items() if spec["sql"]
+    }

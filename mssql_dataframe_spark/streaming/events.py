@@ -1,0 +1,112 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.5); this module is
+part of the beyond-reference extension: watermarked tumbling/sliding
+windows, session windows, and a stateful custom aggregation via
+``applyInPandasWithState``-style semantics (expressed with
+session_window — built-in — where possible).
+
+The batch testdata (``events.parquet``) is replayed with
+``spark.readStream`` + ``Trigger.AvailableNow`` so the streaming
+pipeline runs hermetically and deterministically; results land in a
+memory sink and are returned as a DataFrame for the oracle compare.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SCRATCH = os.path.join(
+    os.path.dirname(__file__), "..", "..", ".spark_tables", "streaming"
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS): read ns as long, then
+    # floor-convert to µs timestamps (see queries.load_events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # the file-stream source requires a directory: stream the sf dir
+    # with a glob filter selecting only the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(result: DataFrame, name: str) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink."""
+    checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def tumbling_window_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (streaming)."""
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("__sum").cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, name)
+
+
+def sliding_window_rates(
+    spark: SparkSession, sf_dir: str,
+    window: str = "2 hours", slide: str = "1 hour",
+) -> DataFrame:
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return _run_to_memory(agg, name)
+
+
+def session_window_stats(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user (gap-based), built-in session_window."""
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, name)
