@@ -24,22 +24,37 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
     # window / agg surface
     "window_top3_orders_per_customer",
+    "window_moving_avg_frames",
     "rollup_lineitem_status",
+    "grouping_sets_revenue",
     "distinct_aggregates",
     # joins
     "asof_join_events_orders",
     "broadcast_join_brand_volume",
+    # sources & UDF surface
+    "source_csv_roundtrip",
+    "pandas_udf_embedding_norm",
+    # streaming
+    "streaming_tumbling_counts",
     # mutation verbs on the COW store
     "verb_insert_read",
     "verb_merge_upsert",
     # LLM-pipeline operators
     "dedup_exact_text",
     "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
     "text_quality_features",
     "embedding_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -134,6 +134,71 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 53,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a deterministic subset of the corpus acts as the
+    centroid codebook (ids ≡ 1 mod ``centroid_mod`` — reproducible in
+    ANSI SQL, unlike k-means); every corpus vector is assigned to its
+    nearest centroid (inverted lists), and each query scores only the
+    lists of its ``nprobe`` nearest centroids.
+
+    Scale shape: the codebook is tiny and broadcast; assignment is a
+    broadcast nested-loop scored with JVM expressions, one pass over
+    the corpus; the probe join is an equi-join on centroid id. At 100 TB
+    the inverted lists would be written bucketed by centroid id so the
+    probe join is shuffle-free.
+    """
+    cents = corpus.filter((F.col(id_col) % centroid_mod) == 1).select(
+        F.col(id_col).alias("cid"), _as_double(vec_col).alias("__cvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__ccos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__ccos", F.round(cosine(F.col("__cv"), F.col("__cvec")), 8))
+        .withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "__cv", "cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__qcos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qcos", F.round(cosine(F.col("__qv"), F.col("__cvec")), 8))
+        .withColumn("__r", F.row_number().over(w_probe))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qv", "cid")
+    )
+    scored = (
+        probes.join(assigned, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 8))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

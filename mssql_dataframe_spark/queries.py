@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import uuid
 
+import pandas as pd  # module-global so pandas_udf type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -251,6 +253,346 @@ def q10(spark, sf_dir):
     )
 
 
+@register(
+    "q2_min_price_parts",
+    sql="""
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    JOIN (SELECT p_brand, MIN(p_retailprice) AS min_price
+          FROM part GROUP BY p_brand) m
+      ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+    """,
+)
+def q2(spark, sf_dir):
+    """Cheapest part(s) per brand — the reference pattern is TPC-H Q2's
+    correlated-min subquery; expressed as a min-aggregate self-join so
+    Catalyst plans one shuffle + broadcast of the tiny min table."""
+    p = _t(spark, sf_dir, "part")
+    m = (
+        p.groupBy("p_brand")
+        .agg(F.min("p_retailprice").alias("min_price"))
+        .withColumnRenamed("p_brand", "__brand")
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (F.col("p_brand") == F.col("__brand"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    shipped_late = l.join(
+        o, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(shipped_late, o.o_orderkey == shipped_late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    sql="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY cn.n_name, sn.n_name, l_year
+    """,
+)
+def q7(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    sql="""
+    WITH all_sales AS (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 8) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+)
+def q8(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            8,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    sql="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 8)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                8,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q16_supplier_count",
+    sql="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20, 25, 30)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    sql="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    sql="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    sql="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # window / rollup / cube / distinct / set ops / pivot
 # ---------------------------------------------------------------------------
@@ -456,6 +798,317 @@ def pivot_rf(spark, sf_dir):
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@register(
+    "window_lead_lag_monthly",
+    sql="""
+    WITH monthly AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+             CAST(MONTH(o_orderdate) AS INT) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, m, revenue,
+           LAG(revenue) OVER (ORDER BY y, m) AS prev_revenue,
+           LEAD(revenue) OVER (ORDER BY y, m) AS next_revenue,
+           ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY y, m) IS NOT NULL
+                      AND LAG(revenue) OVER (ORDER BY y, m) <> 0
+                 THEN (revenue - LAG(revenue) OVER (ORDER BY y, m))
+                      / LAG(revenue) OVER (ORDER BY y, m)
+                 END, 8) AS mom_change
+    FROM monthly
+    """,
+)
+def window_lead_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(_dsum(F.col("o_totalprice"), "revenue"))
+    w = Window.orderBy("y", "m")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "y",
+        "m",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+        F.round(
+            F.when(
+                prev.isNotNull() & (prev != 0), (F.col("revenue") - prev) / prev
+            ),
+            8,
+        ).alias("mom_change"),
+    )
+
+
+@register(
+    "window_moving_avg_frames",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3,
+           ROUND(MIN(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+             AS prior_min
+    FROM orders
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w3 = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    wp = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.avg("o_totalprice").over(w3), 6).alias("ma3"),
+        F.round(F.min("o_totalprice").over(wp), 6).alias("prior_min"),
+    )
+
+
+@register(
+    "window_rank_ntile",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT)
+             AS bal_rank,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
+             AS bal_quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey ASC), 8)
+             AS bal_pct_rank
+    FROM customer
+    """,
+)
+def window_rank_ntile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).cast("bigint").alias("bal_rank"),
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("bal_pct_rank"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_price
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# file-format connectors (CSV / JSON round trips through the scratch dir)
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_csv_roundtrip",
+    sql="""
+    SELECT n.n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(LENGTH(n.n_name)) AS BIGINT) AS name_chars
+    FROM nation n GROUP BY n.n_regionkey
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV sink+source: write nation to scratch CSV with a header, read
+    it back with an explicit schema (no inference job at scale), then
+    aggregate. Oracle computes the same from the parquet directly —
+    proving the CSV round trip is lossless."""
+    n = _t(spark, sf_dir, "nation")
+    path = os.path.join(_SCRATCH, f"csv_{uuid.uuid4().hex}")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(n.schema).option("header", True).csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum(F.length("n_name")).cast("bigint").alias("name_chars"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    sql="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events WHERE user_id % 7 = 0 GROUP BY event_type
+    """,
+)
+def source_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink+source round trip on an events slice; timestamps
+    written as ISO strings and read back with an explicit schema."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    path = os.path.join(_SCRATCH, f"json_{uuid.uuid4().hex}")
+    e.write.mode("overwrite").json(path)
+    back = spark.read.schema(e.schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDF surface: pandas_udf / applyInPandas / mapInPandas
+# ---------------------------------------------------------------------------
+
+@register(
+    "pandas_udf_embedding_norm",
+    sql="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def pandas_udf_norm(spark, sf_dir):
+    """Vectorized scalar Pandas UDF (Arrow batches): L2 norm of the
+    embedding column. The hot path at scale stays Arrow-batched numpy —
+    no per-row Python. Oracle: sqrt(list_dot_product(v, v))."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(v: pd.Series) -> pd.Series:
+        return v.map(lambda arr: float(np.sqrt(np.dot(arr, arr))))
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "apply_in_pandas_zscore",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CASE WHEN STDDEV_POP(o_totalprice)
+                           OVER (PARTITION BY o_custkey) > 0
+                 THEN (o_totalprice - AVG(o_totalprice)
+                                      OVER (PARTITION BY o_custkey))
+                      / STDDEV_POP(o_totalprice) OVER (PARTITION BY o_custkey)
+                 ELSE 0.0 END, 6) AS price_z
+    FROM orders
+    """,
+)
+def apply_in_pandas_zscore(spark, sf_dir):
+    """Grouped-map applyInPandas: per-customer z-score of order price.
+    Arrow-batched per group; partitioning is the groupBy key, so the
+    shuffle is the same as any keyed agg. Oracle: window mean/stddev."""
+    import pandas as pd
+
+    def zscore(pdf):
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=0)
+        z = (pdf["o_totalprice"] - mu) / sd if sd > 0 else 0.0 * pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "price_z": z.round(6),
+            }
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, "o_orderkey bigint, o_custkey bigint, price_z double"
+    )
+
+
+@register(
+    "map_in_pandas_tokens",
+    sql=r"""
+    SELECT doc_id,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
+             AS n_tokens,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT)
+             AS n_letter_e
+    FROM documents
+    """,
+)
+def map_in_pandas_tokens(spark, sf_dir):
+    """mapInPandas over Arrow record batches: per-document token and
+    letter counts computed in pandas. The iterator-of-batches shape is
+    the same plumbing a real multimodal decode would use."""
+    import pandas as pd
+
+    def count_batches(batches):
+        for pdf in batches:
+            text = pdf["text"].fillna("")
+            stripped = text.str.strip()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": stripped.map(
+                        lambda s: len(s.split()) if s else 0
+                    ).astype("int64"),
+                    "n_letter_e": text.str.count("e").astype("int64"),
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.mapInPandas(
+        count_batches, "doc_id bigint, n_tokens bigint, n_letter_e bigint"
+    )
+
+
+@register(
+    "posexplode_tokens",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, len(toks))) AS INT) AS pos,
+           unnest(toks) AS tok
+    FROM t
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """Lateral/table-function surface: posexplode of the token array
+    (the built-in equivalent of a UDTF emitting N rows per input)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
 
 
 # ---------------------------------------------------------------------------
@@ -903,6 +1556,48 @@ def simhash_pairs(spark, sf_dir):
     return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8)
 
 
+@register(
+    "ngram_jaccard_pairs",
+    sql=r"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks,
+             lower(substring(text, 1, 16)) AS blk
+      FROM documents
+    ), ng AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, len(toks) - 1)] END)) AS g
+      FROM t
+    ), cands AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ), sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS ng FROM ng GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT c.id1, c.id2, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN ng r1 ON r1.doc_id = c.id1
+      JOIN ng r2 ON r2.doc_id = c.id2 AND r2.g = r1.g
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (s1.ng + s2.ng - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.id1
+    JOIN sizes s2 ON s2.doc_id = i.id2
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (s1.ng + s2.ng - i.n_inter), 6) >= 0.3
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -985,6 +1680,53 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_topk",
+    sql=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS MATERIALIZED (
+      SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id % 53 = 1
+    ), assigned AS MATERIALIZED (
+      SELECT neighbor_id, v, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cosine_sql('e.v', 'c.cvec')}, 8) DESC,
+                          c.cid ASC) AS r
+        FROM e CROSS JOIN cents c
+      ) WHERE r = 1
+    ), probes AS MATERIALIZED (
+      SELECT query_id, qv, cid FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cosine_sql('e.v', 'c.cvec')}, 8) DESC,
+                          c.cid ASC) AS r
+        FROM e CROSS JOIN cents c WHERE e.vec_id < 10
+      ) WHERE r <= 2
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND({_cosine_sql('p.qv', 'a.v')}, 8) AS cosine_sim
+      FROM probes p JOIN assigned a ON p.cid = a.cid
+      WHERE p.query_id <> a.neighbor_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC)
+                AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(e, q, k=10, centroid_mod=53, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
     "embedding_near_dup_pairs",
     sql=f"""
     WITH e AS (
@@ -1051,11 +1793,53 @@ def streaming_tumbling(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_sliding_counts",
+    sql="""
+    WITH h AS (SELECT date_trunc('hour', ts) AS h0 FROM events),
+    w AS (
+      SELECT h0 AS wstart FROM h
+      UNION ALL
+      SELECT h0 - INTERVAL 1 HOUR FROM h
+    )
+    SELECT CAST(epoch(wstart) AS BIGINT) AS window_epoch,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1
+    """,
+)
+def streaming_sliding(spark, sf_dir):
+    """Sliding windows (2h window / 1h slide): every event lands in two
+    windows. Oracle mirrors the assignment arithmetic directly."""
+    from .streaming import events as STR
+
+    out = STR.sliding_window_rates(spark, sf_dir, "2 hours", "1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "n_events",
+    )
+
+
 @register("streaming_session_windows", sql=None)  # stateful session windows
 def streaming_sessions(spark, sf_dir):
     from .streaming import events as STR
 
     return STR.session_window_stats(spark, sf_dir, "30 minutes")
+
+
+@register(
+    "streaming_stateful_user_stats",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator; its final state
+    must equal the batch groupBy — which is exactly the oracle."""
+    from .streaming import events as STR
+
+    return STR.stateful_user_stats(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,63 @@ def sliding_window_rates(
     return _run_to_memory(agg, name)
 
 
+def stateful_user_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count and max value, carried in explicit
+    state across micro-batches. State partitions by user_id — the same
+    shuffle key as any keyed agg, so it scales horizontally; per-key
+    state is O(1) (two numbers), so state-store size is bounded by the
+    user-key cardinality, not the event volume.
+    """
+    import pandas as pd_  # local alias; module may be imported lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    ev = _stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd_.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode emits one row per key per micro-batch with cumulative
+    # values; the per-key max is the final state even if the replay
+    # split into several batches
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
 def session_window_stats(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:
