@@ -54,6 +54,16 @@ def minhash_band_signature(
     return F.array_min(hashed)
 
 
+def _mh_a(i: int) -> int:
+    """Odd multiplier #i for the multiply-shift MinHash family (<2^23)."""
+    return ((i * 2654435 + 1234567) | 1) % (1 << 23)
+
+
+def _mh_b(i: int) -> int:
+    """Additive constant #i for the multiply-shift MinHash family."""
+    return (i * 987654321 + 13579) % (1 << 40)
+
+
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
@@ -101,14 +111,26 @@ def _signature_base(
     """
     n_hashes = n_bands * rows_per_band
     rows = shingle_rows(df, id_col, text_col, k)
+    # ONE md5 per shingle -> 40-bit integer; the n_hashes "independent"
+    # hash functions are multiply-shift mixes h_i = (A_i*h + B_i) mod 2^40
+    # with odd A_i < 2^23 (product < 2^63: overflow-safe in any engine,
+    # and expressible in ANSI SQL for the oracle). 16x fewer md5 calls
+    # than salting the digest per function — md5 dominates the scan.
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 10), 16, 10).cast("long")
     mins = rows.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("sh")))).alias(f"mh_{i}")
+            F.min((F.lit(_mh_a(i)) * h + F.lit(_mh_b(i))) % F.lit(1 << 40)).alias(
+                f"mh_{i}"
+            )
             for i in range(n_hashes)
         ]
     )
+    # keep the raw min-hashes alongside the band signatures: the cheap
+    # per-pair Jaccard ESTIMATE (fraction of agreeing min-hashes) uses
+    # them to prune candidates before the expensive exact verification
     base = mins.select(
         id_col,
+        *[F.col(f"mh_{i}") for i in range(n_hashes)],
         *[
             F.md5(
                 F.concat_ws(
@@ -122,7 +144,14 @@ def _signature_base(
             for b in range(n_bands)
         ],
     )
-    return base.persist()
+    base = base.persist()
+    # materialize NOW: the LSH self-join and the estimate join consume
+    # this 3+ times concurrently in one action; without an eager
+    # barrier each consumer races to recompute the signature scan
+    # before the cache fills (the cluster-scale analog is writing the
+    # signatures to an interim table before the join stage)
+    base.count()
+    return base
 
 
 def minhash_signatures(
@@ -209,18 +238,46 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard >= threshold.
 
-    Returns (id1, id2, jaccard). Verification is set-based: candidate
-    pairs join the exploded (id, shingle) relation on both sides, the
-    intersection size is a hash aggregation per pair, and
-    |union| = n1 + n2 - |inter|. All codegen'd hash joins/aggs — no
-    per-pair array recomputation — so verification scales with
-    (candidate pairs x avg shingles), not with document length squared.
+    Returns (id1, id2, jaccard). Two-stage verification:
+
+    1. ESTIMATE prune: the fraction of agreeing min-hashes is an
+       unbiased estimator of Jaccard; candidates whose estimate falls
+       below ``threshold - margin`` are dropped with a cheap 16-column
+       comparison — no shingle join. This collapses the templated-
+       corpus candidate tail (LSH banding admits many j~0.2 pairs)
+       before any heavy work.
+    2. EXACT verify: survivors join the exploded (id, shingle)
+       relation on both sides; intersection size is a hash aggregation
+       per pair, |union| = n1 + n2 - |inter|. All codegen'd hash
+       joins/aggs, so cost scales with (surviving pairs x shingles).
     """
+    margin = 0.2
+    n_hashes = n_bands * rows_per_band
     base = _signature_base(df, id_col, text_col, n_bands, k, rows_per_band)
-    cands = lsh_candidate_pairs(
+    raw_cands = lsh_candidate_pairs(
         df, id_col, text_col, n_bands, k, base=base, rows_per_band=rows_per_band
     )
+    m1 = base.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    m2 = base.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    cands = (
+        raw_cands.join(m1, "id1")
+        .join(m2, "id2")
+        .withColumn("__est", agree / F.lit(float(n_hashes)))
+        .filter(F.col("__est") >= threshold - margin)
+        .select("id1", "id2")
+    )
     rows = shingle_rows(df, id_col, text_col, k).persist()
+    rows.count()  # eager: consumed by sizes + both sides of the inter join
     sizes = rows.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         cands.join(

@@ -1475,6 +1475,10 @@ def _mh_shingle_cte() -> str:
         + f")) AS sig_{b}"
         for b in range(_MH_BANDS)
     )
+    min_exprs = ", ".join(
+        f"MIN(({D._mh_a(i)} * h + {D._mh_b(i)}) % {1 << 40}) AS mh_{i}"
+        for i in range(n_hashes)
+    )
     return f"""
     sh_rows AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct(
@@ -1484,9 +1488,11 @@ def _mh_shingle_cte() -> str:
              )) AS sh
       FROM documents
     ), mins AS MATERIALIZED (
-      SELECT doc_id,
-             {", ".join(f"MIN(md5('h{i}:' || sh)) AS mh_{i}" for i in range(n_hashes))}
-      FROM sh_rows GROUP BY doc_id
+      SELECT doc_id, {min_exprs}
+      FROM (SELECT doc_id,
+                   ('0x' || substring(md5(sh), 1, 10))::BIGINT AS h
+            FROM sh_rows)
+      GROUP BY doc_id
     ), sigs AS MATERIALIZED (
       SELECT doc_id, {band_sigs} FROM mins
     )"""
@@ -1513,15 +1519,26 @@ def minhash_signatures(spark, sf_dir):
 
 
 def _minhash_pairs_sql(threshold: float = 0.5) -> str:
+    n_hashes = _MH_BANDS * _MH_R
+    agree = " + ".join(
+        f"(CASE WHEN m1.mh_{i} = m2.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
     return f"""
     WITH {_mh_shingle_cte()},
     stacked AS MATERIALIZED (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS signature FROM sigs WHERE sig_{b} IS NOT NULL" for b in range(_MH_BANDS))}
-    ), cands AS MATERIALIZED (
+    ), raw_cands AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM stacked a JOIN stacked b
         ON a.band = b.band AND a.signature = b.signature
        AND a.doc_id < b.doc_id
+    ), cands AS MATERIALIZED (
+      SELECT c.id1, c.id2
+      FROM raw_cands c
+      JOIN mins m1 ON m1.doc_id = c.id1
+      JOIN mins m2 ON m2.doc_id = c.id2
+      WHERE ({agree}) / {float(n_hashes)} >= {threshold} - 0.2
     ), sizes AS MATERIALIZED (
       SELECT doc_id, COUNT(*) AS n FROM sh_rows GROUP BY doc_id
     ), inter AS MATERIALIZED (
@@ -1766,6 +1783,90 @@ def multimodal_features(spark, sf_dir):
     media = M.synthesize_media_from_documents(d)
     feats = M.extract_features(media, use_stub=True)
     return feats.select("media_id", "kind", "n_bytes", "content_hash")
+
+
+@register(
+    "multimodal_frame_sample",
+    sql="""
+    WITH media AS (
+      SELECT doc_id AS media_id, ((doc_id % 10) + 1) * 1000 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(unnest(range(0, duration_ms + 1, 500)) AS BIGINT)
+             AS frame_ts_ms
+    FROM media
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling fan-out: one row per planned frame — the
+    distributed half of a frame-decode pipeline (decode itself stubbed,
+    see operators.multimodal)."""
+    d = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media_from_documents(d).withColumn(
+        "duration_ms", ((F.col("media_id") % 10) + 1).cast("long") * 1000
+    )
+    out = M.frame_sample_plan(media, every_ms=500)
+    return out.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+@register(
+    "math_conditional_functions",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 6) AS disc_dev,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 20 THEN 'mid' ELSE 'small' END AS qty_class
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def math_conditional(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_bucket"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("NONE")).alias(
+            "flag_or_none"
+        ),
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 20, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+    )
+
+
+@register(
+    "array_agg_functions",
+    sql="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS INT)
+             AS n_statuses,
+           list_contains(list(DISTINCT o_orderstatus), 'P') AS has_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def array_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    statuses = F.sort_array(F.collect_set("o_orderstatus"))
+    return o.groupBy("o_orderpriority").agg(
+        statuses.alias("statuses"),
+        F.size(statuses).cast("int").alias("n_statuses"),
+        F.array_contains(F.collect_set("o_orderstatus"), "P").alias("has_pending"),
+    )
 
 
 # ---------------------------------------------------------------------------
