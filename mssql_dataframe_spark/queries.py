@@ -1430,6 +1430,42 @@ def doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
+@register(
+    "doc_rolling_hash",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [(('0x' || substring(md5(tok), 1, 10))::BIGINT) FOR tok IN toks]),
+             (acc, h) -> (acc * 1000003 + h) % 1099511627776
+           ) AS rolling_hash
+    FROM t
+    """,
+)
+def doc_rolling_hash(spark, sf_dir):
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token hashes, (acc*B + h) mod 2^40 with B=1000003 — overflow-
+    safe 64-bit arithmetic shared with the ANSI-SQL oracle. Unlike the
+    md5 fingerprint this is incrementally updatable and detects token
+    reordering."""
+    d = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    hashes = F.transform(toks, lambda t: F.conv(
+        F.substring(F.md5(t), 1, 10), 16, 10).cast("long"))
+    rolling = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(1000003) + h) % F.lit(1 << 40),
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
 # ---------------------------------------------------------------------------
 # dedup (documents table)
 # ---------------------------------------------------------------------------
