@@ -63,6 +63,13 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = connect(app_name="bench")
 
+    # session warmup: initialize the JVM, codegen, shuffle and parquet
+    # reader paths once so the first timed query measures the query,
+    # not SparkSession bring-up (touches no benchmark table data)
+    spark.range(1000).selectExpr("id % 7 AS k", "id AS v").groupBy(
+        "k"
+    ).sum("v").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]["fn"]

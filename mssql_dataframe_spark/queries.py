@@ -1956,6 +1956,31 @@ def streaming_sliding(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_append_out_of_order",
+    sql="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+    c AS (
+      SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_epoch, n_events
+    FROM c, wm WHERE ws + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def streaming_append_out_of_order(spark, sf_dir):
+    """Out-of-order two-batch replay through append-mode watermarked
+    windows; emitted = exactly the windows finalized by the terminal
+    watermark (see streaming.events.append_mode_out_of_order_replay)."""
+    from .streaming import events as STR
+
+    out = STR.append_mode_out_of_order_replay(spark, sf_dir)
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "n_events",
+    )
+
+
 @register("streaming_session_windows", sql=None)  # stateful session windows
 def streaming_sessions(spark, sf_dir):
     from .streaming import events as STR

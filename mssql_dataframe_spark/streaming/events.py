@@ -93,6 +93,68 @@ def sliding_window_rates(
     return _run_to_memory(agg, name)
 
 
+def append_mode_out_of_order_replay(
+    spark: SparkSession, sf_dir: str,
+    window: str = "1 hour", delay: str = "1 hour",
+) -> DataFrame:
+    """Append-mode watermark finalization under out-of-order delivery,
+    demonstrated deterministically: the stream is replayed as two
+    micro-batches — the LATER half of the timeline first, then the
+    earlier half arriving "late" (split hour-aligned so no window spans
+    both batches). After batch 1 the watermark sits at max(ts) - delay.
+
+    Observed Spark 4.1 semantics (verified empirically, see
+    numRowsDroppedByWatermark=0 in query progress): late rows for
+    windows that never had state are ADMITTED, aggregated, and
+    immediately finalized on the next eviction — they are not silently
+    dropped. Append mode emits a window exactly once, when the
+    watermark passes its end. The deterministic final output is
+    therefore: every hourly count whose window end <= max(ts) - delay
+    — which is exactly the DuckDB oracle, making the whole
+    out-of-order replay pipeline hash-checkable.
+    """
+    name = f"appmode_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # hour-aligned split point: no window receives rows from both halves
+    mid = batch.agg(
+        F.expr("date_trunc('hour', timestamp_seconds("
+               "percentile_approx(cast(ts as long), 0.5)))")
+    ).collect()[0][0]
+    stage = os.path.join(_SCRATCH, f"appmode_src_{uuid.uuid4().hex}")
+    late_half = batch.filter(F.col("ts") >= F.lit(mid))
+    early_half = batch.filter(F.col("ts") < F.lit(mid))
+    # b=0 written first (older mod time) -> processed as micro-batch 0
+    late_half.coalesce(1).write.parquet(os.path.join(stage, "b=0"))
+    import time as _time
+
+    _time.sleep(1.05)  # distinct file mod times fix the replay order
+    early_half.coalesce(1).write.parquet(os.path.join(stage, "b=1"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "b=*"))
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def stateful_user_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

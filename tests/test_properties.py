@@ -1,0 +1,180 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+correctness doesn't reduce to a single oracle query: the as-of join,
+the where-grammar compiler, and the MinHash estimator. Each property
+runs against a brute-force reference implementation on small generated
+inputs, using the shared session (no per-example Spark restart:
+examples are batched into one DataFrame per test)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mssql_dataframe_spark.identifiers import compile_where
+from mssql_dataframe_spark.operators.joins import asof_join
+
+_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_case(draw):
+    """Left (key, t) rows and right (key, t, v) rows over tiny domains
+    so key collisions and time ties actually occur."""
+    keys = st.integers(0, 3)
+    times = st.integers(0, 20)
+    left = draw(
+        st.lists(st.tuples(keys, times), min_size=1, max_size=12)
+    )
+    right = draw(
+        st.lists(
+            st.tuples(keys, times, st.integers(-100, 100)),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    return left, right
+
+
+@given(asof_case())
+@_settings
+def test_asof_join_matches_bruteforce(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid int, k int, t int",
+    )
+    # dedupe right on (k, t): keep max v, mirroring what a brute force
+    # with deterministic tie-break needs (the operator picks the row
+    # ordered last at equal time; make that unambiguous)
+    rmap = {}
+    for k, t, v in right_rows:
+        rmap[(k, t)] = max(v, rmap.get((k, t), -10**9))
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [],
+        "k int, t int, v int",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_values=["v"], suffix="_m",
+    )
+    got = {r["lid"]: r["v_m"] for r in out.collect()}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == want, (
+            f"lid={i} key={k} t={t}: got {got.get(i)}, want {want}"
+        )
+
+
+_OPS = ["=", "<>", "!=", ">", ">=", "<", "<="]
+
+
+@st.composite
+def where_case(draw):
+    n = draw(st.integers(1, 3))
+    conds = []
+    for _ in range(n):
+        col = draw(st.sampled_from(["a", "b"]))
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            conds.append(f"{col} {draw(st.sampled_from(_OPS))} "
+                         f"{draw(st.integers(-5, 5))}")
+        elif kind == 1:
+            conds.append(f"{col} IS NULL")
+        else:
+            conds.append(f"{col} IS NOT NULL")
+    glue = [draw(st.sampled_from(["AND", "OR"])) for _ in range(n - 1)]
+    parts = [conds[0]]
+    for g, c in zip(glue, conds[1:]):
+        parts += [g, c]
+    return " ".join(parts)
+
+
+@given(where_case())
+@_settings
+def test_where_grammar_matches_pandas(spark, expr):
+    pdf = pd.DataFrame(
+        {
+            "a": [None, -3, -1, 0, 1, 2, 5, None],
+            "b": [2, None, 0, -2, 4, None, 1, 3],
+        },
+        dtype="Int64",
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        ((r["a"], r["b"]) for r in df.filter(compile_where(expr)).collect()),
+        key=str,
+    )
+
+    import re
+
+    pat = re.compile(
+        r"\b([ab])\s*(?:(<>|!=|>=|<=|=|>|<)\s*(-?\d+)"
+        r"|IS\s+NOT\s+NULL|IS\s+NULL)"
+    )
+
+    def row_matches(row) -> bool:
+        def sub(m):
+            v = row[m.group(1)]
+            text = m.group(0)
+            if text.endswith("NOT NULL"):
+                return str(not pd.isna(v))
+            if text.endswith("NULL"):
+                return str(pd.isna(v))
+            if pd.isna(v):
+                return "False"  # SQL: comparison with NULL filters out
+            op = {"=": "==", "<>": "!="}.get(m.group(2), m.group(2))
+            return str(eval(f"{int(v)} {op} {m.group(3)}"))  # noqa: S307
+
+        py = pat.sub(sub, expr).replace(" AND ", " and ").replace(" OR ", " or ")
+        return bool(eval(py))  # noqa: S307
+
+    want = sorted(
+        (
+            (
+                None if pd.isna(row["a"]) else int(row["a"]),
+                None if pd.isna(row["b"]) else int(row["b"]),
+            )
+            for _, row in pdf.iterrows()
+            if row_matches(row)
+        ),
+        key=str,
+    )
+    assert got == want, f"expr={expr!r}: spark={got} pandas={want}"
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    )
+)
+@_settings
+def test_minhash_signature_determinism_and_range(spark, texts):
+    """Signatures are deterministic across runs and identical texts get
+    identical signatures (the property LSH bucketing relies on)."""
+    from mssql_dataframe_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (len(texts), texts[0])  # guaranteed duplicate of doc 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df, "doc_id", "text", 4, 3, rows_per_band=2)
+    got = sig.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["signature"]
+    # duplicate text -> identical signature map
+    assert by_doc.get(0, {}) == by_doc.get(len(texts), {})
+    # deterministic across a second evaluation
+    again = {}
+    for r in sig.collect():
+        again.setdefault(r["doc_id"], {})[r["band"]] = r["signature"]
+    assert by_doc == again
