@@ -102,10 +102,18 @@ class create:
         table_name: str,
         dataframe: DataFrame,
         primary_key: Optional[str | list[str]] = None,
+        sql_primary_key: bool = False,
     ) -> None:
         """Schema-derived creation — the convenience path Spark gives us
         for free (SURVEY.md §1.2; the reference docstring mentions it at
-        create.py:24 but ships no implementation)."""
+        create.py:24 but ships no implementation). ``sql_primary_key``
+        adds the auto ``_pk INT IDENTITY(1,1)`` column (reference:
+        create.py:144-145), mutually exclusive with ``primary_key``.
+        """
+        if sql_primary_key and primary_key:
+            raise ValueError(
+                "sql_primary_key and primary_key are mutually exclusive"
+            )
         columns = {
             f.name: spark_type_to_spec(f.dataType).render()
             for f in dataframe.schema.fields
@@ -113,4 +121,9 @@ class create:
         pk_cols = (
             [primary_key] if isinstance(primary_key, str) else list(primary_key or [])
         )
-        self.table(table_name, columns, primary_key_column=pk_cols or None)
+        self.table(
+            table_name,
+            columns,
+            primary_key_column=pk_cols or None,
+            sql_primary_key=sql_primary_key,
+        )

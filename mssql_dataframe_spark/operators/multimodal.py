@@ -120,6 +120,59 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_stub(
+    media: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Image-resize plumbing over Arrow batches.
+
+    The stub "resize" deterministically truncates/cycles the payload to
+    width*height bytes (a real kernel would decode -> resample ->
+    re-encode in the same ``mapInPandas`` slot); metadata columns are
+    updated exactly as production would. Runs image rows only.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                elif len(p) >= target:
+                    payloads.append(bytes(p[:target]))
+                else:  # cycle to length (deterministic fake upscale)
+                    reps = (target + len(p) - 1) // len(p) if len(p) else 1
+                    payloads.append(bytes((p * reps)[:target]) if p else b"")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [
+                        len(p) if p is not None else None for p in payloads
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp.
 

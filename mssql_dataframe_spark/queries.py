@@ -1299,6 +1299,71 @@ def date_funcs(spark, sf_dir):
 
 
 @register(
+    "json_object_extraction",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS prop_missing
+    FROM events
+    """,
+)
+def json_object_extraction(spark, sf_dir):
+    """Real JSON parsing (not regex): get_json_object on the props
+    column; missing path -> NULL in both engines."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("prop_missing"),
+    )
+
+
+@register(
+    "pandas_udaf_median",
+    sql="""
+    SELECT o_orderpriority,
+           MEDIAN(o_totalprice) AS median_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pandas_udaf_median(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (vectorized UDAF): exact median per
+    group — an aggregate Spark's built-ins only approximate
+    (percentile_approx). Arrow-batched per group."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        median_udaf("o_totalprice").alias("median_price")
+    )
+    # Spark cannot mix a grouped-agg pandas UDF with builtin aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — join the count side
+    cnt = o.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    return med.join(F.broadcast(cnt), "o_orderpriority")
+
+
+@register(
+    "text_bpe_token_count",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish subword-proxy token count: word / number / punctuation
+    chunks via one regex scan (JVM-side)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
     "json_extraction",
     sql="""
     SELECT event_id,
@@ -1819,6 +1884,57 @@ def multimodal_features(spark, sf_dir):
     media = M.synthesize_media_from_documents(d)
     feats = M.extract_features(media, use_stub=True)
     return feats.select("media_id", "kind", "n_bytes", "content_hash")
+
+
+@register(
+    "multimodal_resize",
+    sql="""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, 'image' AS kind,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(CASE WHEN octet_length(payload) >= 4096 THEN 4096
+                     WHEN octet_length(payload) = 0 THEN 0
+                     ELSE 4096 END AS BIGINT) AS n_bytes,
+           md5(substring(CASE WHEN octet_length(payload) >= 4096
+                              THEN hex(payload)
+                              ELSE hex(repeat(payload,
+                                     CAST(ceil(4096.0 / octet_length(payload))
+                                          AS INT))) END,
+                         1, 8192)) AS payload_hash
+    FROM media
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Arrow-batched image-resize plumbing (stub kernel: deterministic
+    truncate/cycle to 64x64 bytes); the oracle reproduces the stub's
+    byte transform, proving batch shape + payload handling byte-exact."""
+    d = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media_from_documents(d)
+    out = M.resize_stub(media, 64, 64)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        # both engines' hex() emit uppercase
+        F.md5(F.hex("payload")).alias("payload_hash"),
+    )
+
+
+@register("verb_identity_pk", sql=None)  # identity values are set-deterministic
+def verb_identity_pk(spark, sf_dir):
+    """Auto-identity `_pk INT IDENTITY(1,1)` (reference create.py:144-145):
+    values depend on partition layout, so the check is rows-only; the
+    set {1..n} property is asserted in tests/test_core_verbs.py."""
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe("dbo.nation_id", nation, sql_primary_key=True)
+    eng.write.insert("dbo.nation_id", nation)
+    return eng.read.table("dbo.nation_id")
 
 
 @register(
