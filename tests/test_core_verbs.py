@@ -220,3 +220,59 @@ def test_create_from_dataframe(engine, spark):
     engine.create.table_from_dataframe("dbo.t16", df, primary_key="id")
     engine.write.insert("dbo.t16", df)
     assert engine.read.table("dbo.t16").count() == 3
+
+
+def test_modify_primary_key_add_drop(engine, spark):
+    engine.create.table("dbo.pk1", COLS)
+    engine.write.insert("dbo.pk1", _mini_df(spark))
+    engine.modify.primary_key("dbo.pk1", "add", "id", primary_key_name="pk_id")
+    schema = engine.get_schema("dbo.pk1")
+    assert schema.loc["id", "pk_seq"] == 1
+    assert schema.loc["id", "pk_name"] == "pk_id"
+    engine.modify.primary_key("dbo.pk1", "drop")
+    assert engine.get_schema("dbo.pk1")["pk_seq"].isna().all()
+
+
+def test_modify_primary_key_uniqueness_audit(engine, spark):
+    engine.create.table("dbo.pk2", COLS)
+    df = _mini_df(spark).withColumn("id", F.lit(7).cast("bigint"))
+    engine.write.insert("dbo.pk2", df)
+    with pytest.raises(ValueError, match="duplicate key"):
+        engine.modify.primary_key("dbo.pk2", "add", "id")
+
+
+def test_modify_primary_key_errors(engine, spark):
+    engine.create.table("dbo.pk3", COLS)
+    with pytest.raises(errors.SQLColumnDoesNotExist):
+        engine.modify.primary_key("dbo.pk3", "add", "nope")
+    with pytest.raises(errors.SQLUndefinedPrimaryKey):
+        engine.modify.primary_key("dbo.pk3", "drop")
+
+
+def test_get_schema_report(engine, spark):
+    engine.create.table(
+        "dbo.gs1",
+        {"id": "int", "name": "nvarchar(50)", "price": "decimal(10,2)"},
+        primary_key_column="id",
+        not_nullable=["id"],
+    )
+    rep = engine.get_schema("dbo.gs1")
+    assert list(rep.index) == ["id", "name", "price"]
+    assert rep.loc["id", "sql_type"] == "int"
+    assert not rep.loc["id", "is_nullable"]
+    assert rep.loc["name", "column_size"] == 50
+    assert rep.loc["price", "decimal_digits"] == 2
+    assert rep.loc["price", "spark_type"] == "decimal(10,2)"
+    assert rep.loc["id", "pk_seq"] == 1
+
+
+def test_register_view_sql_read(engine, spark):
+    """The read_values analog (reference conversion.py:902-952):
+    arbitrary SQL over a registered table view."""
+    engine.create.table("dbo.rv1", COLS, primary_key_column="id")
+    engine.write.insert("dbo.rv1", _mini_df(spark))
+    view = engine.register_view("dbo.rv1", "rv1")
+    out = spark.sql(
+        f"SELECT count(*) AS n, sum(amount) AS s FROM {view} WHERE amount IS NOT NULL"
+    ).collect()[0]
+    assert out["n"] == 2 and abs(out["s"] - 30.5) < 1e-9
