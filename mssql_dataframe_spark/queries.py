@@ -981,6 +981,76 @@ def source_json_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "percentile_functions",
+    sql="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_functions(spark, sf_dir):
+    """Exact continuous-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`); the approx_percentile sketch path is
+    exercised rows-only elsewhere since sketches differ by engine."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "stats_aggregates",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_POP(l_quantity), 6) AS qty_stddev,
+           ROUND(VAR_POP(l_discount), 8) AS disc_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 8) AS qty_price_corr,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_pop("l_discount"), 8).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "source_partitioned_pruning",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders WHERE YEAR(o_orderdate) = 1997
+    GROUP BY o_orderstatus
+    """,
+)
+def source_partitioned_pruning(spark, sf_dir):
+    """Hive-style partitioned sink + partition-pruned source: orders
+    written partitionBy(year); the filtered read-back plans
+    PartitionFilters (only the 1997 directory is scanned) — the layout
+    that makes a 100 TB time-series table cheap to slice."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    path = os.path.join(_SCRATCH, f"part_{uuid.uuid4().hex}")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "sum_price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDF surface: pandas_udf / applyInPandas / mapInPandas
 # ---------------------------------------------------------------------------
