@@ -23,9 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two array<double> columns, left-to-right
-    accumulation (deterministic)."""
+    accumulation (deterministic — matches a sequential SQL fold).
+
+    With ``dim`` known (the common case: embedding width is fixed
+    schema-side), the product unrolls into a flat chain of
+    ``element_at`` multiplies — whole-stage-codegen'd, ~10x faster
+    than the interpreted higher-order ``aggregate`` fallback.
+    """
+    if dim is not None:
+        expr = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            expr = expr + F.element_at(a, i) * F.element_at(b, i)
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -33,14 +44,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def _as_double(col: str | Column) -> Column:
@@ -54,6 +63,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
@@ -62,16 +72,20 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qnorm", norm(F.col("__qv"), dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    )
+    ).withColumn("__cnorm", norm(F.col("__cv"), dim))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 8),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                8,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -113,15 +127,24 @@ def lsh_ann_topk(
     """Approximate top-k: candidates share the query's LSH bucket."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    ).withColumn("bucket", lsh_bucket(F.col("__cv"), dim, n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("__cv"), dim, n_planes)).withColumn(
+        "__cnorm", norm(F.col("__cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    ).withColumn("bucket", lsh_bucket(F.col("__qv"), dim, n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("__qv"), dim, n_planes)).withColumn(
+        "__qnorm", norm(F.col("__qv"))
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 8)
+            "cosine_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                8,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -138,6 +161,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
+    dim: int | None = None,
     centroid_mod: int = 53,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -149,45 +173,83 @@ def ivf_topk(
     nearest centroid (inverted lists), and each query scores only the
     lists of its ``nprobe`` nearest centroids.
 
-    Scale shape: the codebook is tiny and broadcast; assignment is a
-    broadcast nested-loop scored with JVM expressions, one pass over
-    the corpus; the probe join is an equi-join on centroid id. At 100 TB
+    Scale shape: the codebook is collected once (a real deployment
+    caps it at a fixed size, e.g. 2^16 centroids) and BROADCAST INSIDE
+    a ``mapInPandas`` closure; assignment matmuls each Arrow batch of
+    corpus vectors against the codebook matrix — the corpus crosses the
+    JVM/Python boundary once (N×dim doubles), never the N×C cross
+    product. The probe join is an equi-join on centroid id; at 100 TB
     the inverted lists would be written bucketed by centroid id so the
     probe join is shuffle-free.
     """
+    import numpy as np
+    import pandas as pd_
+
     cents = corpus.filter((F.col(id_col) % centroid_mod) == 1).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("__cvec")
-    )
+    ).withColumn("__cnorm", norm(F.col("__cvec")))
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    cid_arr = np.array([r["cid"] for r in cent_rows], dtype="int64")
+    cmat = np.vstack([r["__cvec"] for r in cent_rows])  # (C, dim)
+    cnorms = np.array([r["__cnorm"] for r in cent_rows])
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.vstack(pdf["__cv"].to_numpy())  # (B, dim)
+            vnorms = pdf["__vnorm"].to_numpy()
+            scores = np.round(
+                (V @ cmat.T) / np.outer(vnorms, cnorms), 8
+            )  # (B, C), rounded BEFORE argmax like the SQL oracle
+            # argmax with lowest-cid tie-break (cid_arr ascending, and
+            # np.argmax returns the first max)
+            best = np.argmax(scores, axis=1)
+            yield pd_.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "__cv": pdf["__cv"],
+                    "__vnorm": pdf["__vnorm"],
+                    "cid": cid_arr[best],
+                }
+            )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__ccos").desc(), F.col("cid").asc()
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__ccos", F.round(cosine(F.col("__cv"), F.col("__cvec")), 8))
-        .withColumn("__r", F.row_number().over(w_assign))
-        .filter(F.col("__r") == 1)
-        .select("neighbor_id", "__cv", "cid")
+    ).withColumn("__vnorm", norm(F.col("__cv")))
+    assigned = c.mapInPandas(
+        assign,
+        schema="neighbor_id long, __cv array<double>, __vnorm double, cid long",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qnorm", norm(F.col("__qv")))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__qcos").desc(), F.col("cid").asc()
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("__qcos", F.round(cosine(F.col("__qv"), F.col("__cvec")), 8))
+        .withColumn(
+            "__qcos",
+            F.round(
+                dot(F.col("__qv"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                8,
+            ),
+        )
         .withColumn("__r", F.row_number().over(w_probe))
         .filter(F.col("__r") <= nprobe)
-        .select("query_id", "__qv", "cid")
+        .select("query_id", "__qv", "__qnorm", "cid")
     )
     scored = (
         probes.join(assigned, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 8))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qnorm") * F.col("__vnorm")),
+                8,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -211,7 +273,9 @@ def embedding_near_dup_pairs(
     verification (id1 < id2, cosine >= threshold)."""
     v = df.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("__v")
-    ).withColumn("bucket", lsh_bucket(F.col("__v"), dim, n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("__v"), dim, n_planes)).withColumn(
+        "__n", norm(F.col("__v"))
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(
@@ -221,7 +285,11 @@ def embedding_near_dup_pairs(
         )
         .withColumn(
             "cosine_sim",
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 8),
+            F.round(
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                8,
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select(
