@@ -1,0 +1,86 @@
+"""Physical-plan regression guards: the scale properties SCALE.md
+claims (pushdown, pruning, broadcast joins, partial aggregation,
+single-shuffle as-of join) are asserted against explain() output so a
+refactor cannot silently regress them. Plus error-contract tests for
+the identifier/where grammar (reference: dynamic.py, custom_errors.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mssql_dataframe_spark import errors
+from mssql_dataframe_spark import queries as Q
+from mssql_dataframe_spark.identifiers import compile_where, escape
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.REGISTRY[name]["fn"](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unreferenced columns must not reach the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter reached the scan
+
+
+def test_q19_disjunctive_filter_pushdown(spark):
+    plan = _plan(spark, "q19_disjunctive_filter")
+    # the OR-of-ANDs brand/size predicate is pushed into the part scan
+    assert "Or(And(" in plan or "PushedFilters: [Or(" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "asof_join_events_orders")
+    # one exchange for the window over the union (plus the daily-agg
+    # exchange); crucially NO join operator in the as-of itself
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_read_prunes(spark):
+    df = Q.REGISTRY["source_partitioned_pruning"]["fn"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    assert "(o_year" in plan and "1997" in plan
+
+
+def test_where_grammar_neutralizes_injection(spark):
+    # the reference passes "'; select true; --" through parameterization
+    # (tests/test_core/test_dynamic.py:22-93): hostile text after an
+    # operator becomes ONE escaped literal, never executable SQL
+    out = compile_where("name = 'a'; DROP TABLE t; --")
+    assert "'''a''; DROP TABLE t; --'" in out  # quotes doubled: inert
+    # structurally invalid predicates are refused outright
+    for bad in [
+        "1=1) OR (SELECT 1",
+        "name LIKE 'x%'",  # LIKE is outside the reference grammar
+    ]:
+        with pytest.raises((errors.SQLInvalidSyntax, ValueError)):
+            compile_where(bad)
+
+
+def test_identifier_length_contract():
+    escape("a" * 128)  # boundary ok (reference: SYSNAME 128)
+    with pytest.raises(errors.SQLInvalidLengthObjectName):
+        escape("a" * 129)
