@@ -78,6 +78,9 @@ def main() -> None:
         n = df.count()  # force full execution
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # drop persisted intermediates (LSH signatures etc.) so queries
+        # don't inherit each other's cache pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
