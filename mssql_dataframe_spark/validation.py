@@ -195,17 +195,26 @@ def _prepare_values(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
 
 def _datetime_grid(c: F.Column) -> F.Column:
     """Legacy DATETIME rounds milliseconds to the nearest of
-    {.xx0, .xx3, .xx7} (reference: conversion.py:460-471)."""
-    micros = (c.cast("double") * F.lit(1000.0))  # total ms as double
-    ms = F.round(micros)  # nearest ms first
-    last = ms % 10
+    {.xx0, .xx3, .xx7} (reference: conversion.py:460-471).
+
+    Exact integer arithmetic throughout: a double intermediate would
+    lose precision above 2^53 µs (~year 2255), and Spark 4 refuses
+    TIMESTAMP_NTZ -> DOUBLE casts outright. The NTZ wall clock is
+    preserved because the session timezone is pinned to UTC."""
+    micros = F.unix_micros(c.cast("timestamp"))
+    r = F.pmod(micros, F.lit(1000))
+    # (micros - r) is a multiple of 1000; the quotient < 2^53 so the
+    # double division below is exact
+    base = ((micros - r) / F.lit(1000)).cast("long")
+    ms = base + F.when(r >= 500, F.lit(1)).otherwise(F.lit(0))
+    last = F.pmod(ms, F.lit(10))
     snapped = (
         F.when(last <= 1, ms - last)
         .when(last <= 4, ms - last + 3)
         .when(last <= 8, ms - last + 7)
         .otherwise(ms - last + 10)
     )
-    return (snapped / 1000.0).cast("timestamp_ntz")
+    return F.timestamp_micros(snapped * F.lit(1000)).cast("timestamp_ntz")
 
 
 def _cast_to_rules(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
