@@ -382,6 +382,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each node starts labeled with its own id; every round each node
+    takes the min of its label and its neighbors' labels; converged
+    when no label changes. Rounds are O(graph diameter) — near-dup
+    clusters are shallow, so a handful of joins. Each round is one
+    shuffle on the node id; intermediate labels are persisted and the
+    previous round unpersisted, so memory stays O(nodes) (at cluster
+    scale the same loop checkpoints every k rounds to cut lineage).
+
+    Returns (id, component) where component = min node id reachable.
+    """
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def dedup_cluster_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    k: int = 8,
+    threshold: float = 0.5,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-dup survivorship: MinHash pairs -> connected components ->
+    keep the lowest-id document per cluster. Returns
+    (doc_id, component, is_survivor, cluster_size) for every document
+    that belongs to a near-dup cluster of size >= 2, plus singletons
+    marked survivors implicitly excluded (cluster_size filter keeps the
+    output small; flip the filter to emit the full keep-list).
+    """
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, n_bands, k, threshold, rows_per_band
+    )
+    cc = connected_components(pairs, df.select(id_col), id_col)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            id_col,
+            "component",
+            (F.col(id_col) == F.col("component")).alias("is_survivor"),
+            "cluster_size",
+        )
+    )
+
+
 def simhash(text: str | Column, bits: int = 64) -> Column:
     """SimHash: per-token xxhash64, sign-sum each bit, pack to a long.
 

@@ -118,6 +118,52 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    explode lowercased tokens -> (doc, term) counts (tf) -> document
+    frequency per term (df) -> smoothed idf = ln((N+1)/(df+1)) ->
+    rank tf*idf per doc. Two shuffles (doc-term agg, term agg) plus the
+    per-doc window — all codegen'd; the term-frequency table is
+    broadcast back. Ties break lexicographically.
+    """
+    from pyspark.sql.window import Window
+
+    spark_df = df
+    n_docs = spark_df.select(id_col).distinct().count()
+    toks = spark_df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = dfreq.withColumn(
+        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 8)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Deterministic document fingerprint (md5 of normalized text)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1764,14 +1764,15 @@ def minhash_signatures(spark, sf_dir):
     )
 
 
-def _minhash_pairs_sql(threshold: float = 0.5) -> str:
+def _minhash_pairs_cte(threshold: float = 0.5) -> str:
+    """Full CTE chain ending in ``pairs(id1, id2, jaccard)`` — reused by
+    the pairs query and the connected-components survivorship oracle."""
     n_hashes = _MH_BANDS * _MH_R
     agree = " + ".join(
         f"(CASE WHEN m1.mh_{i} = m2.mh_{i} THEN 1 ELSE 0 END)"
         for i in range(n_hashes)
     )
-    return f"""
-    WITH {_mh_shingle_cte()},
+    return f"""{_mh_shingle_cte()},
     stacked AS MATERIALIZED (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig_{b} AS signature FROM sigs WHERE sig_{b} IS NOT NULL" for b in range(_MH_BANDS))}
     ), raw_cands AS MATERIALIZED (
@@ -1793,15 +1794,48 @@ def _minhash_pairs_sql(threshold: float = 0.5) -> str:
       JOIN sh_rows r1 ON r1.doc_id = c.id1
       JOIN sh_rows r2 ON r2.doc_id = c.id2 AND r2.sh = r1.sh
       GROUP BY c.id1, c.id2
-    )
-    SELECT i.id1, i.id2,
-           ROUND(CAST(i.n_inter AS DOUBLE)
-                 / (s1.n + s2.n - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes s1 ON s1.doc_id = i.id1
-    JOIN sizes s2 ON s2.doc_id = i.id2
-    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
-                / (s1.n + s2.n - i.n_inter), 6) >= {threshold}
+    ), pairs AS MATERIALIZED (
+      SELECT i.id1, i.id2,
+             ROUND(CAST(i.n_inter AS DOUBLE)
+                   / (s1.n + s2.n - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.id1
+      JOIN sizes s2 ON s2.doc_id = i.id2
+      WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                  / (s1.n + s2.n - i.n_inter), 6) >= {threshold}
+    )"""
+
+
+def _minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_pairs_cte(threshold)}
+    SELECT id1, id2, jaccard FROM pairs
+    """
+
+
+def _survivors_sql(threshold: float = 0.5) -> str:
+    """Connected components over the near-dup pair graph via a
+    recursive label-propagation CTE, min id per component, survivors."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte(threshold)},
+    edges AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+    csizes AS (SELECT component, COUNT(*) AS cluster_size
+               FROM comp GROUP BY component)
+    SELECT comp.node AS doc_id, comp.component,
+           comp.node = comp.component AS is_survivor,
+           csizes.cluster_size
+    FROM comp JOIN csizes ON comp.component = csizes.component
+    WHERE csizes.cluster_size >= 2
     """
 
 
@@ -1811,6 +1845,55 @@ def minhash_dedup_pairs(spark, sf_dir):
     return D.minhash_dedup_pairs(
         d, "doc_id", "text", _MH_BANDS, _MH_K, 0.5, rows_per_band=_MH_R
     )
+
+
+@register("dedup_cluster_survivors", sql=_survivors_sql(0.5))
+def dedup_cluster_survivors(spark, sf_dir):
+    """Near-dup survivorship: MinHash pairs -> iterative min-label
+    connected components -> lowest-id document survives per cluster.
+    The oracle computes the same fixpoint with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_cluster_survivors(
+        d, "doc_id", "text", _MH_BANDS, _MH_K, 0.5, rows_per_band=_MH_R
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    sql=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lower(unnest(
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(TRIM(text), '\s+') END)) AS term
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    idf AS MATERIALIZED (
+      SELECT term, LN((n.n_docs + 1.0) / (COUNT(DISTINCT tf.doc_id) + 1.0))
+               AS idf
+      FROM tf, n GROUP BY term, n.n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * idf.idf, 8) AS tfidf
+      FROM tf JOIN idf ON tf.term = idf.term
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(d, "doc_id", "text", top_k=3)
 
 
 @register("simhash_near_dup_pairs", sql=None)  # xxhash64 n/a in duckdb: rows-only
