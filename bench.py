@@ -49,9 +49,11 @@ HEADLINE = [
     # LLM-pipeline operators
     "dedup_exact_text",
     "minhash_dedup_pairs",
+    "dedup_cluster_survivors",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
     "text_quality_features",
+    "text_tfidf_top_terms",
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
