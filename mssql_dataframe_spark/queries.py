@@ -61,6 +61,17 @@ def _dsum(col, alias, scale=4):
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
 
 
+def _exact_rev(prefix="l_"):
+    """Exact-decimal revenue factor: the source prices/discounts carry
+    two decimals, so casting the FACTORS to decimal before multiplying
+    keeps the arithmetic exact — no double->decimal tie-rounding, which
+    Spark (HALF_UP) and other engines (half-even) resolve differently."""
+    return (
+        F.col(f"{prefix}extendedprice").cast("decimal(12,2)")
+        * (1 - F.col(f"{prefix}discount")).cast("decimal(4,2)")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish read path
 # ---------------------------------------------------------------------------
@@ -71,8 +82,8 @@ def _dsum(col, alias, scale=4):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2)) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -84,15 +95,15 @@ def _dsum(col, alias, scale=4):
 )
 def q1(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = _exact_rev()
+    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(4,2)")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         _dsum(F.col("l_quantity"), "sum_qty"),
         _dsum(F.col("l_extendedprice"), "sum_base_price"),
         _dsum(disc_price, "sum_disc_price"),
-        _dsum(charge, "sum_charge"),
+        F.sum(charge.cast("decimal(24,6)")).cast("double").alias("sum_charge"),
         (
             F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
             / F.count("*")
@@ -113,7 +124,7 @@ def q1(spark, sf_dir):
     "q3_shipping_priority",
     sql="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -126,7 +137,7 @@ def q1(spark, sf_dir):
     """,
 )
 def q3(spark, sf_dir):
-    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
@@ -134,7 +145,7 @@ def q3(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsum(_exact_rev(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(
             F.col("revenue").desc(),
@@ -149,7 +160,7 @@ def q3(spark, sf_dir):
     "q5_local_supplier_volume",
     sql="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -165,8 +176,8 @@ def q3(spark, sf_dir):
 def q5(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
     )
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -182,14 +193,14 @@ def q5(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsum(_exact_rev(), "revenue"))
     )
 
 
 @register(
     "q6_forecast_revenue",
     sql="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -202,14 +213,14 @@ def q6(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.03)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            _dsum(F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(4,2)"), "revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -219,7 +230,7 @@ def q6(spark, sf_dir):
     "q10_returned_items",
     sql="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -236,8 +247,8 @@ def q6(spark, sf_dir):
 def q10(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
@@ -246,7 +257,7 @@ def q10(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsum(_exact_rev(), "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -298,8 +309,8 @@ def q2(spark, sf_dir):
 )
 def q4(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
     )
     l = _t(spark, sf_dir, "lineitem")
     shipped_late = l.join(
@@ -317,7 +328,7 @@ def q4(spark, sf_dir):
     sql="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -333,8 +344,8 @@ def q4(spark, sf_dir):
 )
 def q7(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -359,7 +370,7 @@ def q7(spark, sf_dir):
         .groupBy(
             "cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("l_year")
         )
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsum(_exact_rev(), "revenue"))
     )
 
 
@@ -368,7 +379,7 @@ def q7(spark, sf_dir):
     sql="""
     WITH all_sales AS (
       SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
-             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS volume,
              sn.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -395,7 +406,7 @@ def q8(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _exact_rev()
     sales = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -426,9 +437,9 @@ def q8(spark, sf_dir):
     "q14_promo_revenue",
     sql="""
     SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))
                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 8)
+           / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE), 8)
            AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -437,11 +448,11 @@ def q8(spark, sf_dir):
 )
 def q14(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    rev = (_exact_rev()).cast("decimal(18,4)")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
@@ -464,7 +475,7 @@ def q14(spark, sf_dir):
     sql="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4)))
                   AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -481,11 +492,11 @@ def q15(spark, sf_dir):
     """Top supplier by quarterly revenue: the scalar max-subquery plans
     as an aggregate broadcast-joined back to the revenue relation."""
     l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+        _dsum(_exact_rev(), "total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     s = _t(spark, sf_dir, "supplier")
@@ -593,7 +604,7 @@ def q18(spark, sf_dir):
 @register(
     "q19_disjunctive_filter",
     sql="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -628,7 +639,7 @@ def q19(spark, sf_dir):
         l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
         .filter(cond)
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            _dsum(_exact_rev(), "revenue"),
             F.count("*").alias("n_rows"),
         )
     )

@@ -39,7 +39,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.10g}"
+        # 15 significant digits: strict enough to catch per-row
+        # rounding-mode divergence (a %.10g norm once masked a
+        # double->decimal HALF_UP-vs-half-even difference), loose
+        # enough to absorb the final double ulp
+        return f"{v:.15g}"
     if hasattr(v, "isoformat"):
         s = v.isoformat()
         return s.replace("+00:00", "").replace("T", " ")
