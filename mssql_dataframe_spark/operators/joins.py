@@ -75,6 +75,31 @@ def asof_join(
     return out
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side's hot keys are spread over
+    ``n_salts`` sub-partitions by a deterministic row-hash salt, and the
+    small side is replicated once per salt — the shuffle key becomes
+    (key, salt) so no single reducer owns a whole hot key. Results are
+    identical to a plain join (the oracle relies on this).
+
+    AQE's skew-join split handles this automatically for sort-merge
+    joins; the explicit form is for cluster setups where AQE is off or
+    the skew is in an aggregation-feeding join it can't split.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [on, "__salt"], how).drop("__salt")
+
+
 def range_join_banded(
     left: DataFrame,
     right: DataFrame,

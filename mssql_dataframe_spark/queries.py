@@ -1364,6 +1364,42 @@ def asof_events_orders(spark, sf_dir):
 
 
 @register(
+    "salted_join_user_events",
+    sql="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_user_events(spark, sf_dir):
+    """Skew-safe salted equi-join (events fact x customer dim): the
+    oracle is the PLAIN join — salting must not change results."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = J.salted_join(e, c, on="user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), _dsum(F.col("value"), "sum_value")
+    )
+
+
+@register("approx_percentile_sketch", sql=None)  # sketch differs per engine
+def approx_percentile_sketch(spark, sf_dir):
+    """approx_percentile (KLL/GK-style sketch): mergeable, one pass,
+    bounded memory — the 100 TB path when exact percentile's full sort
+    per group is too expensive. Rows-only check: sketches are
+    engine-specific (DuckDB's approx_quantile uses a different one)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_pcts")
+    )
+
+
+@register(
     "range_join_price_bands",
     sql="""
     WITH bands(band_name, lo, hi) AS (
