@@ -416,6 +416,8 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry a per-row "changed" flag so cache materialization and
+        # the convergence check are ONE job, not a join + a count
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -423,19 +425,18 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
                     "label"
                 ),
+                (
+                    F.coalesce("nlabel", "label") < F.col("label")
+                ).alias("__changed"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.agg(
+            F.max(F.col("__changed").cast("int"))
+        ).collect()[0][0]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("__changed")
+        if not changed:
             break
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
