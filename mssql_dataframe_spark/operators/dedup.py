@@ -93,6 +93,7 @@ def _signature_base(
     n_bands: int,
     k: int,
     rows_per_band: int = 2,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{n-1}) — PERSISTED.
 
@@ -110,7 +111,8 @@ def _signature_base(
     played by a checkpoint/interim table when signatures exceed cache.
     """
     n_hashes = n_bands * rows_per_band
-    rows = shingle_rows(df, id_col, text_col, k)
+    if rows is None:
+        rows = shingle_rows(df, id_col, text_col, k)
     # ONE md5 per shingle -> 40-bit integer; the n_hashes "independent"
     # hash functions are multiply-shift mixes h_i = (A_i*h + B_i) mod 2^40
     # with odd A_i < 2^23 (product < 2^63: overflow-safe in any engine,
@@ -253,7 +255,13 @@ def minhash_dedup_pairs(
     """
     margin = 0.2
     n_hashes = n_bands * rows_per_band
-    base = _signature_base(df, id_col, text_col, n_bands, k, rows_per_band)
+    # ONE shingle-explode scan feeds both the signatures and the exact
+    # verifier (it used to run twice)
+    rows = shingle_rows(df, id_col, text_col, k).persist()
+    rows.count()
+    base = _signature_base(
+        df, id_col, text_col, n_bands, k, rows_per_band, rows=rows
+    )
     raw_cands = lsh_candidate_pairs(
         df, id_col, text_col, n_bands, k, base=base, rows_per_band=rows_per_band
     )
@@ -276,8 +284,6 @@ def minhash_dedup_pairs(
         .filter(F.col("__est") >= threshold - margin)
         .select("id1", "id2")
     )
-    rows = shingle_rows(df, id_col, text_col, k).persist()
-    rows.count()  # eager: consumed by sizes + both sides of the inter join
     sizes = rows.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         cands.join(
