@@ -434,6 +434,70 @@ def q8(spark, sf_dir):
 
 
 @register(
+    "q12_late_shipments",
+    sql="""
+    SELECT o.o_orderpriority,
+           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS late_count,
+           COUNT(*) AS line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q12(spark, sf_dir):
+    """TPC-H Q12's shipmode CASE-aggregation pattern adapted to the
+    available columns: lines shipped >90 days after order date, counted
+    per priority."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("late_count"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13(spark, sf_dir):
+    """TPC-H Q13: LEFT OUTER join (customers with zero orders count 0)
+    then a histogram over the per-customer counts — two aggregations,
+    the second over the first's output."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
     "q14_promo_revenue",
     sql="""
     SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
