@@ -434,6 +434,98 @@ def q8(spark, sf_dir):
 
 
 @register(
+    "q9_product_profit",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))
+             - CAST(0.5 AS DECIMAL(3,1)) * CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(4,0))
+           AS DECIMAL(24,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit) adapted to the available columns:
+    no partsupp table, so supply cost is modeled as half the part's
+    retail price. All arithmetic stays in decimal until the final cast
+    so accumulation order cannot change the bits. The part filter is
+    broadcast; lineitem shuffles once on the orders join key."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    cost = (
+        F.lit(0.5).cast("decimal(3,1)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
+    amount = (_exact_rev() - cost).cast("decimal(24,4)")
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    sql="""
+    WITH val AS MATERIALIZED (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > (
+      SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      FROM val
+    ) * 1.5
+    """,
+)
+def q11(spark, sf_dir):
+    """TPC-H Q11 (important stock) adapted: per-part revenue against a
+    scalar subquery threshold of 1.5x the average part value (share
+    thresholds like the original's 0.0001 are not scale-invariant —
+    the average is, so the query returns rows at every SF). The
+    per-part aggregate is consumed twice (rows + scalar total);
+    column pruning makes the two subtrees differ, defeating
+    ReuseExchange, so it is persisted eagerly — one lineitem
+    scan/shuffle, then two passes over the small aggregate. Totals are
+    decimal-accumulated for order-insensitive bits; the /count and
+    *1.5 double ops are IEEE-deterministic in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    val = l.groupBy("l_partkey").agg(_dsum(_exact_rev(), "part_value")).persist()
+    val.count()  # persist() is lazy; materialize before the two consumers race
+    total = val.agg(
+        (
+            F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("__avg")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__avg") * 1.5)
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
     "q12_late_shipments",
     sql="""
     SELECT o.o_orderpriority,
@@ -706,6 +798,120 @@ def q19(spark, sf_dir):
             _dsum(_exact_rev(), "revenue"),
             F.count("*").alias("n_rows"),
         )
+    )
+
+
+@register(
+    "q20_bulk_suppliers",
+    sql="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 50
+    )
+    AND s.s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_0', 'NATION_1')
+    )
+    """,
+)
+def q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion) adapted: no partsupp
+    availqty, so a supplier qualifies by having shipped >50 units of
+    any 'small%' part in 1997. Both IN-subqueries lower to semi-joins:
+    the part and nation filters broadcast, the supplier qualification
+    aggregates on (suppkey, partkey) — one lineitem shuffle."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1")
+    ).select(F.col("n_nationkey").alias("s_nationkey"))
+    qualified = (
+        l.join(F.broadcast(p), "l_partkey", "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(qualified, "s_suppkey", "left_semi")
+        .join(F.broadcast(n), "s_nationkey", "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    sql="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted: lineitem
+    has no commit/receipt dates, so 'late' means shipped >60 days after
+    the order date. The EXISTS / NOT EXISTS pair is decorrelated into
+    one pass: aggregate late-line counts per (order, supplier), then
+    per order count suppliers and late suppliers. A late line
+    qualifies iff its order has >1 supplier (EXISTS another supplier)
+    and exactly 1 late supplier (NOT EXISTS another LATE supplier —
+    necessarily this line's own). One lineitem scan + one shuffle
+    join with orders, vs three lineitem scans for the naive
+    semi/anti-join lowering; the shared per-(order,supplier) relation
+    is small and persisted eagerly."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_os = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("__late_lines"))
+        .persist()
+    )
+    per_os.count()  # persist() is lazy; materialize before the two consumers race
+    per_order = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("__n_supp"),
+            F.sum((F.col("__late_lines") > 0).cast("int")).alias("__n_late"),
+        )
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        .select("l_orderkey")
+    )
+    return (
+        per_os.filter(F.col("__late_lines") > 0)
+        .join(per_order, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("__late_lines").cast("bigint").alias("numwait"))
     )
 
 
