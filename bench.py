@@ -27,8 +27,10 @@ HEADLINE = [
     "q4_order_priority",
     "q7_volume_shipping",
     "q14_promo_revenue",
+    "q9_product_profit",
     "q18_large_orders",
     "q19_disjunctive_filter",
+    "q21_waiting_suppliers",
     # window / agg surface
     "window_top3_orders_per_customer",
     "window_moving_avg_frames",

@@ -1338,6 +1338,50 @@ def source_json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "bucketed_join_no_shuffle",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_no_shuffle(spark, sf_dir):
+    """Co-located join via bucketing: both fact tables are written
+    CLUSTERED BY the join key into the same bucket count, so the join
+    reads bucket-aligned files and runs with NO Exchange on either
+    side (tests/test_plans.py pins this). This is the 100 TB strategy
+    for repeated fact-fact joins: pay the shuffle once at write time,
+    then every downstream join on the key is shuffle-free. The sortBy
+    makes it a zero-sort merge join as well."""
+    suffix = uuid.uuid4().hex
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    o = _t(spark, sf_dir, "orders")
+    lt, ot = f"bkt_lineitem_{suffix}", f"bkt_orders_{suffix}"
+    for df, name, key in ((l, lt, "l_orderkey"), (o, ot, "o_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(_SCRATCH, name))
+            .saveAsTable(name)
+        )
+    lb, ob = spark.table(lt), spark.table(ot)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            _dsum(_exact_rev(), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
     "percentile_functions",
     sql="""
     SELECT o_orderpriority,
@@ -2640,6 +2684,28 @@ def streaming_append_out_of_order(spark, sf_dir):
         F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
         "n_events",
     )
+
+
+@register(
+    "streaming_dedup_exact",
+    sql="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_exact(spark, sf_dir):
+    """Streaming dedup via dropDuplicatesWithinWatermark (bounded
+    state), counted per event_type batch-side; the oracle is a global
+    DISTINCT, which the within-watermark semantics equal here because
+    same-hour duplicates are necessarily <1 h apart."""
+    from .streaming import events as STR
+
+    out = STR.streaming_dedup(spark, sf_dir)
+    return out.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
 @register("streaming_session_windows", sql=None)  # stateful session windows

@@ -40,13 +40,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def _run_to_memory(result: DataFrame, name: str) -> DataFrame:
+def _run_to_memory(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain the stream with availableNow into a memory sink."""
     checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -209,6 +209,28 @@ def stateful_user_stats(
             F.max("n_events").alias("n_events"),
             F.max("max_value").alias("max_value"),
         )
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication on (user_id, event_type, hour):
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and — unlike plain ``dropDuplicates`` on non-event-time keys —
+    EVICTS state once the watermark passes, so dedup state stays
+    bounded by the watermark horizon instead of growing with the
+    stream. Keys sharing a clock-hour are by construction <1 hour
+    apart, so the within-watermark semantics equal a global DISTINCT
+    on this replay. Emits append-mode survivors; callers aggregate
+    batch-side."""
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "hr", F.date_trunc("hour", F.col("ts"))
+    )
+    survivors = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hr"]
+    )
+    return _run_to_memory(
+        survivors.select("user_id", "event_type", "hr"), name, mode="append"
     )
 
 

@@ -54,6 +54,24 @@ def test_asof_join_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    # With broadcast disabled (the 100 TB case: neither side fits), the
+    # bucket-aligned tables must merge-join with NO exchange on either
+    # join leg — the only shuffle left is the final groupBy.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bucketed_join_no_shuffle")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    # exactly one shuffle in the plan tree: the aggregation's; zero on
+    # the join inputs (formatted explain = tree, blank line, details)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_partitioned_read_prunes(spark):
     df = Q.REGISTRY["source_partitioned_pruning"]["fn"](spark, SF)
     plan = df._jdf.queryExecution().explainString(
