@@ -2687,6 +2687,29 @@ def streaming_append_out_of_order(spark, sf_dir):
 
 
 @register(
+    "streaming_foreach_batch_upsert",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_foreach_batch_upsert(spark, sf_dir):
+    """Micro-batch replay merged into a COW store table via
+    foreachBatch + the merge verb; the final table state equals the
+    batch GROUP BY regardless of batch boundaries (decimal
+    accumulation)."""
+    from .streaming import events as STR
+
+    out = STR.foreach_batch_upsert(spark, sf_dir, _scratch_engine(spark))
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "streaming_dedup_exact",
     sql="""
     SELECT event_type, COUNT(*) AS n_unique

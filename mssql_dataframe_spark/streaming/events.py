@@ -234,6 +234,71 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def foreach_batch_upsert(
+    spark: SparkSession, sf_dir: str, engine, n_splits: int = 4
+) -> DataFrame:
+    """Streaming -> mutation-verb integration: replay events as
+    ``n_splits`` micro-batches (``maxFilesPerTrigger=1`` over a
+    pre-split copy) and, in ``foreachBatch``, merge per-user running
+    totals into a COW store table — the production pattern for keeping
+    a serving table incrementally up to date from a stream. Each batch
+    aggregates map-side first, then accumulates into the existing
+    rows via the ``merge`` verb (upsert). Totals accumulate in
+    DECIMAL(18,4) so micro-batch boundaries cannot change the bits."""
+    table = "dbo.user_totals_stream"
+    engine.create.table(
+        table,
+        {
+            "user_id": "bigint",
+            "n_events": "bigint",
+            "sum_value": "decimal(18,4)",
+        },
+        primary_key_column="user_id",
+    )
+
+    # events.parquet carries TIMESTAMP(NANOS); tolerate it even though
+    # only (user_id, value) are projected
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src_dir = os.path.join(_SCRATCH, f"fbu_src_{uuid.uuid4().hex}")
+    batch.select("user_id", "value").repartition(n_splits).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def _sink(mb: DataFrame, _batch_id: int) -> None:
+        agg = mb.groupBy("user_id").agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__s"),
+        )
+        cur = engine.read.table(table)
+        combined = agg.join(cur, "user_id", "left").select(
+            "user_id",
+            (F.col("__n") + F.coalesce(F.col("n_events"), F.lit(0))).alias(
+                "n_events"
+            ),
+            (
+                F.col("__s")
+                + F.coalesce(F.col("sum_value"), F.lit(0).cast("decimal(18,4)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_value"),
+        )
+        engine.write.merge(table, combined, upsert=True)
+
+    checkpoint = os.path.join(_SCRATCH, f"ckpt_fbu_{uuid.uuid4().hex}")
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine.read.table(table)
+
+
 def session_window_stats(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:
