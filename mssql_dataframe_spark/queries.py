@@ -1427,6 +1427,64 @@ def stats_aggregates(spark, sf_dir):
 
 
 @register(
+    "unpivot_lineitem_measures",
+    sql="""
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Wide-to-long UNPIVOT/melt: Spark plans one Expand over a single
+    scan (each input row fans out to three), where the SQL oracle's
+    UNION ALL formulation scans three times — the melt shape is the
+    scale-correct one for per-measure pipelines."""
+    l = _t(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "val"
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("val"), "total"),
+    )
+
+
+@register(
+    "regr_bool_aggregates",
+    sql="""
+    SELECT l_linestatus,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS price_per_qty,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS price_at_zero,
+           REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs,
+           BOOL_AND(l_quantity > 0) AS all_positive_qty,
+           BOOL_OR(l_discount > 0.09) AS any_big_discount
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def regr_bool_aggregates(spark, sf_dir):
+    """Linear-regression and boolean aggregates (SQL:2016 surface);
+    slope/intercept rounded in both engines so double accumulation
+    order cannot leak into the hash."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "price_at_zero"
+        ),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+    )
+
+
+@register(
     "source_partitioned_pruning",
     sql="""
     SELECT o_orderstatus, COUNT(*) AS n,
