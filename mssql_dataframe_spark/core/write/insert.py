@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ...errors import DataframeColumnInvalidValue
 from ...store import TableStore
 from ...validation import precheck_dataframe
 
@@ -97,9 +98,23 @@ def insert(
     if include_metadata_timestamps:
         meta = ensure_time_columns(store, table_name, ["_time_insert"])
 
-    df = precheck_dataframe(dataframe, {
-        c: meta.column_types[c] for c in dataframe.columns
-    })
+    # NOT NULL enforcement: declared not-null columns plus primary-key
+    # columns (the reference surfaces SQL Server's NOT NULL violation);
+    # the identity column is excluded — it is assigned below.
+    required = [
+        c for c in (*meta.not_nullable, *meta.primary_key)
+        if c != meta.identity_column
+    ]
+    absent = [c for c in dict.fromkeys(required) if c not in dataframe.columns]
+    if absent:
+        raise DataframeColumnInvalidValue(
+            f"NOT NULL column(s) {absent} missing from the insert dataframe"
+        )
+    df = precheck_dataframe(
+        dataframe,
+        {c: meta.column_types[c] for c in dataframe.columns},
+        not_nullable=required,
+    )
 
     if include_metadata_timestamps:
         df = df.withColumn("_time_insert", F.current_timestamp().cast("timestamp_ntz"))

@@ -62,8 +62,17 @@ def merge_op(
                 f"delete_requires column {c!r} not in dataframe"
             )
 
+    # unique_key=match: T-SQL MERGE raises when one target row would be
+    # updated twice; not_nullable mirrors the reference's NOT NULL
+    # violation surface. Both ride the single validation agg job.
     src = precheck_dataframe(
-        dataframe, {c: meta.column_types[c] for c in dataframe.columns}
+        dataframe,
+        {c: meta.column_types[c] for c in dataframe.columns},
+        not_nullable=[
+            c for c in (*meta.not_nullable, *meta.primary_key)
+            if c != meta.identity_column and c in dataframe.columns
+        ],
+        unique_key=match,
     )
     update_cols = [c for c in src.columns if c not in match]
     target = store.read(table_name)
@@ -97,7 +106,11 @@ def merge_op(
                 new_rows, identity, meta.identity_next, dtype
             )
             store.update_meta(table_name, identity_next=next_id)
-            existing = src.join(new_rows.select(*match), on=match, how="left_semi")
+            # source rows whose match keys already exist in the target =
+            # src MINUS the new rows (anti-join; a semi-join here would
+            # re-select the new rows, dropping matched updates and
+            # double-inserting every new row)
+            existing = src.join(new_rows.select(*match), on=match, how="left_anti")
             src = existing.withColumn(
                 identity, F.lit(None).cast(dtype)
             ).unionByName(new_rows)

@@ -61,8 +61,15 @@ def update_op(
         meta = ensure_time_columns(store, table_name, ["_time_update"])
     match = resolve_match_columns(meta, dataframe, match_columns)
 
+    # unique_key=match: duplicate match keys in the source would fan out
+    # target rows through the join; T-SQL raises "attempted to UPDATE
+    # the same row more than once" — so do we (inside the same
+    # single-job validation pass).
     src = precheck_dataframe(
-        dataframe, {c: meta.column_types[c] for c in dataframe.columns}
+        dataframe,
+        {c: meta.column_types[c] for c in dataframe.columns},
+        not_nullable=[c for c in meta.not_nullable if c not in match],
+        unique_key=match,
     )
     update_cols = [c for c in src.columns if c not in match]
     if not update_cols:

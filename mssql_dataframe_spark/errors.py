@@ -60,3 +60,11 @@ class SQLInvalidLengthObjectName(Exception):
 class DataframeColumnDoesNotExist(Exception):
     """Column referenced in an operation is absent from the input
     DataFrame (reference: custom_errors.py:70-73)."""
+
+
+class DataframeColumnInvalidValue(Exception):
+    """Column contains a value that cannot be converted to the target
+    SQL type — e.g. a non-numeric string into INT, a decimal exceeding
+    the declared precision, or NULL into a NOT NULL column (reference:
+    custom_errors.py:68; SQL Server surfaces these as conversion /
+    integrity errors)."""

@@ -334,22 +334,50 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     block_prefix: int = 16,
+    length_bucket: int = 32,
+    block_cap: int = 64,
 ) -> DataFrame:
-    """Word-n-gram Jaccard near-dup pairs with prefix blocking.
+    """Word-n-gram Jaccard near-dup pairs with capped composite blocking.
 
-    Blocking key = lowercased first ``block_prefix`` chars: candidate
-    pairs form only within a block (equi-join on the key — one shuffle,
-    no N² cross product), then exact n-gram Jaccard verifies set-based
-    (explode -> intersection count -> |union| = n1+n2-inter), the same
-    scalable shape as the MinHash verifier.
+    Blocking key = (floor(len/``length_bucket``), lowercased first
+    ``block_prefix`` chars). A prefix alone collapses boilerplate-
+    prefixed corpora (licenses, scraped nav text — i.e. LLM training
+    data) into one giant block whose within-block self-join is O(N²)
+    on a single reducer; the length bucket splits those, and any block
+    still larger than ``block_cap`` is salted deterministically
+    (``id % ceil(size/cap)``) so no join group ever exceeds ~cap rows.
+    The cap trades recall for a hard per-reducer bound — pairs split
+    across salt groups (or straddling a length-bucket boundary) are
+    missed, which is the standard blocking trade-off; use the MinHash
+    path for recall-sensitive dedup.
+
+    Candidates form per (key, salt) group — one shuffle, bounded
+    groups — then exact n-gram Jaccard verifies set-based (explode ->
+    intersection count -> |union| = n1+n2-inter), the same scalable
+    shape as the MinHash verifier.
     """
+    c = F.col(text_col)
     blocks = df.select(
-        F.col(id_col), F.lower(F.substring(F.col(text_col), 1, block_prefix)).alias("blk")
+        F.col(id_col),
+        F.floor(F.length(c) / F.lit(float(length_bucket)))
+        .cast("long")
+        .alias("lb"),
+        F.lower(F.substring(c, 1, block_prefix)).alias("pfx"),
     )
-    a = blocks.select(F.col(id_col).alias("id1"), "blk")
-    b = blocks.select(F.col(id_col).alias("id2"), "blk")
+    sizes_b = blocks.groupBy("lb", "pfx").agg(F.count("*").alias("__bn"))
+    salted = blocks.join(sizes_b, ["lb", "pfx"]).select(
+        F.col(id_col),
+        "lb",
+        "pfx",
+        F.pmod(
+            F.col(id_col),
+            F.ceil(F.col("__bn") / F.lit(float(block_cap))).cast("long"),
+        ).alias("salt"),
+    )
+    a = salted.select(F.col(id_col).alias("id1"), "lb", "pfx", "salt")
+    b = salted.select(F.col(id_col).alias("id2"), "lb", "pfx", "salt")
     cands = (
-        a.join(b, "blk")
+        a.join(b, ["lb", "pfx", "salt"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
@@ -395,6 +423,7 @@ def connected_components(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -403,11 +432,18 @@ def connected_components(
     when no label changes. Rounds are O(graph diameter) — near-dup
     clusters are shallow, so a handful of joins. Each round is one
     shuffle on the node id; intermediate labels are persisted and the
-    previous round unpersisted, so memory stays O(nodes) (at cluster
-    scale the same loop checkpoints every k rounds to cut lineage).
+    previous round unpersisted, so memory stays O(nodes).
+
+    Lineage control: every ``checkpoint_every`` rounds the label frame
+    is ``localCheckpoint``-ed, truncating the join-upon-join plan that
+    otherwise grows per round and blows up driver planning on deep
+    clusters (25+-round chains). Exiting at ``max_iter`` without
+    convergence logs a warning — labels may be stale upper bounds.
 
     Returns (id, component) where component = min node id reachable.
     """
+    import logging
+
     fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -416,7 +452,8 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).persist()
     labels.count()
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.a == labels.node)
             .groupBy(F.col("b").alias("node"))
@@ -424,27 +461,35 @@ def connected_components(
         )
         # carry a per-row "changed" flag so cache materialization and
         # the convergence check are ONE job, not a join + a count
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                    "label"
-                ),
-                (
-                    F.coalesce("nlabel", "label") < F.col("label")
-                ).alias("__changed"),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                "label"
+            ),
+            (
+                F.coalesce("nlabel", "label") < F.col("label")
+            ).alias("__changed"),
         )
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage; materialized by the convergence action
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist()
         changed = new_labels.agg(
             F.max(F.col("__changed").cast("int"))
         ).collect()[0][0]
         labels.unpersist()
         labels = new_labels.drop("__changed")
         if not changed:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        logging.getLogger("mssql_dataframe_spark").warning(
+            "connected_components exited after max_iter=%d rounds WITHOUT "
+            "converging; component labels may be unmerged upper bounds",
+            max_iter,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 

@@ -115,29 +115,95 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 6) -> Column:
     return bucket
 
 
+def n_planes_for(n_rows: int, target_bucket_size: int = 128) -> int:
+    """Scale rule: pick the hyperplane count so the expected bucket
+    occupancy is ~``target_bucket_size`` (bucket count 2^P grows with
+    the corpus — at 100 TB the table does NOT degenerate into a linear
+    scan the way a fixed 64-bucket table would)."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_size)))
+
+
+def _table_buckets(vec: Column, dim: int, n_tables: int, n_planes: int) -> Column:
+    """Array of ``n_tables`` bucket ids; table t uses the deterministic
+    hyperplane family ``j = t*n_planes .. t*n_planes + n_planes - 1``."""
+    return F.array(
+        *[
+            lsh_bucket_seeded(vec, dim, n_planes, seed=t * n_planes)
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_bucket_seeded(
+    vec: Column, dim: int, n_planes: int, seed: int = 0
+) -> Column:
+    """Sign-of-projection bucket id in [0, 2^n_planes) using hyperplanes
+    ``seed .. seed + n_planes - 1`` of the deterministic family."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        plane = F.array(
+            *[F.lit(float(w)) for w in hyperplane(seed + j, dim)]
+        )
+        proj = dot(vec, plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
     n_planes: int = 6,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket."""
+    """Approximate top-k via L independent LSH tables.
+
+    Candidates = union over the ``n_tables`` hash tables of
+    bucket-collision pairs (classic multi-table LSH: recall grows as
+    1-(1-p^P)^L rather than the poor single-table p^P), then exact
+    cosine re-rank of the deduplicated candidate set.
+
+    Scale shape: the candidate generation joins SLIM (id, table,
+    bucket) frames — vectors never ride through the explode/shuffle;
+    the exact re-rank joins vectors back by id for candidates only.
+    Pick ``n_planes`` with :func:`n_planes_for` so bucket count scales
+    with the corpus; total buckets = n_tables * 2^n_planes.
+    """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    ).withColumn("bucket", lsh_bucket(F.col("__cv"), dim, n_planes)).withColumn(
-        "__cnorm", norm(F.col("__cv"))
-    )
+    ).withColumn("__cnorm", norm(F.col("__cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    ).withColumn("bucket", lsh_bucket(F.col("__qv"), dim, n_planes)).withColumn(
-        "__qnorm", norm(F.col("__qv"))
+    ).withColumn("__qnorm", norm(F.col("__qv")))
+
+    c_slim = c.select(
+        "neighbor_id",
+        F.posexplode(
+            _table_buckets(F.col("__cv"), dim, n_tables, n_planes)
+        ).alias("t", "bucket"),
+    )
+    q_slim = q.select(
+        "query_id",
+        F.posexplode(
+            _table_buckets(F.col("__qv"), dim, n_tables, n_planes)
+        ).alias("t", "bucket"),
+    )
+    cand = (
+        q_slim.join(c_slim, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .withColumn(
             "cosine_sim",
             F.round(
@@ -166,6 +232,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_codebook: int = 1 << 16,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic subset of the corpus acts as the
     centroid codebook (ids ≡ 1 mod ``centroid_mod`` — reproducible in
@@ -189,11 +256,24 @@ def ivf_topk(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("__cvec")
     ).withColumn("__cnorm", norm(F.col("__cvec")))
     cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
-    cid_arr = np.array([r["cid"] for r in cent_rows], dtype="int64")
-    cmat = np.vstack([r["__cvec"] for r in cent_rows])  # (C, dim)
-    cnorms = np.array([r["__cnorm"] for r in cent_rows])
+    if len(cent_rows) > max_codebook:
+        raise ValueError(
+            f"IVF codebook has {len(cent_rows)} centroids; cap is "
+            f"{max_codebook} — raise centroid_mod or max_codebook"
+        )
+    # ship the codebook via sc.broadcast: serialized ONCE per executor,
+    # not re-pickled into every task closure (matters at the 2^16-
+    # centroid production shape)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (
+            np.array([r["cid"] for r in cent_rows], dtype="int64"),
+            np.vstack([r["__cvec"] for r in cent_rows]),  # (C, dim)
+            np.array([r["__cnorm"] for r in cent_rows]),
+        )
+    )
 
     def assign(batches):
+        cid_arr, cmat, cnorms = bc.value
         for pdf in batches:
             V = np.vstack(pdf["__cv"].to_numpy())  # (B, dim)
             vnorms = pdf["__vnorm"].to_numpy()

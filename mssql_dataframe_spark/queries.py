@@ -529,8 +529,8 @@ def q11(spark, sf_dir):
     "q12_late_shipments",
     sql="""
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-                    THEN 1 ELSE 0 END) AS late_count,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
            COUNT(*) AS line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2328,7 +2328,8 @@ def simhash_pairs(spark, sf_dir):
       SELECT doc_id,
              CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
                   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks,
-             lower(substring(text, 1, 16)) AS blk
+             CAST(FLOOR(LENGTH(text) / 32.0) AS BIGINT) AS lb,
+             lower(substring(text, 1, 16)) AS pfx
       FROM documents
     ), ng AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct(
@@ -2336,9 +2337,17 @@ def simhash_pairs(spark, sf_dir):
                     ELSE [array_to_string(toks[i:i+2], ' ')
                           FOR i IN range(1, len(toks) - 1)] END)) AS g
       FROM t
+    ), bsz AS MATERIALIZED (
+      SELECT lb, pfx, COUNT(*) AS bn FROM t GROUP BY lb, pfx
+    ), ts AS MATERIALIZED (
+      SELECT t.doc_id, t.lb, t.pfx,
+             t.doc_id % CAST(CEIL(b.bn / 64.0) AS BIGINT) AS salt
+      FROM t JOIN bsz b ON t.lb = b.lb AND t.pfx = b.pfx
     ), cands AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      FROM ts a JOIN ts b
+        ON a.lb = b.lb AND a.pfx = b.pfx AND a.salt = b.salt
+       AND a.doc_id < b.doc_id
     ), sizes AS MATERIALIZED (
       SELECT doc_id, COUNT(*) AS ng FROM ng GROUP BY doc_id
     ), inter AS MATERIALIZED (
@@ -2403,10 +2412,10 @@ def embedding_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-def _bucket_sql(vcol: str) -> str:
+def _bucket_sql(vcol: str, n_planes: int = 6, seed: int = 0) -> str:
     terms = []
-    for j in range(6):
-        plane = S.hyperplane(j, _DIM)
+    for j in range(n_planes):
+        plane = S.hyperplane(seed + j, _DIM)
         plane_sql = "[" + ", ".join(f"{w}.0" for w in plane) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product({vcol}, {plane_sql}::DOUBLE[]) > 0 "
@@ -2415,18 +2424,30 @@ def _bucket_sql(vcol: str) -> str:
     return " + ".join(terms)
 
 
+_LSH_TABLES, _LSH_PLANES = 4, 6
+_LSH_BUCKET_COLS = ",\n             ".join(
+    f"{_bucket_sql('embedding::DOUBLE[]', _LSH_PLANES, t * _LSH_PLANES)} AS b{t}"
+    for t in range(_LSH_TABLES)
+)
+_LSH_COLLIDES = " OR ".join(f"q.b{t} = e.b{t}" for t in range(_LSH_TABLES))
+
+
 @register(
     "ann_lsh_topk",
     sql=f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+             {_LSH_BUCKET_COLS}
       FROM embeddings
     ), q AS (SELECT * FROM e WHERE vec_id < 10),
-    scored AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             ROUND({_cosine_sql('q.v', 'e.v')}, 8) AS cosine_sim
-      FROM q JOIN e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             q.v AS qv, e.v AS cv
+      FROM q JOIN e ON ({_LSH_COLLIDES}) AND q.vec_id <> e.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({_cosine_sql('qv', 'cv')}, 8) AS cosine_sim
+      FROM cand
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine_sim DESC, neighbor_id ASC)
@@ -2438,9 +2459,14 @@ def _bucket_sql(vcol: str) -> str:
     """,
 )
 def ann_lsh_topk(spark, sf_dir):
+    """Multi-table LSH ANN (L=4 tables x P=6 planes; the union-of-tables
+    candidate set re-ranked exactly — see operators/similarity.py
+    lsh_ann_topk for the 100-TB shape and n_planes_for scaling rule)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    out = S.lsh_ann_topk(e, q, dim=_DIM, k=10, n_planes=6)
+    out = S.lsh_ann_topk(
+        e, q, dim=_DIM, k=10, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -3018,11 +3044,87 @@ def verb_read_where_grammar(spark, sf_dir):
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
+# The correctness driver grades entries in the order this dict yields
+# them and stops after a cap (round 1: exactly the first 50 of 96).
+# Emit the entries with no driver CORRECTNESS row yet — every verb_*,
+# streaming, scalar-function, and LLM-pipeline entry — FIRST, then the
+# round-1 red/no-oracle retries, then the already-green rest, so each
+# round's capped window grades the highest-information set
+# (VERDICT.md round 1, "Next round: do this" #1).
+_GRADE_FIRST = [
+    # core verbs (reference API surface — never driver-graded yet)
+    "verb_insert_read",
+    "verb_update",
+    "verb_merge_upsert",
+    "verb_merge_delete",
+    "verb_merge_delete_requires",
+    "verb_merge_identity",
+    "verb_modify_schema",
+    "verb_read_where_grammar",
+    "verb_identity_pk",
+    "verb_schema_validate_convert",
+    # streaming (7 entries, none graded)
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_append_out_of_order",
+    "streaming_foreach_batch_upsert",
+    "streaming_dedup_exact",
+    "streaming_session_windows",
+    "streaming_stateful_user_stats",
+    # LLM-pipeline: dedup / similarity / text
+    "dedup_exact_text",
+    "dedup_exact_prefix",
+    "minhash_signatures",
+    "minhash_dedup_pairs",
+    "dedup_cluster_survivors",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    "text_quality_features",
+    "text_lang_id",
+    "text_bpe_token_count",
+    "doc_fingerprint",
+    "doc_rolling_hash",
+    # multimodal plumbing
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # scalar function libraries
+    "string_functions",
+    "date_functions",
+    "math_conditional_functions",
+    "json_extraction",
+    "json_object_extraction",
+    "array_agg_functions",
+    "pandas_udaf_median",
+    # joins/sketches registered past the round-1 cap
+    "salted_join_user_events",
+    "approx_percentile_sketch",
+    "range_join_price_bands",
+    # round-1 red row (oracle type fixed) + no-oracle made gradable
+    "q12_late_shipments",
+    "approx_count_distinct",
+]
+
+
+def _ordered_registry():
+    seen = [n for n in _GRADE_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in _GRADE_FIRST]
+    return seen + rest
+
+
 def all_queries():
-    return {name: spec["fn"] for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name]["fn"] for name in _ordered_registry()}
 
 
 def all_oracles():
     return {
-        name: spec["sql"] for name, spec in REGISTRY.items() if spec["sql"]
+        name: REGISTRY[name]["sql"]
+        for name in _ordered_registry()
+        if REGISTRY[name]["sql"]
     }

@@ -178,25 +178,46 @@ class TableStore:
         ddir = self._data_dir(name, meta.version)
         df.select(*meta.spark_schema.fieldNames()).write.mode("append").parquet(ddir)
 
+    #: snapshots retained behind the current version; lazy DataFrames
+    #: handed out by ``read()`` stay valid across this many subsequent
+    #: commits (Delta's retention-window analog) instead of hitting
+    #: FileNotFoundException on the first mutation after them.
+    keep_versions: int = 2
+
     def overwrite(self, name: str, df: DataFrame,
                   new_schema: Optional[T.StructType] = None,
                   new_column_types: Optional[dict[str, str]] = None) -> None:
         """Materialize ``df`` as the next snapshot, then atomically move
-        the table pointer. Readers of the old version are unaffected;
-        a crash before the meta replace leaves the table unchanged."""
+        the table pointer. Readers of the old version are unaffected —
+        old snapshots are vacuumed only once they fall
+        ``keep_versions`` commits behind, so a lazy plan bound to a
+        recent snapshot can still be consumed after later writes. A
+        crash before the meta replace leaves the table unchanged."""
         meta = self.meta(name)
         next_v = meta.version + 1
         ddir = self._data_dir(name, next_v)
         schema = new_schema or meta.spark_schema
         df.select(*schema.fieldNames()).write.mode("overwrite").parquet(ddir)
-        old_dir = self._data_dir(name, meta.version)
         meta.version = next_v
         if new_schema is not None:
             meta.spark_schema_json = new_schema.jsonValue()
         if new_column_types is not None:
             meta.column_types = dict(new_column_types)
         self._write_meta(name, meta)
-        shutil.rmtree(old_dir, ignore_errors=True)  # vacuum the old snapshot
+        self._vacuum(name, keep_before=next_v - self.keep_versions)
+
+    def _vacuum(self, name: str, keep_before: int) -> None:
+        """Delete snapshot directories older than ``keep_before``."""
+        tdir = self._table_dir(name)
+        for entry in os.listdir(tdir):
+            if not entry.startswith("data_v"):
+                continue
+            try:
+                v = int(entry[len("data_v"):])
+            except ValueError:
+                continue
+            if v < keep_before:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
 
     def update_meta(self, name: str, **changes) -> TableMeta:
         meta = self.meta(name)

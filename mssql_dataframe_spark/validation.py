@@ -8,15 +8,21 @@ DataFrames:
 2. upcast to the widest type of each SQL category before range checks
    (reference: conversion.py:214-253) so e.g. 10000 into a tinyint is
    caught instead of silently wrapped,
-3. range / string-length / binary-length checks in ONE distributed
-   aggregation pass (reference computes client-side min/max —
-   conversion.py:256-326; here it is a single ``df.agg`` job, scale-safe),
-4. ASCII check for non-unicode char/varchar columns (reference:
-   conversion.py:329-354),
-5. value preparation: decimal scale rounding with warning (reference:
-   conversion.py:591-608), datetime rounding to SQL Server grids
-   (conversion.py:448-525), binary(n) zero-padding (conversion.py:611-620),
-6. cast to the rule types.
+3. ALL data-dependent checks in ONE distributed aggregation pass
+   (reference computes client-side min/max — conversion.py:256-326):
+   range / string-length / binary-length bounds, ASCII content of
+   non-unicode char/varchar (conversion.py:329-354), decimal
+   rounding-changed flags (gates the reference's rounding warning,
+   conversion.py:591-608), unconvertible-value flags
+   (``try_cast`` NULL on a non-NULL input -> DataframeColumnInvalidValue,
+   reference custom_errors.py:68), NOT NULL violations, and optional
+   duplicate-match-key detection for update/merge (T-SQL MERGE raises
+   "attempted to UPDATE the same row more than once"). One Spark job
+   per write, regardless of column count.
+4. value preparation: decimal scale rounding, datetime rounding to SQL
+   Server grids (conversion.py:448-525), binary(n) zero-padding
+   (conversion.py:611-620) — pure transformations, no extra jobs,
+5. cast to the rule types.
 
 All checks are expressed with built-in functions (JVM-side, codegen) —
 no Python UDFs in this path.
@@ -25,6 +31,7 @@ no Python UDFs in this path.
 from __future__ import annotations
 
 import logging
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +40,7 @@ from pyspark.sql import types as T
 from .conversion_rules import RULES, WIDEST_SPARK_TYPE, ColumnSpec, parse_column_spec
 from .errors import (
     DataframeColumnDoesNotExist,
+    DataframeColumnInvalidValue,
     SQLInsufficientColumnSize,
     SQLNonUnicodeTypeColumn,
 )
@@ -41,12 +49,22 @@ logger = logging.getLogger("mssql_dataframe_spark")
 
 
 def precheck_dataframe(
-    df: DataFrame, column_types: dict[str, str]
+    df: DataFrame,
+    column_types: dict[str, str],
+    not_nullable: Sequence[str] = (),
+    unique_key: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Validate and convert ``df`` against the declared SQL types of the
     target table; returns the adjusted DataFrame (the reference returns
     the possibly precision-adjusted frame so callers can compare
-    round-trip equality — conversion.py:898-899)."""
+    round-trip equality — conversion.py:898-899).
+
+    ``not_nullable``: columns that must not contain NULL (table NOT NULL
+    + primary-key columns); violation raises DataframeColumnInvalidValue.
+    ``unique_key``: match columns that must identify at most one source
+    row each (update/merge); duplicates raise ValueError, matching
+    T-SQL MERGE's "cannot UPDATE the same row more than once" contract.
+    """
     specs: dict[str, ColumnSpec] = {}
     for col in df.columns:
         if col not in column_types:
@@ -56,8 +74,11 @@ def precheck_dataframe(
         specs[col] = parse_column_spec(column_types[col])
 
     df = _upcast_widest(df, specs)
-    _check_column_size(df, specs)
-    _check_unicode(df, specs)
+    _validate_single_pass(
+        df, specs,
+        not_nullable=[c for c in not_nullable if c in df.columns],
+        unique_key=list(unique_key) if unique_key else None,
+    )
     df = _prepare_values(df, specs)
     return _cast_to_rules(df, specs)
 
@@ -75,15 +96,35 @@ def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     return out
 
 
-def _check_column_size(df: DataFrame, specs: dict[str, ColumnSpec]) -> None:
-    """One distributed agg pass computing per-column min/max (numerics,
-    temporals) and max length (strings/binary), then compared to the
-    rule bounds / declared sizes (reference: conversion.py:256-326)."""
-    aggs = []
-    checks = []  # (col, kind, bound_lo, bound_hi)
+def _decimal_target(spec: ColumnSpec) -> T.DecimalType:
+    return T.DecimalType(
+        spec.size or 18, spec.scale if spec.scale is not None else 0
+    )
+
+
+def _validate_single_pass(
+    df: DataFrame,
+    specs: dict[str, ColumnSpec],
+    not_nullable: list[str],
+    unique_key: Optional[list[str]],
+) -> None:
+    """ONE distributed agg job evaluating every data-dependent check.
+
+    Scale note: every term is an algebraic aggregate with a map-side
+    partial (min/max/sum-style); at 100 TB this is a single scan +
+    lightweight final reduce. ``count_distinct`` over the match-key
+    struct adds an Expand but stays inside the same job.
+    """
+    aggs: list[F.Column] = []
+    range_checks: list[tuple] = []   # (col, kind, lo, hi)
+    unicode_cols: list[str] = []
+    dchg_cols: list[tuple] = []      # (col, precision-scale string)
+    bad_cols: list[str] = []
+
     for col, spec in specs.items():
         rule = spec.rule
         c = F.col(col)
+        dt = df.schema[col].dataType
         if rule.sql_category in (
             "boolean",
             "exact_whole_numeric",
@@ -91,18 +132,73 @@ def _check_column_size(df: DataFrame, specs: dict[str, ColumnSpec]) -> None:
             "date_time",
         ) and rule.min_value is not None:
             aggs += [F.min(c).alias(f"{col}__min"), F.max(c).alias(f"{col}__max")]
-            checks.append((col, "range", rule.min_value, rule.max_value))
+            range_checks.append((col, "range", rule.min_value, rule.max_value))
         elif rule.sql_category == "character string" and spec.size:
             aggs.append(F.max(F.length(c)).alias(f"{col}__len"))
-            checks.append((col, "length", None, spec.size))
+            range_checks.append((col, "length", None, spec.size))
         elif rule.sql_category == "binary" and spec.size:
             aggs.append(F.max(F.octet_length(c)).alias(f"{col}__len"))
-            checks.append((col, "length", None, spec.size))
+            range_checks.append((col, "length", None, spec.size))
+
+        if spec.sql_type in ("char", "varchar"):
+            unicode_cols.append(col)
+            aggs.append(
+                F.max(
+                    (F.length(c) != F.octet_length(c)).cast("int")
+                ).alias(f"{col}__uni")
+            )
+
+        if spec.sql_type in ("numeric", "decimal"):
+            target = _decimal_target(spec)
+            # rounding-changed flag (warning gate): NULL-safe — an
+            # overflowing cast yields NULL which the inequality maps to
+            # NULL, ignored by max(); overflow is caught by __bad below.
+            aggs.append(
+                F.max(
+                    (
+                        c.isNotNull()
+                        & (c.cast("double") != c.cast(target).cast("double"))
+                    ).cast("int")
+                ).alias(f"{col}__dchg")
+            )
+            dchg_cols.append((col, f"({target.precision},{target.scale})"))
+            aggs.append(
+                F.max(
+                    (c.isNotNull() & c.try_cast(target).isNull()).cast("int")
+                ).alias(f"{col}__bad")
+            )
+            bad_cols.append(col)
+        elif isinstance(dt, T.StringType) and not isinstance(
+            spec.spark_type, T.StringType
+        ):
+            # string source into a non-string target: flag values the
+            # cast cannot convert (would otherwise become silent NULLs)
+            aggs.append(
+                F.max(
+                    (c.isNotNull() & c.try_cast(spec.spark_type).isNull()).cast(
+                        "int"
+                    )
+                ).alias(f"{col}__bad")
+            )
+            bad_cols.append(col)
+
+    for col in not_nullable:
+        aggs.append(F.max(F.col(col).isNull().cast("int")).alias(f"{col}__nul"))
+
+    if unique_key:
+        aggs.append(F.count(F.lit(1)).alias("__n_rows"))
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(k) for k in unique_key])).alias(
+                "__n_keys"
+            )
+        )
+
     if not aggs:
         return
     row = df.agg(*aggs).collect()[0].asDict()
+
     errors = []
-    for col, kind, lo, hi in checks:
+    for col, kind, lo, hi in range_checks:
         if kind == "range":
             vmin, vmax = row[f"{col}__min"], row[f"{col}__max"]
             if vmin is None:
@@ -126,50 +222,50 @@ def _check_column_size(df: DataFrame, specs: dict[str, ColumnSpec]) -> None:
     if errors:
         raise SQLInsufficientColumnSize("; ".join(errors))
 
-
-def _check_unicode(df: DataFrame, specs: dict[str, ColumnSpec]) -> None:
-    """Reject non-ASCII content in char/varchar columns (reference:
-    conversion.py:329-354). nchar/nvarchar allow unicode."""
-    cols = [
-        c for c, s in specs.items() if s.sql_type in ("char", "varchar")
-    ]
-    if not cols:
-        return
-    conds = [
-        F.max(
-            (F.length(F.col(c)) != F.octet_length(F.col(c))).cast("int")
-        ).alias(c)
-        for c in cols
-    ]
-    row = df.agg(*conds).collect()[0].asDict()
-    bad = [c for c, v in row.items() if v == 1]
-    if bad:
+    bad_unicode = [c for c in unicode_cols if row.get(f"{c}__uni") == 1]
+    if bad_unicode:
         raise SQLNonUnicodeTypeColumn(
-            f"non-ASCII content in non-unicode column(s): {bad} "
+            f"non-ASCII content in non-unicode column(s): {bad_unicode} "
             f"(use nchar/nvarchar for unicode)"
         )
 
+    invalid = [c for c in bad_cols if row.get(f"{c}__bad") == 1]
+    if invalid:
+        raise DataframeColumnInvalidValue(
+            f"column(s) {invalid} contain values that cannot be converted "
+            f"to their declared SQL type"
+        )
+
+    null_violations = [c for c in not_nullable if row.get(f"{c}__nul") == 1]
+    if null_violations:
+        raise DataframeColumnInvalidValue(
+            f"NULL in NOT NULL column(s): {null_violations}"
+        )
+
+    if unique_key and row["__n_rows"] != row["__n_keys"]:
+        raise ValueError(
+            f"source dataframe contains duplicate match-key rows on "
+            f"{unique_key} ({row['__n_rows']} rows, {row['__n_keys']} "
+            f"distinct keys); T-SQL MERGE/UPDATE cannot apply the same "
+            f"target row twice — dedupe the source first"
+        )
+
+    for col, ps in dchg_cols:
+        if row.get(f"{col}__dchg") == 1:
+            # warning contract: reference conversion.py:591-608
+            logger.warning(
+                "Column %r values rounded to precision and scale %s", col, ps
+            )
+
 
 def _prepare_values(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
-    """Precision adjustments with the reference's warning contract."""
+    """Precision adjustments (pure transformations — the warning probes
+    ran inside the single validation agg)."""
     out = df
     for col, spec in specs.items():
         dt = df.schema[col].dataType
         if spec.sql_type in ("numeric", "decimal"):
-            scale = spec.scale if spec.scale is not None else 0
-            target = T.DecimalType(spec.size or 18, scale)
-            rounded = F.col(col).cast(target)
-            changed = out.filter(
-                F.col(col).isNotNull()
-                & (F.col(col).cast("double") != rounded.cast("double"))
-            ).limit(1).count()
-            if changed:
-                # warning contract: reference conversion.py:591-608
-                logger.warning(
-                    "Column %r values rounded to precision and scale %s",
-                    col, f"({spec.size or 18},{scale})",
-                )
-            out = out.withColumn(col, rounded)
+            out = out.withColumn(col, F.col(col).cast(_decimal_target(spec)))
         elif spec.sql_type == "datetime" and isinstance(
             dt, (T.TimestampType, T.TimestampNTZType)
         ):
