@@ -1096,12 +1096,31 @@ def distinct_aggs(spark, sf_dir):
     )
 
 
-@register("approx_count_distinct", sql=None)  # HLL sketch: rows-only check
+@register(
+    "approx_count_distinct",
+    sql="""
+    SELECT TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+    """,
+)
 def approx_cd(spark, sf_dir):
+    """HLL sketch values differ per implementation, so the gradable
+    contract is the sketch's accuracy bound: relative error vs the
+    exact COUNT(DISTINCT) <= 5% (HLL rsd default 0.05). The query
+    returns the pass/fail booleans, which the oracle CAN check."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.count_distinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.count_distinct("l_orderkey").alias("eo"),
+    )
+    return agg.select(
+        (
+            F.abs(F.col("ap") - F.col("ep")) / F.col("ep") <= 0.05
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(F.col("ao") - F.col("eo")) / F.col("eo") <= 0.05
+        ).alias("orders_within_5pct"),
     )
 
 
@@ -3015,6 +3034,91 @@ def verb_modify_schema(spark, sf_dir):
     eng.modify.column("dbo.nation_copy", "add", "extra2", "varchar(10)")
     eng.modify.column("dbo.nation_copy", "drop", "extra2")
     return eng.read.table("dbo.nation_copy")
+
+
+@register(
+    "verb_merge_identity",
+    sql="""
+    -- matched rows updated in place; new rows (key+100) inserted
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'MERGED' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100 AS n_nationkey, 'NEW' AS n_name, n_regionkey
+    FROM nation WHERE n_nationkey < 5
+    """,
+)
+def verb_merge_identity(spark, sf_dir):
+    """Merge into an identity-PK table (`_pk INT IDENTITY`, reference
+    create.py:144-145 + merge.py): matched source rows must UPDATE the
+    existing target rows (keeping their _pk) and only genuinely-new
+    match keys INSERT with fresh identities. Identity values are
+    partition-order-dependent, so the oracle checks the business
+    columns; the _pk set property is pinned in tests/test_core_verbs.py.
+    """
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe(
+        "dbo.nation_mi", nation, sql_primary_key=True
+    )
+    eng.write.insert("dbo.nation_mi", nation)
+    updates = nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", F.lit("MERGED").alias("n_name"), "n_regionkey"
+    )
+    inserts = nation.filter(F.col("n_nationkey") < 5).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lit("NEW").alias("n_name"), "n_regionkey",
+    )
+    eng.write.merge(
+        "dbo.nation_mi",
+        updates.unionByName(inserts),
+        match_columns=["n_nationkey"],
+        upsert=True,
+    )
+    return eng.read.table("dbo.nation_mi").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "verb_schema_validate_convert",
+    sql="""
+    SELECT p_partkey,
+           CAST(p_name AS VARCHAR) AS p_name,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE)
+             AS p_retailprice,
+           CAST(p_size AS SMALLINT) AS p_size
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def verb_schema_validate_convert(spark, sf_dir):
+    """`get_schema(dataframe=...)` validate+convert path (reference
+    conversion.py:38-162, `dataframe` param at :41): the candidate
+    frame is checked against the table's declared SQL types and
+    returned converted — here doubles land as DECIMAL(12,2) and ints
+    as SMALLINT exactly as the declared schema dictates."""
+    eng = _scratch_engine(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    eng.create.table(
+        "dbo.part_typed",
+        {
+            "p_partkey": "bigint",
+            "p_name": "nvarchar(100)",
+            "p_retailprice": "decimal(12,2)",
+            "p_size": "smallint",
+        },
+        primary_key_column="p_partkey",
+    )
+    candidate = part.select("p_partkey", "p_name", "p_retailprice", "p_size")
+    _schema, converted = eng.get_schema("dbo.part_typed", dataframe=candidate)
+    # decimal -> double for the hash compare only (pandas Decimal repr
+    # vs DuckDB float would hash-mismatch); the decimal conversion
+    # itself is pinned in tests/test_core_verbs.py
+    return converted.withColumn(
+        "p_retailprice", F.col("p_retailprice").cast("double")
+    )
 
 
 @register(

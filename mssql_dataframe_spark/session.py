@@ -88,8 +88,10 @@ class SparkEngine:
                 "_time_insert & _time_update columns."
             )
 
-    def get_schema(self, table_name: str):
-        return get_schema(self.store, table_name)
+    def get_schema(self, table_name: str, dataframe=None):
+        """Introspect a table; with ``dataframe=`` also validate+convert
+        the candidate frame (reference conversion.py:38-162)."""
+        return get_schema(self.store, table_name, dataframe=dataframe)
 
     def register_view(self, table_name: str, view_name: str | None = None):
         """Expose a stored table to ``spark.sql`` queries."""

@@ -276,3 +276,151 @@ def test_register_view_sql_read(engine, spark):
         f"SELECT count(*) AS n, sum(amount) AS s FROM {view} WHERE amount IS NOT NULL"
     ).collect()[0]
     assert out["n"] == 2 and abs(out["s"] - 30.5) < 1e-9
+
+
+def test_merge_identity_table(engine, spark):
+    """Merge into a sql_primary_key=True (identity _pk) table: matched
+    source rows UPDATE in place keeping their _pk; new keys insert ONCE
+    with fresh identities (regression: a semi-join in the identity path
+    dropped updates and double-inserted new rows)."""
+    engine.create.table_from_dataframe(
+        "dbo.mi1", _mini_df(spark), sql_primary_key=True
+    )
+    engine.write.insert("dbo.mi1", _mini_df(spark))
+    before = {r.id: r._pk for r in engine.read.table("dbo.mi1").collect()}
+    src = spark.createDataFrame(
+        [
+            Row(id=1, name="alpha2", amount=11.0),   # update
+            Row(id=4, name="delta", amount=40.0),    # insert
+        ]
+    )
+    engine.write.merge("dbo.mi1", src, match_columns=["id"], upsert=True)
+    out = {r.id: r for r in engine.read.table("dbo.mi1").collect()}
+    assert sorted(out) == [1, 2, 3, 4]              # no duplicate inserts
+    assert out[1].name == "alpha2" and out[1].amount == 11.0  # update applied
+    assert out[1]._pk == before[1]                  # identity preserved
+    assert out[4]._pk is not None and out[4]._pk not in before.values()
+    pks = [r._pk for r in out.values()]
+    assert len(set(pks)) == len(pks)                # identities unique
+
+
+def test_merge_identity_delete_path(engine, spark):
+    """upsert=False on an identity table: unmatched target rows are
+    deleted, matched rows survive as updates (not deletions)."""
+    engine.create.table_from_dataframe(
+        "dbo.mi2", _mini_df(spark), sql_primary_key=True
+    )
+    engine.write.insert("dbo.mi2", _mini_df(spark))
+    src = spark.createDataFrame([Row(id=2, name="beta2", amount=21.0)])
+    engine.write.merge("dbo.mi2", src, match_columns=["id"])
+    out = engine.read.table("dbo.mi2").collect()
+    assert len(out) == 1 and out[0].id == 2 and out[0].name == "beta2"
+
+
+def test_not_null_enforcement(engine, spark):
+    engine.create.table("dbo.nn1", COLS, not_nullable=["amount"])
+    with pytest.raises(errors.DataframeColumnInvalidValue, match="NOT NULL"):
+        engine.write.insert("dbo.nn1", _mini_df(spark))  # amount has a NULL
+    # missing NOT NULL column entirely is also a violation
+    with pytest.raises(errors.DataframeColumnInvalidValue, match="missing"):
+        engine.write.insert(
+            "dbo.nn1",
+            spark.createDataFrame([Row(id=9, name="x")]),
+        )
+
+
+def test_duplicate_match_keys_raise(engine, spark):
+    """T-SQL MERGE/UPDATE refuse to touch the same target row twice."""
+    engine.create.table("dbo.dk1", COLS, primary_key_column="id")
+    engine.write.insert("dbo.dk1", _mini_df(spark))
+    dup = spark.createDataFrame(
+        [Row(id=1, amount=1.0), Row(id=1, amount=2.0)]
+    )
+    with pytest.raises(ValueError, match="duplicate match-key"):
+        engine.write.update("dbo.dk1", dup)
+    with pytest.raises(ValueError, match="duplicate match-key"):
+        engine.write.merge("dbo.dk1", dup, upsert=True)
+
+
+def test_invalid_value_conversion_raises(engine, spark):
+    """String that cannot cast to the declared numeric type surfaces as
+    DataframeColumnInvalidValue, not a silent NULL (reference
+    custom_errors.py:68)."""
+    engine.create.table("dbo.iv1", {"id": "bigint", "qty": "int"})
+    bad = spark.createDataFrame([Row(id=1, qty="not-a-number")])
+    with pytest.raises(errors.DataframeColumnInvalidValue):
+        engine.write.insert("dbo.iv1", bad)
+    ok = spark.createDataFrame([Row(id=1, qty="42")])
+    engine.write.insert("dbo.iv1", ok)  # convertible strings pass
+    assert engine.read.table("dbo.iv1").collect()[0].qty == 42
+
+
+def test_lazy_reader_survives_next_write(engine, spark):
+    """Snapshot retention (keep_versions): a DataFrame returned before a
+    mutation stays consumable after it — the old snapshot is vacuumed
+    only once it falls keep_versions commits behind."""
+    engine.create.table("dbo.ks1", COLS, primary_key_column="id")
+    engine.write.insert("dbo.ks1", _mini_df(spark))
+    held = engine.read.table("dbo.ks1")          # lazy plan on v-current
+    engine.write.update(
+        "dbo.ks1", spark.createDataFrame([Row(id=1, amount=99.0)])
+    )                                            # v+1 committed
+    assert held.count() == 3                     # old snapshot still on disk
+    # after keep_versions more writes the old dir IS vacuumed
+    engine.write.update(
+        "dbo.ks1", spark.createDataFrame([Row(id=2, amount=98.0)])
+    )
+    engine.write.update(
+        "dbo.ks1", spark.createDataFrame([Row(id=3, amount=97.0)])
+    )
+    assert engine.read.table("dbo.ks1").count() == 3
+
+
+def test_get_schema_validate_convert(engine, spark):
+    """get_schema(dataframe=...) returns (schema, converted) with the
+    candidate frame cast to the declared types (reference
+    conversion.py:38-162)."""
+    engine.create.table(
+        "dbo.gs2",
+        {"id": "bigint", "price": "decimal(10,2)", "qty": "smallint"},
+        primary_key_column="id",
+    )
+    cand = spark.createDataFrame([Row(id=1, price=3.14159, qty=7)])
+    schema, converted = engine.get_schema("dbo.gs2", dataframe=cand)
+    assert schema.loc["price", "sql_type"] == "decimal"
+    row = converted.collect()[0]
+    assert str(row.price) == "3.14"
+    assert converted.schema["qty"].dataType.simpleString() == "smallint"
+    # without a dataframe the return shape is unchanged (schema only)
+    assert engine.get_schema("dbo.gs2").shape[0] == 3
+
+
+def test_single_validation_job(engine, spark):
+    """Validation job count is CONSTANT in the number of decimal columns
+    (the per-decimal-column rounding probes used to add one Spark job
+    each; they now fold into the one shared aggregation pass). AQE may
+    split the agg into >1 job, so the invariant pinned here is
+    width-independence, not an absolute count."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for_insert(tag, n_dec):
+        cols = {"id": "bigint",
+                **{f"d{i}": "decimal(10,2)" for i in range(n_dec)}}
+        engine.create.table(f"dbo.{tag}", cols)
+        df = spark.createDataFrame(
+            [Row(id=1, **{f"d{i}": 1.111 for i in range(n_dec)})]
+        )
+        sc.setJobGroup(tag, "validation job probe")
+        try:
+            engine.write.insert(f"dbo.{tag}", df)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(tag) or [])
+
+    narrow = jobs_for_insert("sj_narrow", 1)
+    wide = jobs_for_insert("sj_wide", 12)
+    assert wide == narrow, (
+        f"validation jobs grew with column count: {narrow} jobs at 1 "
+        f"decimal column vs {wide} at 12"
+    )
