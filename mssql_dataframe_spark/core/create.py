@@ -22,6 +22,7 @@ from ..conversion_rules import parse_column_spec, spark_type_to_spec
 from ..errors import SQLColumnDoesNotExist
 from ..identifiers import escape_table
 from ..store import TableStore
+from . import datetimeoffset as dto
 
 
 class create:
@@ -70,6 +71,14 @@ class create:
             fields.append(T.StructField(col, spec.spark_type, nullable))
             if "identity" in spec_str.lower() and identity_col is None:
                 identity_col = col
+            if spec.sql_type == "datetimeoffset":
+                # companion offset column preserving the original
+                # ±HH:MM (engine-managed; see core/datetimeoffset.py —
+                # Spark's TimestampType is a UTC instant with no
+                # per-row zone, reference conversion.py:528-588)
+                comp = col + dto.OFFSET_SUFFIX
+                column_types[comp] = "smallint"
+                fields.append(T.StructField(comp, T.ShortType(), True))
 
         if primary_key_column is not None:
             pk = (

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..errors import SQLColumnDoesNotExist
 from ..identifiers import compile_where
 from ..store import TableStore
+from . import datetimeoffset as dto
 
 
 class read:
@@ -41,9 +42,17 @@ class read:
         limit: Optional[int] = None,
         order_column: Optional[str] = None,
         order_direction: Optional[str] = None,
+        include_tz_offsets: bool = False,
     ) -> DataFrame:
         meta = self._store.meta(table_name)
         df = self._store.read(table_name)
+
+        # datetimeoffset companion offset columns are engine-internal;
+        # hidden unless asked for (core/datetimeoffset.py)
+        comps = dto.companions(meta)
+        if comps and not include_tz_offsets:
+            wanted = set(column_names or ())
+            df = df.drop(*[c for c in comps.values() if c not in wanted])
 
         # projection with PK force-include (reference: read.py:77-101)
         if column_names is not None:

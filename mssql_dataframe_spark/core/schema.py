@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from ..conversion_rules import parse_column_spec
 from ..store import TableStore
 from ..validation import precheck_dataframe
+from . import datetimeoffset as dto
 
 
 def get_schema(
@@ -49,9 +50,14 @@ def get_schema(
 
 def _schema_frame(store: TableStore, table_name: str) -> pd.DataFrame:
     meta = store.meta(table_name)
+    # engine-internal datetimeoffset companion columns are not part of
+    # the user-declared schema (core/datetimeoffset.py)
+    hidden = set(dto.companions(meta).values())
     rows = []
     pk_seq = {c: i + 1 for i, c in enumerate(meta.primary_key)}
     for f in meta.spark_schema.fields:
+        if f.name in hidden:
+            continue
         spec = parse_column_spec(meta.column_types[f.name])
         rows.append(
             {

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from ...errors import DataframeColumnInvalidValue
 from ...store import TableStore
 from ...validation import precheck_dataframe
+from .. import datetimeoffset as dto
 
 logger = logging.getLogger("mssql_dataframe_spark")
 
@@ -110,6 +111,7 @@ def insert(
         raise DataframeColumnInvalidValue(
             f"NOT NULL column(s) {absent} missing from the insert dataframe"
         )
+    dataframe = dto.derive(dataframe, meta)
     df = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ...errors import SQLColumnDoesNotExist
 from ...store import TableStore
 from ...validation import precheck_dataframe
+from .. import datetimeoffset as dto
 from .insert import assign_identity, ensure_time_columns
 from .update import resolve_match_columns
 
@@ -65,6 +66,7 @@ def merge_op(
     # unique_key=match: T-SQL MERGE raises when one target row would be
     # updated twice; not_nullable mirrors the reference's NOT NULL
     # violation surface. Both ride the single validation agg job.
+    dataframe = dto.derive(dataframe, meta)
     src = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},

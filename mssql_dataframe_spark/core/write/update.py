@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ...errors import SQLColumnDoesNotExist, SQLUndefinedPrimaryKey
 from ...store import TableStore
 from ...validation import precheck_dataframe
+from .. import datetimeoffset as dto
 from .insert import ensure_time_columns
 
 
@@ -65,6 +66,7 @@ def update_op(
     # target rows through the join; T-SQL raises "attempted to UPDATE
     # the same row more than once" — so do we (inside the same
     # single-job validation pass).
+    dataframe = dto.derive(dataframe, meta)
     src = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},

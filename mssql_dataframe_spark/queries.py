@@ -17,8 +17,11 @@ import pandas as pd  # module-global so pandas_udf type hints resolve
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .core import datetimeoffset as DTO
+from .core import timetype as TT
 from .operators import dedup as D
 from .operators import joins as J
 from .operators import multimodal as M
@@ -3118,6 +3121,114 @@ def verb_schema_validate_convert(spark, sf_dir):
     # itself is pinned in tests/test_core_verbs.py
     return converted.withColumn(
         "p_retailprice", F.col("p_retailprice").cast("double")
+    )
+
+
+@register(
+    "verb_datetimeoffset_roundtrip",
+    sql="""
+    WITH src AS (
+        SELECT o_orderkey AS id,
+               strftime(o_orderdate, '%Y-%m-%d') || ' '
+                 || lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0')
+                 || ':15:30' AS local_str,
+               CASE o_orderkey % 4
+                    WHEN 0 THEN '+05:30' WHEN 1 THEN '-08:00'
+                    WHEN 2 THEN ''       ELSE '+09:45' END AS off
+        FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT id,
+           epoch_us(CAST(
+               local_str || (CASE WHEN off = '' THEN '+00:00' ELSE off END)
+               AS TIMESTAMPTZ)) AS epoch_us,
+           CAST(CASE WHEN off = '' THEN 0
+                ELSE (CASE WHEN substr(off,1,1)='-' THEN -1 ELSE 1 END)
+                     * (CAST(substr(off,2,2) AS INT)*60
+                        + CAST(substr(off,5,2) AS INT)) END
+                AS SMALLINT) AS tz_minutes,
+           local_str || '.0000000 '
+             || (CASE WHEN off = '' THEN '+00:00' ELSE off END) AS rendered
+    FROM src
+    """,
+)
+def verb_datetimeoffset_roundtrip(spark, sf_dir):
+    """datetimeoffset through the full verb pipeline: string literals
+    with mixed UTC offsets are inserted into a declared datetimeoffset
+    column; the engine stores the absolute instant (TimestampType, so
+    filters/joins compare correctly) plus the original offset in the
+    managed ``__tz`` companion (reference conversion.py:528-588
+    preserves the offset end-to-end; SURVEY §2.4 #28 "optional offset
+    column"). The oracle recomputes instant/offset/render from the same
+    literals with DuckDB string+TIMESTAMPTZ arithmetic — the parse is
+    offset-explicit, so it is session-timezone independent."""
+    eng = _scratch_engine(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    off = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("+05:30"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("-08:00"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("+09:45"))
+    )
+    src = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(" "),
+            F.lpad((F.col("o_orderkey") % 24).cast("string"), 2, "0"),
+            F.lit(":15:30"), off,
+        ).alias("ts"),
+    )
+    eng.create.table(
+        "dbo.dto_rt", {"id": "bigint", "ts": "datetimeoffset"},
+        primary_key_column="id",
+    )
+    eng.write.insert("dbo.dto_rt", src)
+    stored = eng.read.table("dbo.dto_rt", include_tz_offsets=True)
+    return stored.select(
+        "id",
+        F.unix_micros(F.col("ts")).alias("epoch_us"),
+        F.col("ts__tz").alias("tz_minutes"),
+        DTO.render(F.col("ts"), F.col("ts__tz")).alias("rendered"),
+    )
+
+
+@register(
+    "time_render_contract",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           lpad(CAST(us // 3600000000 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST((us // 60000000) % 60 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST((us // 1000000) % 60 AS VARCHAR), 2, '0') || '.'
+           || lpad(CAST(us % 1000000 AS VARCHAR), 6, '0') || '0'
+             AS time_str
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               (l_orderkey % 86400) * 1000000 + (l_partkey % 1000000) AS us
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    """,
+)
+def time_render_contract(spark, sf_dir):
+    """TIME render contract (reference conversion.py:399-445): 7-digit
+    fraction ``HH:MM:SS.fffffff``. The engine's time type is
+    DayTimeIntervalType(HOUR, SECOND) — µs precision, so every value
+    sits on SQL Server's 100 ns grid and the 7th digit renders 0
+    (documented divergence: core/timetype.py). The oracle rebuilds the
+    same string from integer µs."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    us = (
+        (F.col("l_orderkey") % 86400) * F.lit(1_000_000)
+        + F.col("l_partkey") % 1_000_000
+    )
+    interval = (
+        F.timestamp_micros(us) - F.timestamp_micros(F.lit(0))
+    ).cast(
+        T.DayTimeIntervalType(
+            T.DayTimeIntervalType.HOUR, T.DayTimeIntervalType.SECOND
+        )
+    )
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        TT.render(interval).alias("time_str"),
     )
 
 
