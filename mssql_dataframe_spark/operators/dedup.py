@@ -568,12 +568,25 @@ def simhash(text: str | Column, bits: int = 64) -> Column:
     return packed
 
 
+def _token_hash(tok: Column, token_hash: str) -> tuple[Column, int]:
+    """(hash column, usable bits). ``xxhash64`` is the production
+    default (fastest, JVM intrinsic); ``md5_60`` takes the first 15 hex
+    chars of md5 as a 60-bit long — slower, but reproducible in any
+    engine with md5 (used by the correctness oracle)."""
+    if token_hash == "xxhash64":
+        return F.xxhash64(tok), 64
+    if token_hash == "md5_60":
+        return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"), 60
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, h) — 64-bit SimHash per document, computed scalably:
-    explode tokens -> row-wise xxhash64 (codegen) -> one hash
-    aggregation with 64 ±1 bit sums (map-side partial agg) -> bit-pack.
+    """(id, h) — SimHash per document, computed scalably:
+    explode tokens -> row-wise token hash (codegen) -> one hash
+    aggregation with per-bit ±1 sums (map-side partial agg) -> bit-pack.
     Zero-token documents hash to 0. ~20x faster than evaluating the
     per-row higher-order ``simhash`` expression, and one shuffle total.
     """
@@ -583,7 +596,7 @@ def simhash_table(
     toks = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h, bits = _token_hash(F.col("tok"), token_hash)
     sums = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -613,6 +626,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -626,8 +640,11 @@ def simhash_near_dup_pairs(
     in one bucket (quadratic pair blow-up), and "empty ~ empty" is not
     a meaningful near-duplicate signal.
     """
-    h = simhash_table(df, id_col, text_col).filter(F.col("h") != 0)
-    block_width = 64 // n_blocks
+    _, bits = _token_hash(F.lit(""), token_hash)
+    h = simhash_table(df, id_col, text_col, token_hash=token_hash).filter(
+        F.col("h") != 0
+    )
+    block_width = bits // n_blocks
     mask = (1 << block_width) - 1
     blocks = h.select(
         "id",

@@ -1779,17 +1779,38 @@ def salted_join_user_events(spark, sf_dir):
     )
 
 
-@register("approx_percentile_sketch", sql=None)  # sketch differs per engine
+@register(
+    "approx_percentile_sketch",
+    sql="""
+    SELECT o_orderpriority, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_percentile_sketch(spark, sf_dir):
-    """approx_percentile (KLL/GK-style sketch): mergeable, one pass,
-    bounded memory — the 100 TB path when exact percentile's full sort
-    per group is too expensive. Rows-only check: sketches are
-    engine-specific (DuckDB's approx_quantile uses a different one)."""
+    """approx_percentile (GK sketch): mergeable, one pass, bounded
+    memory — the 100 TB path when exact percentile's full sort per
+    group is too expensive. The sketch values are engine-specific, so
+    the gradable contract is the accuracy guarantee: with accuracy
+    10000 the rank error is <= N/10000, so each approximate value must
+    lie within the exact quantile envelope [p-0.005, p+0.005]."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("approx_pcts")
+        ).alias("ap"),
+        F.expr(
+            "percentile(o_totalprice, array(0.495, 0.505, 0.895, 0.905, "
+            "0.985, 0.995))"
+        ).alias("ex"),
+    )
+    def ok(i, lo, hi):
+        a = F.col("ap")[i]
+        return (a >= F.col("ex")[lo]) & (a <= F.col("ex")[hi])
+    return agg.select(
+        "o_orderpriority",
+        ok(0, 0, 1).alias("p50_ok"),
+        ok(1, 2, 3).alias("p90_ok"),
+        ok(2, 4, 5).alias("p99_ok"),
     )
 
 
@@ -2337,10 +2358,51 @@ def text_tfidf_top_terms(spark, sf_dir):
     return X.tfidf_top_terms(d, "doc_id", "text", top_k=3)
 
 
-@register("simhash_near_dup_pairs", sql=None)  # xxhash64 n/a in duckdb: rows-only
+@register(
+    "simhash_near_dup_pairs",
+    sql=r"""
+    -- full SimHash replica: md5-60-bit token hash, per-bit +-1 sums,
+    -- bit-pack, 4x15-bit pigeonhole blocks, exact popcount verify
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), th AS MATERIALIZED (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ), sums AS MATERIALIZED (
+      SELECT doc_id, r.j,
+             SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, range(60) r(j)
+      GROUP BY doc_id, r.j
+    ), packed AS MATERIALIZED (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS h
+      FROM sums GROUP BY doc_id
+    ), nz AS MATERIALIZED (
+      SELECT doc_id, h FROM packed WHERE h <> 0
+    ), blocks AS MATERIALIZED (
+      SELECT doc_id, h, r.i AS blk, (h >> (r.i * 15)) & 32767 AS blk_val
+      FROM nz, range(4) r(i)
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                      a.h AS h1, b.h AS h2
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 8
+    """,
+)
 def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs. The gate entry uses the ``md5_60`` token
+    hash (first 15 md5 hex chars as a 60-bit long) so DuckDB can
+    replicate the entire pipeline bit-for-bit; production keeps the
+    default xxhash64 (same operator, ``token_hash='xxhash64'``)."""
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8)
+    return D.simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=8, token_hash="md5_60"
+    )
 
 
 @register(
@@ -2620,16 +2682,37 @@ def multimodal_resize(spark, sf_dir):
     )
 
 
-@register("verb_identity_pk", sql=None)  # identity values are set-deterministic
+@register(
+    "verb_identity_pk",
+    sql="""
+    SELECT n_nationkey, n_name, n_regionkey, TRUE AS pk_dense
+    FROM nation
+    """,
+)
 def verb_identity_pk(spark, sf_dir):
     """Auto-identity `_pk INT IDENTITY(1,1)` (reference create.py:144-145):
-    values depend on partition layout, so the check is rows-only; the
-    set {1..n} property is asserted in tests/test_core_verbs.py."""
+    the concrete values depend on partition layout, so the gradable
+    contract is the identity INVARIANT — the assigned set is exactly
+    the dense sequence {1..n} (distinct == n, min == 1, max == n) —
+    attached as a constant boolean to every business row."""
     eng = _scratch_engine(spark)
     nation = _t(spark, sf_dir, "nation")
     eng.create.table_from_dataframe("dbo.nation_id", nation, sql_primary_key=True)
     eng.write.insert("dbo.nation_id", nation)
-    return eng.read.table("dbo.nation_id")
+    out = eng.read.table("dbo.nation_id")
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("_pk").alias("d"),
+        F.min("_pk").alias("mn"),
+        F.max("_pk").alias("mx"),
+    ).select(
+        (
+            (F.col("d") == F.col("n"))
+            & (F.col("mn") == 1)
+            & (F.col("mx") == F.col("n"))
+        ).alias("pk_dense")
+    )
+    return out.drop("_pk").crossJoin(F.broadcast(stats))
 
 
 @register(
@@ -2837,11 +2920,50 @@ def streaming_dedup_exact(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
-@register("streaming_session_windows", sql=None)  # stateful session windows
+@register(
+    "streaming_session_windows",
+    sql="""
+    -- batch gaps-and-islands equivalent of gap-based session windows:
+    -- a session breaks where the gap to the previous event is >= 30min
+    -- (session_window's end bound last_ts + gap is exclusive).
+    -- ts is truncated to microseconds first, matching the engine's
+    -- nanos->micros floor conversion.
+    WITH e AS (
+        SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events
+    ),
+    ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM ordered
+    )
+    SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_epoch_us,
+           user_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def streaming_sessions(spark, sf_dir):
+    """Gap-based session windows (built-in session_window, stateful
+    streaming agg). The batch oracle is the classic gaps-and-islands
+    rewrite — a new session starts where the gap >= 30 minutes."""
     from .streaming import events as STR
 
-    return STR.session_window_stats(spark, sf_dir, "30 minutes")
+    out = STR.session_window_stats(spark, sf_dir, "30 minutes")
+    return out.select(
+        F.unix_micros(F.col("session_start")).alias("session_epoch_us"),
+        "user_id",
+        "n_events",
+    )
 
 
 @register(
@@ -3278,6 +3400,8 @@ _GRADE_FIRST = [
     "verb_read_where_grammar",
     "verb_identity_pk",
     "verb_schema_validate_convert",
+    "verb_datetimeoffset_roundtrip",
+    "time_render_contract",
     # streaming (7 entries, none graded)
     "streaming_tumbling_counts",
     "streaming_sliding_counts",
