@@ -2497,15 +2497,13 @@ def embedding_topk(spark, sf_dir):
 
 
 def _bucket_sql(vcol: str, n_planes: int = 6, seed: int = 0) -> str:
-    terms = []
-    for j in range(n_planes):
-        plane = S.hyperplane(seed + j, _DIM)
-        plane_sql = "[" + ", ".join(f"{w}.0" for w in plane) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product({vcol}, {plane_sql}::DOUBLE[]) > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    return " + ".join(terms)
+    """DuckDB LSH bucket — built by the SAME canonical generators as
+    the Spark side (operators.similarity partial-sum scheme), so both
+    engines run bit-identical float arithmetic; only the element
+    accessor differs (``v[i]`` vs ``element_at``)."""
+    return S._bucket_sql(
+        vcol, _DIM, n_planes, seed, el=lambda v, i: f"({v})[{i}]"
+    )
 
 
 _LSH_TABLES, _LSH_PLANES = 4, 6
