@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,6 +60,8 @@ HEADLINE = [
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # multimodal (real PPM/BMP decode + box resize over mapInPandas)
+    "multimodal_resize",
 ]
 
 
@@ -74,26 +77,40 @@ def main() -> None:
         "k"
     ).sum("v").collect()
 
+    # per-query median of N runs post-warmup: the first run of a query
+    # absorbs its codegen/compile cost, so a single-shot number mixes
+    # fixed JVM overhead into the data-scaled signal and round-over-
+    # round regressions aren't attributable. The p50 is the steady-
+    # state cost.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]["fn"]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        # drop persisted intermediates (LSH signatures etc.) so queries
-        # don't inherit each other's cache pressure
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            samples.append(time.perf_counter() - t0)
+            # drop persisted intermediates (LSH signatures etc.) so
+            # runs don't inherit each other's cache pressure
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
+        spread = ", ".join(f"{s:.3f}" for s in samples)
+        print(
+            f"# {name}: p50 {timings[name]}s of [{spread}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_clock",
+                "metric": "headline_queries_total_wall_clock_p50",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

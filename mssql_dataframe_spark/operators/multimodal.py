@@ -1,19 +1,27 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container ships no image/audio codecs, so the decode kernels are
-STUBBED behind ``NotImplementedError`` with a deterministic fake used
-by tests — but the Spark-side plumbing is real: schemas, Arrow batch
-shape (``mapInPandas``), partition sizing, and UDF signatures are
-exactly what a production decode would use (swap ``_decode_stub`` for
-PIL/torchaudio and nothing else changes).
+Two tiers of decode kernels:
+
+- **Real, in-repo pure-Python codecs** for uncompressed formats:
+  PPM (P6) and 24-bit BI_RGB BMP parse/serialize plus an exact
+  integer box-filter resize (`decode_image`, `box_resize`). These run
+  behind the same ``mapInPandas`` Arrow-batch plumbing a production
+  decoder would use, and their pixel output is oracle-verified.
+- **Stubs** for compressed formats (JPEG/PNG/audio/video): the
+  container ships no codec libraries, so those kernels raise
+  ``NotImplementedError`` / use a deterministic fake — the Spark-side
+  plumbing (schemas, batch shape, partitioning, UDF signatures) is
+  identical, so swapping in PIL/torchaudio changes nothing else.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -171,6 +179,212 @@ def resize_stub(
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=RESIZE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# real pure-Python image codecs: PPM (P6) and uncompressed 24-bit BMP
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM P6 requires 3 channels")
+    header = b"P6\n# synthetic\n" + f"{w} {h}\n255\n".encode("ascii")
+    return header + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse binary PPM (P6) -> (h, w, 3) uint8 RGB. Handles arbitrary
+    header whitespace and ``#`` comments per the netpbm spec."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            ch = payload[pos : pos + 1]
+            if ch == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif ch.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos]
+
+    if token() != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    need = w * h * 3
+    data = payload[pos : pos + need]
+    if len(data) < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(data, np.uint8).reshape(h, w, 3).copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as an uncompressed
+    24-bit BI_RGB BMP (bottom-up rows, BGR order, rows padded to 4)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("BMP writer requires 3 channels")
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    bgr = np.ascontiguousarray(img[..., ::-1], dtype=np.uint8)
+    raster = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return head + info + raster
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB.
+    Handles bottom-up (positive height) and top-down (negative) rows
+    and 4-byte row padding."""
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMP supported")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), np.uint8)
+    for i in range(h):
+        row = np.frombuffer(
+            payload[offset + i * stride : offset + i * stride + w * 3],
+            np.uint8,
+        ).reshape(w, 3)
+        out[i if top_down else h - 1 - i] = row[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to the in-repo codecs. Compressed
+    formats (JPEG/PNG/...) stay stubbed — no codec libs in this
+    container; a production build registers them here."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "no in-repo codec for this format (PPM P6 and 24-bit BMP ship "
+        "in-repo; JPEG/PNG need PIL, absent in this container)"
+    )
+
+
+def box_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Exact integer box-filter downscale: each output pixel is the
+    floor-mean of its (h/out_h) x (w/out_w) source block. Integral
+    ratios only — keeps the arithmetic bit-reproducible (the oracle
+    recomputes the same integer sums)."""
+    h, w, c = img.shape
+    if h % out_h or w % out_w:
+        raise ValueError("box_resize requires integral downscale ratios")
+    bh, bw = h // out_h, w // out_w
+    s = (
+        img.astype(np.int64)
+        .reshape(out_h, bh, out_w, bw, c)
+        .sum(axis=(1, 3))
+    )
+    return (s // (bh * bw)).astype(np.uint8)
+
+
+# synthetic image geometry: width 30 exercises BMP row padding
+# (30*3 = 90 bytes -> 2 pad bytes); 30x32 -> 6x8 via 5x4 blocks
+IMG_W, IMG_H = 30, 32
+
+
+def _formula_image(media_id: int, w: int = IMG_W, h: int = IMG_H) -> np.ndarray:
+    """Deterministic pixels the DuckDB oracle can recompute in SQL:
+    v(x, y, c) = (media_id*31 + y*7 + x*3 + c*11) % 256."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    base = media_id * 31 + ys * 7 + xs * 3
+    return np.stack(
+        [(base + c * 11) % 256 for c in range(3)], axis=-1
+    ).astype(np.uint8)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def synthesize_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one formula image per id — even ids as PPM, odd as BMP —
+    so the decode path exercises both parsers in one run."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = pdf["media_id"].tolist()
+            payloads = [
+                (encode_bmp if m % 2 else encode_ppm)(_formula_image(m))
+                for m in ids_
+            ]
+            yield pd.DataFrame({"media_id": ids_, "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=IMAGE_SCHEMA
+    )
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("px_x", T.IntegerType(), False),
+        T.StructField("px_y", T.IntegerType(), False),
+        T.StructField("r", T.IntegerType(), False),
+        T.StructField("g", T.IntegerType(), False),
+        T.StructField("b", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_box_resize_pixels(
+    media: DataFrame, out_w: int = 6, out_h: int = 8
+) -> DataFrame:
+    """REAL decode kernel behind the Arrow-batch plumbing: parse each
+    payload (PPM or BMP by magic), box-filter downscale, emit one row
+    per output pixel. CPU-bound per row with no shuffle — partition
+    count should track cluster cores at scale."""
+    xs, ys = np.meshgrid(np.arange(out_w), np.arange(out_h))
+    flat_x, flat_y = xs.ravel().astype(np.int32), ys.ravel().astype(np.int32)
+    n_px = out_w * out_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, rs, gs, bs = [], [], [], []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                small = box_resize(decode_image(bytes(p)), out_w, out_h)
+                mids.extend([m] * n_px)
+                rs.append(small[..., 0].ravel())
+                gs.append(small[..., 1].ravel())
+                bs.append(small[..., 2].ravel())
+            k = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "px_x": np.tile(flat_x, k),
+                    "px_y": np.tile(flat_y, k),
+                    "r": np.concatenate(rs).astype(np.int32) if rs else [],
+                    "g": np.concatenate(gs).astype(np.int32) if gs else [],
+                    "b": np.concatenate(bs).astype(np.int32) if bs else [],
+                }
+            )
+
+    return media.mapInPandas(run, schema=PIXEL_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

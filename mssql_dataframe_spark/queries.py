@@ -2644,6 +2644,41 @@ def multimodal_features(spark, sf_dir):
 @register(
     "multimodal_resize",
     sql="""
+    WITH img AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+      SELECT gx.X AS X, gy.Y AS Y, gdx.dx AS dx, gdy.dy AS dy
+      FROM generate_series(0, 5) gx(X), generate_series(0, 7) gy(Y),
+           generate_series(0, 4) gdx(dx), generate_series(0, 3) gdy(dy)
+    )
+    SELECT media_id, CAST(X AS INT) AS px_x, CAST(Y AS INT) AS px_y,
+           CAST(SUM((media_id*31 + (4*Y+dy)*7 + (5*X+dx)*3     ) % 256)
+                // 20 AS INT) AS r,
+           CAST(SUM((media_id*31 + (4*Y+dy)*7 + (5*X+dx)*3 + 11) % 256)
+                // 20 AS INT) AS g,
+           CAST(SUM((media_id*31 + (4*Y+dy)*7 + (5*X+dx)*3 + 22) % 256)
+                // 20 AS INT) AS b
+    FROM img, grid
+    GROUP BY media_id, X, Y
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """REAL image decode + resize kernel (not a stub): encode a
+    deterministic 30x32 RGB image per image-doc (even ids as binary
+    PPM P6, odd as uncompressed 24-bit BMP — two real in-repo
+    parsers), decode the bytes back, box-filter downscale to 6x8,
+    and emit one row per output pixel. The oracle recomputes every
+    pixel's integer block mean from the generating formula, so the
+    whole parse -> resample path is verified per pixel."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = M.synthesize_images(d)
+    return M.decode_box_resize_pixels(media, out_w=6, out_h=8)
+
+
+@register(
+    "multimodal_resize_stub_contract",
+    sql="""
     WITH media AS (
       SELECT doc_id AS media_id, encode(text) AS payload
       FROM documents WHERE doc_id % 3 = 0
@@ -2662,10 +2697,11 @@ def multimodal_features(spark, sf_dir):
     FROM media
     """,
 )
-def multimodal_resize(spark, sf_dir):
-    """Arrow-batched image-resize plumbing (stub kernel: deterministic
-    truncate/cycle to 64x64 bytes); the oracle reproduces the stub's
-    byte transform, proving batch shape + payload handling byte-exact."""
+def multimodal_resize_stub_contract(spark, sf_dir):
+    """Arrow-batched resize plumbing for formats whose codecs are NOT
+    in this container (stub kernel: deterministic truncate/cycle to
+    64x64 bytes); the oracle reproduces the stub's byte transform,
+    proving batch shape + payload handling byte-exact."""
     d = _t(spark, sf_dir, "documents")
     media = M.synthesize_media_from_documents(d)
     out = M.resize_stub(media, 64, 64)
