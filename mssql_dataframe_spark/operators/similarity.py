@@ -11,13 +11,18 @@ Two paths (SURVEY-extension per the driver's north star):
   only candidates get exact scoring. At 100 TB the bucket join
   replaces the O(N·Q) cross product with O(sum of bucket sizes).
 
-Determinism note: hyperplane coefficients are small integers derived
-from ``(i*31 + j*17) % 7 - 3`` so the same buckets are computable in
-ANSI SQL for the correctness oracle — no RNG, no platform drift.
+Determinism note: hyperplanes are seeded random small-integer vectors
+(full-rank — every table hashes independent directions), and the
+projection arithmetic is INTEGER: vectors are quantized to
+``floor(v*64 + 0.5)`` int64 first, so dot-product signs are exact in
+any summation order and any engine. The DuckDB oracle inlines the same
+weight literals; no RNG at query time, no platform drift.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -117,73 +122,83 @@ def brute_force_topk(
     )
 
 
-def hyperplane(j: int, dim: int) -> list[int]:
-    """Deterministic pseudo-random integer hyperplane #j."""
-    return [((i * 31 + j * 17) % 7) - 3 for i in range(dim)]
+# LSH hyperplanes: seeded random integers in [-3, 3]. A structured
+# formula family (the previous ((i*31+j*17)%7)-3 design) is rank-7 —
+# plane j+7 EQUALS plane j, so "independent" tables hashed the same
+# directions and multi-table recall stalled near single-table recall.
+# True random planes restore the 1-(1-p^P)^L recall curve; quantizing
+# vectors to integers makes the projection signs engine-exact.
+PLANE_SEED = 7
+QUANT = 64  # floor(v*64 + 0.5): ~1.5 decimal digits of the unit scale
 
 
-def sum_groups(dim: int) -> dict[int, list[int]]:
-    """Indices grouped by residue class: the plane family
-    ``w[J][i] = ((i*31 + J*17) % 7) - 3`` reduces to
-    ``((3i + 3J) % 7) - 3`` (31 ≡ 17 ≡ 3 mod 7), so a plane's weight
-    for element i depends only on ``c = (3i) % 7``. Seven partial sums
-    ``A_c = Σ_{i: (3i)%7=c} v[i]`` therefore reconstruct EVERY
-    projection as ``proj_J = Σ_c A_c · (((c+3J)%7)-3)`` — 7 mult-adds
-    per plane instead of ``dim``. For L×P tables this collapses the
-    per-row cost from L·P·dim to dim + 7·L·P (measured 9× on the
-    24-plane shape, and the expression tree stays small enough for
-    whole-stage codegen)."""
-    g: dict[int, list[int]] = {c: [] for c in range(7)}
-    for i in range(dim):
-        g[(3 * i) % 7].append(i)
-    return g
+def plane_matrix(n_planes_total: int, dim: int, seed: int = PLANE_SEED) -> np.ndarray:
+    """(n_planes_total, dim) int64 matrix of hyperplane weights. The
+    single source of truth — the Spark bucket UDF and the DuckDB
+    oracle literals both come from here."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-3, 4, size=(n_planes_total, dim)).astype(np.int64)
 
 
-def partial_sums_sql(vec: str, dim: int, el=None) -> list[str]:
-    """The 7 partial-sum expressions (canonical order: ascending i
-    within each class — the oracle mirrors this exactly). ``el``
-    renders a 1-based element access; default is Spark's
-    ``element_at``, the DuckDB oracle passes ``v[i]`` indexing."""
-    el = el or (lambda v, i: f"element_at({v}, {i})")
-    g = sum_groups(dim)
-    return [
-        " + ".join(el(vec, i + 1) for i in g[c]) or "0.0"
-        for c in range(7)
-    ]
+def table_buckets_udf(
+    dim: int, n_tables: int, n_planes: int, seed: int = PLANE_SEED
+):
+    """Vectorized bucket computation: one Arrow batch -> one numpy
+    matmul against the (L*P, dim) plane matrix -> ``n_tables`` bucket
+    ids per row (table t owns planes ``t*P .. t*P+P-1``).
+
+    Arithmetic is integer end-to-end: vectors quantize to
+    ``floor(v*QUANT + 0.5)`` int64, so projection signs are exact and
+    order-independent — numpy SIMD accumulation, Spark, and the DuckDB
+    oracle's ``list_dot_product`` all agree bit-for-bit. This is the
+    same Arrow-batch matmul shape as IVF assignment: the embedding
+    column crosses the JVM/Python boundary once per row, the plane
+    matrix is a task-constant closure (L*P*dim ints, ~12 KB)."""
+    W = plane_matrix(n_tables * n_planes, dim, seed)
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy())  # (B, dim) float64
+        Q = np.floor(X * QUANT + 0.5).astype(np.int64)
+        bits = (Q @ W.T > 0).astype(np.int64)  # (B, L*P)
+        B = bits.reshape(len(X), n_tables, n_planes) @ pow2  # (B, L)
+        return pd.Series(list(B))
+
+    return buckets
 
 
-def bucket_from_sums_sql(prefix: str, n_planes: int, seed: int = 0) -> str:
-    """Bucket id from the 7 partial-sum columns ``{prefix}0..6``.
-    Canonical term order: ascending class c, zero factors skipped
-    (adding ±0.0 never changes a finite sum). Dialect-neutral SQL —
-    the DuckDB oracle uses the same generator, so both engines run
-    bit-identical float arithmetic."""
+def duckdb_quantize_sql(vec: str) -> str:
+    """DuckDB-side quantizer matching the UDF: float->double cast is
+    exact, ``x*64.0 + 0.5`` is one IEEE mult + add, floor is floor —
+    identical doubles in, identical int64 out."""
+    return f"list_transform({vec}, x -> CAST(floor(x * {QUANT}.0 + 0.5) AS BIGINT))"
+
+
+def duckdb_bucket_sql(
+    qvec: str,
+    dim: int,
+    n_planes: int,
+    plane_start: int = 0,
+    seed: int = PLANE_SEED,
+) -> str:
+    """DuckDB bucket id over a quantized BIGINT list column: weight
+    rows ``plane_start .. plane_start+n_planes-1`` of the SAME
+    :func:`plane_matrix`, inlined as literals (RandomState draws
+    row-major, so a prefix-sized matrix shares rows with the full
+    one). Integer dot products (|sum| << 2^53) are exact in
+    list_dot_product's double result."""
+    W = plane_matrix(plane_start + n_planes, dim, seed)
     terms = []
     for j in range(n_planes):
-        J = seed + j
-        prods = [
-            f"{prefix}{c} * {float(((c + 3 * J) % 7) - 3)}"
-            for c in range(7)
-            if ((c + 3 * J) % 7) - 3 != 0
-        ]
-        proj = " + ".join(prods)
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+        lit = "[" + ", ".join(str(int(x)) for x in W[plane_start + j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({qvec}, {lit}::BIGINT[]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
     return " + ".join(terms)
-
-
-def _bucket_sql(vec: str, dim: int, n_planes: int, seed: int = 0, el=None) -> str:
-    """Single-expression bucket id (partial sums inlined — same
-    arithmetic as the hoisted-column form)."""
-    sums = partial_sums_sql(vec, dim, el)
-    s = bucket_from_sums_sql("__A", n_planes, seed)
-    for c in range(6, -1, -1):
-        s = s.replace(f"__A{c}", f"({sums[c]})")
-    return s
-
-
-def lsh_bucket(vec: Column | str, dim: int, n_planes: int = 6) -> Column:
-    """Sign-of-projection bucket id in [0, 2^n_planes)."""
-    return lsh_bucket_seeded(vec, dim, n_planes, seed=0)
 
 
 def n_planes_for(n_rows: int, target_bucket_size: int = 128) -> int:
@@ -196,45 +211,6 @@ def n_planes_for(n_rows: int, target_bucket_size: int = 128) -> int:
     if n_rows <= target_bucket_size:
         return 1
     return max(1, math.ceil(math.log2(n_rows / target_bucket_size)))
-
-
-def _table_buckets(
-    vec: Column | str, dim: int, n_tables: int, n_planes: int
-) -> Column:
-    """Array of ``n_tables`` bucket ids; table t uses the deterministic
-    hyperplane family ``j = t*n_planes .. t*n_planes + n_planes - 1``."""
-    if isinstance(vec, str):
-        return F.expr(
-            "array("
-            + ", ".join(
-                _bucket_sql(vec, dim, n_planes, seed=t * n_planes)
-                for t in range(n_tables)
-            )
-            + ")"
-        )
-    return F.array(
-        *[
-            lsh_bucket_seeded(vec, dim, n_planes, seed=t * n_planes)
-            for t in range(n_tables)
-        ]
-    )
-
-
-def lsh_bucket_seeded(
-    vec: Column | str, dim: int, n_planes: int, seed: int = 0
-) -> Column:
-    """Sign-of-projection bucket id in [0, 2^n_planes) using hyperplanes
-    ``seed .. seed + n_planes - 1`` of the deterministic family."""
-    if isinstance(vec, str):
-        return F.expr(_bucket_sql(vec, dim, n_planes, seed))
-    bucket = F.lit(0)
-    for j in range(n_planes):
-        plane = F.array(
-            *[F.lit(float(w)) for w in hyperplane(seed + j, dim)]
-        )
-        proj = dot(vec, plane)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
 
 
 def lsh_ann_topk(
@@ -267,24 +243,11 @@ def lsh_ann_topk(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qnorm", norm("__qv", dim))
 
-    # hoist the 7 partial sums into columns, then derive every table's
-    # bucket from them (dim + 7·L·P work per row, codegen-friendly)
-    arr_sql = (
-        "array("
-        + ", ".join(
-            bucket_from_sums_sql("__a", n_planes, seed=t * n_planes)
-            for t in range(n_tables)
-        )
-        + ")"
-    )
+    buckets = table_buckets_udf(dim, n_tables, n_planes)
 
     def slim(df, id_name, vec_name):
-        sums = partial_sums_sql(vec_name, dim)
         return df.select(
-            id_name,
-            *[F.expr(s).alias(f"__a{i}") for i, s in enumerate(sums)],
-        ).select(
-            id_name, F.posexplode(F.expr(arr_sql)).alias("t", "bucket")
+            id_name, F.posexplode(buckets(vec_name)).alias("t", "bucket")
         )
 
     c_slim = slim(c, "neighbor_id", "__cv")
@@ -445,19 +408,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
     verification (id1 < id2, cosine >= threshold)."""
+    buckets = table_buckets_udf(dim, n_tables=1, n_planes=n_planes)
     v = (
         df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
-        .select(
-            "id",
-            "__v",
-            *[
-                F.expr(s).alias(f"__a{i}")
-                for i, s in enumerate(partial_sums_sql("__v", dim))
-            ],
-        )
-        .withColumn(
-            "bucket", F.expr(bucket_from_sums_sql("__a", n_planes, seed=0))
-        )
+        .withColumn("bucket", F.element_at(buckets("__v"), 1))
         .withColumn("__n", norm("__v", dim))
         .select("id", "__v", "bucket", "__n")
     )

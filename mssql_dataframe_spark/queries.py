@@ -2496,19 +2496,12 @@ def embedding_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-def _bucket_sql(vcol: str, n_planes: int = 6, seed: int = 0) -> str:
-    """DuckDB LSH bucket — built by the SAME canonical generators as
-    the Spark side (operators.similarity partial-sum scheme), so both
-    engines run bit-identical float arithmetic; only the element
-    accessor differs (``v[i]`` vs ``element_at``)."""
-    return S._bucket_sql(
-        vcol, _DIM, n_planes, seed, el=lambda v, i: f"({v})[{i}]"
-    )
-
-
 _LSH_TABLES, _LSH_PLANES = 4, 6
+# the Spark side hashes with operators.similarity.table_buckets_udf;
+# these literals come from the SAME plane_matrix / quantizer, and the
+# arithmetic is integer so the signs agree bit-for-bit
 _LSH_BUCKET_COLS = ",\n             ".join(
-    f"{_bucket_sql('embedding::DOUBLE[]', _LSH_PLANES, t * _LSH_PLANES)} AS b{t}"
+    f"{S.duckdb_bucket_sql('qv', _DIM, _LSH_PLANES, t * _LSH_PLANES)} AS b{t}"
     for t in range(_LSH_TABLES)
 )
 _LSH_COLLIDES = " OR ".join(f"q.b{t} = e.b{t}" for t in range(_LSH_TABLES))
@@ -2517,10 +2510,14 @@ _LSH_COLLIDES = " OR ".join(f"q.b{t} = e.b{t}" for t in range(_LSH_TABLES))
 @register(
     "ann_lsh_topk",
     sql=f"""
-    WITH e AS MATERIALIZED (
+    WITH e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             {_LSH_BUCKET_COLS}
+             {S.duckdb_quantize_sql('embedding::DOUBLE[]')} AS qv
       FROM embeddings
+    ), e AS MATERIALIZED (
+      SELECT vec_id, v,
+             {_LSH_BUCKET_COLS}
+      FROM e0
     ), q AS (SELECT * FROM e WHERE vec_id < 10),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -2602,10 +2599,14 @@ def ann_ivf_topk(spark, sf_dir):
 @register(
     "embedding_near_dup_pairs",
     sql=f"""
-    WITH e AS (
+    WITH e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+             {S.duckdb_quantize_sql('embedding::DOUBLE[]')} AS qv
       FROM embeddings
+    ), e AS (
+      SELECT vec_id, v,
+             {S.duckdb_bucket_sql('qv', _DIM, 6)} AS bucket
+      FROM e0
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            ROUND({_cosine_sql('a.v', 'b.v')}, 8) AS cosine_sim

@@ -1,0 +1,75 @@
+"""ANN quality gates: approximate indexes must actually retrieve true
+neighbors, not just run.
+
+Two regimes, matching the two workloads:
+
+- **LSH** exists for high-similarity retrieval (near-duplicate
+  detection): on a corpus with planted near-duplicates (cosine ~0.98)
+  the production 4-table x 6-plane config must find >= 90% of the
+  planted neighbors. (On the weak-signal embeddings table — top-10
+  cosine ~0.3 vs background ~0.0 — NO sign-LSH config can prune and
+  recall at once; that regime belongs to IVF.)
+- **IVF** is the general top-k path: recall@10 vs the exact
+  brute-force baseline on the real embeddings table.
+
+These tests pinned down a real bug: the original structured plane
+family ((i*31+j*17)%7)-3 was rank-7 (plane j+7 == plane j), so the
+4 "independent" tables hashed identical directions and planted-pair
+recall sat at ~0.35 where the 1-(1-p^P)^L curve predicts ~0.99.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mssql_dataframe_spark.operators import similarity as S
+from mssql_dataframe_spark.queries import _t
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for row in df.collect():
+        out.setdefault(row["query_id"], set()).add(row["neighbor_id"])
+    return out
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    rng = np.random.RandomState(42)
+    base = rng.randn(500, 64)
+    qv = base[:40] + rng.randn(40, 64) * 0.18  # cosine ~0.98 to base twin
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(int(1000 + i), [float(x) for x in v]) for i, v in enumerate(qv)],
+        "vec_id long, embedding array<double>",
+    )
+    approx = _topk_sets(
+        S.lsh_ann_topk(corpus, queries, dim=64, k=5, n_planes=6, n_tables=4)
+    )
+    found = sum(1 for i in range(40) if i in approx.get(1000 + i, set()))
+    assert found / 40 >= 0.9
+
+
+def test_ivf_recall_at_10_real_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 20")
+    exact = _topk_sets(S.brute_force_topk(e, q, dim=64, k=10))
+    approx = _topk_sets(
+        S.ivf_topk(e, q, k=10, dim=64, centroid_mod=53, nprobe=8)
+    )
+    per_q = [
+        len(approx.get(qid, set()) & hits) / len(hits)
+        for qid, hits in exact.items()
+    ]
+    assert sum(per_q) / len(per_q) >= 0.8
+
+
+def test_multi_table_planes_are_distinct():
+    """Regression pin for the rank-7 plane family bug: every plane in
+    the 4x6 production config must be a distinct direction."""
+    W = S.plane_matrix(24, 64)
+    assert len({tuple(row) for row in W.tolist()}) == 24
+    assert np.linalg.matrix_rank(W) == 24
