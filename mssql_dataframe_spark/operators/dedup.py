@@ -418,7 +418,7 @@ def ngram_jaccard_pairs(
 
 def connected_components(
     edges: DataFrame,
-    nodes: DataFrame,
+    nodes: DataFrame | None = None,
     id_col: str = "id",
     src_col: str = "id1",
     dst_col: str = "id2",
@@ -448,10 +448,24 @@ def connected_components(
     sym = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = nodes.select(
+    if nodes is None:
+        # default: iterate only edge-incident nodes (every other node
+        # is trivially its own component). Near-dup graphs are sparse,
+        # so at 100 TB each round's shuffle is O(nodes-with-an-edge),
+        # not O(corpus). Derived from the PERSISTED sym so the edge
+        # plan (often an expensive MinHash DAG) is computed once.
+        node_src = sym.select(F.col("a").alias(id_col)).distinct()
+    else:
+        node_src = nodes
+    labels = node_src.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).persist()
-    labels.count()
+    # no eager count: round 1's convergence action materializes sym
+    # and labels inside ONE pipelined job (the two consumers of the
+    # lazy persist are sequential stages of that job, and the plan is
+    # deterministic, so block-level cache locking makes this safe —
+    # an up-front count() would pay a separate full pass over the
+    # edge plan, typically an expensive MinHash DAG)
     converged = False
     for it in range(max_iter):
         neighbor_min = (
@@ -512,7 +526,9 @@ def dedup_cluster_survivors(
     pairs = minhash_dedup_pairs(
         df, id_col, text_col, n_bands, k, threshold, rows_per_band
     )
-    cc = connected_components(pairs, df.select(id_col), id_col)
+    # nodes=None: CC iterates only edge-incident nodes — singletons
+    # (cluster_size 1) are filtered below anyway
+    cc = connected_components(pairs, None, id_col)
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         cc.join(sizes, "component")

@@ -1,0 +1,56 @@
+"""Connected-components hardening: deep chains must converge with
+bounded lineage (localCheckpoint every 5 rounds), unconverged exits
+must warn, and the edge-incident-nodes default must agree with the
+explicit all-nodes form on non-singleton clusters.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from mssql_dataframe_spark.operators.dedup import connected_components
+
+
+def _chain_edges(spark, n):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id1 long, id2 long"
+    )
+
+
+def test_chain_25_deep_converges_single_component(spark):
+    """25 rounds of propagation: crosses several checkpoint boundaries,
+    so this also guards the lineage-truncation path (without it, the
+    iterated plan deepens per round and driver planning blows up)."""
+    edges = _chain_edges(spark, 25)
+    cc = connected_components(edges, max_iter=40).collect()
+    assert len(cc) == 26
+    assert {r["component"] for r in cc} == {0}
+
+
+def test_unconverged_exit_warns(spark, caplog):
+    edges = _chain_edges(spark, 12)
+    with caplog.at_level(logging.WARNING, "mssql_dataframe_spark"):
+        cc = connected_components(edges, max_iter=3).collect()
+    assert any("WITHOUT" in r.message for r in caplog.records)
+    # labels are stale upper bounds, but every node is still labeled
+    assert len(cc) == 13
+
+
+def test_edge_nodes_default_matches_explicit_nodes(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id1 long, id2 long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "id long"
+    )
+    full = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, nodes).collect()
+    }
+    sparse = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    # sparse = full minus singletons (which label themselves)
+    assert sparse == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+    assert full == sparse | {(4, 4), (5, 5), (6, 6), (9, 9)}
