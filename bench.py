@@ -60,8 +60,12 @@ HEADLINE = [
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # multimodal (real PPM/BMP decode + box resize over mapInPandas)
+    # multimodal (real PPM/BMP/WAV codecs over mapInPandas)
     "multimodal_resize",
+    "multimodal_audio_features",
+    # training-dataset assembly
+    "pack_sequences_budget",
+    "dataset_split_hash",
 ]
 
 

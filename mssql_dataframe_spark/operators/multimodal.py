@@ -387,6 +387,129 @@ def decode_box_resize_pixels(
     return media.mapInPandas(run, schema=PIXEL_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real pure-Python audio codec: RIFF/WAVE PCM 16-bit
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Serialize int16 mono samples as a PCM WAV (RIFF) file."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a PCM WAV file -> (sample_rate, int16 mono samples).
+    Walks the RIFF chunk list (tolerates extra chunks like LIST/fact);
+    only uncompressed 16-bit mono is supported — compressed audio
+    stays stubbed."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError("only 16-bit mono PCM WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").copy()
+
+
+# synthetic audio geometry: deterministic int16 samples the oracle can
+# recompute — s(t) = ((media_id*7 + t*13) % 2001) - 1000, with a
+# per-id sample count so durations differ
+AUDIO_RATE = 8000
+
+
+def _formula_samples(media_id: int) -> np.ndarray:
+    n = 400 + (media_id % 5) * 100
+    t = np.arange(n, dtype=np.int64)
+    return ((media_id * 7 + t * 13) % 2001 - 1000).astype(np.int16)
+
+
+def synthesize_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One formula WAV per id, through the real encoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = pdf["media_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_,
+                    "payload": [
+                        encode_wav(_formula_samples(m), AUDIO_RATE)
+                        for m in ids_
+                    ],
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=IMAGE_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode kernel: parse each WAV payload, compute
+    duration / peak / RMS per clip. RMS sums squares in int64 (exact,
+    order-independent) before one double sqrt, so the value is
+    bit-reproducible in any engine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "peak", "rms",
+            )}
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(p))
+                s64 = s.astype(np.int64)
+                n = len(s)
+                rows["media_id"].append(m)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate)
+                rows["peak"].append(int(np.abs(s64).max()) if n else 0)
+                rows["rms"].append(
+                    round(float(np.sqrt(float((s64 * s64).sum()) / n)), 6)
+                    if n
+                    else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp.
 

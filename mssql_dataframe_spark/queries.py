@@ -27,6 +27,7 @@ from .operators import joins as J
 from .operators import multimodal as M
 from .operators import similarity as S
 from .operators import text as X
+from .operators import training as TR
 from .session import SparkEngine
 
 _SCRATCH = os.path.join(os.path.dirname(__file__), "..", ".spark_tables", "queries")
@@ -2817,7 +2818,8 @@ def math_conditional(spark, sf_dir):
     "array_agg_functions",
     sql="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses,
            CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS INT)
              AS n_statuses,
            list_contains(list(DISTINCT o_orderstatus), 'P') AS has_pending
@@ -2825,10 +2827,13 @@ def math_conditional(spark, sf_dir):
     """,
 )
 def array_agg(spark, sf_dir):
+    """collect_set / sort_array / array_contains; the array renders as
+    a joined string so the gate's value-hash sees a scalar column
+    (array cells hash engine-specifically)."""
     o = _t(spark, sf_dir, "orders")
     statuses = F.sort_array(F.collect_set("o_orderstatus"))
     return o.groupBy("o_orderpriority").agg(
-        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         F.size(statuses).cast("int").alias("n_statuses"),
         F.array_contains(F.collect_set("o_orderstatus"), "P").alias("has_pending"),
     )
@@ -3409,6 +3414,131 @@ def verb_read_where_grammar(spark, sf_dir):
         "dbo.cust_w",
         where="(c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY') "
         "AND c_acctbal > 1000 AND c_name IS NOT NULL",
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-dataset assembly (sequence packing, splits) + real audio kernel
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_audio_features",
+    sql="""
+    WITH aud AS (
+      SELECT doc_id AS media_id, 400 + (doc_id % 5) * 100 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ), samp AS (
+      SELECT media_id, n,
+             ((media_id * 7 + unnest(range(0, n)) * 13) % 2001) - 1000 AS s
+      FROM aud
+    )
+    SELECT media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(MAX(ABS(s)) AS INT) AS peak,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / n), 6) AS rms
+    FROM samp GROUP BY media_id, n
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode kernel: every audio-doc gets a deterministic
+    PCM WAV through the real RIFF encoder, the real parser walks the
+    chunk list back to samples, and duration/peak/RMS come out of the
+    sample array. RMS sums squares in int64 (exact, any order) before
+    one double sqrt, so the oracle reproduces it bit-for-bit from the
+    generating formula."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return M.decode_audio_features(M.synthesize_audio(d))
+
+
+@register(
+    "pack_sequences_budget",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(before // 256 AS BIGINT) AS bin_id,
+           CAST(before - (before // 256) * 256 + n_tokens AS BIGINT)
+             AS bin_fill
+    FROM c
+    """,
+)
+def pack_sequences_budget(spark, sf_dir):
+    """Contiguous sequence packing into 256-token bins (window cumsum,
+    no iteration — see operators/training.py for the per-shard 100-TB
+    form where the window partitions by shard key)."""
+    d = _t(spark, sf_dir, "documents")
+    return TR.pack_sequences(d, budget=256)
+
+
+@register(
+    "dataset_split_hash",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(doc_id::VARCHAR || ':' || text), 1, 15))
+               ::BIGINT % 100 AS split_bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(split_bucket AS BIGINT) AS split_bucket,
+           CASE WHEN split_bucket < 80 THEN 'train'
+                WHEN split_bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def dataset_split_hash(spark, sf_dir):
+    """Deterministic content-keyed train/val/test split: md5 of
+    (id, text) -> 60-bit int mod 100 — stable across engines, runs,
+    and partitionings, and exact duplicates land in the same split
+    (no leakage through missed dup pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return TR.split_hash(d, train_pct=80, val_pct=10)
+
+
+@register(
+    "array_higher_order_functions",
+    sql=f"""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT)
+             AS n_pos,
+           list_sum({S.duckdb_quantize_sql('embedding::DOUBLE[]')})
+             AS qsum,
+           ROUND((embedding::DOUBLE[])[1] * 2, 6) AS first_doubled
+    FROM embeddings
+    """,
+)
+def array_higher_order_functions(spark, sf_dir):
+    """Higher-order array functions (filter/transform/aggregate) over
+    the embedding column; the aggregate sums QUANTIZED int64 elements
+    so the value is order-independent and engine-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr(
+            "CAST(size(filter(CAST(embedding AS array<double>), x -> x > 0D)) AS INT)"
+        ).alias("n_pos"),
+        F.expr(
+            "aggregate(transform(CAST(embedding AS array<double>), "
+            "x -> CAST(floor(x * 64.0 + 0.5) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("qsum"),
+        F.round(
+            F.element_at(F.col("embedding").cast("array<double>"), 1) * 2, 6
+        ).alias("first_doubled"),
     )
 
 
