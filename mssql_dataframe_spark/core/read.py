@@ -43,9 +43,14 @@ class read:
         order_column: Optional[str] = None,
         order_direction: Optional[str] = None,
         include_tz_offsets: bool = False,
+        version: Optional[int] = None,
     ) -> DataFrame:
+        """``version`` reads a retained prior snapshot (time travel;
+        beyond-reference — the COW store keeps ``keep_versions`` old
+        snapshots). Old data is projected through the CURRENT declared
+        schema: columns added since the snapshot read as NULL."""
         meta = self._store.meta(table_name)
-        df = self._store.read(table_name)
+        df = self._store.read(table_name, version=version)
 
         # datetimeoffset companion offset columns are engine-internal;
         # hidden unless asked for (core/datetimeoffset.py)

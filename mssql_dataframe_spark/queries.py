@@ -3542,6 +3542,41 @@ def array_higher_order_functions(spark, sf_dir):
     )
 
 
+@register(
+    "verb_time_travel",
+    sql="""
+    SELECT n_nationkey, n_name AS old_name,
+           n_name || '_X' AS new_name
+    FROM nation
+    """,
+)
+def verb_time_travel(spark, sf_dir):
+    """Time travel on the COW store (beyond-reference; Delta
+    ``versionAsOf`` analog): update bumps the snapshot version, the
+    retention window keeps the prior snapshot readable, and
+    ``read.table(version=0)`` returns the pre-update rows — joined
+    here against the current snapshot to prove BOTH states at once."""
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe("dbo.nation_tt", nation, primary_key="n_nationkey")
+    eng.write.insert("dbo.nation_tt", nation)
+    eng.write.update(
+        "dbo.nation_tt",
+        nation.select(
+            "n_nationkey", F.concat("n_name", F.lit("_X")).alias("n_name")
+        ),
+    )
+    old = eng.read.table("dbo.nation_tt", version=0).select(
+        "n_nationkey", F.col("n_name").alias("old_name")
+    )
+    cur = eng.read.table("dbo.nation_tt").select(
+        "n_nationkey", F.col("n_name").alias("new_name")
+    )
+    return old.join(cur, "n_nationkey").select(
+        "n_nationkey", "old_name", "new_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -154,15 +154,24 @@ class TableStore:
         self._write_meta(name, meta)
         return meta
 
-    def read(self, name: str) -> DataFrame:
-        """Current snapshot as a DataFrame.
+    def read(self, name: str, version: Optional[int] = None) -> DataFrame:
+        """Snapshot as a DataFrame — current by default, or a retained
+        prior version (time travel, the Delta ``versionAsOf`` analog).
 
         Always reads with the declared schema so an empty snapshot
         yields a correctly-typed empty DataFrame and schema drift in
         stray files cannot leak through.
         """
         meta = self.meta(name)
-        ddir = self._data_dir(name, meta.version)
+        v = meta.version if version is None else int(version)
+        if version is not None:
+            if v > meta.version or not os.path.isdir(self._data_dir(name, v)):
+                raise ValueError(
+                    f"version {v} of table {name!r} is not available "
+                    f"(current {meta.version}, retention keeps "
+                    f"{self.keep_versions} prior snapshots)"
+                )
+        ddir = self._data_dir(name, v)
         schema = meta.spark_schema
         has_files = any(
             f.endswith(".parquet") for f in _walk_files(ddir)

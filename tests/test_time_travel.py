@@ -1,0 +1,43 @@
+"""Snapshot time travel on the COW store (beyond-reference surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(engine, spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    engine.create.table_from_dataframe("dbo.tt", df, primary_key="id")
+    engine.write.insert("dbo.tt", df)
+    return df
+
+
+def test_version_read_returns_prior_snapshot(engine, spark):
+    _mk(engine, spark)
+    engine.write.update(
+        "dbo.tt",
+        spark.createDataFrame([(1, "a2")], "id long, val string"),
+    )
+    old = {r["id"]: r["val"] for r in engine.read.table("dbo.tt", version=0).collect()}
+    cur = {r["id"]: r["val"] for r in engine.read.table("dbo.tt").collect()}
+    assert old == {1: "a", 2: "b"}
+    assert cur == {1: "a2", 2: "b"}
+
+
+def test_version_read_validates_window(engine, spark):
+    _mk(engine, spark)
+    with pytest.raises(ValueError, match="not available"):
+        engine.read.table("dbo.tt", version=5)
+    # churn past the retention window (keep_versions=2): v0 vacuumed
+    for i in range(3):
+        engine.write.update(
+            "dbo.tt",
+            spark.createDataFrame([(1, f"v{i}")], "id long, val string"),
+        )
+    with pytest.raises(ValueError, match="not available"):
+        engine.read.table("dbo.tt", version=0)
+    # most recent prior version still readable
+    assert engine.read.table("dbo.tt", version=2).count() == 2
