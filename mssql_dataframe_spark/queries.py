@@ -3577,6 +3577,68 @@ def verb_time_travel(spark, sf_dir):
     )
 
 
+@register(
+    "python_udtf_char_ngrams",
+    sql="""
+    SELECT n_nationkey,
+           substring(n_name, CAST(i AS INT), 3) AS gram,
+           CAST(i - 1 AS INT) AS pos
+    FROM (SELECT n_nationkey, n_name,
+                 unnest(range(1, len(n_name) - 1)) AS i
+          FROM nation)
+    """,
+)
+def python_udtf_char_ngrams(spark, sf_dir):
+    """Real Python UDTF (Spark 4 table function, SURVEY §2.5 UDTF
+    slot): one input row fans out to one row per character trigram via
+    LATERAL. Row-at-a-time by design — the vectorized fan-out twin is
+    posexplode_tokens; this pins the UDTF API surface itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_nationkey bigint, gram string, pos int")
+    class NGrams:
+        def eval(self, key: int, name: str):
+            if name is not None:
+                for i in range(len(name) - 2):
+                    yield key, name[i : i + 3], i
+
+    spark.udtf.register("ngrams3", NGrams)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_udtf_v")
+    return spark.sql(
+        "SELECT t.n_nationkey, t.gram, t.pos "
+        "FROM nation_udtf_v, LATERAL ngrams3(n_nationkey, n_name) t"
+    )
+
+
+@register(
+    "map_functions",
+    sql="""
+    SELECT n_nationkey,
+           map(['name', 'region'],
+               [n_name, n_regionkey::VARCHAR])['name'][1] AS name_v,
+           CAST(cardinality(map(['name', 'region'],
+               [n_name, n_regionkey::VARCHAR])) AS INT) AS n_keys,
+           array_to_string(map_keys(map(['name', 'region'],
+               [n_name, n_regionkey::VARCHAR])), ',') AS keys_csv
+    FROM nation
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Map column functions (create/extract/keys) — map cells never
+    reach the gate output; extraction renders scalars."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_v"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------
