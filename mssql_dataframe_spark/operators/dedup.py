@@ -445,27 +445,27 @@ def connected_components(
     import logging
 
     fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # EAGER localCheckpoint, not persist: sym is referenced by every
+    # round's plan, and with a deep edge lineage (typically a MinHash
+    # DAG) Catalyst re-analyzes that whole subtree each round — the
+    # re-planning cost dominates the actual sub-second iteration work
+    # (measured 40% of wall-clock at sf0.1). Checkpointing collapses
+    # sym to a leaf: one materialization job, then every round plans
+    # against a scan. Same reasoning for the initial labels.
     sym = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     if nodes is None:
         # default: iterate only edge-incident nodes (every other node
         # is trivially its own component). Near-dup graphs are sparse,
         # so at 100 TB each round's shuffle is O(nodes-with-an-edge),
-        # not O(corpus). Derived from the PERSISTED sym so the edge
-        # plan (often an expensive MinHash DAG) is computed once.
+        # not O(corpus).
         node_src = sym.select(F.col("a").alias(id_col)).distinct()
     else:
         node_src = nodes
     labels = node_src.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).persist()
-    # no eager count: round 1's convergence action materializes sym
-    # and labels inside ONE pipelined job (the two consumers of the
-    # lazy persist are sequential stages of that job, and the plan is
-    # deterministic, so block-level cache locking makes this safe —
-    # an up-front count() would pay a separate full pass over the
-    # edge plan, typically an expensive MinHash DAG)
+    ).localCheckpoint(eager=True)
     converged = False
     for it in range(max_iter):
         neighbor_min = (
@@ -497,7 +497,6 @@ def connected_components(
         if not changed:
             converged = True
             break
-    sym.unpersist()
     if not converged:
         logging.getLogger("mssql_dataframe_spark").warning(
             "connected_components exited after max_iter=%d rounds WITHOUT "
