@@ -26,6 +26,7 @@ from .operators import dedup as D
 from .operators import joins as J
 from .operators import multimodal as M
 from .operators import similarity as S
+from .operators import curation as C
 from .operators import text as X
 from .operators import training as TR
 from .session import SparkEngine
@@ -3640,6 +3641,222 @@ def map_functions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# data curation (repetition filters, decontamination, PII, mixture audit)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"""CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(TRIM(text), '\s+') END"""
+
+
+@register(
+    "text_repetition_features",
+    sql=rf"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, LENGTH(text) AS n_chars, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM t
+    ),
+    a2 AS (
+      SELECT doc_id,
+             MAX(CASE WHEN cnt >= 2 THEN cnt * LENGTH(gram) ELSE 0 END)
+               AS top_bigram_chars
+      FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t
+    ),
+    a3 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * LENGTH(gram) ELSE 0 END)
+               AS dup_trigram_chars
+      FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT t.doc_id,
+             ROUND(CASE WHEN len(toks) > 0
+                   THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / len(toks)
+                   ELSE 0.0 END, 6) AS dup_word_frac,
+             ROUND(CAST(COALESCE(top_bigram_chars, 0) AS DOUBLE)
+                   / GREATEST(n_chars, 1), 6) AS top_bigram_char_frac,
+             ROUND(CAST(COALESCE(dup_trigram_chars, 0) AS DOUBLE)
+                   / GREATEST(n_chars, 1), 6) AS dup_trigram_char_frac
+      FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+    )
+    SELECT doc_id, dup_word_frac, top_bigram_char_frac,
+           dup_trigram_char_frac,
+           (dup_word_frac > 0.9 OR top_bigram_char_frac > 0.2
+            OR dup_trigram_char_frac > 0.6) AS repetition_flag
+    FROM m
+    """,
+)
+def text_repetition_features(spark, sf_dir):
+    """Gopher-style word-n-gram repetition metrics per document."""
+    return C.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontamination_overlap",
+    sql=rf"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlapping_grams
+    FROM tg JOIN bg USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def decontamination_overlap(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: training docs sharing a
+    word n-gram with the (deterministic doc_id%97==0) eval split.
+    Production uses n=13; n=3 here because synthetic docs are short.
+    The eval gram set is broadcast — the 100 TB side never shuffles
+    before the probe."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return C.decontaminate(train, bench, n=3)
+
+
+@register(
+    "pii_redaction",
+    sql=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '-9999 from 10.0.' || (doc_id % 256) || '.7'
+               AS enriched
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(enriched, '{C.EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(enriched, '{C.PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(enriched, '{C.IPV4_RE}')) AS BIGINT)
+             AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(enriched, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{C.PHONE_RE}', '<PHONE>', 'g'),
+             '{C.IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM t
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII redaction (emails/phones/IPv4) over documents enriched with
+    deterministic synthetic PII (the corpus itself carries none — the
+    suffix is derived from doc_id so both engines build the same
+    input). Pure regexp expressions, codegen'd."""
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-9999 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("enriched"),
+    )
+    r = C.redact_pii("enriched")
+    return enriched.select(
+        "doc_id",
+        r["n_emails"].alias("n_emails"),
+        r["n_phones"].alias("n_phones"),
+        r["n_ips"].alias("n_ips"),
+        r["redacted"].alias("redacted"),
+    )
+
+
+@register(
+    "corpus_mixture_audit",
+    sql=rf"""
+    WITH t AS (
+      SELECT source, lang, LENGTH(text) AS n_chars,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END
+               AS n_toks
+      FROM documents
+    ),
+    a AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             ROUND(AVG(n_chars), 6) AS avg_chars
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens, total_chars, avg_chars,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+             AS doc_share
+    FROM a
+    """,
+)
+def corpus_mixture_audit(spark, sf_dir):
+    """Training-mixture "data card": per (source, lang) doc counts,
+    token/char totals, and corpus share."""
+    return C.corpus_mixture(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_orc_roundtrip",
+    sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink coverage (SURVEY §2.5 file scans): write the
+    filtered projection as ORC (columnar roundtrip through a second
+    on-disk format), read it back, aggregate. The oracle aggregates
+    the original parquet — value equality proves the ORC write/read
+    preserved the data."""
+    import tempfile
+
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    ).select("l_returnflag", "l_quantity")
+    path = os.path.join(
+        tempfile.gettempdir(), "mssql_dataframe_spark_orc_roundtrip"
+    )
+    l.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        _dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
@@ -3710,6 +3927,12 @@ _GRADE_FIRST = [
     # round-1 red row (oracle type fixed) + no-oracle made gradable
     "q12_late_shipments",
     "approx_count_distinct",
+    # round-2 additions, not yet driver-graded
+    "text_repetition_features",
+    "decontamination_overlap",
+    "pii_redaction",
+    "corpus_mixture_audit",
+    "source_orc_roundtrip",
 ]
 
 

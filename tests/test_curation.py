@@ -1,0 +1,103 @@
+"""Data-curation operators: repetition filters, decontamination,
+PII redaction, mixture audit (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mssql_dataframe_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_word_ngrams_short_and_empty(spark):
+    df = _docs(spark, [(0, "a b c"), (1, "a"), (2, ""), (3, "  ")])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", C.word_ngrams("text", 2).alias("g")
+        ).collect()
+    }
+    assert out[0] == ["a b", "b c"]
+    assert out[1] == [] and out[2] == [] and out[3] == []
+
+
+def test_repetition_flags_repetitive_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "spam ham " * 50),  # one bigram dominates
+            (1, "all distinct words here no repeats at"),
+            (2, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in C.repetition_features(df).collect()}
+    assert out[0]["repetition_flag"] is True
+    assert out[0]["top_bigram_char_frac"] > 0.2
+    assert out[0]["dup_word_frac"] > 0.9
+    assert out[1]["repetition_flag"] is False
+    assert out[1]["dup_word_frac"] == 0.0
+    # gram-less doc keeps zero metrics (left-join spine)
+    assert out[2]["top_bigram_char_frac"] == 0.0
+    assert out[2]["dup_trigram_char_frac"] == 0.0
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    train = _docs(
+        spark,
+        [
+            (0, "xx the quick brown yy"),  # shares "the quick brown"
+            (1, "totally different words entirely"),
+            (2, "quick brown fox and the quick brown dog"),  # 2 shared grams
+        ],
+    )
+    out = {
+        r["doc_id"]: r["n_overlapping_grams"]
+        for r in C.decontaminate(train, bench, n=3).collect()
+    }
+    # doc0 shares "the quick brown"; doc2 shares "the quick brown" and
+    # "quick brown fox"; doc1 is clean and must not appear
+    assert out == {0: 1, 2: 2}
+
+
+def test_redact_pii_cases(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "mail a@b.co and c.d+e@f-g.org now"),
+            (1, "+1-555-0100-9999 called from 192.168.0.1"),
+            (2, "no pii here"),
+            (3, "ip 10.0.0.1 twice 10.0.0.2"),
+        ],
+    )
+    r = C.redact_pii("text")
+    out = {
+        row["doc_id"]: row
+        for row in df.select(
+            "doc_id", r["redacted"].alias("t"), r["n_emails"].alias("e"),
+            r["n_phones"].alias("p"), r["n_ips"].alias("i")
+        ).collect()
+    }
+    assert out[0]["t"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[0]["e"] == 2 and out[0]["p"] == 0 and out[0]["i"] == 0
+    assert out[1]["t"] == "<PHONE> called from <IP>"
+    assert out[1]["p"] == 1 and out[1]["i"] == 1
+    assert out[2]["t"] == "no pii here"
+    assert out[3]["i"] == 2 and "<IP> twice <IP>" in out[3]["t"]
+
+
+def test_corpus_mixture_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(0, "a b", "s1", "en"), (1, "c d e", "s1", "fr"), (2, "f", "s2", "en")],
+        "doc_id bigint, text string, source string, lang string",
+    )
+    rows = C.corpus_mixture(df).collect()
+    assert len(rows) == 3
+    # shares are rounded to 6 places each, so the sum is 1 +- n*5e-7
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-5
+    tot = {(r["source"], r["lang"]): r["total_tokens"] for r in rows}
+    assert tot[("s1", "fr")] == 3
