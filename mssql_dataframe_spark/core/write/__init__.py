@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from .insert import insert  # noqa: F401
 from .merge import merge_op  # noqa: F401
+from .scd2 import merge_scd2  # noqa: F401
 from .update import update_op  # noqa: F401
 
 
@@ -48,4 +49,25 @@ class write:
             upsert,
             delete_requires,
             self.include_metadata_timestamps,
+        )
+
+    def merge_scd2(
+        self,
+        table_name,
+        dataframe,
+        match_columns=None,
+        valid_from_col="_valid_from",
+        valid_to_col="_valid_to",
+        current_col="_is_current",
+        as_of=None,
+    ):
+        return merge_scd2(
+            self._store,
+            table_name,
+            dataframe,
+            match_columns,
+            valid_from_col,
+            valid_to_col,
+            current_col,
+            as_of,
         )

@@ -416,6 +416,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def _cc_union_find(
+    sym: DataFrame, nodes: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Exact components of a small (checkpointed, symmetric) edge list
+    via one single-task union-find: union-by-min-root + path halving,
+    so the root of every set IS the min node id — identical labels to
+    the min-propagation loop. ``coalesce(1)`` funnels the edges into
+    one ``mapInPandas`` task; the caller guarantees they fit."""
+    import pandas as pd  # noqa: F401 (mapInPandas batch type)
+
+    id_type = sym.schema["a"].dataType.simpleString()
+
+    def uf(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [b for b in batches]
+        if not chunks:
+            return
+        a = pd.concat([c["a"] for c in chunks]).to_numpy()
+        b = pd.concat([c["b"] for c in chunks]).to_numpy()
+        # densify ids; np.unique also sorts, so dense index order ==
+        # id order and "min root" stays meaningful on dense indices
+        ids = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(ids, a)
+        bi = np.searchsorted(ids, b)
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for x, y in zip(ai.tolist(), bi.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx  # min root wins -> label = min id
+        roots = np.array([find(i) for i in range(len(ids))])
+        yield pd.DataFrame({"node": ids, "label": ids[roots]})
+
+    labels = sym.coalesce(1).mapInPandas(
+        uf, schema=f"node {id_type}, label {id_type}"
+    )
+    if nodes is not None:
+        return (
+            nodes.select(F.col(id_col))
+            .join(labels, F.col(id_col) == F.col("node"), "left")
+            .select(
+                id_col,
+                F.coalesce("label", F.col(id_col)).alias("component"),
+            )
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -424,8 +484,21 @@ def connected_components(
     dst_col: str = "id2",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by iterative min-label propagation, with a
+    single-task union-find fast path for small edge sets.
+
+    The edge count is known for free once the symmetric edge list is
+    checkpointed; when it is at most ``small_graph_edges`` the whole
+    graph fits one task and a path-halving union-find computes exact
+    components in one pass — near-dup graphs are tiny relative to
+    their corpus (pairs surviving exact-Jaccard verification), so this
+    is the common case even at 100 TB corpus scale, and it replaces
+    O(diameter) Spark rounds (each a scheduled multi-stage job) with
+    one ``mapInPandas`` call. Graphs above the threshold take the
+    distributed min-label-propagation loop below, which never needs
+    the edges to fit anywhere.
 
     Each node starts labeled with its own id; every round each node
     takes the min of its label and its neighbors' labels; converged
@@ -455,6 +528,8 @@ def connected_components(
     sym = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+    if sym.count() <= small_graph_edges:
+        return _cc_union_find(sym, nodes, id_col)
     if nodes is None:
         # default: iterate only edge-incident nodes (every other node
         # is trivially its own component). Near-dup graphs are sparse,

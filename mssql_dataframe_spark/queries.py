@@ -3579,6 +3579,82 @@ def verb_time_travel(spark, sf_dir):
 
 
 @register(
+    "verb_merge_scd2",
+    sql="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey <= 300
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS _valid_from,
+           CASE WHEN c_custkey % 3 = 0
+                THEN TIMESTAMP '2024-06-01 00:00:00' END AS _valid_to,
+           (c_custkey % 3 <> 0) AS _is_current
+    FROM base
+    UNION ALL
+    SELECT c_custkey, 'V2', c_acctbal + 50.0,
+           TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+    FROM base WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey + 1000, 'NEW', 0.0,
+           TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+    FROM base WHERE c_custkey <= 20
+    """,
+)
+def verb_merge_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 merge (write.merge_scd2,
+    core/write/scd2.py — beyond the reference, whose MERGE at
+    merge.py:14-248 overwrites history): load 1 at T1 makes every row
+    current; load 2 at T2 mixes changed rows (closed + re-versioned),
+    no-op rows (pass through untouched), and brand-new keys. The
+    oracle reconstructs the exact history table in pure SQL."""
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    eng.create.table(
+        "dbo.cust_scd2",
+        {
+            "c_custkey": "bigint",
+            "c_name": "nvarchar(200)",
+            "c_acctbal": "float",
+            "_valid_from": "datetime2",
+            "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    eng.write.merge_scd2(
+        "dbo.cust_scd2", base, match_columns=["c_custkey"], as_of=t1
+    )
+    k = F.col("c_custkey")
+    changed = base.filter(k % 3 == 0).select(
+        "c_custkey",
+        F.lit("V2").alias("c_name"),
+        (F.col("c_acctbal") + F.lit(50.0)).alias("c_acctbal"),
+    )
+    noop = base.filter((k % 5 == 1) & (k % 3 != 0))
+    fresh = base.filter(k <= 20).select(
+        (k + 1000).alias("c_custkey"),
+        F.lit("NEW").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    eng.write.merge_scd2(
+        "dbo.cust_scd2",
+        changed.unionByName(noop).unionByName(fresh),
+        match_columns=["c_custkey"],
+        as_of=t2,
+    )
+    return eng.read.table("dbo.cust_scd2").select(
+        "c_custkey", "c_name", "c_acctbal",
+        "_valid_from", "_valid_to", "_is_current",
+    )
+
+
+@register(
     "python_udtf_char_ngrams",
     sql="""
     SELECT n_nationkey,
@@ -3933,6 +4009,7 @@ _GRADE_FIRST = [
     "pii_redaction",
     "corpus_mixture_audit",
     "source_orc_roundtrip",
+    "verb_merge_scd2",
 ]
 
 

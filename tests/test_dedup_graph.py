@@ -20,17 +20,50 @@ def _chain_edges(spark, n):
 def test_chain_25_deep_converges_single_component(spark):
     """25 rounds of propagation: crosses several checkpoint boundaries,
     so this also guards the lineage-truncation path (without it, the
-    iterated plan deepens per round and driver planning blows up)."""
+    iterated plan deepens per round and driver planning blows up).
+    ``small_graph_edges=0`` forces the distributed loop — the loop is
+    the thing under test here, not the union-find fast path."""
     edges = _chain_edges(spark, 25)
-    cc = connected_components(edges, max_iter=40).collect()
+    cc = connected_components(
+        edges, max_iter=40, small_graph_edges=0
+    ).collect()
     assert len(cc) == 26
     assert {r["component"] for r in cc} == {0}
+
+
+def test_union_find_fast_path_matches_loop(spark):
+    """Default path for a small graph is the single-task union-find;
+    its labels (min node id per component) must be identical to the
+    distributed min-propagation loop's."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22), (5, 5)],
+        "id1 long, id2 long",
+    )
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    loop = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            edges, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == loop
+    assert fast == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+        (5, 5),
+    }
 
 
 def test_unconverged_exit_warns(spark, caplog):
     edges = _chain_edges(spark, 12)
     with caplog.at_level(logging.WARNING, "mssql_dataframe_spark"):
-        cc = connected_components(edges, max_iter=3).collect()
+        cc = connected_components(
+            edges, max_iter=3, small_graph_edges=0
+        ).collect()
     assert any("WITHOUT" in r.message for r in caplog.records)
     # labels are stale upper bounds, but every node is still labeled
     assert len(cc) == 13
@@ -45,12 +78,21 @@ def test_edge_nodes_default_matches_explicit_nodes(spark):
     )
     full = {
         (r["id"], r["component"])
-        for r in connected_components(edges, nodes).collect()
+        for r in connected_components(
+            edges, nodes, small_graph_edges=0
+        ).collect()
     }
     sparse = {
         (r["id"], r["component"])
-        for r in connected_components(edges).collect()
+        for r in connected_components(
+            edges, small_graph_edges=0
+        ).collect()
     }
+    fast_full = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert fast_full == full
     # sparse = full minus singletons (which label themselves)
     assert sparse == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
     assert full == sparse | {(4, 4), (5, 5), (6, 6), (9, 9)}
