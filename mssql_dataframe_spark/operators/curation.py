@@ -259,3 +259,42 @@ def corpus_mixture(
             "doc_share"
         ),
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int,
+    by: str | tuple[str, ...] = "source",
+    order_col: str = "doc_id",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Per-domain/source document cap — the CommonCrawl-style curation
+    rule "keep at most N documents per domain" that stops one
+    boilerplate-heavy site from dominating the training mixture.
+
+    Deterministic: within each group, rows are ranked by ``order_col``
+    and the first ``cap`` survive. To prioritize by quality instead of
+    id, pass e.g. ``order_col`` as a precomputed score column.
+
+    Returns the surviving rows; with ``keep_col`` set, returns ALL
+    rows plus a boolean keep flag (audit mode — lets the pipeline
+    report what a cap WOULD drop before committing to it).
+
+    Scale shape: one shuffle on the group key for ``row_number``. The
+    pathological case is one giant domain; the window only needs
+    per-group ORDER BY, so skew is bounded by the biggest domain's
+    rows on one partition — at 100 TB prefer a two-phase variant
+    (filter ``rank <= cap`` within salted subgroups first) if a single
+    domain exceeds executor memory; typical web-domain distributions
+    (heavy-tailed but < tens of millions per domain) fit.
+    """
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    keys = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    flagged = df.withColumn("__rn", F.row_number().over(w))
+    if keep_col is not None:
+        return flagged.withColumn(keep_col, F.col("__rn") <= cap).drop("__rn")
+    return flagged.filter(F.col("__rn") <= cap).drop("__rn")

@@ -179,3 +179,92 @@ def shingles(col: str | Column, k: int = 8) -> Column:
     return F.when(n == 0, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k)))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the standard context-window packing precursor (long doc -> training
+    chunks). Beyond the reference (no text ops there at all).
+
+    Chunk ``i`` starts at character ``1 + i*stride`` (1-based,
+    ``stride = chunk_size - overlap``) and spans ``chunk_size`` chars;
+    starts are generated while they land inside the document, so every
+    character belongs to at least one chunk and consecutive chunks
+    share ``overlap`` characters.
+
+    Scale shape: ``sequence`` + ``explode`` is pure JVM row fan-out —
+    no shuffle at all (narrow transformation); output partitioning
+    follows the input, so a downstream ``repartition`` is only needed
+    if chunk_size << doc length (fan-out factor large).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    c = F.col(text_col)
+    n = F.length(c)
+    # last chunk index: floor((len-1)/stride); empty docs get no chunk
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))
+    ).alias("chunk_idx")
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), c.alias("__t"), idx)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.substring(
+                F.col("__t"),
+                (F.col("chunk_idx") * stride + 1).cast("int"),
+                F.lit(chunk_size),
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the character
+    distribution — a classic cheap quality signal: near-zero entropy
+    flags degenerate/repeated-character documents, unusually high
+    entropy flags binary-ish noise.
+
+    Scale shape: one explode (narrow) + one (doc, char) hash aggregate
+    + one per-doc aggregate — two shuffles on keys that are naturally
+    high-cardinality, so no skew; all arithmetic is JVM-side.
+    Entropy is rounded (default 6 dp) so results are portable across
+    engines that sum the per-character terms in different orders.
+    """
+    c = F.col(text_col)
+    chars = (
+        df.filter(F.length(c) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c)),
+                    lambda i: F.substring(c, i, F.lit(1)),
+                )
+            ).alias("ch"),
+        )
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("cnt"))
+    # H = -sum((c/N) log2(c/N)) = log2(N) - sum(c*log2(c))/N: one
+    # per-doc aggregate instead of a window-over-doc + aggregate.
+    n = F.sum("cnt")
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n, round_digits
+        ).alias("char_entropy"),
+        F.count("*").cast("bigint").alias("distinct_chars"),
+    )

@@ -3655,6 +3655,126 @@ def verb_merge_scd2(spark, sf_dir):
 
 
 @register(
+    "verb_table_changes",
+    sql="""
+    SELECT n_nationkey, 'update' AS change_type,
+           n_name AS old_n_name, n_regionkey AS old_n_regionkey,
+           'UPD' AS new_n_name, n_regionkey AS new_n_regionkey
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, 'delete', n_name, n_regionkey, NULL, NULL
+    FROM nation WHERE n_nationkey >= 10
+    UNION ALL
+    SELECT n_nationkey + 100, 'insert', NULL, NULL, 'NEW', n_regionkey
+    FROM nation WHERE n_nationkey < 5
+    """,
+)
+def verb_table_changes(spark, sf_dir):
+    """Change-data-feed between snapshots (read.table_changes,
+    core/read.py — Delta CDF analog, beyond the reference which keeps
+    no history): one merge produces all three change types at once
+    (updates for keys<10, inserts for keys+100, deletes for the
+    unmatched rest since upsert=False), then the version-0 vs current
+    diff classifies every changed key with old/new value pairs."""
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe(
+        "dbo.nation_cdc", nation, primary_key="n_nationkey"
+    )
+    eng.write.insert("dbo.nation_cdc", nation)
+    k = F.col("n_nationkey")
+    updates = nation.filter(k < 10).select(
+        "n_nationkey", F.lit("UPD").alias("n_name"), "n_regionkey"
+    )
+    inserts = nation.filter(k < 5).select(
+        (k + 100).alias("n_nationkey"),
+        F.lit("NEW").alias("n_name"),
+        "n_regionkey",
+    )
+    eng.write.merge(
+        "dbo.nation_cdc",
+        updates.unionByName(inserts),
+        match_columns=["n_nationkey"],
+    )
+    return eng.read.table_changes("dbo.nation_cdc", from_version=0)
+
+
+@register(
+    "doc_chunking",
+    sql="""
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           substring(text, CAST(i * 80 + 1 AS INT), 120) AS chunk_text,
+           CAST(length(substring(text, CAST(i * 80 + 1 AS INT), 120))
+                AS BIGINT) AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, ((length(text) - 1) // 80) + 1)) AS i
+          FROM documents WHERE length(text) > 0)
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Fixed-window document chunking with overlap (operators/
+    text.py:chunk_documents): context-window packing precursor. Pure
+    sequence+explode fan-out — a narrow transformation, zero shuffle."""
+    from .operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=120, overlap=40)
+
+
+@register(
+    "char_entropy_quality",
+    sql="""
+    WITH counts AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt
+      FROM (SELECT doc_id,
+                   substring(text, CAST(i AS INT), 1) AS ch
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) + 1)) AS i
+                  FROM documents WHERE length(text) > 0))
+      GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           ROUND(log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt), 6)
+             AS char_entropy,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars
+    FROM counts GROUP BY doc_id
+    """,
+)
+def char_entropy_quality(spark, sf_dir):
+    """Per-document character Shannon entropy (operators/
+    text.py:char_entropy): degenerate-text / binary-noise quality
+    signal. Two hash aggregates on naturally high-cardinality keys,
+    all JVM-side; the log2(N)-sum(c*log2 c)/N identity avoids a
+    window pass."""
+    from .operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+@register(
+    "per_source_cap",
+    sql="""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER
+               (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 10
+    """,
+)
+def per_source_cap(spark, sf_dir):
+    """Per-domain document cap (operators/curation.py:per_source_cap):
+    the CommonCrawl curation rule that stops one domain from dominating
+    the mixture. One row_number window shuffle on the domain key."""
+    from .operators.curation import per_source_cap as cap_op
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_op(docs, cap=10, by="source", order_col="doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
     "python_udtf_char_ngrams",
     sql="""
     SELECT n_nationkey,
@@ -4010,6 +4130,10 @@ _GRADE_FIRST = [
     "corpus_mixture_audit",
     "source_orc_roundtrip",
     "verb_merge_scd2",
+    "verb_table_changes",
+    "doc_chunking",
+    "char_entropy_quality",
+    "per_source_cap",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Chunking / entropy / per-source-cap operator edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from mssql_dataframe_spark.operators.curation import per_source_cap
+from mssql_dataframe_spark.operators.text import char_entropy, chunk_documents
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def test_chunks_cover_every_char_with_overlap(spark):
+    text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+    df = _docs(spark, [(1, text)])
+    out = chunk_documents(df, chunk_size=10, overlap=4).orderBy("chunk_idx")
+    rows = out.collect()
+    # stride 6: starts 1,7,13,19,25 -> 5 chunks
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].chunk_text == "abcdefghij"
+    assert rows[1].chunk_text == "ghijklmnop"  # 4-char overlap
+    assert rows[-1].chunk_text == "yz"  # tail shorter than chunk_size
+    # reassembly: stripping the overlap from every chunk after the
+    # first reconstructs the document exactly
+    joined = rows[0].chunk_text + "".join(r.chunk_text[4:] for r in rows[1:])
+    assert joined == text
+
+
+def test_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, "ab"), (2, ""), (3, None)])
+    out = chunk_documents(df, chunk_size=10, overlap=4).collect()
+    assert [(r.doc_id, r.chunk_idx, r.chunk_text) for r in out] == [
+        (1, 0, "ab")
+    ]
+
+
+def test_overlap_must_be_smaller(spark):
+    df = _docs(spark, [(1, "abc")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=5, overlap=5)
+
+
+def test_char_entropy_known_values(spark):
+    df = _docs(spark, [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")])
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].char_entropy == 0.0 and out[1].distinct_chars == 1
+    assert out[2].char_entropy == 1.0
+    assert out[3].char_entropy == 2.0 and out[3].distinct_chars == 4
+    assert 4 not in out  # empty docs excluded
+
+
+def test_char_entropy_nonuniform(spark):
+    # "aab": H = -(2/3 log2 2/3 + 1/3 log2 1/3)
+    df = _docs(spark, [(1, "aab")])
+    h = char_entropy(df).collect()[0].char_entropy
+    expected = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(h - round(expected, 6)) < 1e-9
+
+
+def test_per_source_cap_keeps_first_k(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s" + str(i % 2)) for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = per_source_cap(df, cap=3, by="source", order_col="doc_id")
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert got == [
+        ("s0", 0), ("s0", 2), ("s0", 4),
+        ("s1", 1), ("s1", 3), ("s1", 5),
+    ]
+
+
+def test_per_source_cap_audit_mode(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s") for i in range(5)],
+        "doc_id long, source string",
+    )
+    out = per_source_cap(df, cap=2, by="source", keep_col="keep")
+    kept = {r.doc_id: r.keep for r in out.collect()}
+    assert kept == {0: True, 1: True, 2: False, 3: False, 4: False}
+    with pytest.raises(ValueError):
+        per_source_cap(df, cap=0)
