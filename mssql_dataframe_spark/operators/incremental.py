@@ -1,0 +1,115 @@
+"""Incremental materialized-view maintenance from a CDC frame.
+
+Beyond the reference surface (it has no history or views at all; its
+MERGE at mssql_dataframe/core/write/merge.py:14-248 is the mutation
+primitive this builds on). The warehouse pattern: instead of
+recomputing ``SELECT key, count(*), sum(x) GROUP BY key`` over the full
+fact table after every load, convert the load's change feed
+(``read.table_changes``) into per-key aggregate DELTAS and apply them
+to the stored aggregate with one join — cost proportional to the
+CHANGED keys, not the table. At 100 TB fact scale with a
+few-million-row daily load, that's the difference between a full-table
+shuffle and a broadcast-sized merge.
+
+Correct for the distributive aggregates (count, sum — and avg as
+sum/count); min/max are NOT maintainable from deltas alone (a deleted
+row that held the min needs a rescan) and are deliberately absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def agg_delta(
+    changes: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Per-key aggregate deltas from a ``table_changes`` frame.
+
+    ``sum_cols`` maps each maintained sum's OUTPUT column to the fact
+    column it sums (``{"sum_price": "o_totalprice"}`` reads the CDC
+    frame's ``old_o_totalprice``/``new_o_totalprice`` pair).
+
+    An update is modeled as delete(old row) + insert(new row), so a
+    row whose GROUP KEY changed contributes -1/-old to its old group
+    and +1/+new to its new one; a same-group update nets count 0 and
+    sum (new - old). Group keys may be the table's match columns
+    (unprefixed in the CDC frame) or tracked attributes (prefixed).
+
+    One union + one hash aggregate over the change feed — map-side
+    combinable, and the change feed is small by construction.
+    """
+    ct = F.col("change_type")
+
+    def side(prefix: str) -> DataFrame:
+        sign = 1 if prefix == "new" else -1
+        part = changes.filter(
+            ct != ("insert" if prefix == "old" else "delete")
+        )
+        cols = []
+        for k in keys:
+            src = f"{prefix}_{k}" if f"{prefix}_{k}" in changes.columns else k
+            cols.append(F.col(src).alias(k))
+        cols.append(F.lit(sign).alias("__cnt"))
+        for out_name, src_col in sum_cols.items():
+            # zero literal in the fact column's own type: with DECIMAL
+            # fact columns the delta arithmetic stays exact (bit-equal
+            # to a full recompute); DOUBLE facts would be subject to
+            # summation-order drift — prefer decimal-cast facts.
+            src = f"{prefix}_{src_col}"
+            zero = F.lit(0).cast(changes.schema[src].dataType)
+            val = F.coalesce(F.col(src), zero)
+            cols.append((val if sign == 1 else -val).alias(f"__v_{out_name}"))
+        return part.select(*cols)
+
+    contrib = side("old").unionByName(side("new"))
+    aggs = [F.sum("__cnt").cast("bigint").alias(f"d_{count_col}")]
+    for out_name in sum_cols:
+        aggs.append(F.sum(f"__v_{out_name}").alias(f"d_{out_name}"))
+    return contrib.groupBy(*keys).agg(*aggs)
+
+
+def apply_agg_delta(
+    mv: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Apply ``agg_delta`` output to the stored aggregate.
+
+    Full-outer join on the group keys (new keys appear, emptied keys
+    drop out when their maintained count reaches 0), then columnwise
+    ``old + delta``. ONE shuffle sized by the delta's key set — with a
+    small delta Catalyst broadcasts it against the MV scan.
+    """
+    d = delta.select(
+        *[F.col(k).alias(f"__d_{k}") for k in keys],
+        f"d_{count_col}",
+        *[F.col(f"d_{c}") for c in sum_cols],
+    )
+    cond = None
+    for k in keys:
+        c = mv[k] == d[f"__d_{k}"]
+        cond = c if cond is None else (cond & c)
+    j = mv.join(d, cond, "full_outer")
+    new_count = F.coalesce(mv[count_col], F.lit(0)) + F.coalesce(
+        d[f"d_{count_col}"], F.lit(0)
+    )
+    out_cols = [
+        F.coalesce(mv[k], d[f"__d_{k}"]).alias(k) for k in keys
+    ] + [new_count.cast("bigint").alias(count_col)]
+    for c in sum_cols:
+        mv_t = mv.schema[c].dataType
+        zero_mv = F.lit(0).cast(mv_t)
+        zero_d = F.lit(0).cast(delta.schema[f"d_{c}"].dataType)
+        out_cols.append(
+            (F.coalesce(mv[c], zero_mv) + F.coalesce(d[f"d_{c}"], zero_d))
+            .cast(mv_t)
+            .alias(c)
+        )
+    return j.select(*out_cols).filter(F.col(count_col) > 0)

@@ -437,3 +437,39 @@ def embedding_near_dup_pairs(
             "cosine_sim",
         )
     )
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x
+    compression for embedding storage/serving at corpus scale:
+    ``scale = max(|x|)/127``, ``q_i = round(x_i/scale)`` in [-127,127].
+
+    Returns one row per (vector, position): ``(id, pos, qval, scale)``
+    — exploded so downstream bucket/join logic (and the cross-engine
+    oracle) works on scalar columns. All arithmetic is double-precision
+    IEEE on JVM-side built-ins; zero vectors quantize to all-zero with
+    scale 0 rather than dividing by zero.
+
+    Scale shape: narrow per-row transform + explode; no shuffle. At
+    100 TB the output is columnar int8 + one float scale per vector —
+    write it partitioned by the downstream join key.
+    """
+    v = F.col(vec_col)
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+        / F.lit(127.0)
+    ).alias("scale")
+    exploded = df.select(F.col(id_col), scale, F.posexplode(v).alias("pos", "x"))
+    qval = F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+        F.round(F.col("x").cast("double") / F.col("scale"))
+    )
+    return exploded.select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        qval.cast("int").alias("qval"),
+        F.col("scale"),
+    )

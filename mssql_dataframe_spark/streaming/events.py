@@ -316,3 +316,57 @@ def session_window_stats(
         )
     )
     return _run_to_memory(agg, name)
+
+
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "6 hours"
+) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-interval
+    condition (the attribution-join shape: each view joined to the
+    same user's clicks within ``horizon`` after it).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can evict join state once the
+    watermark passes ``view_ts + horizon`` — bounded state at any
+    scale; without the upper bound the state store grows forever.
+    Inner stream-stream joins are batch-equivalent once the stream is
+    fully drained (availableNow), which is what the DuckDB oracle
+    replays.
+    """
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"""v_user = c_user
+            AND click_ts >= view_ts
+            AND click_ts <= view_ts + INTERVAL {horizon}"""
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )
+    return _run_to_memory(joined, name, mode="append")
