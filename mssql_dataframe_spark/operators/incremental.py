@@ -82,10 +82,19 @@ def apply_agg_delta(
 ) -> DataFrame:
     """Apply ``agg_delta`` output to the stored aggregate.
 
-    Full-outer join on the group keys (new keys appear, emptied keys
-    drop out when their maintained count reaches 0), then columnwise
-    ``old + delta``. ONE shuffle sized by the delta's key set — with a
-    small delta Catalyst broadcasts it against the MV scan.
+    A full-outer join would be the obvious shape, but Spark cannot
+    broadcast a full-outer join — both sides would shuffle, i.e. the
+    WHOLE MV repartitions for a handful of changed keys. Instead:
+
+    - existing keys: ``mv LEFT JOIN broadcast(delta)`` — the MV side
+      never moves; rows whose maintained count reaches 0 drop out;
+    - brand-new keys: ``delta ANTI JOIN mv[keys]`` — the anti join
+      shuffles only the delta and the MV's KEY COLUMNS (a narrow
+      projection the scan prunes to), not the MV's payload;
+    - union the two.
+
+    Cost at 100 TB: one broadcast of the (small) delta + one shuffle
+    of (delta + key-projection); the wide MV is scanned once in place.
     """
     d = delta.select(
         *[F.col(k).alias(f"__d_{k}") for k in keys],
@@ -96,20 +105,33 @@ def apply_agg_delta(
     for k in keys:
         c = mv[k] == d[f"__d_{k}"]
         cond = c if cond is None else (cond & c)
-    j = mv.join(d, cond, "full_outer")
+    j = mv.join(F.broadcast(d), cond, "left")
     new_count = F.coalesce(mv[count_col], F.lit(0)) + F.coalesce(
         d[f"d_{count_col}"], F.lit(0)
     )
-    out_cols = [
-        F.coalesce(mv[k], d[f"__d_{k}"]).alias(k) for k in keys
-    ] + [new_count.cast("bigint").alias(count_col)]
+    out_cols = [mv[k] for k in keys] + [
+        new_count.cast("bigint").alias(count_col)
+    ]
+    mv_types = {c: mv.schema[c].dataType for c in sum_cols}
     for c in sum_cols:
-        mv_t = mv.schema[c].dataType
-        zero_mv = F.lit(0).cast(mv_t)
+        zero_mv = F.lit(0).cast(mv_types[c])
         zero_d = F.lit(0).cast(delta.schema[f"d_{c}"].dataType)
         out_cols.append(
             (F.coalesce(mv[c], zero_mv) + F.coalesce(d[f"d_{c}"], zero_d))
-            .cast(mv_t)
+            .cast(mv_types[c])
             .alias(c)
         )
-    return j.select(*out_cols).filter(F.col(count_col) > 0)
+    existing = j.select(*out_cols).filter(F.col(count_col) > 0)
+    fresh = (
+        delta.join(mv.select(*keys), on=keys, how="left_anti")
+        .select(
+            *keys,
+            F.col(f"d_{count_col}").cast("bigint").alias(count_col),
+            *[
+                F.col(f"d_{c}").cast(mv_types[c]).alias(c)
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return existing.unionByName(fresh)

@@ -102,3 +102,43 @@ def test_identifier_length_contract():
     escape("a" * 128)  # boundary ok (reference: SYSNAME 128)
     with pytest.raises(errors.SQLInvalidLengthObjectName):
         escape("a" * 129)
+
+
+def test_chunking_and_quantize_are_narrow(spark):
+    """Fan-out operators (doc chunking, int8 quantize) must not
+    shuffle: sequence/posexplode are narrow — a shuffle here would be
+    a regression that costs a full data movement at 100 TB."""
+    for name in ("doc_chunking", "embedding_int8_quantize"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_per_source_cap_single_shuffle(spark):
+    """One exchange (for the per-source window), and Spark's
+    WindowGroupLimit pushdown must prune beyond-cap rows map-side
+    BEFORE the exchange — the property that makes the cap cheap on a
+    corpus where most rows are over the cap."""
+    import re
+
+    plan = _plan(spark, "per_source_cap")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "WindowGroupLimit" in plan.split("Exchange")[0]
+
+
+def test_char_entropy_partial_aggregation(spark):
+    """The (doc, char) count must partial-aggregate map-side before
+    its exchange — without the combine, the explode's full fan-out
+    (every character as a row) crosses the network."""
+    plan = _plan(spark, "char_entropy_quality")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_mv_delta_is_broadcast(spark):
+    """apply_agg_delta joins the (small) delta against the MV: the
+    existing-keys path must be a broadcast LEFT join (full-outer can't
+    broadcast in Spark — it would shuffle the whole MV for a handful
+    of changed keys), with the new-keys anti join touching only the
+    MV's key projection."""
+    plan = _plan(spark, "mv_incremental_update")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
