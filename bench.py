@@ -88,17 +88,26 @@ def main() -> None:
     # state cost.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]["fn"]
         samples: list[float] = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()  # force full execution
-            samples.append(time.perf_counter() - t0)
-            # drop persisted intermediates (LSH signatures etc.) so
-            # runs don't inherit each other's cache pressure
+        # per-query fault isolation: one broken query must not erase the
+        # round's entire perf signal — record it and keep timing the rest
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()  # force full execution
+                samples.append(time.perf_counter() - t0)
+                # drop persisted intermediates (LSH signatures etc.) so
+                # runs don't inherit each other's cache pressure
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         timings[name] = round(statistics.median(samples), 3)
         spread = ", ".join(f"{s:.3f}" for s in samples)
         print(
@@ -107,18 +116,17 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock_p50",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock_p50",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,47 @@
+"""Shared loader for the ``events`` table (batch and streaming).
+
+The driver-generated ``events.parquet`` has shipped with two physical
+``ts`` encodings over time: TIMESTAMP(NANOS) — which Spark's Parquet
+reader only accepts as ``bigint`` via
+``spark.sql.legacy.parquet.nanosAsLong`` — and plain ``timestamp[us]``
+(TIMESTAMP_NTZ in Spark). Branching on the LOADED dtype instead of
+assuming one encoding makes every consumer robust to either file
+vintage; the nanos->us floor-conversion uses integer ``div`` because
+the ns epoch exceeds double mantissa precision (float division would
+corrupt timestamps). Matches DuckDB's ns->us truncation semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce the ``ts`` column to a microsecond timestamp.
+
+    Branch on the loaded dtype: bigint means the file carried
+    TIMESTAMP(NANOS) read via ``nanosAsLong`` — floor-divide to µs
+    (yields TIMESTAMP). TIMESTAMP_NTZ is cast to TIMESTAMP — a
+    value-preserving reinterpretation under the engine's fixed UTC
+    session timezone (session.py), and required because streaming
+    watermarks only accept TIMESTAMP event-time columns. Works on
+    batch and streaming DataFrames alike (pure column expression).
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-load ``events.parquet`` with dtype-robust ``ts``."""
+    # inert on µs files; lets nanos-vintage files load instead of erroring
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return normalize_event_ts(df)

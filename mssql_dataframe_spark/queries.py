@@ -51,14 +51,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet
-    reader rejects; read nanos as long and floor-convert to microsecond
-    timestamps (integer ``div`` — the ns epoch exceeds double mantissa
-    precision, so float division would corrupt timestamps). Matches
-    DuckDB's ns->us truncation semantics."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """Dtype-robust events loader (see events_source.load_events)."""
+    from .events_source import load_events as _load
+
+    return _load(spark, sf_dir)
 
 
 def _dsum(col, alias, scale=4):
@@ -3240,6 +3236,86 @@ def verb_modify_schema(spark, sf_dir):
 
 
 @register(
+    "verb_primary_key_audit",
+    sql="""
+    SELECT n_nationkey, n_name,
+           TRUE AS pk_added, TRUE AS dup_add_rejected, TRUE AS pk_dropped
+    FROM nation
+    """,
+)
+def verb_primary_key_audit(spark, sf_dir):
+    """`modify.primary_key` add/drop with the uniqueness audit
+    (reference modify.py:141-228): adding a PK on a unique column
+    succeeds, adding one on a column with duplicate values must be
+    rejected by the single-pass distributed audit, and drop clears the
+    metadata. The oracle row carries the three observed outcomes as
+    boolean columns so the behavioral contract itself is hash-checked.
+    """
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe("dbo.nation_pk", nation)
+    eng.write.insert("dbo.nation_pk", nation)
+    eng.modify.primary_key(
+        "dbo.nation_pk", "add", "n_nationkey", primary_key_name="pk_nation"
+    )
+    pk_added = eng.store.meta("dbo.nation_pk").primary_key == ["n_nationkey"]
+    # n_regionkey has 5 nations per region: the audit must reject it
+    dup_rejected = False
+    eng.modify.primary_key("dbo.nation_pk", "drop")
+    try:
+        eng.modify.primary_key("dbo.nation_pk", "add", "n_regionkey")
+    except ValueError:
+        dup_rejected = True
+    pk_dropped = eng.store.meta("dbo.nation_pk").primary_key == []
+    return eng.read.table("dbo.nation_pk").select(
+        "n_nationkey",
+        "n_name",
+        F.lit(bool(pk_added)).alias("pk_added"),
+        F.lit(bool(dup_rejected)).alias("dup_add_rejected"),
+        F.lit(bool(pk_dropped)).alias("pk_dropped"),
+    )
+
+
+@register(
+    "verb_read_values_sql",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def verb_read_values_sql(spark, sf_dir):
+    """`read_values` arbitrary-SQL path (reference conversion.py:902-952
+    — execute a statement, get a typed frame back): the store table is
+    exposed as a temp view via ``register_view`` and queried with
+    ``spark.sql`` — the Spark realization of running arbitrary SQL
+    against engine-managed tables.
+    """
+    eng = _scratch_engine(spark)
+    orders = _t(spark, sf_dir, "orders")
+    eng.create.table_from_dataframe(
+        "dbo.orders_rv", orders, primary_key="o_orderkey"
+    )
+    eng.write.insert("dbo.orders_rv", orders)
+    view = eng.register_view("dbo.orders_rv", f"orders_rv_{uuid.uuid4().hex[:8]}")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_price
+        FROM {view}
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
     "verb_merge_identity",
     sql="""
     -- matched rows updated in place; new rows (key+100) inserted
@@ -4268,86 +4344,68 @@ def source_orc_roundtrip(spark, sf_dir):
 
 # The correctness driver grades entries in the order this dict yields
 # them and stops after a cap (round 1: exactly the first 50 of 96).
-# Emit the entries with no driver CORRECTNESS row yet — every verb_*,
-# streaming, scalar-function, and LLM-pipeline entry — FIRST, then the
-# round-1 red/no-oracle retries, then the already-green rest, so each
-# round's capped window grades the highest-information set
-# (VERDICT.md round 1, "Next round: do this" #1).
+# The driver grades a 50-entry window per round. Front-load the
+# highest-information set: entries with NO driver CORRECTNESS row yet,
+# then fixes awaiting re-verification, then a regression slice of
+# already-green entries. Rotated each round as evidence lands
+# (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # core verbs (reference API surface — never driver-graded yet)
-    "verb_insert_read",
-    "verb_update",
-    "verb_merge_upsert",
-    "verb_merge_delete",
-    "verb_merge_delete_requires",
-    "verb_merge_identity",
-    "verb_modify_schema",
-    "verb_read_where_grammar",
-    "verb_identity_pk",
-    "verb_schema_validate_convert",
-    "verb_datetimeoffset_roundtrip",
-    "time_render_contract",
-    # streaming (7 entries, none graded)
-    "streaming_tumbling_counts",
-    "streaming_sliding_counts",
-    "streaming_append_out_of_order",
-    "streaming_foreach_batch_upsert",
-    "streaming_dedup_exact",
-    "streaming_session_windows",
-    "streaming_stateful_user_stats",
-    # LLM-pipeline: dedup / similarity / text
-    "dedup_exact_text",
-    "dedup_exact_prefix",
-    "minhash_signatures",
-    "minhash_dedup_pairs",
-    "dedup_cluster_survivors",
-    "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup_pairs",
-    "text_tfidf_top_terms",
-    "text_token_counts",
-    "text_quality_features",
-    "text_lang_id",
-    "text_bpe_token_count",
-    "doc_fingerprint",
-    "doc_rolling_hash",
-    # multimodal plumbing
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # scalar function libraries
-    "string_functions",
-    "date_functions",
-    "math_conditional_functions",
-    "json_extraction",
-    "json_object_extraction",
-    "array_agg_functions",
-    "pandas_udaf_median",
-    # joins/sketches registered past the round-1 cap
-    "salted_join_user_events",
-    "approx_percentile_sketch",
-    "range_join_price_bands",
-    # round-1 red row (oracle type fixed) + no-oracle made gradable
-    "q12_late_shipments",
-    "approx_count_distinct",
-    # round-2 additions, not yet driver-graded
+    # -- never driver-graded (r3 verdict "What's missing" #2) --
+    "verb_time_travel",
+    "verb_merge_scd2",
+    "verb_table_changes",
+    "mv_incremental_update",
+    "streaming_stream_stream_join",
+    "python_udtf_char_ngrams",
+    "map_functions",
+    "array_higher_order_functions",
+    "window_value_functions",
+    "source_orc_roundtrip",
+    "embedding_int8_quantize",
     "text_repetition_features",
     "decontamination_overlap",
     "pii_redaction",
     "corpus_mixture_audit",
-    "source_orc_roundtrip",
-    "verb_merge_scd2",
-    "verb_table_changes",
+    "per_source_cap",
     "doc_chunking",
     "char_entropy_quality",
-    "per_source_cap",
-    "streaming_stream_stream_join",
-    "embedding_int8_quantize",
-    "window_value_functions",
-    "mv_incremental_update",
+    "pack_sequences_budget",
+    "dataset_split_hash",
+    "multimodal_audio_features",
+    "multimodal_resize_stub_contract",
+    # -- fixed in r2, never re-graded (stale red rows) --
+    "q12_late_shipments",
+    "approx_count_distinct",
+    # -- broken by the events-ts vintage change, fixed this round --
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_append_out_of_order",
+    "streaming_dedup_exact",
+    "streaming_session_windows",
+    "streaming_stateful_user_stats",
+    "json_extraction",
+    "json_object_extraction",
+    "salted_join_user_events",
+    "source_json_roundtrip",
+    "asof_join_events_orders",
+    # -- new gate entries this round (reference behaviors that were
+    #    pytest-only: primary_key audit, read_values SQL path) --
+    "verb_primary_key_audit",
+    "verb_read_values_sql",
+    # -- regression slice of r01-green entries --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "window_top3_orders_per_customer",
+    "window_moving_avg_frames",
+    "grouping_sets_revenue",
+    "broadcast_join_brand_volume",
+    "source_csv_roundtrip",
+    "bucketed_join_no_shuffle",
 ]
 
 

@@ -20,14 +20,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..events_source import load_events, normalize_event_ts
+
 _SCRATCH = os.path.join(
     os.path.dirname(__file__), "..", "..", ".spark_tables", "streaming"
 )
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS): read ns as long, then
-    # floor-convert to µs timestamps (see queries.load_events)
+    # dtype-robust ts handling shared with the batch path
+    # (events_source.normalize_event_ts branches on the loaded dtype)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # the file-stream source requires a directory: stream the sf dir
@@ -37,7 +39,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(stream)
 
 
 def _run_to_memory(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
@@ -114,9 +116,7 @@ def append_mode_out_of_order_replay(
     out-of-order replay pipeline hash-checkable.
     """
     name = f"appmode_{uuid.uuid4().hex[:8]}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    batch = load_events(spark, sf_dir)
     # hour-aligned split point: no window receives rows from both halves
     mid = batch.agg(
         F.expr("date_trunc('hour', timestamp_seconds("
@@ -256,10 +256,9 @@ def foreach_batch_upsert(
         primary_key_column="user_id",
     )
 
-    # events.parquet carries TIMESTAMP(NANOS); tolerate it even though
-    # only (user_id, value) are projected
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # only (user_id, value) are projected; ts dtype is irrelevant here
+    # but the shared loader tolerates either file vintage
+    batch = load_events(spark, sf_dir)
     src_dir = os.path.join(_SCRATCH, f"fbu_src_{uuid.uuid4().hex}")
     batch.select("user_id", "value").repartition(n_splits).write.parquet(src_dir)
     stream = (
