@@ -42,8 +42,19 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def _run_to_memory(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
-    """Drain the stream with availableNow into a memory sink."""
+def _run_to_memory(
+    result: DataFrame,
+    name: str,
+    mode: str = "complete",
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink.
+
+    ``progress_out`` (optional) receives the query's recent progress
+    dicts after the drain — the state-store metrics
+    (``stateOperators[].numRowsTotal`` / ``numRowsRemoved``) are how
+    tests assert that watermark eviction keeps state bounded.
+    """
     checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
     q = (
         result.writeStream.format("memory")
@@ -54,6 +65,8 @@ def _run_to_memory(result: DataFrame, name: str, mode: str = "complete") -> Data
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     return result.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -318,7 +331,11 @@ def session_window_stats(
 
 
 def stream_stream_interval_join(
-    spark: SparkSession, sf_dir: str, horizon: str = "6 hours"
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "6 hours",
+    source_factory=None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Stream-stream inner join with watermarks and a time-interval
     condition (the attribution-join shape: each view joined to the
@@ -331,10 +348,17 @@ def stream_stream_interval_join(
     Inner stream-stream joins are batch-equivalent once the stream is
     fully drained (availableNow), which is what the DuckDB oracle
     replays.
+
+    ``source_factory`` (optional) supplies the event stream — a
+    zero-arg callable returning a ts-normalized streaming DataFrame —
+    so tests can replay a multi-batch staged source and observe state
+    eviction via ``progress_out`` (see ``_run_to_memory``).
     """
+    if source_factory is None:
+        source_factory = lambda: _stream_events(spark, sf_dir)  # noqa: E731
     name = f"ssj_{uuid.uuid4().hex[:8]}"
     views = (
-        _stream_events(spark, sf_dir)
+        source_factory()
         .filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_user"),
@@ -344,7 +368,7 @@ def stream_stream_interval_join(
         .withWatermark("view_ts", "1 hour")
     )
     clicks = (
-        _stream_events(spark, sf_dir)
+        source_factory()
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -368,4 +392,4 @@ def stream_stream_interval_join(
         "view_ts",
         "click_ts",
     )
-    return _run_to_memory(joined, name, mode="append")
+    return _run_to_memory(joined, name, mode="append", progress_out=progress_out)

@@ -1,0 +1,115 @@
+"""Streaming state-boundedness: the stream-stream interval join must
+EVICT join state as the watermark advances — the property that makes
+it runnable against an unbounded stream at scale (VERDICT.md r3 #8).
+
+The events table is replayed as several time-ordered micro-batches
+(``maxFilesPerTrigger=1`` over an hour-sorted staged copy) so the
+watermark advances between batches and eviction is observable in the
+query-progress ``stateOperators`` metrics, not just asserted by
+docstring.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from mssql_dataframe_spark.events_source import load_events, normalize_event_ts
+from mssql_dataframe_spark.streaming import events as STR
+
+SCRATCH = os.path.join(os.path.dirname(__file__), "..", ".spark_tables", "pytest")
+
+
+def _staged_source_factory(spark, sf_dir, n_batches=4):
+    """Stage events as ``n_batches`` hour-aligned, time-ordered files
+    with ascending mod-times so availableNow + maxFilesPerTrigger=1
+    replays them as ordered micro-batches."""
+    import datetime
+
+    batch = load_events(spark, sf_dir)
+    # hour-aligned quantile cut points keep whole windows in one batch
+    qs = ", ".join(str((i + 1) / n_batches) for i in range(n_batches - 1))
+    secs = batch.select(
+        F.expr(f"percentile_approx(cast(ts as long), array({qs}))").alias("p")
+    ).collect()[0][0]
+    cuts = [
+        datetime.datetime.utcfromtimestamp(int(v) // 3600 * 3600) for v in secs
+    ]
+    stage = os.path.join(SCRATCH, f"ssj_src_{uuid.uuid4().hex}")
+    lo = None
+    bounds = cuts + [None]
+    for i, hi in enumerate(bounds):
+        part = batch
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") < F.lit(hi))
+        part.coalesce(1).write.parquet(os.path.join(stage, f"b={i}"))
+        time.sleep(1.05)  # distinct mod-times fix the replay order
+        lo = hi
+    schema = batch.schema
+
+    def factory():
+        return normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "b=*"))
+        )
+
+    return factory, stage
+
+
+def test_stream_stream_join_state_bounded_and_batch_equivalent(spark, sf_dir):
+    factory, stage = _staged_source_factory(spark, sf_dir)
+    try:
+        progress: list = []
+        out = STR.stream_stream_interval_join(
+            spark, sf_dir, source_factory=factory, progress_out=progress
+        ).toPandas()
+
+        # 1) batch equivalence: fully-drained inner interval join equals
+        #    the same join expressed in batch
+        ev = load_events(spark, sf_dir)
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        expected = (
+            views.join(
+                clicks,
+                F.expr(
+                    "v_user = c_user AND click_ts >= view_ts "
+                    "AND click_ts <= view_ts + INTERVAL 6 hours"
+                ),
+            )
+            .count()
+        )
+        assert len(out) == expected
+        assert expected > 0  # the assertion must exercise real pairs
+
+        # 2) bounded state: eviction must actually happen as the
+        #    watermark advances across micro-batches
+        state_ops = [p for pr in progress for p in pr.get("stateOperators", [])]
+        assert state_ops, "no state-operator metrics reported"
+        removed = sum(op.get("numRowsRemoved", 0) for op in state_ops)
+        assert removed > 0, (
+            "watermark advanced across batches but no join state was "
+            f"evicted (stateOperators={state_ops})"
+        )
+        # state high-water mark stays below total admitted rows: the
+        # store never holds the whole stream at once
+        max_state = max(op.get("numRowsTotal", 0) for op in state_ops)
+        n_view_click = views.count() + clicks.count()
+        assert 0 < max_state < n_view_click
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
