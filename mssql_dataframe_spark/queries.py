@@ -3624,6 +3624,35 @@ def dataset_split_hash(spark, sf_dir):
 
 
 @register(
+    "stratified_sample_lang",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             ('0x' || substring(md5(doc_id::VARCHAR || ':' || text), 1, 15))
+               ::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM keyed
+    WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                             WHEN 'fr' THEN 25 WHEN 'es' THEN 10
+                             ELSE 0 END
+    """,
+)
+def stratified_sample_lang(spark, sf_dir):
+    """Deterministic per-stratum downsampling (corpus rebalancing: keep
+    all English, 50% German, 25% French, 10% Spanish, drop the rest).
+    Content-keyed md5 bucket as in dataset_split_hash — stable across
+    engines/partitionings, and a doc's keep/drop decision never changes
+    as the corpus grows (pure map-side filter, no shuffle at any scale).
+    """
+    d = _t(spark, sf_dir, "documents")
+    return TR.stratified_sample_hash(
+        d, strata_col="lang", pct_by_stratum={"en": 100, "de": 50, "fr": 25, "es": 10}
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
     "array_higher_order_functions",
     sql=f"""
     SELECT vec_id,
@@ -4389,9 +4418,11 @@ _GRADE_FIRST = [
     "source_json_roundtrip",
     "asof_join_events_orders",
     # -- new gate entries this round (reference behaviors that were
-    #    pytest-only: primary_key audit, read_values SQL path) --
+    #    pytest-only: primary_key audit, read_values SQL path; plus the
+    #    stratified corpus-rebalancing sampler) --
     "verb_primary_key_audit",
     "verb_read_values_sql",
+    "stratified_sample_lang",
     # -- regression slice of r01-green entries --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4405,7 +4436,6 @@ _GRADE_FIRST = [
     "grouping_sets_revenue",
     "broadcast_join_brand_volume",
     "source_csv_roundtrip",
-    "bucketed_join_no_shuffle",
 ]
 
 
