@@ -24,6 +24,7 @@ from .text import tokens
 __all__ = [
     "word_ngrams",
     "repetition_features",
+    "quality_filter",
     "decontaminate",
     "redact_pii",
     "corpus_mixture",
@@ -154,6 +155,35 @@ def repetition_features(
         )
     )
     return out
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end keep/drop verdict per document — the composed
+    C4/Gopher-style curation gate: heuristic quality signals
+    (:func:`mssql_dataframe_spark.operators.text.quality_features`)
+    AND NOT the repetition flag (:func:`repetition_features`).
+
+    One equi-join on ``doc_id`` between two linear scans; at 100 TB
+    both sides partition on the same key, and the downstream corpus
+    is ``filter(keep)`` — this frame IS the manifest of what survives
+    curation, so it is what you audit before a training run.
+
+    Returns (doc_id, n_words, quality_flag, repetition_flag, keep).
+    """
+    from .text import quality_features
+
+    q = quality_features(df, text_col)
+    r = repetition_features(df, text_col, id_col)
+    return (
+        q.select(id_col, "n_words", "quality_flag")
+        .join(r.select(id_col, "repetition_flag"), id_col)
+        .withColumn(
+            "keep",
+            (F.col("quality_flag") & ~F.col("repetition_flag")).cast("boolean"),
+        )
+    )
 
 
 def decontaminate(

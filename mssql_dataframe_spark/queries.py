@@ -4216,6 +4216,25 @@ def text_repetition_features(spark, sf_dir):
     return C.repetition_features(_t(spark, sf_dir, "documents"))
 
 
+# the composed curation gate reuses the two verified oracle bodies as
+# CTEs, so the composite stays hash-checkable without duplicating SQL
+@register(
+    "corpus_quality_filter",
+    sql=f"""
+    WITH q AS ({REGISTRY["text_quality_features"]["sql"]}),
+         r AS ({REGISTRY["text_repetition_features"]["sql"]})
+    SELECT q.doc_id, q.n_words, q.quality_flag, r.repetition_flag,
+           (q.quality_flag AND NOT r.repetition_flag) AS keep
+    FROM q JOIN r ON q.doc_id = r.doc_id
+    """,
+)
+def corpus_quality_filter(spark, sf_dir):
+    """Composed C4/Gopher-style curation gate: quality heuristics AND
+    NOT repetition -> per-document keep verdict (the manifest a
+    training run filters on)."""
+    return C.quality_filter(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "decontamination_overlap",
     sql=rf"""
@@ -4423,6 +4442,7 @@ _GRADE_FIRST = [
     "verb_primary_key_audit",
     "verb_read_values_sql",
     "stratified_sample_lang",
+    "corpus_quality_filter",
     # -- regression slice of r01-green entries --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4433,7 +4453,6 @@ _GRADE_FIRST = [
     "q21_waiting_suppliers",
     "window_top3_orders_per_customer",
     "window_moving_avg_frames",
-    "grouping_sets_revenue",
     "broadcast_join_brand_volume",
     "source_csv_roundtrip",
 ]
