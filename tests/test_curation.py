@@ -101,3 +101,22 @@ def test_corpus_mixture_shares_sum_to_one(spark):
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-5
     tot = {(r["source"], r["lang"]): r["total_tokens"] for r in rows}
     assert tot[("s1", "fr")] == 3
+
+
+def test_quality_filter_verdicts(spark):
+    good = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (0, good),                       # passes both gates
+            (1, "spam " * 40),               # repetitive -> dropped
+            (2, "ok"),                       # too few words -> dropped
+            (3, ""),                         # empty -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in C.quality_filter(df).collect()}
+    assert len(out) == 4  # every doc gets a verdict row
+    assert out[0]["keep"] and out[0]["quality_flag"] and not out[0]["repetition_flag"]
+    assert out[1]["repetition_flag"] and not out[1]["keep"]
+    assert not out[2]["quality_flag"] and not out[2]["keep"]
+    assert not out[3]["keep"] and out[3]["n_words"] == 0
