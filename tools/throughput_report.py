@@ -1,0 +1,123 @@
+"""Verb-throughput proxy metrics promised in BASELINE.md.
+
+The reference publishes no numbers (pyodbc client library), so
+BASELINE.md commits us to reporting proxies once the engine exists:
+rows/s for ``write.insert`` (append), rows/s for ``write.merge``
+(upsert and full merge-with-delete), and wall-clock for the
+``read.table`` projection/filter/order/limit path — each at sf0.1.
+Writes THROUGHPUT.md at the repo root.
+
+Usage: python tools/throughput_report.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from mssql_dataframe_spark import SparkEngine, connect  # noqa: E402
+
+RUNS = 3
+
+
+def timed(fn):
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        out = fn()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples), out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = connect(app_name="throughput")
+    scratch = os.path.join(
+        os.path.dirname(__file__), "..", ".spark_tables", f"tp_{uuid.uuid4().hex}"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n = orders.count()
+    lines = [
+        "# THROUGHPUT — verb proxy metrics (BASELINE.md contract)",
+        "",
+        f"orders table at {os.path.basename(sf_dir)}: {n:,} rows; "
+        f"p50 of {RUNS} runs on local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]. "
+        "The reference publishes no numbers to compare against "
+        "(BASELINE.md); these are the engine's own bookkeeping, tracked "
+        "round-over-round.",
+        "",
+        "| verb | wall p50 (s) | rows/s |",
+        "|---|---|---|",
+    ]
+
+    def fresh_engine():
+        return SparkEngine(spark=spark, store_root=os.path.join(scratch, uuid.uuid4().hex))
+
+    # insert append: create once, time the insert itself
+    def do_insert():
+        eng = fresh_engine()
+        eng.create.table_from_dataframe("dbo.orders_tp", orders, primary_key="o_orderkey")
+        t0 = time.perf_counter()
+        eng.write.insert("dbo.orders_tp", orders)
+        return time.perf_counter() - t0
+
+    ins = statistics.median([do_insert() for _ in range(RUNS)])
+    lines.append(f"| write.insert (append {n:,}) | {ins:.3f} | {n/ins:,.0f} |")
+
+    # merge upsert: half the table pre-loaded, merge the full table
+    # (half update + half insert)
+    from pyspark.sql import functions as F
+
+    def do_merge(upsert: bool):
+        eng = fresh_engine()
+        half = orders.filter(F.col("o_orderkey") % 2 == 0)
+        eng.create.table_from_dataframe("dbo.orders_m", half, primary_key="o_orderkey")
+        eng.write.insert("dbo.orders_m", half)
+        src = orders if upsert else orders.filter(F.col("o_orderkey") % 4 != 1)
+        t0 = time.perf_counter()
+        eng.write.merge("dbo.orders_m", src, upsert=upsert)
+        return time.perf_counter() - t0
+
+    up = statistics.median([do_merge(True) for _ in range(RUNS)])
+    lines.append(f"| write.merge upsert ({n:,} src rows) | {up:.3f} | {n/up:,.0f} |")
+    fm = statistics.median([do_merge(False) for _ in range(RUNS)])
+    lines.append(
+        f"| write.merge full (update+insert+delete) | {fm:.3f} | {int(n*0.75)/fm:,.0f} |"
+    )
+
+    # read path: projection + filter + order + limit through the verb API
+    eng = fresh_engine()
+    eng.create.table_from_dataframe("dbo.orders_r", orders, primary_key="o_orderkey")
+    eng.write.insert("dbo.orders_r", orders)
+
+    def do_read():
+        return eng.read.table(
+            "dbo.orders_r",
+            column_names=["o_orderkey", "o_totalprice", "o_orderdate"],
+            where="o_orderstatus = 'O' AND o_totalprice > 100000",
+            order_column="o_totalprice",
+            order_direction="DESC",
+            limit=1000,
+        ).collect()
+
+    rd, rows = timed(do_read)
+    lines.append(
+        f"| read.table proj/filter/order/limit ({len(rows)} rows out) | {rd:.3f} | — |"
+    )
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    path = os.path.join(os.path.dirname(__file__), "..", "THROUGHPUT.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {os.path.abspath(path)}")
+    print("\n".join(lines[5:]))
+
+
+if __name__ == "__main__":
+    main()
