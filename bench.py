@@ -63,9 +63,11 @@ HEADLINE = [
     # multimodal (real PPM/BMP/WAV codecs over mapInPandas)
     "multimodal_resize",
     "multimodal_audio_features",
-    # training-dataset assembly
+    # training-dataset assembly & curation gate
     "pack_sequences_budget",
     "dataset_split_hash",
+    "stratified_sample_lang",
+    "corpus_quality_filter",
 ]
 
 
