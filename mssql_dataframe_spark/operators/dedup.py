@@ -69,10 +69,21 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, sh) — one row per distinct k-shingle per document.
 
-    Exploding moves the per-shingle work (md5 etc.) out of interpreted
-    higher-order lambdas and into whole-stage-codegen'd row-wise
-    expressions — ~10× faster per shingle and linearly scalable (the
-    exploded relation partitions like any other).
+    Shape: explode the shingle START POSITIONS (a codegen'd
+    ``sequence``), take each shingle with a row-wise ``substring``
+    (also codegen), then distinct by aggregation. Versus building a
+    per-document shingle ARRAY (interpreted higher-order ``transform``
+    + ``array_distinct``), end-to-end cost is neutral at sf0.1 (the
+    downstream persist hides the stage difference) — the reason for
+    this form is bounded per-row memory: a 10 MB document would be one
+    10M-element array in a single task row under ``array_distinct``,
+    while the aggregate distinct spreads that document's shingles
+    across ordinary rows with map-side combine. No extra shuffle:
+    the distinct reuses the id repartitioning below (verified
+    Exchange-count 1 in the executed plan).
+
+    Docs shorter than ``k`` produce no shingles (the filter also keeps
+    ``sequence`` ascending — Spark's sequence(1, 0) would DESCEND).
 
     The document rows are repartitioned by id BEFORE the explode: a
     small source (one parquet file locally; a skewed file layout at
@@ -80,9 +91,20 @@ def shingle_rows(
     scan to a handful of tasks. Shuffling the compact pre-explode rows
     is far cheaper than shuffling the exploded relation."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par, id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    return (
+        df.repartition(par, id_col)
+        .filter(F.length(F.col(text_col)) >= k)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+            ).alias("__i"),
+        )
+        .select(
+            id_col, F.substring(F.col(text_col), F.col("__i"), k).alias("sh")
+        )
+        .dropDuplicates([id_col, "sh"])
     )
 
 
