@@ -77,7 +77,27 @@ def merge_op(
         unique_key=match,
     )
     update_cols = [c for c in src.columns if c not in match]
-    target = store.read(table_name)
+
+    # file pruning (Delta MERGE INTO shape): when the merge cannot
+    # delete rows outside the source's key range (upsert, no delete
+    # clause) and the match key is the single-column PK the manifest
+    # keeps footer stats for, rewrite ONLY the files whose key range
+    # intersects the source — untouched files carry over by reference.
+    # At 100 TB this turns merge cost from O(table) into O(touched).
+    keep_entries = None
+    if upsert and not delete_requires and match == list(meta.primary_key) and len(match) == 1:
+        bounds = src.agg(
+            F.min(match[0]).alias("lo"), F.max(match[0]).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            touched, kept = store.split_by_key_range(
+                table_name, match[0], bounds["lo"], bounds["hi"]
+            )
+            if kept:
+                keep_entries = kept
+                target = store.read_files(table_name, touched)
+    if keep_entries is None:
+        target = store.read(table_name)
 
     # delete_requires flags: broadcast semi-join against DISTINCT source
     # values per column (scale-safe lowering of `IN (SELECT c FROM src)`)
@@ -166,5 +186,9 @@ def merge_op(
             col = tgt[c]
         out_cols.append(col.cast(f.dataType).alias(c))
 
-    store.overwrite(table_name, joined.select(*out_cols))
+    result = joined.select(*out_cols)
+    if keep_entries is not None:
+        store.replace_files(table_name, result, keep_entries)
+    else:
+        store.overwrite(table_name, result)
     return src

@@ -77,7 +77,24 @@ def update_op(
     if not update_cols:
         raise ValueError("dataframe has no non-match columns to update")
 
-    target = store.read(table_name)
+    # file pruning: UPDATE never inserts or deletes, so rows in files
+    # whose PK range misses the source are bit-identical — carry them
+    # over by manifest reference and rewrite only touched files
+    # (see store.replace_files; the Delta MERGE INTO commit shape)
+    keep_entries = None
+    if match == list(meta.primary_key) and len(match) == 1:
+        bounds = src.agg(
+            F.min(match[0]).alias("lo"), F.max(match[0]).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            touched, kept = store.split_by_key_range(
+                table_name, match[0], bounds["lo"], bounds["hi"]
+            )
+            if kept:
+                keep_entries = kept
+                target = store.read_files(table_name, touched)
+    if keep_entries is None:
+        target = store.read(table_name)
     renamed = src.select(
         *[F.col(c).alias(f"__s_{c}") for c in src.columns]
     ).withColumn("__s", F.lit(True))
@@ -99,5 +116,9 @@ def update_op(
             col = target[c]
         out_cols.append(col.cast(f.dataType).alias(c))
 
-    store.overwrite(table_name, joined.select(*out_cols))
+    result = joined.select(*out_cols)
+    if keep_entries is not None:
+        store.replace_files(table_name, result, keep_entries)
+    else:
+        store.overwrite(table_name, result)
     return src

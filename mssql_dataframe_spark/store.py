@@ -1,31 +1,34 @@
-"""Versioned copy-on-write Parquet table store.
+"""Versioned copy-on-write Parquet table store with file manifests.
 
 The reference's mutable-table semantics (T-SQL ``INSERT`` / ``UPDATE`` /
 ``MERGE`` — reference: mssql_dataframe/core/write/*.py) need a
 transactional, mutable table abstraction on top of Spark. The idiomatic
 production answer is Delta Lake / Iceberg; this container ships neither,
-so the engine implements the same copy-on-write transaction design those
-formats use, scoped to what the verbs need:
+so the engine implements the same transaction design those formats use:
 
-- a table is a directory holding immutable data snapshots
-  ``data_v{N}/`` (plain Parquet, so every Catalyst scan optimization —
-  predicate pushdown, column pruning, file skipping — applies),
+- a table is a POOL of immutable Parquet files (``files/``) plus one
+  MANIFEST per version (``_manifest_v{N}.json``) listing the files that
+  make up that snapshot — the analog of the Delta log's AddFile set,
+- each manifest entry carries the file's row count and min/max of the
+  primary-key column, harvested from the Parquet FOOTER at commit time
+  (no extra scan) — the stats that make file-skipping and partial
+  rewrites possible,
 - table metadata (``_meta.json``) records the current version, the
-  declared SQL-type schema, primary-key columns, and properties —
-  the analog of the Delta log + ``TBLPROPERTIES`` (SURVEY.md §1.1),
-- writers prepare the next snapshot fully, then commit by atomically
-  replacing ``_meta.json`` (``os.replace``) — readers always see a
-  complete version; a failed writer leaves the table unchanged.
+  declared SQL-type schema, primary-key columns, and properties; writers
+  prepare the next manifest fully, then commit by atomically replacing
+  ``_meta.json`` (``os.replace``) — readers always see a complete
+  version; a failed writer leaves the table unchanged.
 
 Scale notes (100 TB design):
-- ``append`` adds new Parquet files into the current snapshot directory
-  (like Delta AddFile) — no rewrite, O(new data) regardless of table
-  size.
-- ``update``/``merge`` rewrite via a distributed join; at production
-  scale the same code runs against Delta ``MERGE INTO`` which rewrites
-  only matched files. The copy-on-write structure here is
-  deliberately the same shape so the swap is a storage-layer change,
-  not an engine change.
+- ``append`` moves new files into the pool — no rewrite, O(new data).
+- ``replace_files`` commits a snapshot that KEEPS untouched files by
+  reference and adds rewritten ones — so ``merge``/``update`` against
+  a key-ranged source rewrite only the files whose key range intersects
+  the source (see core/write/merge.py), exactly Delta ``MERGE INTO``
+  file pruning. Cost ∝ touched data, not table size.
+- Footer-stat harvesting runs driver-side here (local files); on a
+  cluster the same read happens where the files were written — it is
+  the Delta-log stats-collection step, not a data scan.
 """
 
 from __future__ import annotations
@@ -66,6 +69,38 @@ class TableMeta:
     @property
     def spark_schema(self) -> T.StructType:
         return T.StructType.fromJson(self.spark_schema_json)
+
+
+def _footer_stats(path: str, col: Optional[str]):
+    """(rows, min, max) for ``col`` from the Parquet footer — no scan.
+
+    Returns (rows, None, None) when the column is absent, has no valid
+    chunk statistics, or its values are not plain int/str (the JSON-
+    and comparison-safe types). Parquet stats may be truncated for long
+    strings; they remain valid OUTER bounds, so range pruning built on
+    them stays conservative (keeps more files), never incorrect.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    if not col:
+        return rows, None, None
+    try:
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+    except ValueError:
+        return rows, None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return rows, None, None
+        mn, mx = st.min, st.max
+        if not isinstance(mn, (int, str)) or isinstance(mn, bool):
+            return rows, None, None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return rows, lo, hi
 
 
 class TableStore:
@@ -124,10 +159,60 @@ class TableStore:
                     out.append(f"{schema}.{t}")
         return out
 
-    # -- data ---------------------------------------------------------
-    def _data_dir(self, name: str, version: int) -> str:
-        return os.path.join(self._table_dir(name), f"data_v{version}")
+    # -- manifests ----------------------------------------------------
+    def _pool_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "files")
 
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), f"_manifest_v{version}.json")
+
+    def manifest(self, name: str, version: int) -> list[dict]:
+        try:
+            with open(self._manifest_path(name, version)) as f:
+                return json.load(f)["files"]
+        except FileNotFoundError:
+            return []
+
+    def _write_manifest(
+        self, name: str, version: int, entries: list[dict]
+    ) -> None:
+        tdir = self._table_dir(name)
+        tmp = os.path.join(tdir, f"._manifest.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": entries}, f)
+        os.replace(tmp, self._manifest_path(name, version))
+
+    def _stats_col(self, meta: TableMeta) -> Optional[str]:
+        """Stats are harvested for a single-column primary key (the
+        merge/update match key); multi-column keys fall back to
+        stats-less entries (every file counts as touched)."""
+        return meta.primary_key[0] if len(meta.primary_key) == 1 else None
+
+    def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
+                  stats_col: Optional[str]) -> list[dict]:
+        """Materialize ``df`` as new immutable pool files; return their
+        manifest entries (footer row counts + key bounds)."""
+        tdir = self._table_dir(name)
+        pool = self._pool_dir(name)
+        os.makedirs(pool, exist_ok=True)
+        stage = os.path.join(tdir, f".stage_{uuid.uuid4().hex}")
+        df.select(*schema.fieldNames()).write.mode("overwrite").parquet(stage)
+        entries = []
+        for fn in sorted(os.listdir(stage)):
+            if not fn.endswith(".parquet"):
+                continue
+            dst_name = f"f_{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(pool, dst_name)
+            os.replace(os.path.join(stage, fn), dst)
+            rows, lo, hi = _footer_stats(dst, stats_col)
+            if rows == 0:
+                os.remove(dst)  # empty part files bloat the manifest
+                continue
+            entries.append({"path": dst_name, "rows": rows, "min": lo, "max": hi})
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    # -- data ---------------------------------------------------------
     def create(
         self,
         name: str,
@@ -150,7 +235,8 @@ class TableStore:
             properties=dict(properties or {}),
             created_at=time.time(),
         )
-        os.makedirs(self._data_dir(name, 0), exist_ok=True)
+        os.makedirs(self._pool_dir(name), exist_ok=True)
+        self._write_manifest(name, 0, [])
         self._write_meta(name, meta)
         return meta
 
@@ -165,27 +251,67 @@ class TableStore:
         meta = self.meta(name)
         v = meta.version if version is None else int(version)
         if version is not None:
-            if v > meta.version or not os.path.isdir(self._data_dir(name, v)):
+            if v > meta.version or not os.path.exists(
+                self._manifest_path(name, v)
+            ):
                 raise ValueError(
                     f"version {v} of table {name!r} is not available "
                     f"(current {meta.version}, retention keeps "
                     f"{self.keep_versions} prior snapshots)"
                 )
-        ddir = self._data_dir(name, v)
+        paths = [
+            os.path.join(self._pool_dir(name), e["path"])
+            for e in self.manifest(name, v)
+        ]
+        return self._read_paths(meta, paths)
+
+    def _read_paths(self, meta: TableMeta, paths: list[str]) -> DataFrame:
         schema = meta.spark_schema
-        has_files = any(
-            f.endswith(".parquet") for f in _walk_files(ddir)
-        )
-        if not has_files:
+        if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(ddir)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_files(self, name: str, entry_paths: list[str]) -> DataFrame:
+        """DataFrame over a subset of the CURRENT snapshot's files (the
+        touched side of a pruned merge/update)."""
+        pool = self._pool_dir(name)
+        return self._read_paths(
+            self.meta(name), [os.path.join(pool, p) for p in entry_paths]
+        )
+
+    def split_by_key_range(
+        self, name: str, col: str, lo, hi
+    ) -> tuple[list[str], list[dict]]:
+        """Partition the current manifest into (touched paths, kept
+        entries) for a source whose ``col`` values span [lo, hi].
+        Files without stats for ``col`` are always touched (safe)."""
+        meta = self.meta(name)
+        if self._stats_col(meta) != col:
+            ents = self.manifest(name, meta.version)
+            return [e["path"] for e in ents], []
+        touched, kept = [], []
+        for e in self.manifest(name, meta.version):
+            if (
+                e.get("min") is None
+                or e.get("max") is None
+                or type(e["min"]) is not type(lo)
+                or not (e["max"] < lo or e["min"] > hi)
+            ):
+                touched.append(e["path"])
+            else:
+                kept.append(e)
+        return touched, kept
 
     def append(self, name: str, df: DataFrame) -> None:
         """Add files to the current snapshot (Delta AddFile analog) —
         O(new data), never rewrites existing files."""
         meta = self.meta(name)
-        ddir = self._data_dir(name, meta.version)
-        df.select(*meta.spark_schema.fieldNames()).write.mode("append").parquet(ddir)
+        entries = self._stage_in(
+            name, df, meta.spark_schema, self._stats_col(meta)
+        )
+        self._write_manifest(
+            name, meta.version, self.manifest(name, meta.version) + entries
+        )
 
     #: snapshots retained behind the current version; lazy DataFrames
     #: handed out by ``read()`` stay valid across this many subsequent
@@ -202,11 +328,29 @@ class TableStore:
         ``keep_versions`` commits behind, so a lazy plan bound to a
         recent snapshot can still be consumed after later writes. A
         crash before the meta replace leaves the table unchanged."""
+        self._commit(name, df, keep_entries=[], new_schema=new_schema,
+                     new_column_types=new_column_types)
+
+    def replace_files(
+        self, name: str, df: DataFrame, keep_entries: list[dict]
+    ) -> None:
+        """Commit the next snapshot as ``keep_entries`` (untouched files
+        carried over BY REFERENCE — no rewrite, no copy) plus the
+        materialized ``df`` (the rewritten touched files). This is the
+        Delta ``MERGE INTO`` commit shape: write cost ∝ touched data."""
+        self._commit(name, df, keep_entries=list(keep_entries))
+
+    def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
+                new_schema: Optional[T.StructType] = None,
+                new_column_types: Optional[dict[str, str]] = None) -> None:
         meta = self.meta(name)
         next_v = meta.version + 1
-        ddir = self._data_dir(name, next_v)
         schema = new_schema or meta.spark_schema
-        df.select(*schema.fieldNames()).write.mode("overwrite").parquet(ddir)
+        stats_col = self._stats_col(meta)
+        if new_schema is not None and stats_col not in schema.fieldNames():
+            stats_col = None
+        entries = keep_entries + self._stage_in(name, df, schema, stats_col)
+        self._write_manifest(name, next_v, entries)
         meta.version = next_v
         if new_schema is not None:
             meta.spark_schema_json = new_schema.jsonValue()
@@ -216,17 +360,28 @@ class TableStore:
         self._vacuum(name, keep_before=next_v - self.keep_versions)
 
     def _vacuum(self, name: str, keep_before: int) -> None:
-        """Delete snapshot directories older than ``keep_before``."""
+        """Drop manifests older than ``keep_before`` and pool files no
+        retained manifest references."""
         tdir = self._table_dir(name)
+        live_versions = []
         for entry in os.listdir(tdir):
-            if not entry.startswith("data_v"):
-                continue
-            try:
-                v = int(entry[len("data_v"):])
-            except ValueError:
-                continue
-            if v < keep_before:
-                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+            if entry.startswith("_manifest_v"):
+                try:
+                    v = int(entry[len("_manifest_v"):-len(".json")])
+                except ValueError:
+                    continue
+                if v < keep_before:
+                    os.remove(os.path.join(tdir, entry))
+                else:
+                    live_versions.append(v)
+        referenced = {
+            e["path"] for v in live_versions for e in self.manifest(name, v)
+        }
+        pool = self._pool_dir(name)
+        if os.path.isdir(pool):
+            for fn in os.listdir(pool):
+                if fn.endswith(".parquet") and fn not in referenced:
+                    os.remove(os.path.join(pool, fn))
 
     def update_meta(self, name: str, **changes) -> TableMeta:
         meta = self.meta(name)
@@ -234,11 +389,3 @@ class TableStore:
             setattr(meta, k, v)
         self._write_meta(name, meta)
         return meta
-
-
-def _walk_files(d: str):
-    if not os.path.isdir(d):
-        return
-    for root, _dirs, files in os.walk(d):
-        for f in files:
-            yield os.path.join(root, f)

@@ -1,0 +1,105 @@
+"""File-pruned merge/update: untouched files must carry over BY
+REFERENCE (same pool file, no rewrite) while results stay identical to
+the full-rewrite semantics. This is the property that makes mutation
+cost ∝ touched data at 100 TB (store.replace_files docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _manifest_paths(eng, table):
+    meta = eng.store.meta(table)
+    return {e["path"] for e in eng.store.manifest(table, meta.version)}
+
+
+def _make_keyed_table(eng, spark, table, n=1000, parts=8):
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("double").alias("v"),
+        )
+        # range-partition so each file covers a disjoint key range —
+        # the layout an ordered ingest (or optimize-by-key) produces
+        .repartitionByRange(parts, "k")
+        .sortWithinPartitions("k")
+    )
+    eng.create.table("dbo." + table, {"k": "bigint", "v": "float"},
+                     primary_key_column="k")
+    eng.write.insert("dbo." + table, df)
+    return df
+
+
+def test_pruned_merge_reuses_untouched_files(engine, spark):
+    eng = engine
+    _make_keyed_table(eng, spark, "pm", n=1000, parts=8)
+    before = _manifest_paths(eng, "dbo.pm")
+    assert len(before) >= 4  # several range files to prune across
+
+    # upsert touching only the low end of the key space
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(9.5).cast("double").alias("v")
+    )
+    eng.write.merge("dbo.pm", src, upsert=True)
+
+    after = _manifest_paths(eng, "dbo.pm")
+    reused = before & after
+    assert reused, "no files were carried over by reference"
+    assert after != before  # touched files were rewritten
+    # untouched majority of the key space must be by-reference
+    assert len(reused) >= len(before) - 2
+
+    out = eng.read.table("dbo.pm")
+    assert out.count() == 1000
+    assert out.filter("k < 50 AND v = 9.5").count() == 50
+    assert out.filter("k >= 50 AND v = 9.5").count() == 0
+
+
+def test_pruned_update_matches_full_semantics(engine, spark):
+    eng = engine
+    _make_keyed_table(eng, spark, "pu", n=1000, parts=8)
+    before = _manifest_paths(eng, "dbo.pu")
+
+    src = spark.range(900, 950).select(
+        F.col("id").alias("k"), F.lit(-1.0).cast("double").alias("v")
+    )
+    eng.write.update("dbo.pu", src)
+
+    after = _manifest_paths(eng, "dbo.pu")
+    assert before & after, "no files were carried over by reference"
+    out = eng.read.table("dbo.pu")
+    assert out.count() == 1000  # update never inserts
+    assert out.filter("v = -1.0").count() == 50
+    assert out.filter("k = 0 AND v = 0.0").count() == 1  # untouched row intact
+
+
+def test_full_rewrite_when_delete_possible(engine, spark):
+    """A non-upsert merge can delete anywhere — pruning must NOT kick
+    in, and unmatched rows outside the source range must be deleted."""
+    eng = engine
+    _make_keyed_table(eng, spark, "pf", n=200, parts=4)
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(1.0).cast("double").alias("v")
+    )
+    eng.write.merge("dbo.pf", src)  # full MERGE: deletes k >= 50
+    out = eng.read.table("dbo.pf")
+    assert out.count() == 50
+
+
+def test_time_travel_spans_pruned_commits(engine, spark):
+    """Version reads must reconstruct snapshots whose manifests mix
+    kept and rewritten files."""
+    eng = engine
+    _make_keyed_table(eng, spark, "pt", n=400, parts=4)
+    meta0 = eng.store.meta("dbo.pt")
+    v0 = meta0.version
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(7.0).cast("double").alias("v")
+    )
+    eng.write.merge("dbo.pt", src, upsert=True)
+    old = eng.read.table("dbo.pt", version=v0)
+    assert old.filter("v = 7.0").count() == 0
+    assert old.count() == 400
+    new = eng.read.table("dbo.pt")
+    assert new.filter("v = 7.0").count() == 10
