@@ -93,6 +93,12 @@ class SparkEngine:
         the candidate frame (reference conversion.py:38-162)."""
         return get_schema(self.store, table_name, dataframe=dataframe)
 
+    def optimize(self, table_name: str, small_file_rows: int = 100_000):
+        """Compact small store files (Delta ``OPTIMIZE`` analog),
+        clustering by the primary key so pruned merges skip precisely.
+        Returns (files_before, files_after)."""
+        return self.store.optimize(table_name, small_file_rows=small_file_rows)
+
     def register_view(self, table_name: str, view_name: str | None = None):
         """Expose a stored table to ``spark.sql`` queries."""
         v = view_name or table_name.split(".")[-1]

@@ -383,6 +383,40 @@ class TableStore:
                 if fn.endswith(".parquet") and fn not in referenced:
                     os.remove(os.path.join(pool, fn))
 
+    def optimize(
+        self, name: str, small_file_rows: int = 100_000
+    ) -> tuple[int, int]:
+        """Compact small files (the Delta ``OPTIMIZE`` analog).
+
+        Files with fewer than ``small_file_rows`` rows are rewritten —
+        clustered by the primary key (``repartitionByRange`` + sort)
+        when the table has a single-column PK, so each compacted file
+        covers a disjoint key range and later pruned merges/updates
+        (see ``split_by_key_range``) skip precisely. Files already at
+        target size carry over by reference. Small-file accumulation is
+        the natural by-product of streaming ``foreachBatch`` upserts
+        and micro-batch appends; at 100 TB compaction is what keeps
+        scan task counts and manifest sizes bounded.
+
+        Returns (files_before, files_after).
+        """
+        meta = self.meta(name)
+        entries = self.manifest(name, meta.version)
+        small = [e for e in entries if (e.get("rows") or 0) < small_file_rows]
+        keep = [e for e in entries if e not in small]
+        if len(small) <= 1:
+            return len(entries), len(entries)
+        df = self.read_files(name, [e["path"] for e in small])
+        total = sum(e.get("rows") or 0 for e in small)
+        n_out = max(1, (total + small_file_rows - 1) // small_file_rows)
+        key = self._stats_col(meta)
+        if key:
+            df = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+        else:
+            df = df.coalesce(n_out)
+        self.replace_files(name, df, keep)
+        return len(entries), len(self.manifest(name, self.meta(name).version))
+
     def update_meta(self, name: str, **changes) -> TableMeta:
         meta = self.meta(name)
         for k, v in changes.items():

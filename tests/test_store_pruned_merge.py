@@ -103,3 +103,27 @@ def test_time_travel_spans_pruned_commits(engine, spark):
     assert old.count() == 400
     new = eng.read.table("dbo.pt")
     assert new.filter("v = 7.0").count() == 10
+
+
+def test_optimize_compacts_and_clusters(engine, spark):
+    eng = engine
+    eng.create.table("dbo.opt", {"k": "bigint", "v": "float"},
+                     primary_key_column="k")
+    for i in range(6):
+        eng.write.insert(
+            "dbo.opt",
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("double").alias("v"),
+            ),
+        )
+    meta = eng.store.meta("dbo.opt")
+    n_before = len(eng.store.manifest("dbo.opt", meta.version))
+    before, after = eng.store.optimize("dbo.opt", small_file_rows=1000)
+    assert before == n_before and after < before
+    ents = eng.store.manifest("dbo.opt", eng.store.meta("dbo.opt").version)
+    spans = sorted((e["min"], e["max"]) for e in ents)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    out = eng.read.table("dbo.opt")
+    assert out.count() == 600
+    assert out.agg(F.sum("v")).first()[0] == sum(range(600))
