@@ -80,7 +80,26 @@ def merge_scd2(
     renamed = src.select(
         *[F.col(c).alias(f"__s_{c}") for c in src.columns]
     ).withColumn("__s", F.lit(True))
-    tgt = store.read(table_name).withColumn("__t", F.lit(True))
+
+    # file pruning: SCD2 never deletes, and it only mutates rows whose
+    # business key appears in the source — files whose stats range
+    # (declare ``stats_column`` = business key on history tables) misses
+    # the source carry over by manifest reference (see store.py)
+    keep_entries = None
+    if len(match) == 1:
+        bounds = src.agg(
+            F.min(match[0]).alias("lo"), F.max(match[0]).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            touched, kept = store.split_by_key_range(
+                table_name, match[0], bounds["lo"], bounds["hi"]
+            )
+            if kept:
+                keep_entries = kept
+                target = store.read_files(table_name, touched)
+    if keep_entries is None:
+        target = store.read(table_name)
+    tgt = target.withColumn("__t", F.lit(True))
 
     cond = reduce(
         and_, [tgt[k] == renamed[f"__s_{k}"] for k in match]
@@ -126,5 +145,8 @@ def merge_scd2(
     out = j.select(F.explode(variants).alias("__r")).select(
         *[F.col(f"__r.{f.name}").alias(f.name) for f in meta.spark_schema.fields]
     )
-    store.overwrite(table_name, out)
+    if keep_entries is not None:
+        store.replace_files(table_name, out, keep_entries)
+    else:
+        store.overwrite(table_name, out)
     return src

@@ -183,9 +183,15 @@ class TableStore:
         os.replace(tmp, self._manifest_path(name, version))
 
     def _stats_col(self, meta: TableMeta) -> Optional[str]:
-        """Stats are harvested for a single-column primary key (the
-        merge/update match key); multi-column keys fall back to
-        stats-less entries (every file counts as touched)."""
+        """Column whose min/max each manifest entry carries: the
+        ``stats_column`` table property when set (e.g. the business key
+        of an SCD2 table, which is not its unique PK), else a
+        single-column primary key. Multi-column keys without an
+        explicit property fall back to stats-less entries (every file
+        counts as touched)."""
+        prop = meta.properties.get("stats_column")
+        if prop:
+            return prop
         return meta.primary_key[0] if len(meta.primary_key) == 1 else None
 
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,

@@ -127,3 +127,40 @@ def test_optimize_compacts_and_clusters(engine, spark):
     out = eng.read.table("dbo.opt")
     assert out.count() == 600
     assert out.agg(F.sum("v")).first()[0] == sum(range(600))
+
+
+def test_pruned_scd2_with_stats_column(engine, spark):
+    """SCD2 history tables declare stats_column = business key (their
+    PK can't be the business key — history duplicates it); files whose
+    key range misses the source must carry over by reference."""
+    eng = engine
+    eng.create.table(
+        "dbo.dim",
+        {"k": "bigint", "attr": "varchar(20)", "_valid_from": "datetime2",
+         "_valid_to": "datetime2", "_is_current": "bit"},
+    )
+    eng.store.update_meta("dbo.dim", properties={"stats_column": "k"})
+    base = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.lit("v0").alias("attr"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("_valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("_valid_to"),
+        F.lit(True).alias("_is_current"),
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    eng.write.insert("dbo.dim", base)
+    before = _manifest_paths(eng, "dbo.dim")
+
+    src = spark.range(0, 20).select(
+        F.col("k" if False else "id").alias("k"), F.lit("v1").alias("attr")
+    )
+    eng.write.merge_scd2(
+        "dbo.dim", src, match_columns=["k"],
+        as_of=F.lit("2024-06-01 00:00:00").cast("timestamp_ntz"),
+    )
+    after = _manifest_paths(eng, "dbo.dim")
+    assert before & after, "no files carried over by reference"
+    out = eng.read.table("dbo.dim")
+    assert out.count() == 420  # 400 originals + 20 new current versions
+    assert out.filter("attr = 'v1' AND _is_current").count() == 20
+    assert out.filter("attr = 'v0' AND NOT _is_current").count() == 20
+    assert out.filter("k >= 20 AND attr = 'v0' AND _is_current").count() == 380
