@@ -38,12 +38,16 @@ class create:
         not_nullable: Optional[list[str]] = None,
         primary_key_column: Optional[str | list[str]] = None,
         sql_primary_key: bool = False,
+        properties: Optional[dict] = None,
     ) -> None:
         """Create a table (reference: create.py:29-221).
 
         columns: {column_name: SQL type string, e.g. 'varchar(100)'}
         primary_key_column: single name or list (composite PK)
         sql_primary_key: auto ``_pk`` bigint identity primary key
+        properties: table properties (e.g. ``stats_column`` — the
+        column whose min/max the store manifests track for file-pruned
+        merges; defaults to a single-column PK, see store.py)
         """
         escape_table(table_name)  # validates identifier lengths
         not_nullable = list(not_nullable or [])
@@ -104,6 +108,7 @@ class create:
             primary_key=pk,
             identity_column=identity_col,
             not_nullable=not_nullable,
+            properties=properties,
         )
 
     def table_from_dataframe(

@@ -195,14 +195,28 @@ class TableStore:
         return meta.primary_key[0] if len(meta.primary_key) == 1 else None
 
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
-                  stats_col: Optional[str]) -> list[dict]:
+                  stats_col: Optional[str],
+                  cluster: bool = False) -> list[dict]:
         """Materialize ``df`` as new immutable pool files; return their
-        manifest entries (footer row counts + key bounds)."""
+        manifest entries (footer row counts + key bounds).
+
+        ``cluster`` range-partitions + sorts the batch by the stats
+        column before writing, so each new file covers a disjoint key
+        range — the layout that keeps ``split_by_key_range`` pruning
+        sharp without a separate ``optimize`` pass. One extra shuffle
+        of the NEW data only (never the table), opt-in per table via
+        the ``cluster_on_write`` property.
+        """
         tdir = self._table_dir(name)
         pool = self._pool_dir(name)
         os.makedirs(pool, exist_ok=True)
         stage = os.path.join(tdir, f".stage_{uuid.uuid4().hex}")
-        df.select(*schema.fieldNames()).write.mode("overwrite").parquet(stage)
+        out = df.select(*schema.fieldNames())
+        if cluster and stats_col:
+            n = out.rdd.getNumPartitions()
+            out = out.repartitionByRange(max(n, 1), stats_col)
+            out = out.sortWithinPartitions(stats_col)
+        out.write.mode("overwrite").parquet(stage)
         entries = []
         for fn in sorted(os.listdir(stage)):
             if not fn.endswith(".parquet"):
@@ -313,7 +327,8 @@ class TableStore:
         O(new data), never rewrites existing files."""
         meta = self.meta(name)
         entries = self._stage_in(
-            name, df, meta.spark_schema, self._stats_col(meta)
+            name, df, meta.spark_schema, self._stats_col(meta),
+            cluster=bool(meta.properties.get("cluster_on_write")),
         )
         self._write_manifest(
             name, meta.version, self.manifest(name, meta.version) + entries
@@ -355,7 +370,10 @@ class TableStore:
         stats_col = self._stats_col(meta)
         if new_schema is not None and stats_col not in schema.fieldNames():
             stats_col = None
-        entries = keep_entries + self._stage_in(name, df, schema, stats_col)
+        entries = keep_entries + self._stage_in(
+            name, df, schema, stats_col,
+            cluster=bool(meta.properties.get("cluster_on_write")),
+        )
         self._write_manifest(name, next_v, entries)
         meta.version = next_v
         if new_schema is not None:

@@ -164,3 +164,33 @@ def test_pruned_scd2_with_stats_column(engine, spark):
     assert out.filter("attr = 'v1' AND _is_current").count() == 20
     assert out.filter("attr = 'v0' AND NOT _is_current").count() == 20
     assert out.filter("k >= 20 AND attr = 'v0' AND _is_current").count() == 380
+
+
+def test_cluster_on_write_keeps_pruning_sharp(engine, spark):
+    """With cluster_on_write, plain appends land as disjoint key-range
+    files, so a narrow upsert prunes without a manual optimize pass."""
+    eng = engine
+    eng.create.table("dbo.cw", {"k": "bigint", "v": "float"},
+                     primary_key_column="k",
+                     properties={"cluster_on_write": True})
+    eng.write.insert(
+        "dbo.cw",
+        spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+        ).repartition(8),  # deliberately key-shuffled input
+    )
+    ents = eng.store.manifest("dbo.cw", eng.store.meta("dbo.cw").version)
+    spans = sorted((e["min"], e["max"]) for e in ents)
+    assert len(spans) > 1
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+    before = _manifest_paths(eng, "dbo.cw")
+    src = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(5.0).cast("double").alias("v")
+    )
+    eng.write.merge("dbo.cw", src, upsert=True)
+    reused = before & _manifest_paths(eng, "dbo.cw")
+    assert len(reused) >= len(before) - 2
+    out = eng.read.table("dbo.cw")
+    assert out.count() == 1000
+    assert out.filter("v = 5.0").count() == 30
