@@ -194,3 +194,30 @@ def test_cluster_on_write_keeps_pruning_sharp(engine, spark):
     out = eng.read.table("dbo.cw")
     assert out.count() == 1000
     assert out.filter("v = 5.0").count() == 30
+
+
+def test_split_by_key_range_decision_table(engine, spark, tmp_path):
+    """Pure decision logic: boundary overlap counts as touched, missing
+    or type-mismatched stats are always touched (safe), disjoint kept."""
+    eng = engine
+    eng.create.table("dbo.sp", {"k": "bigint", "v": "float"},
+                     primary_key_column="k")
+    store = eng.store
+    meta = store.meta("dbo.sp")
+    store._write_manifest("dbo.sp", meta.version, [
+        {"path": "a.parquet", "rows": 10, "min": 0, "max": 99},     # below
+        {"path": "b.parquet", "rows": 10, "min": 100, "max": 199},  # touches lo
+        {"path": "c.parquet", "rows": 10, "min": 150, "max": 250},  # inside
+        {"path": "d.parquet", "rows": 10, "min": 200, "max": 300},  # touches hi
+        {"path": "e.parquet", "rows": 10, "min": 301, "max": 400},  # above
+        {"path": "f.parquet", "rows": 10, "min": None, "max": None},  # no stats
+        {"path": "g.parquet", "rows": 10, "min": "x", "max": "y"},  # wrong type
+    ])
+    touched, kept = store.split_by_key_range("dbo.sp", "k", 100, 300)
+    assert sorted(touched) == ["b.parquet", "c.parquet", "d.parquet",
+                               "f.parquet", "g.parquet"]
+    assert sorted(e["path"] for e in kept) == ["a.parquet", "e.parquet"]
+
+    # asking for a range on a non-stats column: everything touched
+    touched2, kept2 = store.split_by_key_range("dbo.sp", "v", 0.0, 1.0)
+    assert len(touched2) == 7 and kept2 == []
