@@ -114,9 +114,15 @@ class read:
         {'insert','update','delete'} plus ``old_<c>`` / ``new_<c>``
         for every non-key column; unchanged keys are omitted.
 
-        Scale shape: ONE full-outer join between the two snapshots on
-        the key columns — the same single shuffle a MERGE pays; the
-        change classification is pure row-local expressions on top.
+        Scale shape: when keyed on the table's primary key, the two
+        sides are pruned to the MANIFEST DIFF first — files shared by
+        both versions are immutable and bit-identical, so no shared
+        file can contribute a change row (each PK appears in exactly
+        one file per snapshot). After a pruned merge the diff is just
+        the touched files, so CDC cost is ∝ changed data. The join
+        itself is ONE full-outer on the keys — the same single shuffle
+        a MERGE pays; change classification is row-local on top.
+        Custom (non-unique) match_columns fall back to full snapshots.
         """
         from functools import reduce
         from operator import and_, or_
@@ -130,8 +136,15 @@ class read:
         for k in keys:
             if k not in meta.spark_schema.fieldNames():
                 raise SQLColumnDoesNotExist(f"match column {k!r} not in table")
-        old = self._store.read(table_name, version=from_version)
-        new = self._store.read(table_name, version=to_version)
+        if keys == list(meta.primary_key):
+            mf_old, mf_new = self._store.version_file_sets(
+                table_name, from_version, to_version
+            )
+            old = self._store.read_files(table_name, sorted(mf_old - mf_new))
+            new = self._store.read_files(table_name, sorted(mf_new - mf_old))
+        else:
+            old = self._store.read(table_name, version=from_version)
+            new = self._store.read(table_name, version=to_version)
         others = [c for c in old.columns if c not in keys]
         o = old.select(
             *[F.col(k).alias(f"__ko_{k}") for k in keys],

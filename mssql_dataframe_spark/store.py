@@ -322,6 +322,29 @@ class TableStore:
                 kept.append(e)
         return touched, kept
 
+    def version_file_sets(
+        self, name: str, v_old: int, v_new: Optional[int] = None
+    ) -> tuple[set, set]:
+        """Validated manifest path sets for two retained versions —
+        the inputs of manifest-level CDC (core/read.py table_changes):
+        files present in BOTH versions are immutable and bit-identical,
+        so only the symmetric difference can contain changed rows."""
+        meta = self.meta(name)
+        v_new = meta.version if v_new is None else int(v_new)
+        for v in (int(v_old), v_new):
+            if v > meta.version or not os.path.exists(
+                self._manifest_path(name, v)
+            ):
+                raise ValueError(
+                    f"version {v} of table {name!r} is not available "
+                    f"(current {meta.version}, retention keeps "
+                    f"{self.keep_versions} prior snapshots)"
+                )
+        return (
+            {e["path"] for e in self.manifest(name, int(v_old))},
+            {e["path"] for e in self.manifest(name, v_new)},
+        )
+
     def append(self, name: str, df: DataFrame) -> None:
         """Add files to the current snapshot (Delta AddFile analog) —
         O(new data), never rewrites existing files."""

@@ -221,3 +221,25 @@ def test_split_by_key_range_decision_table(engine, spark, tmp_path):
     # asking for a range on a non-stats column: everything touched
     touched2, kept2 = store.split_by_key_range("dbo.sp", "v", 0.0, 1.0)
     assert len(touched2) == 7 and kept2 == []
+
+
+def test_cdc_reads_only_differing_files(engine, spark):
+    """table_changes keyed on the PK must scan only the manifest diff:
+    after a pruned merge, shared files stay out of the CDC plan."""
+    eng = engine
+    _make_keyed_table(eng, spark, "cdc", n=1000, parts=8)
+    v0 = eng.store.meta("dbo.cdc").version
+    src = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit(3.5).cast("double").alias("v")
+    )
+    eng.write.merge("dbo.cdc", src, upsert=True)
+    mf0, mf1 = eng.store.version_file_sets("dbo.cdc", v0)
+    shared = mf0 & mf1
+    assert shared, "pruned merge should leave shared files"
+
+    changes = eng.read.table_changes("dbo.cdc", from_version=v0)
+    rows = changes.collect()
+    assert len(rows) == 40
+    assert all(r["change_type"] == "update" for r in rows)
+    scanned = {f.split("/")[-1] for f in changes.inputFiles()}
+    assert not (scanned & shared), "CDC plan scanned shared files"
