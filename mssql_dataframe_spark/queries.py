@@ -3703,8 +3703,8 @@ def stratified_sample_lang(spark, sf_dir):
     SELECT vec_id,
            CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT)
              AS n_pos,
-           list_sum({S.duckdb_quantize_sql('embedding::DOUBLE[]')})
-             AS qsum,
+           CAST(list_sum({S.duckdb_quantize_sql('embedding::DOUBLE[]')})
+             AS BIGINT) AS qsum,
            ROUND((embedding::DOUBLE[])[1] * 2, 6) AS first_doubled
     FROM embeddings
     """,
