@@ -3741,20 +3741,21 @@ def array_higher_order_functions(spark, sf_dir):
 def verb_time_travel(spark, sf_dir):
     """Time travel on the COW store (beyond-reference; Delta
     ``versionAsOf`` analog): update bumps the snapshot version, the
-    retention window keeps the prior snapshot readable, and
-    ``read.table(version=0)`` returns the pre-update rows — joined
+    retention window keeps the prior snapshot readable, and reading
+    the post-insert version returns the pre-update rows — joined
     here against the current snapshot to prove BOTH states at once."""
     eng = _scratch_engine(spark)
     nation = _t(spark, sf_dir, "nation")
     eng.create.table_from_dataframe("dbo.nation_tt", nation, primary_key="n_nationkey")
     eng.write.insert("dbo.nation_tt", nation)
+    v_ins = eng.store.meta("dbo.nation_tt").version  # create=v0, insert=v1
     eng.write.update(
         "dbo.nation_tt",
         nation.select(
             "n_nationkey", F.concat("n_name", F.lit("_X")).alias("n_name")
         ),
     )
-    old = eng.read.table("dbo.nation_tt", version=0).select(
+    old = eng.read.table("dbo.nation_tt", version=v_ins).select(
         "n_nationkey", F.col("n_name").alias("old_name")
     )
     cur = eng.read.table("dbo.nation_tt").select(
@@ -3891,8 +3892,9 @@ def mv_incremental_update(spark, sf_dir):
         primary_key_column="o_orderkey",
     )
     eng.write.insert("dbo.fact_mv", base)
+    v_ins = eng.store.meta("dbo.fact_mv").version  # create=v0, insert=v1
     mv0 = (
-        eng.read.table("dbo.fact_mv", version=0)
+        eng.read.table("dbo.fact_mv", version=v_ins)
         .groupBy("o_custkey")
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
@@ -3918,7 +3920,7 @@ def mv_incremental_update(spark, sf_dir):
         survivors.unionByName(inserts),
         match_columns=["o_orderkey"],
     )
-    cdc = eng.read.table_changes("dbo.fact_mv", from_version=0)
+    cdc = eng.read.table_changes("dbo.fact_mv", from_version=v_ins)
     delta = agg_delta(cdc, ["o_custkey"], {"sum_price": "price"})
     mv = apply_agg_delta(mv0, delta, ["o_custkey"], ["sum_price"])
     return mv.select(
@@ -4034,14 +4036,15 @@ def verb_table_changes(spark, sf_dir):
     core/read.py — Delta CDF analog, beyond the reference which keeps
     no history): one merge produces all three change types at once
     (updates for keys<10, inserts for keys+100, deletes for the
-    unmatched rest since upsert=False), then the version-0 vs current
-    diff classifies every changed key with old/new value pairs."""
+    unmatched rest since upsert=False), then the post-insert-version vs
+    current diff classifies every changed key with old/new value pairs."""
     eng = _scratch_engine(spark)
     nation = _t(spark, sf_dir, "nation")
     eng.create.table_from_dataframe(
         "dbo.nation_cdc", nation, primary_key="n_nationkey"
     )
     eng.write.insert("dbo.nation_cdc", nation)
+    v_ins = eng.store.meta("dbo.nation_cdc").version
     k = F.col("n_nationkey")
     updates = nation.filter(k < 10).select(
         "n_nationkey", F.lit("UPD").alias("n_name"), "n_regionkey"
@@ -4056,7 +4059,7 @@ def verb_table_changes(spark, sf_dir):
         updates.unionByName(inserts),
         match_columns=["n_nationkey"],
     )
-    return eng.read.table_changes("dbo.nation_cdc", from_version=0)
+    return eng.read.table_changes("dbo.nation_cdc", from_version=v_ins)
 
 
 @register(

@@ -103,6 +103,28 @@ def _footer_stats(path: str, col: Optional[str]):
     return rows, lo, hi
 
 
+def _plain_scalar(v):
+    """Normalize a collected bound to a plain Python int/str (the only
+    types manifest stats hold). numpy scalars arrive from Arrow-backed
+    collects; without unwrapping them the exact-type guard in
+    ``split_by_key_range`` would silently disable pruning. Returns None
+    for anything else (date/decimal/float bounds — stats-less columns,
+    so pruning correctly stays off)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, str)):
+        return v
+    item = getattr(v, "item", None)
+    if callable(item):
+        try:
+            v = item()
+        except (ValueError, TypeError):
+            return None
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v
+    return None
+
+
 class TableStore:
     """Directory-backed table catalog with snapshot-isolated writes."""
 
@@ -228,7 +250,14 @@ class TableStore:
             if rows == 0:
                 os.remove(dst)  # empty part files bloat the manifest
                 continue
-            entries.append({"path": dst_name, "rows": rows, "min": lo, "max": hi})
+            # stats_col is recorded PER ENTRY: after a primary-key or
+            # stats_column change, old entries' bounds describe the OLD
+            # column — split_by_key_range must not compare them against
+            # the new key (silent lost updates otherwise).
+            entries.append({
+                "path": dst_name, "rows": rows, "min": lo, "max": hi,
+                "stats_col": stats_col if lo is not None else None,
+            })
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
@@ -304,15 +333,21 @@ class TableStore:
     ) -> tuple[list[str], list[dict]]:
         """Partition the current manifest into (touched paths, kept
         entries) for a source whose ``col`` values span [lo, hi].
-        Files without stats for ``col`` are always touched (safe)."""
+        An entry is kept ONLY when its recorded ``stats_col`` matches
+        ``col`` (bounds written before a primary-key/stats_column change
+        describe a different column and must count as touched) and its
+        range is provably disjoint. Files without usable stats are
+        always touched (safe)."""
         meta = self.meta(name)
-        if self._stats_col(meta) != col:
+        lo, hi = _plain_scalar(lo), _plain_scalar(hi)
+        if self._stats_col(meta) != col or lo is None or hi is None:
             ents = self.manifest(name, meta.version)
             return [e["path"] for e in ents], []
         touched, kept = [], []
         for e in self.manifest(name, meta.version):
             if (
-                e.get("min") is None
+                e.get("stats_col") != col
+                or e.get("min") is None
                 or e.get("max") is None
                 or type(e["min"]) is not type(lo)
                 or not (e["max"] < lo or e["min"] > hi)
@@ -346,22 +381,31 @@ class TableStore:
         )
 
     def append(self, name: str, df: DataFrame) -> None:
-        """Add files to the current snapshot (Delta AddFile analog) —
-        O(new data), never rewrites existing files."""
+        """Commit the next snapshot as the current manifest's entries
+        (carried by reference — manifest-only cost) plus the new files
+        (Delta AddFile commit) — O(new data), never rewrites existing
+        files. Versioning every insert makes ``read(version=N)`` a
+        stable snapshot (a reader holding version N never sees rows
+        appended after it asked) and lets manifest-diff CDC report
+        plain inserts between consecutive versions."""
         meta = self.meta(name)
         entries = self._stage_in(
             name, df, meta.spark_schema, self._stats_col(meta),
             cluster=bool(meta.properties.get("cluster_on_write")),
         )
+        next_v = meta.version + 1
         self._write_manifest(
-            name, meta.version, self.manifest(name, meta.version) + entries
+            name, next_v, self.manifest(name, meta.version) + entries
         )
+        meta.version = next_v
+        self._write_meta(name, meta)
+        self._vacuum(name, keep_before=next_v - self.keep_versions)
 
     #: snapshots retained behind the current version; lazy DataFrames
     #: handed out by ``read()`` stay valid across this many subsequent
     #: commits (Delta's retention-window analog) instead of hitting
     #: FileNotFoundException on the first mutation after them.
-    keep_versions: int = 2
+    keep_versions: int = 3
 
     def overwrite(self, name: str, df: DataFrame,
                   new_schema: Optional[T.StructType] = None,
@@ -450,7 +494,8 @@ class TableStore:
         meta = self.meta(name)
         entries = self.manifest(name, meta.version)
         small = [e for e in entries if (e.get("rows") or 0) < small_file_rows]
-        keep = [e for e in entries if e not in small]
+        small_paths = {e["path"] for e in small}
+        keep = [e for e in entries if e["path"] not in small_paths]
         if len(small) <= 1:
             return len(entries), len(entries)
         df = self.read_files(name, [e["path"] for e in small])

@@ -38,7 +38,8 @@ def test_incremental_equals_recompute_with_group_moves(engine, spark):
     )
     engine.create.table("dbo.f", COLS, primary_key_column="id")
     engine.write.insert("dbo.f", base)
-    mv0 = _mv(engine.read.table("dbo.f", version=0))
+    v_ins = engine.store.meta("dbo.f").version  # create=v0, insert=v1
+    mv0 = _mv(engine.read.table("dbo.f", version=v_ins))
     # update 1 in place, MOVE 2 from group a to b, delete 3 (emptying
     # nothing), delete 4 (emptying group c), insert 5 into new group d
     final = _df(
@@ -46,7 +47,7 @@ def test_incremental_equals_recompute_with_group_moves(engine, spark):
         [(1, "a", "11.00"), (2, "b", "20.00"), (5, "d", "50.00")],
     )
     engine.write.merge("dbo.f", final, match_columns=["id"])
-    cdc = engine.read.table_changes("dbo.f", from_version=0)
+    cdc = engine.read.table_changes("dbo.f", from_version=v_ins)
     delta = agg_delta(cdc, ["grp"], {"sum_amt": "amt"})
     mv = apply_agg_delta(mv0, delta, ["grp"], ["sum_amt"])
     got = sorted(
@@ -66,10 +67,11 @@ def test_noop_changes_produce_empty_delta(engine, spark):
     base = _df(spark, [(1, "a", "10.00")])
     engine.create.table("dbo.f2", COLS, primary_key_column="id")
     engine.write.insert("dbo.f2", base)
+    v_ins = engine.store.meta("dbo.f2").version
     engine.write.update("dbo.f2", base)  # no values change
-    cdc = engine.read.table_changes("dbo.f2", from_version=0)
+    cdc = engine.read.table_changes("dbo.f2", from_version=v_ins)
     delta = agg_delta(cdc, ["grp"], {"sum_amt": "amt"})
     assert delta.count() == 0
-    mv0 = _mv(engine.read.table("dbo.f2", version=0))
+    mv0 = _mv(engine.read.table("dbo.f2", version=v_ins))
     mv = apply_agg_delta(mv0, delta, ["grp"], ["sum_amt"])
     assert [(r.grp, r.n_rows) for r in mv.collect()] == [("a", 1)]

@@ -197,30 +197,50 @@ def test_cluster_on_write_keeps_pruning_sharp(engine, spark):
 
 
 def test_split_by_key_range_decision_table(engine, spark, tmp_path):
-    """Pure decision logic: boundary overlap counts as touched, missing
-    or type-mismatched stats are always touched (safe), disjoint kept."""
+    """Pure decision logic: boundary overlap counts as touched; missing,
+    type-mismatched, or wrong-column stats are always touched (safe);
+    disjoint kept; numpy-scalar bounds still prune."""
     eng = engine
     eng.create.table("dbo.sp", {"k": "bigint", "v": "float"},
                      primary_key_column="k")
     store = eng.store
     meta = store.meta("dbo.sp")
     store._write_manifest("dbo.sp", meta.version, [
-        {"path": "a.parquet", "rows": 10, "min": 0, "max": 99},     # below
-        {"path": "b.parquet", "rows": 10, "min": 100, "max": 199},  # touches lo
-        {"path": "c.parquet", "rows": 10, "min": 150, "max": 250},  # inside
-        {"path": "d.parquet", "rows": 10, "min": 200, "max": 300},  # touches hi
-        {"path": "e.parquet", "rows": 10, "min": 301, "max": 400},  # above
-        {"path": "f.parquet", "rows": 10, "min": None, "max": None},  # no stats
-        {"path": "g.parquet", "rows": 10, "min": "x", "max": "y"},  # wrong type
+        {"path": "a.parquet", "rows": 10, "min": 0, "max": 99,
+         "stats_col": "k"},                                          # below
+        {"path": "b.parquet", "rows": 10, "min": 100, "max": 199,
+         "stats_col": "k"},                                          # touches lo
+        {"path": "c.parquet", "rows": 10, "min": 150, "max": 250,
+         "stats_col": "k"},                                          # inside
+        {"path": "d.parquet", "rows": 10, "min": 200, "max": 300,
+         "stats_col": "k"},                                          # touches hi
+        {"path": "e.parquet", "rows": 10, "min": 301, "max": 400,
+         "stats_col": "k"},                                          # above
+        {"path": "f.parquet", "rows": 10, "min": None, "max": None,
+         "stats_col": None},                                         # no stats
+        {"path": "g.parquet", "rows": 10, "min": "x", "max": "y",
+         "stats_col": "k"},                                          # wrong type
+        {"path": "h.parquet", "rows": 10, "min": 0, "max": 5,
+         "stats_col": "old_k"},  # stats describe a pre-PK-change column
+        {"path": "i.parquet", "rows": 10, "min": 0, "max": 5},       # legacy entry
     ])
     touched, kept = store.split_by_key_range("dbo.sp", "k", 100, 300)
     assert sorted(touched) == ["b.parquet", "c.parquet", "d.parquet",
-                               "f.parquet", "g.parquet"]
+                               "f.parquet", "g.parquet", "h.parquet",
+                               "i.parquet"]
     assert sorted(e["path"] for e in kept) == ["a.parquet", "e.parquet"]
+
+    # numpy-scalar bounds (Arrow-backed collects) must not disable pruning
+    import numpy as np
+    touched_np, kept_np = store.split_by_key_range(
+        "dbo.sp", "k", np.int64(100), np.int64(300)
+    )
+    assert sorted(e["path"] for e in kept_np) == ["a.parquet", "e.parquet"]
+    assert sorted(touched_np) == sorted(touched)
 
     # asking for a range on a non-stats column: everything touched
     touched2, kept2 = store.split_by_key_range("dbo.sp", "v", 0.0, 1.0)
-    assert len(touched2) == 7 and kept2 == []
+    assert len(touched2) == 9 and kept2 == []
 
 
 def test_cdc_reads_only_differing_files(engine, spark):
@@ -243,3 +263,91 @@ def test_cdc_reads_only_differing_files(engine, spark):
     assert all(r["change_type"] == "update" for r in rows)
     scanned = {f.split("/")[-1] for f in changes.inputFiles()}
     assert not (scanned & shared), "CDC plan scanned shared files"
+
+
+def test_pk_change_does_not_prune_on_stale_stats(engine, spark):
+    """Manifest stats written under one primary key must not prune a
+    mutation keyed on a different column: after swapping the PK from k
+    to v2 (both bigint), an update matching 50 rows must update all 50
+    (stale-stats pruning silently skipped them before entries recorded
+    their stats_col)."""
+    eng = engine
+    # v2 deliberately occupies a DIFFERENT numeric range than k so the
+    # old k-stats look disjoint from the v2 source range
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") + 100_000).alias("v2"),
+            F.lit(0.0).cast("double").alias("v"),
+        )
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    eng.create.table(
+        "dbo.pkswap", {"k": "bigint", "v2": "bigint", "v": "float"},
+        primary_key_column="k",
+    )
+    eng.write.insert("dbo.pkswap", df)
+    eng.modify.primary_key("dbo.pkswap", "drop")
+    eng.modify.primary_key("dbo.pkswap", "add", columns="v2")
+
+    src = spark.range(100_200, 100_250).select(
+        F.col("id").alias("v2"), F.lit(9.5).cast("double").alias("v")
+    )
+    eng.write.update("dbo.pkswap", src, match_columns=["v2"])
+    assert eng.read.table("dbo.pkswap").filter("v = 9.5").count() == 50
+
+    # merge path too: upsert keyed on the new PK must hit all matches
+    src2 = spark.range(100_300, 100_340).select(
+        F.col("id").alias("v2"), F.lit(7.5).cast("double").alias("v")
+    )
+    eng.write.merge("dbo.pkswap", src2, upsert=True)
+    out = eng.read.table("dbo.pkswap")
+    assert out.filter("v = 7.5").count() == 40
+    assert out.count() == 1000
+
+
+def test_append_is_a_versioned_commit(engine, spark):
+    """Every insert commits version+1 whose manifest carries the prior
+    entries by reference: read(version=N) is a stable snapshot and
+    manifest-diff CDC classifies plain inserts between consecutive
+    versions."""
+    eng = engine
+    eng.create.table("dbo.vc", {"k": "bigint", "v": "float"},
+                     primary_key_column="k")
+    assert eng.store.meta("dbo.vc").version == 0
+
+    def batch(a, b):
+        return spark.range(a, b).select(
+            F.col("id").alias("k"), F.lit(1.0).cast("double").alias("v")
+        )
+
+    eng.write.insert("dbo.vc", batch(0, 100))       # v1
+    assert eng.store.meta("dbo.vc").version == 1
+    eng.write.insert("dbo.vc", batch(100, 200))     # v2
+    assert eng.store.meta("dbo.vc").version == 2
+    # v2's manifest carries v1's files by reference (no rewrite)
+    mf1, mf2 = eng.store.version_file_sets("dbo.vc", 1, 2)
+    assert mf1 <= mf2 and len(mf2) > len(mf1)
+
+    # snapshot stability: a reader holding v1 must not see the v2 rows
+    assert eng.read.table("dbo.vc", version=1).count() == 100
+    assert eng.read.table("dbo.vc", version=2).count() == 200
+
+    # CDC between consecutive versions reports the inserts
+    ins = eng.read.table_changes("dbo.vc", from_version=1, to_version=2)
+    rows = ins.collect()
+    assert len(rows) == 100
+    assert all(r["change_type"] == "insert" for r in rows)
+    assert {r["k"] for r in rows} == set(range(100, 200))
+
+    # a merge after the inserts is v3 and classifies as updates
+    src = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        F.lit(5.0).cast("double").alias("v"),
+    )
+    eng.write.merge("dbo.vc", src, upsert=True)
+    assert eng.store.meta("dbo.vc").version == 3
+    upd = eng.read.table_changes("dbo.vc", from_version=2, to_version=3).collect()
+    assert {r["change_type"] for r in upd} == {"update"}

@@ -17,11 +17,12 @@ def _mk(engine, spark):
 
 def test_version_read_returns_prior_snapshot(engine, spark):
     _mk(engine, spark)
+    v_ins = engine.store.meta("dbo.tt").version  # create=v0, insert=v1
     engine.write.update(
         "dbo.tt",
         spark.createDataFrame([(1, "a2")], "id long, val string"),
     )
-    old = {r["id"]: r["val"] for r in engine.read.table("dbo.tt", version=0).collect()}
+    old = {r["id"]: r["val"] for r in engine.read.table("dbo.tt", version=v_ins).collect()}
     cur = {r["id"]: r["val"] for r in engine.read.table("dbo.tt").collect()}
     assert old == {1: "a", 2: "b"}
     assert cur == {1: "a2", 2: "b"}
@@ -31,7 +32,8 @@ def test_version_read_validates_window(engine, spark):
     _mk(engine, spark)
     with pytest.raises(ValueError, match="not available"):
         engine.read.table("dbo.tt", version=5)
-    # churn past the retention window (keep_versions=2): v0 vacuumed
+    # churn past the retention window (keep_versions=3; insert already
+    # committed v1): v0 vacuumed
     for i in range(3):
         engine.write.update(
             "dbo.tt",
@@ -39,5 +41,5 @@ def test_version_read_validates_window(engine, spark):
         )
     with pytest.raises(ValueError, match="not available"):
         engine.read.table("dbo.tt", version=0)
-    # most recent prior version still readable
-    assert engine.read.table("dbo.tt", version=2).count() == 2
+    # recent prior versions still readable
+    assert engine.read.table("dbo.tt", version=3).count() == 2
