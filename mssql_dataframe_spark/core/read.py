@@ -123,6 +123,17 @@ class read:
         itself is ONE full-outer on the keys — the same single shuffle
         a MERGE pays; change classification is row-local on top.
         Custom (non-unique) match_columns fall back to full snapshots.
+
+        PRECONDITION for the manifest-diff fast path: each PK value
+        occurs in at most one file per snapshot. merge/update enforce
+        source-key uniqueness and rewrite every file a matched key
+        lives in, so they preserve it — but ``insert`` does NOT check
+        new rows against existing data (no per-batch table scan), so a
+        table whose writers insert the same PK twice can misclassify a
+        duplicated key split across a shared and a diff-only file
+        (e.g. a false 'delete' while a copy survives in a shared
+        file). For such tables pass explicit ``match_columns`` to
+        force the full-snapshot path.
         """
         from functools import reduce
         from operator import and_, or_

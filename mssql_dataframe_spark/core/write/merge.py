@@ -63,11 +63,23 @@ def merge_op(
                 f"delete_requires column {c!r} not in dataframe"
             )
 
+    # file pruning (Delta MERGE INTO shape): when the merge cannot
+    # delete rows outside the source's key range (upsert, no delete
+    # clause) and the match key is the single-column PK the manifest
+    # keeps footer stats for, rewrite ONLY the files whose key range
+    # intersects the source — untouched files carry over by reference.
+    # At 100 TB this turns merge cost from O(table) into O(touched).
+    can_prune = (
+        upsert and not delete_requires
+        and match == list(meta.primary_key) and len(match) == 1
+    )
+
     # unique_key=match: T-SQL MERGE raises when one target row would be
     # updated twice; not_nullable mirrors the reference's NOT NULL
-    # violation surface. Both ride the single validation agg job.
+    # violation surface. Both — and the pruning bounds — ride the
+    # single validation agg job (no second pass over the source).
     dataframe = dto.derive(dataframe, meta)
-    src = precheck_dataframe(
+    src, bounds = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},
         not_nullable=[
@@ -75,27 +87,18 @@ def merge_op(
             if c != meta.identity_column and c in dataframe.columns
         ],
         unique_key=match,
+        bounds_col=match[0] if can_prune else None,
     )
     update_cols = [c for c in src.columns if c not in match]
 
-    # file pruning (Delta MERGE INTO shape): when the merge cannot
-    # delete rows outside the source's key range (upsert, no delete
-    # clause) and the match key is the single-column PK the manifest
-    # keeps footer stats for, rewrite ONLY the files whose key range
-    # intersects the source — untouched files carry over by reference.
-    # At 100 TB this turns merge cost from O(table) into O(touched).
     keep_entries = None
-    if upsert and not delete_requires and match == list(meta.primary_key) and len(match) == 1:
-        bounds = src.agg(
-            F.min(match[0]).alias("lo"), F.max(match[0]).alias("hi")
-        ).first()
-        if bounds["lo"] is not None:
-            touched, kept = store.split_by_key_range(
-                table_name, match[0], bounds["lo"], bounds["hi"]
-            )
-            if kept:
-                keep_entries = kept
-                target = store.read_files(table_name, touched)
+    if can_prune and bounds is not None and bounds[0] is not None:
+        touched, kept = store.split_by_key_range(
+            table_name, match[0], bounds[0], bounds[1]
+        )
+        if kept:
+            keep_entries = kept
+            target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
 

@@ -67,10 +67,12 @@ def merge_scd2(
     if not tracked:
         raise ValueError("SCD2 merge needs at least one tracked attribute")
 
-    src = precheck_dataframe(
+    # the pruning bounds ride the same single validation agg job
+    src, bounds = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},
         unique_key=match,
+        bounds_col=match[0] if len(match) == 1 else None,
     )
     if as_of is None:
         as_of = F.current_timestamp()
@@ -86,17 +88,13 @@ def merge_scd2(
     # (declare ``stats_column`` = business key on history tables) misses
     # the source carry over by manifest reference (see store.py)
     keep_entries = None
-    if len(match) == 1:
-        bounds = src.agg(
-            F.min(match[0]).alias("lo"), F.max(match[0]).alias("hi")
-        ).first()
-        if bounds["lo"] is not None:
-            touched, kept = store.split_by_key_range(
-                table_name, match[0], bounds["lo"], bounds["hi"]
-            )
-            if kept:
-                keep_entries = kept
-                target = store.read_files(table_name, touched)
+    if len(match) == 1 and bounds is not None and bounds[0] is not None:
+        touched, kept = store.split_by_key_range(
+            table_name, match[0], bounds[0], bounds[1]
+        )
+        if kept:
+            keep_entries = kept
+            target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
     tgt = target.withColumn("__t", F.lit(True))

@@ -66,12 +66,15 @@ def update_op(
     # target rows through the join; T-SQL raises "attempted to UPDATE
     # the same row more than once" — so do we (inside the same
     # single-job validation pass).
+    can_prune = match == list(meta.primary_key) and len(match) == 1
     dataframe = dto.derive(dataframe, meta)
-    src = precheck_dataframe(
+    # the pruning bounds ride the same single validation agg job
+    src, bounds = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},
         not_nullable=[c for c in meta.not_nullable if c not in match],
         unique_key=match,
+        bounds_col=match[0] if can_prune else None,
     )
     update_cols = [c for c in src.columns if c not in match]
     if not update_cols:
@@ -82,17 +85,13 @@ def update_op(
     # over by manifest reference and rewrite only touched files
     # (see store.replace_files; the Delta MERGE INTO commit shape)
     keep_entries = None
-    if match == list(meta.primary_key) and len(match) == 1:
-        bounds = src.agg(
-            F.min(match[0]).alias("lo"), F.max(match[0]).alias("hi")
-        ).first()
-        if bounds["lo"] is not None:
-            touched, kept = store.split_by_key_range(
-                table_name, match[0], bounds["lo"], bounds["hi"]
-            )
-            if kept:
-                keep_entries = kept
-                target = store.read_files(table_name, touched)
+    if can_prune and bounds is not None and bounds[0] is not None:
+        touched, kept = store.split_by_key_range(
+            table_name, match[0], bounds[0], bounds[1]
+        )
+        if kept:
+            keep_entries = kept
+            target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
     renamed = src.select(

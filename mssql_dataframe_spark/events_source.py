@@ -41,7 +41,19 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-load ``events.parquet`` with dtype-robust ``ts``."""
-    # inert on µs files; lets nanos-vintage files load instead of erroring
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:
+        # TIMESTAMP(NANOS) vintage: schema inference rejects the file
+        # ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))").
+        # Only then enable nanosAsLong — and leave it set, because the
+        # conf is consulted again when the lazy plan executes; µs-file
+        # sessions never flip it, so an unrelated later read of genuine
+        # nanos parquet still errors loudly instead of silently loading
+        # bigints.
+        if "NANOS" not in str(exc).upper():
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     return normalize_event_ts(df)

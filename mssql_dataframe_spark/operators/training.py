@@ -74,6 +74,26 @@ def pack_sequences(
     return out
 
 
+def _content_key(id_col: str, text_col: str) -> F.Column:
+    """60-bit bucket key: first 15 hex chars of ``md5(id || ':' ||
+    text)``. SQL-``||`` NULL semantics (``F.concat`` propagates NULL)
+    so a NULL id/text yields a NULL key — the same verdict an ANSI-SQL
+    oracle reaches; ``concat_ws`` would silently skip the NULL operand
+    and hash the rest."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                         F.col(text_col))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def split_hash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -90,19 +110,11 @@ def split_hash(
     duplicates land in the SAME split — no train/test leakage through
     dup pairs the dedup pass missed.
 
-    Returns the input plus (split_bucket, split).
+    Returns the input plus (split_bucket, split). A NULL id/text
+    yields a NULL bucket and lands in 'test' (CASE-else), matching the
+    SQL oracle's ``||`` NULL propagation.
     """
-    key = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    key = _content_key(id_col, text_col)
     return (
         df.select(F.col(id_col), (key % 100).alias("split_bucket"))
         .withColumn(
@@ -125,18 +137,13 @@ def stratified_sample_hash(
     """Deterministic per-stratum downsampling (e.g. keep 10% of web
     text but 100% of books): same md5 bucket as :func:`split_hash`,
     compared against a per-stratum keep percentage. Rows in strata
-    absent from ``pct_by_stratum`` are dropped."""
-    key = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    absent from ``pct_by_stratum`` are dropped.
+
+    NULL handling is SQL-``||`` (NULL-propagating): a NULL id or text
+    yields a NULL bucket, and the ``<`` filter drops the row — the same
+    verdict a ``md5(doc_id || ':' || text)`` oracle reaches
+    (``concat_ws`` would skip the NULL and KEEP the row, diverging)."""
+    key = _content_key(id_col, text_col)
     pct = None
     for stratum, p in sorted(pct_by_stratum.items()):
         cond = F.col(strata_col) == stratum

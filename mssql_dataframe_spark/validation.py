@@ -48,11 +48,18 @@ from .errors import (
 logger = logging.getLogger("mssql_dataframe_spark")
 
 
+#: "bounds_col not requested" sentinel — lets callers pass
+#: ``bounds_col=None`` ("prune ineligible, but keep the tuple shape")
+#: distinctly from not asking for bounds at all.
+_NO_BOUNDS = object()
+
+
 def precheck_dataframe(
     df: DataFrame,
     column_types: dict[str, str],
     not_nullable: Sequence[str] = (),
     unique_key: Optional[Sequence[str]] = None,
+    bounds_col=_NO_BOUNDS,
 ) -> DataFrame:
     """Validate and convert ``df`` against the declared SQL types of the
     target table; returns the adjusted DataFrame (the reference returns
@@ -64,6 +71,15 @@ def precheck_dataframe(
     ``unique_key``: match columns that must identify at most one source
     row each (update/merge); duplicates raise ValueError, matching
     T-SQL MERGE's "cannot UPDATE the same row more than once" contract.
+    ``bounds_col``: when set, the min/max of that column ride the SAME
+    validation agg job and the return value becomes ``(df, (lo, hi))``
+    — the file-pruning bounds for merge/update/SCD2 without a second
+    pass over the source. Only int/str key columns matter here (the
+    manifest keeps stats for nothing else), and for those the later
+    cast steps are value-preserving, so bounds taken pre-cast are
+    exact. (Like Delta's MERGE, pruned writes assume a deterministic
+    source — a source that yields different rows when recomputed can
+    sidestep any bounds collected beforehand.)
     """
     specs: dict[str, ColumnSpec] = {}
     for col in df.columns:
@@ -74,13 +90,15 @@ def precheck_dataframe(
         specs[col] = parse_column_spec(column_types[col])
 
     df = _upcast_widest(df, specs)
-    _validate_single_pass(
+    bounds = _validate_single_pass(
         df, specs,
         not_nullable=[c for c in not_nullable if c in df.columns],
         unique_key=list(unique_key) if unique_key else None,
+        bounds_col=None if bounds_col is _NO_BOUNDS else bounds_col,
     )
     df = _prepare_values(df, specs)
-    return _cast_to_rules(df, specs)
+    out = _cast_to_rules(df, specs)
+    return out if bounds_col is _NO_BOUNDS else (out, bounds)
 
 
 def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
@@ -107,7 +125,8 @@ def _validate_single_pass(
     specs: dict[str, ColumnSpec],
     not_nullable: list[str],
     unique_key: Optional[list[str]],
-) -> None:
+    bounds_col: Optional[str] = None,
+) -> Optional[tuple]:
     """ONE distributed agg job evaluating every data-dependent check.
 
     Scale note: every term is an algebraic aggregate with a map-side
@@ -193,8 +212,14 @@ def _validate_single_pass(
             )
         )
 
+    if bounds_col is not None:
+        aggs += [
+            F.min(bounds_col).alias("__bounds_lo"),
+            F.max(bounds_col).alias("__bounds_hi"),
+        ]
+
     if not aggs:
-        return
+        return None
     row = df.agg(*aggs).collect()[0].asDict()
 
     errors = []
@@ -256,6 +281,10 @@ def _validate_single_pass(
             logger.warning(
                 "Column %r values rounded to precision and scale %s", col, ps
             )
+
+    if bounds_col is not None:
+        return (row["__bounds_lo"], row["__bounds_hi"])
+    return None
 
 
 def _prepare_values(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
