@@ -985,8 +985,8 @@ def window_top3(spark, sf_dir):
              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS running_value,
-           ROW_NUMBER() OVER (PARTITION BY user_id
-                              ORDER BY ts ASC, event_id ASC) AS seq
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS INT) AS seq
     FROM events
     """,
 )
@@ -1480,7 +1480,8 @@ def unpivot_lineitem_measures(spark, sf_dir):
     SELECT l_linestatus,
            ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS price_per_qty,
            ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS price_at_zero,
-           REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT)
+             AS n_pairs,
            BOOL_AND(l_quantity > 0) AS all_positive_qty,
            BOOL_OR(l_discount > 0.09) AS any_big_discount
     FROM lineitem GROUP BY l_linestatus
@@ -2594,6 +2595,113 @@ def ann_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+_IVF_RECALL_NPROBE = 12
+
+
+@register(
+    "ann_recall_at10",
+    sql=f"""
+    WITH brute AS ({REGISTRY['embedding_cosine_topk']['sql']}),
+    lsh AS ({REGISTRY['ann_lsh_topk']['sql']}),
+    e2 AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents2 AS MATERIALIZED (
+      SELECT vec_id AS cid, v AS cvec FROM e2 WHERE vec_id % 53 = 1
+    ), assigned2 AS MATERIALIZED (
+      SELECT neighbor_id, v, cid FROM (
+        SELECT e2.vec_id AS neighbor_id, e2.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e2.vec_id
+                 ORDER BY ROUND({_cosine_sql('e2.v', 'c.cvec')}, 8) DESC,
+                          c.cid ASC) AS r
+        FROM e2 CROSS JOIN cents2 c
+      ) WHERE r = 1
+    ), probes2 AS MATERIALIZED (
+      SELECT query_id, qv, cid FROM (
+        SELECT e2.vec_id AS query_id, e2.v AS qv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e2.vec_id
+                 ORDER BY ROUND({_cosine_sql('e2.v', 'c.cvec')}, 8) DESC,
+                          c.cid ASC) AS r
+        FROM e2 CROSS JOIN cents2 c WHERE e2.vec_id < 10
+      ) WHERE r <= {_IVF_RECALL_NPROBE}
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY ROUND({_cosine_sql('p.qv', 'a.v')}, 8) DESC,
+                          a.neighbor_id ASC) AS rank
+        FROM probes2 p JOIN assigned2 a ON p.cid = a.cid
+        WHERE p.query_id <> a.neighbor_id
+      ) WHERE rank <= 10
+    ), hits AS (
+      SELECT 'ivf_nprobe{_IVF_RECALL_NPROBE}' AS method, b.query_id,
+             COUNT(i.neighbor_id) AS n_hit
+      FROM brute b LEFT JOIN ivf i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT 'lsh_4x6', b.query_id, COUNT(l.neighbor_id)
+      FROM brute b LEFT JOIN lsh l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(SUM(n_hit) / (COUNT(*) * 10.0), 4) AS recall_at_10,
+           CASE method WHEN 'ivf_nprobe{_IVF_RECALL_NPROBE}'
+                THEN SUM(n_hit) >= 9 * COUNT(*)
+                ELSE 2 * SUM(n_hit) >= 3 * COUNT(*) END AS meets_target
+    FROM hits GROUP BY method
+    """,
+)
+def ann_recall_at10(spark, sf_dir):
+    """Recall@10 of the ANN indexes vs the exact brute-force baseline,
+    as a driver-graded row per method — so retrieval QUALITY (not just
+    plan validity) is tracked every round. IVF runs at its quality
+    operating point (nprobe={12}) with a >=0.9 target; LSH is reported
+    against a 0.15 smoke floor because sign-LSH on the weak-signal
+    embeddings table cannot prune and recall at once — its >=0.9
+    regime is planted near-duplicates, pinned by
+    tests/test_ann_recall.py. Integer-exact target compares (no float
+    threshold ties between engines)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(e, q, k=10).select("query_id", "neighbor_id")
+    lsh = S.lsh_ann_topk(
+        e, q, dim=_DIM, k=10, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES
+    ).select("query_id", "neighbor_id")
+    ivf = S.ivf_topk(
+        e, q, k=10, centroid_mod=53, nprobe=_IVF_RECALL_NPROBE
+    ).select("query_id", "neighbor_id")
+
+    def hits(approx, method):
+        a = approx.withColumn("__hit", F.lit(1))
+        return (
+            brute.join(a, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
+            .select(F.lit(method).alias("method"), "query_id", "n_hit")
+        )
+
+    h = hits(ivf, f"ivf_nprobe{_IVF_RECALL_NPROBE}").unionByName(
+        hits(lsh, "lsh_4x6")
+    )
+    return h.groupBy("method").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.sum("n_hit") / (F.count("*") * F.lit(10.0)), 4).alias(
+            "recall_at_10"
+        ),
+        F.when(
+            F.col("method") == f"ivf_nprobe{_IVF_RECALL_NPROBE}",
+            F.sum("n_hit") >= 9 * F.count("*"),
+        )
+        .otherwise(2 * F.sum("n_hit") >= 3 * F.count("*"))
+        .alias("meets_target"),
+    )
+
+
 @register(
     "embedding_near_dup_pairs",
     sql=f"""
@@ -3644,6 +3752,41 @@ def pack_sequences_budget(spark, sf_dir):
 
 
 @register(
+    "pack_sequences_per_lang",
+    sql=r"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM toks
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(before // 256 AS BIGINT) AS bin_id,
+           CAST(before - (before // 256) * 256 + n_tokens AS BIGINT)
+             AS bin_fill
+    FROM c
+    """,
+)
+def pack_sequences_per_lang(spark, sf_dir):
+    """Per-shard sequence packing — the 100-TB form: the window
+    partitions by the shard key (language here), so each shard packs
+    independently in parallel with NO single-partition global
+    WindowExec (operators/training.py pack_sequences partition_col).
+    Bins are per-language; the (lang, bin_id) pair is the global bin
+    key."""
+    d = _t(spark, sf_dir, "documents")
+    return TR.pack_sequences(d, budget=256, partition_col="lang")
+
+
+@register(
     "dataset_split_hash",
     sql="""
     WITH keyed AS (
@@ -4446,63 +4589,66 @@ def source_orc_roundtrip(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # -- never driver-graded (r3 verdict "What's missing" #2) --
+    # r5 rotation (VERDICT r4 "Next round" #2). Window = first 50 of
+    # queries(); COVERAGE.md "Grading manifest" documents the cycle.
+    # -- 13 store-dependent entries last graded r3, BEFORE the r4
+    #    manifest-store rewrite (store.py) — re-grade on the new store --
+    "verb_insert_read",
+    "verb_update",
+    "verb_merge_upsert",
+    "verb_merge_delete",
+    "verb_merge_delete_requires",
+    "verb_merge_identity",
+    "verb_identity_pk",
+    "verb_modify_schema",
+    "verb_schema_validate_convert",
+    "verb_read_where_grammar",
+    "verb_datetimeoffset_roundtrip",
+    "time_render_contract",
+    "streaming_foreach_batch_upsert",
+    # -- the one r4 red row, oracle dtype fixed this round --
+    "array_higher_order_functions",
+    # -- code paths changed in r5 (versioned append, bounds-on-precheck,
+    #    SQL-|| hash keys, scoped nanos conf) --
     "verb_time_travel",
     "verb_merge_scd2",
     "verb_table_changes",
     "mv_incremental_update",
-    "streaming_stream_stream_join",
-    "python_udtf_char_ngrams",
-    "map_functions",
-    "array_higher_order_functions",
-    "window_value_functions",
-    "source_orc_roundtrip",
-    "embedding_int8_quantize",
-    "text_repetition_features",
-    "decontamination_overlap",
-    "pii_redaction",
-    "corpus_mixture_audit",
-    "per_source_cap",
-    "doc_chunking",
-    "char_entropy_quality",
-    "pack_sequences_budget",
-    "dataset_split_hash",
-    "multimodal_audio_features",
-    "multimodal_resize_stub_contract",
-    # -- fixed in r2, never re-graded (stale red rows) --
-    "q12_late_shipments",
-    "approx_count_distinct",
-    # -- broken by the events-ts vintage change, fixed this round --
-    "streaming_tumbling_counts",
-    "streaming_sliding_counts",
-    "streaming_append_out_of_order",
-    "streaming_dedup_exact",
-    "streaming_session_windows",
-    "streaming_stateful_user_stats",
-    "json_extraction",
-    "json_object_extraction",
-    "salted_join_user_events",
-    "source_json_roundtrip",
-    "asof_join_events_orders",
-    # -- new gate entries this round (reference behaviors that were
-    #    pytest-only: primary_key audit, read_values SQL path; plus the
-    #    stratified corpus-rebalancing sampler) --
-    "verb_primary_key_audit",
-    "verb_read_values_sql",
-    "stratified_sample_lang",
-    "corpus_quality_filter",
     "verb_optimize_compact",
-    # -- regression slice of r01-green entries --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "window_top3_orders_per_customer",
-    "broadcast_join_brand_volume",
-    "source_csv_roundtrip",
+    "dataset_split_hash",
+    "stratified_sample_lang",
+    "streaming_tumbling_counts",
+    "asof_join_events_orders",
+    # -- new gate entries this round --
+    "pack_sequences_per_lang",
+    "ann_recall_at10",
+    # -- r1-stale regression slice (graded only in r01; first half,
+    #    remainder cycles in r6) --
+    "q2_min_price_parts",
+    "q8_market_share",
+    "q11_important_parts",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_bulk_suppliers",
+    "q22_idle_customers",
+    "pivot_returnflag_linestatus",
+    "cube_orders_status_priority",
+    "rollup_lineitem_status",
+    "set_ops_customers",
+    "percentile_functions",
+    "window_rank_ntile",
+    "window_lead_lag_monthly",
+    "window_sessionization",
+    "window_moving_avg_frames",
+    "window_running_user_value",
+    "grouping_sets_revenue",
+    "distinct_aggregates",
+    "stats_aggregates",
+    "unpivot_lineitem_measures",
+    "regr_bool_aggregates",
+    "bucketed_join_no_shuffle",
 ]
 
 
