@@ -46,9 +46,12 @@ HEADLINE = [
     "pandas_udf_embedding_norm",
     # streaming
     "streaming_tumbling_counts",
-    # mutation verbs on the COW store
+    # mutation verbs on the COW store (update/SCD2 track the pruned-
+    # rewrite path's wall clock, not just insert/upsert)
     "verb_insert_read",
     "verb_merge_upsert",
+    "verb_update",
+    "verb_merge_scd2",
     # LLM-pipeline operators
     "dedup_exact_text",
     "minhash_dedup_pairs",

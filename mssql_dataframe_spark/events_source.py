@@ -39,11 +39,13 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-load ``events.parquet`` with dtype-robust ``ts``."""
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.parquet`` with the file's own ``ts`` dtype (no
+    normalization) — the schema source for streaming readers, which
+    must declare the RAW schema and normalize per-row themselves."""
     path = os.path.join(sf_dir, "events.parquet")
     try:
-        df = spark.read.parquet(path)
+        return spark.read.parquet(path)
     except Exception as exc:
         # TIMESTAMP(NANOS) vintage: schema inference rejects the file
         # ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))").
@@ -55,5 +57,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "NANOS" not in str(exc).upper():
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    return normalize_event_ts(df)
+        return spark.read.parquet(path)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-load ``events.parquet`` with dtype-robust ``ts``."""
+    return normalize_event_ts(load_events_raw(spark, sf_dir))

@@ -20,7 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..events_source import load_events, normalize_event_ts
+from ..events_source import load_events, load_events_raw, normalize_event_ts
 
 _SCRATCH = os.path.join(
     os.path.dirname(__file__), "..", "..", ".spark_tables", "streaming"
@@ -28,10 +28,11 @@ _SCRATCH = os.path.join(
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dtype-robust ts handling shared with the batch path
-    # (events_source.normalize_event_ts branches on the loaded dtype)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # dtype-robust ts handling shared with the batch path: the raw
+    # loader probes the file's schema (enabling nanosAsLong only if the
+    # vintage actually needs it), the stream declares that raw schema,
+    # and normalize_event_ts branches on the loaded dtype
+    batch = load_events_raw(spark, sf_dir)
     # the file-stream source requires a directory: stream the sf dir
     # with a glob filter selecting only the events file
     stream = (
@@ -71,7 +72,8 @@ def _run_to_memory(
 
 
 def tumbling_window_counts(
-    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+    spark: SparkSession, sf_dir: str, window: str = "1 hour",
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event_type (streaming)."""
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
@@ -90,12 +92,13 @@ def tumbling_window_counts(
             F.col("__sum").cast("double").alias("sum_value"),
         )
     )
-    return _run_to_memory(agg, name)
+    return _run_to_memory(agg, name, progress_out=progress_out)
 
 
 def sliding_window_rates(
     spark: SparkSession, sf_dir: str,
     window: str = "2 hours", slide: str = "1 hour",
+    progress_out: list | None = None,
 ) -> DataFrame:
     name = f"sliding_{uuid.uuid4().hex[:8]}"
     ev = _stream_events(spark, sf_dir)
@@ -105,7 +108,7 @@ def sliding_window_rates(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
-    return _run_to_memory(agg, name)
+    return _run_to_memory(agg, name, progress_out=progress_out)
 
 
 def append_mode_out_of_order_replay(
@@ -169,7 +172,8 @@ def append_mode_out_of_order_replay(
 
 
 def stateful_user_stats(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running event count and max value, carried in explicit
@@ -212,6 +216,8 @@ def stateful_user_stats(
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     # update-mode emits one row per key per micro-batch with cumulative
     # values; the per-key max is the final state even if the replay
     # split into several batches
@@ -225,7 +231,8 @@ def stateful_user_stats(
     )
 
 
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup(spark: SparkSession, sf_dir: str,
+                    progress_out: list | None = None) -> DataFrame:
     """Streaming exact deduplication on (user_id, event_type, hour):
     ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
     and — unlike plain ``dropDuplicates`` on non-event-time keys —
@@ -243,7 +250,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type", "hr"]
     )
     return _run_to_memory(
-        survivors.select("user_id", "event_type", "hr"), name, mode="append"
+        survivors.select("user_id", "event_type", "hr"), name, mode="append",
+        progress_out=progress_out,
     )
 
 
@@ -312,7 +320,8 @@ def foreach_batch_upsert(
 
 
 def session_window_stats(
-    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes",
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Session windows per user (gap-based), built-in session_window."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
@@ -327,7 +336,53 @@ def session_window_stats(
             "n_events",
         )
     )
-    return _run_to_memory(agg, name)
+    return _run_to_memory(agg, name, progress_out=progress_out)
+
+
+def staged_event_source_factory(spark: SparkSession, sf_dir: str,
+                                n_batches: int = 4):
+    """Stage the events table as ``n_batches`` hour-aligned,
+    time-ordered parquet files with ascending mod-times, so
+    ``availableNow`` + ``maxFilesPerTrigger=1`` replays them as ordered
+    micro-batches and the watermark ADVANCES between batches — the
+    setup that makes state eviction observable in ``stateOperators``
+    metrics (single-file drains hold all state until the final
+    watermark). Returns ``(factory, stage_dir)``; callers own cleanup
+    of ``stage_dir``.
+    """
+    import datetime
+    import time as _time
+
+    batch = load_events(spark, sf_dir)
+    # hour-aligned quantile cut points keep whole windows in one batch
+    qs = ", ".join(str((i + 1) / n_batches) for i in range(n_batches - 1))
+    secs = batch.select(
+        F.expr(f"percentile_approx(cast(ts as long), array({qs}))").alias("p")
+    ).collect()[0][0]
+    cuts = [
+        datetime.datetime.utcfromtimestamp(int(v) // 3600 * 3600) for v in secs
+    ]
+    stage = os.path.join(_SCRATCH, f"staged_src_{uuid.uuid4().hex}")
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        part = batch
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") < F.lit(hi))
+        part.coalesce(1).write.parquet(os.path.join(stage, f"b={i}"))
+        _time.sleep(1.05)  # distinct mod-times fix the replay order
+        lo = hi
+    schema = batch.schema
+
+    def factory():
+        return normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "b=*"))
+        )
+
+    return factory, stage
 
 
 def stream_stream_interval_join(

@@ -25,42 +25,9 @@ SCRATCH = os.path.join(os.path.dirname(__file__), "..", ".spark_tables", "pytest
 
 
 def _staged_source_factory(spark, sf_dir, n_batches=4):
-    """Stage events as ``n_batches`` hour-aligned, time-ordered files
-    with ascending mod-times so availableNow + maxFilesPerTrigger=1
-    replays them as ordered micro-batches."""
-    import datetime
-
-    batch = load_events(spark, sf_dir)
-    # hour-aligned quantile cut points keep whole windows in one batch
-    qs = ", ".join(str((i + 1) / n_batches) for i in range(n_batches - 1))
-    secs = batch.select(
-        F.expr(f"percentile_approx(cast(ts as long), array({qs}))").alias("p")
-    ).collect()[0][0]
-    cuts = [
-        datetime.datetime.utcfromtimestamp(int(v) // 3600 * 3600) for v in secs
-    ]
-    stage = os.path.join(SCRATCH, f"ssj_src_{uuid.uuid4().hex}")
-    lo = None
-    bounds = cuts + [None]
-    for i, hi in enumerate(bounds):
-        part = batch
-        if lo is not None:
-            part = part.filter(F.col("ts") >= F.lit(lo))
-        if hi is not None:
-            part = part.filter(F.col("ts") < F.lit(hi))
-        part.coalesce(1).write.parquet(os.path.join(stage, f"b={i}"))
-        time.sleep(1.05)  # distinct mod-times fix the replay order
-        lo = hi
-    schema = batch.schema
-
-    def factory():
-        return normalize_event_ts(
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(stage, "b=*"))
-        )
-
-    return factory, stage
+    """Shared staged replay (promoted to the streaming module so the
+    throughput report reuses the same eviction-observable setup)."""
+    return STR.staged_event_source_factory(spark, sf_dir, n_batches)
 
 
 def test_stream_stream_join_state_bounded_and_batch_equivalent(spark, sf_dir):

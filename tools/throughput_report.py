@@ -111,6 +111,65 @@ def main() -> None:
         f"| read.table proj/filter/order/limit ({len(rows)} rows out) | {rd:.3f} | — |"
     )
 
+    # streaming state bounds: peak state rows + watermark eviction per
+    # entry, from the query-progress stateOperators metrics — a
+    # regression in eviction (state growing with the stream) shows up
+    # here round-over-round
+    from mssql_dataframe_spark.streaming import events as STR
+
+    lines += [
+        "",
+        "## Streaming state bounds (stateOperators metrics per drain)",
+        "",
+        "Peak state = max numRowsTotal across micro-batches; evicted = "
+        "sum numRowsRemoved. The stream-stream join replays a 4-batch "
+        "staged source so the watermark advances mid-drain and eviction "
+        "is observable; the other entries drain the single events file "
+        "(state peaks at the full window set, evicted on finalization).",
+        "",
+        "| entry | output rows | peak state rows | rows evicted |",
+        "|---|---|---|---|",
+    ]
+
+    def state_row(label, fn):
+        progress: list = []
+        out_rows = fn(progress).count()
+        ops = [p for pr in progress for p in pr.get("stateOperators", [])]
+        peak = max((op.get("numRowsTotal", 0) for op in ops), default=0)
+        evicted = sum(op.get("numRowsRemoved", 0) for op in ops)
+        lines.append(f"| {label} | {out_rows:,} | {peak:,} | {evicted:,} |")
+
+    state_row(
+        "streaming_tumbling_counts",
+        lambda pr: STR.tumbling_window_counts(spark, sf_dir, progress_out=pr),
+    )
+    state_row(
+        "streaming_sliding_counts",
+        lambda pr: STR.sliding_window_rates(spark, sf_dir, progress_out=pr),
+    )
+    state_row(
+        "streaming_session_windows",
+        lambda pr: STR.session_window_stats(spark, sf_dir, progress_out=pr),
+    )
+    state_row(
+        "streaming_dedup_exact",
+        lambda pr: STR.streaming_dedup(spark, sf_dir, progress_out=pr),
+    )
+    state_row(
+        "streaming_stateful_user_stats",
+        lambda pr: STR.stateful_user_stats(spark, sf_dir, progress_out=pr),
+    )
+    factory, stage = STR.staged_event_source_factory(spark, sf_dir)
+    try:
+        state_row(
+            "streaming_stream_stream_join (4-batch staged)",
+            lambda pr: STR.stream_stream_interval_join(
+                spark, sf_dir, source_factory=factory, progress_out=pr
+            ),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
     shutil.rmtree(scratch, ignore_errors=True)
     path = os.path.join(os.path.dirname(__file__), "..", "THROUGHPUT.md")
     with open(path, "w") as f:
