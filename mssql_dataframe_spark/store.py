@@ -239,14 +239,26 @@ class TableStore:
             out = out.repartitionByRange(max(n, 1), stats_col)
             out = out.sortWithinPartitions(stats_col)
         out.write.mode("overwrite").parquet(stage)
-        entries = []
+        moved = []
         for fn in sorted(os.listdir(stage)):
             if not fn.endswith(".parquet"):
                 continue
             dst_name = f"f_{uuid.uuid4().hex}.parquet"
             dst = os.path.join(pool, dst_name)
             os.replace(os.path.join(stage, fn), dst)
-            rows, lo, hi = _footer_stats(dst, stats_col)
+            moved.append((dst_name, dst))
+        # footer reads are independent IO — harvest them in a thread
+        # pool so a many-file commit is not serialized on the driver
+        # (on a cluster this is the executor-side Delta stats-collection
+        # step; here it is the local analog of that parallelism)
+        from concurrent.futures import ThreadPoolExecutor
+
+        entries = []
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(moved)))) as ex:
+            stats = list(
+                ex.map(lambda m: _footer_stats(m[1], stats_col), moved)
+            )
+        for (dst_name, dst), (rows, lo, hi) in zip(moved, stats):
             if rows == 0:
                 os.remove(dst)  # empty part files bloat the manifest
                 continue
