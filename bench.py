@@ -60,6 +60,7 @@ HEADLINE = [
     "simhash_near_dup_pairs",
     "text_quality_features",
     "text_tfidf_top_terms",
+    "unigram_logprob_quality",
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

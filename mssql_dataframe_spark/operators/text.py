@@ -164,6 +164,54 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score — the CCNet/
+    RedPajama perplexity-proxy filter: score each document by the mean
+    log-probability of its tokens under the corpus's OWN unigram
+    distribution. Gibberish / rare-token-heavy documents score low;
+    fluent common-vocabulary text scores high. Returns
+    (id, n_tokens, mean_logprob); empty/NULL-text documents drop out
+    (no tokens to score).
+
+    Determinism: per-token ``ln(tf)`` is quantized to 1e-6 and summed
+    as BIGINT (exact in any order/partitioning), so the aggregate
+    cannot drift with Spark's partition-order-dependent double
+    summation; only one final division/subtraction runs in doubles.
+
+    Scale shape: token frequencies are ONE shuffle with map-side
+    partial counts; the probe join is keyed on the token (AQE handles
+    stop-word skew); corpus total rides a broadcast single-row cross
+    join. Everything is built-in expressions — full codegen, no UDFs.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(id_col, F.lower(F.col("__t")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("__corpus_n"))
+    qlp = F.round(F.log(F.col("tf").cast("double")) * F.lit(1e6)).cast(
+        "bigint"
+    )
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(qlp).alias("__qsum"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(
+            F.col("__qsum") / F.lit(1e6) / F.col("n_tokens")
+            - F.log(F.col("__corpus_n")),
+            6,
+        ).alias("mean_logprob"),
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Deterministic document fingerprint (md5 of normalized text)."""
     c = F.col(col) if isinstance(col, str) else col

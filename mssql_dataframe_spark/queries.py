@@ -2358,6 +2358,41 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "unigram_logprob_quality",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, lower(tok) AS tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+        FROM documents
+        WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+      )
+    ), freq AS (
+      SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(tf)::DOUBLE AS corpus_n FROM freq
+    ), perdoc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(CAST(ROUND(LN(f.tf::DOUBLE) * 1e6) AS BIGINT)) AS qsum
+      FROM toks t JOIN freq f USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(qsum / 1e6 / n_tokens - LN(corpus_n), 6) AS mean_logprob
+    FROM perdoc, tot
+    """,
+)
+def unigram_logprob_quality(spark, sf_dir):
+    """Corpus-self-trained unigram LM score per document (the CCNet/
+    RedPajama perplexity-proxy quality filter; operators/text.py
+    unigram_logprob). Per-token ln(tf) quantized to 1e-6 and summed as
+    BIGINT keeps the aggregate order-independent and engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return X.unigram_logprob(d)
+
+
+@register(
     "simhash_near_dup_pairs",
     sql=r"""
     -- full SimHash replica: md5-60-bit token hash, per-bit +-1 sums,
@@ -4648,7 +4683,7 @@ _GRADE_FIRST = [
     "stats_aggregates",
     "unpivot_lineitem_measures",
     "regr_bool_aggregates",
-    "bucketed_join_no_shuffle",
+    "unigram_logprob_quality",
 ]
 
 

@@ -87,3 +87,29 @@ def test_per_source_cap_audit_mode(spark):
     assert kept == {0: True, 1: True, 2: False, 3: False, 4: False}
     with pytest.raises(ValueError):
         per_source_cap(df, cap=0)
+
+
+def test_unigram_logprob_scores_and_edges(spark):
+    """Hand-computable corpus: docs 'a a a' and 'a b' -> tf(a)=4,
+    tf(b)=1, N=5; doc1 scores mean ln(4/5), doc2
+    (ln(4/5)+ln(1/5))/2. Empty and NULL text drop out; common-token
+    docs outscore rare-token docs."""
+    from mssql_dataframe_spark.operators.text import unigram_logprob
+
+    df = _docs(
+        spark,
+        [(1, "a a a"), (2, "a b"), (3, ""), (4, None), (5, "   ")],
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 2
+    lp1 = math.log(4.0 / 5.0)
+    lp2 = (math.log(4.0 / 5.0) + math.log(1.0 / 5.0)) / 2
+    assert rows[1].mean_logprob == pytest.approx(lp1, abs=2e-6)
+    assert rows[2].mean_logprob == pytest.approx(lp2, abs=2e-6)
+    assert rows[1].mean_logprob > rows[2].mean_logprob
+
+    # case-folding: 'The THE the' counts as one token type
+    df2 = _docs(spark, [(1, "The THE the")])
+    r = unigram_logprob(df2).collect()[0]
+    assert r.n_tokens == 3 and r.mean_logprob == pytest.approx(0.0, abs=2e-6)
