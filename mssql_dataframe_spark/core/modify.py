@@ -79,7 +79,8 @@ class modify:
             types = dict(meta.column_types)
             types[column_name] = data_type
             self._store.overwrite(
-                table_name, df, T.StructType(fields), types
+                table_name, df, T.StructType(fields), types,
+                op="alter_column",
             )
         elif modify == "drop":
             if column_name not in schema.fieldNames():
@@ -89,7 +90,8 @@ class modify:
             types = {
                 k: v for k, v in meta.column_types.items() if k != column_name
             }
-            self._store.overwrite(table_name, df, T.StructType(fields), types)
+            self._store.overwrite(table_name, df, T.StructType(fields), types,
+                                  op="drop_column")
         else:
             raise ValueError("modify must be one of add|alter|drop")
 

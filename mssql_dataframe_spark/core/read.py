@@ -34,6 +34,29 @@ class read:
     def __init__(self, store: TableStore):
         self._store = store
 
+    def table_history(self, table_name: str) -> DataFrame:
+        """Commit history of the retained versions, newest first (the
+        ``DESCRIBE HISTORY`` analog): (version, operation,
+        n_files_added, n_files_kept, n_rows, timestamp). Driver-side
+        metadata only — O(retained versions), no data scan."""
+        spark = self._store.spark
+        rows = self._store.history(table_name)
+        return spark.createDataFrame(
+            [
+                (
+                    int(r["version"]),
+                    str(r["operation"]),
+                    None if r["n_files_added"] is None else int(r["n_files_added"]),
+                    None if r["n_files_kept"] is None else int(r["n_files_kept"]),
+                    int(r["n_rows"]),
+                    None if r["timestamp"] is None else float(r["timestamp"]),
+                )
+                for r in rows
+            ],
+            "version int, operation string, n_files_added int, "
+            "n_files_kept int, n_rows bigint, timestamp double",
+        )
+
     def table(
         self,
         table_name: str,

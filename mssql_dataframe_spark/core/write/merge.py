@@ -191,7 +191,7 @@ def merge_op(
 
     result = joined.select(*out_cols)
     if keep_entries is not None:
-        store.replace_files(table_name, result, keep_entries)
+        store.replace_files(table_name, result, keep_entries, op="merge")
     else:
-        store.overwrite(table_name, result)
+        store.overwrite(table_name, result, op="merge")
     return src

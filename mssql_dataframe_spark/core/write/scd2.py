@@ -144,7 +144,7 @@ def merge_scd2(
         *[F.col(f"__r.{f.name}").alias(f.name) for f in meta.spark_schema.fields]
     )
     if keep_entries is not None:
-        store.replace_files(table_name, out, keep_entries)
+        store.replace_files(table_name, out, keep_entries, op="merge_scd2")
     else:
-        store.overwrite(table_name, out)
+        store.overwrite(table_name, out, op="merge_scd2")
     return src

@@ -117,7 +117,7 @@ def update_op(
 
     result = joined.select(*out_cols)
     if keep_entries is not None:
-        store.replace_files(table_name, result, keep_entries)
+        store.replace_files(table_name, result, keep_entries, op="update")
     else:
-        store.overwrite(table_name, result)
+        store.overwrite(table_name, result, op="update")
     return src

@@ -3945,6 +3945,47 @@ def verb_time_travel(spark, sf_dir):
 
 
 @register(
+    "verb_history",
+    sql="""
+    SELECT * FROM (VALUES
+      (3, 'update', CAST(30 AS BIGINT)),
+      (2, 'merge',  CAST(30 AS BIGINT)),
+      (1, 'append', CAST(25 AS BIGINT)),
+      (0, 'create', CAST(0  AS BIGINT))
+    ) AS t(version, operation, n_rows)
+    """,
+)
+def verb_history(spark, sf_dir):
+    """Commit history (read.table_history — the DESCRIBE HISTORY
+    analog; beyond the reference, which keeps no history): every write
+    commits a labeled version, so the audit trail of create -> insert
+    -> merge -> update is reconstructable from retained manifests. The
+    oracle is the exact expected ledger; n_rows proves each snapshot's
+    row total, and the projection excludes file counts (partitioning-
+    dependent) and timestamps (non-deterministic)."""
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe(
+        "dbo.nation_hist", nation, primary_key="n_nationkey"
+    )
+    eng.write.insert("dbo.nation_hist", nation)
+    k = F.col("n_nationkey")
+    extra = nation.filter(k < 5).select(
+        (k + 100).alias("n_nationkey"), "n_name", "n_regionkey"
+    )
+    eng.write.merge(
+        "dbo.nation_hist", nation.unionByName(extra), upsert=True
+    )
+    eng.write.update(
+        "dbo.nation_hist",
+        nation.select("n_nationkey", F.lit("X").alias("n_name")),
+    )
+    return eng.read.table_history("dbo.nation_hist").select(
+        "version", "operation", "n_rows"
+    )
+
+
+@register(
     "verb_merge_scd2",
     sql="""
     WITH base AS (
@@ -4679,7 +4720,7 @@ _GRADE_FIRST = [
     "window_moving_avg_frames",
     "window_running_user_value",
     "grouping_sets_revenue",
-    "distinct_aggregates",
+    "verb_history",
     "stats_aggregates",
     "unpivot_lineitem_measures",
     "regr_bool_aggregates",

@@ -195,14 +195,48 @@ class TableStore:
         except FileNotFoundError:
             return []
 
+    def commit_info(self, name: str, version: int) -> dict:
+        """Commit metadata recorded with a retained version's manifest
+        (the Delta commitInfo action analog)."""
+        try:
+            with open(self._manifest_path(name, version)) as f:
+                return json.load(f).get("commit", {})
+        except FileNotFoundError:
+            return {}
+
     def _write_manifest(
-        self, name: str, version: int, entries: list[dict]
+        self, name: str, version: int, entries: list[dict],
+        commit: Optional[dict] = None,
     ) -> None:
         tdir = self._table_dir(name)
         tmp = os.path.join(tdir, f"._manifest.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"files": entries}, f)
+            json.dump({"files": entries, "commit": commit or {}}, f)
         os.replace(tmp, self._manifest_path(name, version))
+
+    def history(self, name: str) -> list[dict]:
+        """Retained commit history, newest first (the ``DESCRIBE
+        HISTORY`` analog): one dict per readable version with the
+        operation, file add/carry counts, snapshot row total, and
+        commit timestamp. Older versions fall off as ``_vacuum``
+        retires their manifests — history cost is O(retained
+        versions), never O(all commits)."""
+        meta = self.meta(name)
+        out = []
+        for v in range(meta.version, -1, -1):
+            if not os.path.exists(self._manifest_path(name, v)):
+                break
+            ents = self.manifest(name, v)
+            info = self.commit_info(name, v)
+            out.append({
+                "version": v,
+                "operation": info.get("op", "unknown"),
+                "n_files_added": info.get("n_added"),
+                "n_files_kept": info.get("n_kept"),
+                "n_rows": sum(e.get("rows") or 0 for e in ents),
+                "timestamp": info.get("ts"),
+            })
+        return out
 
     def _stats_col(self, meta: TableMeta) -> Optional[str]:
         """Column whose min/max each manifest entry carries: the
@@ -297,7 +331,9 @@ class TableStore:
             created_at=time.time(),
         )
         os.makedirs(self._pool_dir(name), exist_ok=True)
-        self._write_manifest(name, 0, [])
+        self._write_manifest(name, 0, [], commit={
+            "op": "create", "ts": time.time(), "n_added": 0, "n_kept": 0,
+        })
         self._write_meta(name, meta)
         return meta
 
@@ -406,8 +442,12 @@ class TableStore:
             cluster=bool(meta.properties.get("cluster_on_write")),
         )
         next_v = meta.version + 1
+        carried = self.manifest(name, meta.version)
         self._write_manifest(
-            name, next_v, self.manifest(name, meta.version) + entries
+            name, next_v, carried + entries, commit={
+                "op": "append", "ts": time.time(),
+                "n_added": len(entries), "n_kept": len(carried),
+            }
         )
         meta.version = next_v
         self._write_meta(name, meta)
@@ -421,7 +461,8 @@ class TableStore:
 
     def overwrite(self, name: str, df: DataFrame,
                   new_schema: Optional[T.StructType] = None,
-                  new_column_types: Optional[dict[str, str]] = None) -> None:
+                  new_column_types: Optional[dict[str, str]] = None,
+                  op: str = "overwrite") -> None:
         """Materialize ``df`` as the next snapshot, then atomically move
         the table pointer. Readers of the old version are unaffected —
         old snapshots are vacuumed only once they fall
@@ -429,31 +470,38 @@ class TableStore:
         recent snapshot can still be consumed after later writes. A
         crash before the meta replace leaves the table unchanged."""
         self._commit(name, df, keep_entries=[], new_schema=new_schema,
-                     new_column_types=new_column_types)
+                     new_column_types=new_column_types, op=op)
 
     def replace_files(
-        self, name: str, df: DataFrame, keep_entries: list[dict]
+        self, name: str, df: DataFrame, keep_entries: list[dict],
+        op: str = "replace_files",
     ) -> None:
         """Commit the next snapshot as ``keep_entries`` (untouched files
         carried over BY REFERENCE — no rewrite, no copy) plus the
         materialized ``df`` (the rewritten touched files). This is the
-        Delta ``MERGE INTO`` commit shape: write cost ∝ touched data."""
-        self._commit(name, df, keep_entries=list(keep_entries))
+        Delta ``MERGE INTO`` commit shape: write cost ∝ touched data.
+        ``op`` labels the commit in ``history()`` (merge/update/...)."""
+        self._commit(name, df, keep_entries=list(keep_entries), op=op)
 
     def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
                 new_schema: Optional[T.StructType] = None,
-                new_column_types: Optional[dict[str, str]] = None) -> None:
+                new_column_types: Optional[dict[str, str]] = None,
+                op: str = "commit") -> None:
         meta = self.meta(name)
         next_v = meta.version + 1
         schema = new_schema or meta.spark_schema
         stats_col = self._stats_col(meta)
         if new_schema is not None and stats_col not in schema.fieldNames():
             stats_col = None
-        entries = keep_entries + self._stage_in(
+        staged = self._stage_in(
             name, df, schema, stats_col,
             cluster=bool(meta.properties.get("cluster_on_write")),
         )
-        self._write_manifest(name, next_v, entries)
+        entries = keep_entries + staged
+        self._write_manifest(name, next_v, entries, commit={
+            "op": op, "ts": time.time(),
+            "n_added": len(staged), "n_kept": len(keep_entries),
+        })
         meta.version = next_v
         if new_schema is not None:
             meta.spark_schema_json = new_schema.jsonValue()
@@ -518,7 +566,7 @@ class TableStore:
             df = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
         else:
             df = df.coalesce(n_out)
-        self.replace_files(name, df, keep)
+        self.replace_files(name, df, keep, op="optimize")
         return len(entries), len(self.manifest(name, self.meta(name).version))
 
     def update_meta(self, name: str, **changes) -> TableMeta:

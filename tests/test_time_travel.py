@@ -43,3 +43,39 @@ def test_version_read_validates_window(engine, spark):
         engine.read.table("dbo.tt", version=0)
     # recent prior versions still readable
     assert engine.read.table("dbo.tt", version=3).count() == 2
+
+
+def test_history_ledger_and_retention(engine, spark):
+    """Every write commits a labeled version; history lists retained
+    versions newest-first and old versions fall off with vacuum."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    engine.create.table_from_dataframe("dbo.h", df, primary_key="id")
+    engine.write.insert("dbo.h", df)
+    engine.write.update(
+        "dbo.h", spark.createDataFrame([(1, "a2")], "id long, val string")
+    )
+    hist = engine.store.history("dbo.h")
+    assert [(h["version"], h["operation"], h["n_rows"]) for h in hist] == [
+        (2, "update", 2),
+        (1, "append", 2),
+        (0, "create", 0),
+    ]
+    assert all(h["timestamp"] is not None for h in hist)
+    # append commit records carried files
+    assert hist[1]["n_files_added"] >= 1 and hist[1]["n_files_kept"] == 0
+    assert hist[0]["n_files_kept"] >= 0
+
+    # churn past retention: the oldest versions drop out of history
+    for i in range(4):
+        engine.write.update(
+            "dbo.h",
+            spark.createDataFrame([(2, f"v{i}")], "id long, val string"),
+        )
+    hist2 = engine.store.history("dbo.h")
+    assert hist2[0]["version"] == 6
+    assert len(hist2) <= engine.store.keep_versions + 1
+    assert {h["operation"] for h in hist2} == {"update"}
+
+    # DataFrame surface mirrors the ledger
+    rows = engine.read.table_history("dbo.h").collect()
+    assert rows[0]["version"] == 6 and rows[0]["operation"] == "update"
