@@ -94,6 +94,38 @@ def _content_key(id_col: str, text_col: str) -> F.Column:
     ).cast("bigint")
 
 
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training: every row gets
+    a (shard, pos) coordinate from the md5 of its id — the decorrelated
+    read order LLM training wants, without ``rand()`` (partition-layout
+    dependent) and without a global ORDER BY (single-reducer sort at
+    100 TB). Shard assignment is a pure map-side hash; positions are a
+    per-shard window rank, so each shard orders independently in
+    parallel. Reading shards 0..n-1 in (shard, pos) order replays ONE
+    fixed pseudo-random permutation on any engine, any cluster size,
+    any partitioning.
+
+    Ties are impossible for distinct ids (rank breaks on the id), so
+    the permutation is total and reproducible.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), key.alias("__key"))
+        .withColumn("shard", (F.col("__key") % F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def split_hash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3847,6 +3847,30 @@ def dataset_split_hash(spark, sf_dir):
 
 
 @register(
+    "corpus_shuffle_shards",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k % 64 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY k % 64 ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle (training.shuffle_deterministic):
+    md5-keyed (shard, pos) coordinates replay one fixed pseudo-random
+    permutation on any engine or cluster size — per-shard window
+    ranks, no rand(), no global single-reducer sort."""
+    d = _t(spark, sf_dir, "documents")
+    return TR.shuffle_deterministic(d, n_shards=64)
+
+
+@register(
     "stratified_sample_lang",
     sql="""
     WITH keyed AS (
@@ -4721,7 +4745,7 @@ _GRADE_FIRST = [
     "window_running_user_value",
     "grouping_sets_revenue",
     "verb_history",
-    "stats_aggregates",
+    "corpus_shuffle_shards",
     "unpivot_lineitem_measures",
     "regr_bool_aggregates",
     "unigram_logprob_quality",

@@ -76,3 +76,29 @@ def test_stratified_sample_hash(spark):
     webs = [r for r in kept if r["source"] == "web"]
     assert len(books) == 200  # 100% of books kept
     assert 10 <= len(webs) <= 90  # ~20% of 200, hash-spread
+
+
+def test_shuffle_deterministic_is_a_total_permutation(spark):
+    """(shard, pos) must be a total, partitioning-independent
+    permutation: positions are contiguous 1..n within every shard, and
+    the coordinates don't change when the input arrives repartitioned."""
+    from pyspark.sql import functions as F
+
+    from mssql_dataframe_spark.operators.training import (
+        shuffle_deterministic,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_deterministic(df, n_shards=8).collect()
+    assert len(out) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    again = shuffle_deterministic(df.repartition(13), n_shards=8).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
