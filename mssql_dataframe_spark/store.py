@@ -451,13 +451,21 @@ class TableStore:
         )
         meta.version = next_v
         self._write_meta(name, meta)
-        self._vacuum(name, keep_before=next_v - self.keep_versions)
+        self._vacuum(name, keep_before=next_v - self._retention(meta))
 
     #: snapshots retained behind the current version; lazy DataFrames
     #: handed out by ``read()`` stay valid across this many subsequent
     #: commits (Delta's retention-window analog) instead of hitting
-    #: FileNotFoundException on the first mutation after them.
+    #: FileNotFoundException on the first mutation after them. Tables
+    #: can override via the ``keep_versions`` property (audit tables
+    #: keep more history; high-churn streaming sinks keep less).
     keep_versions: int = 3
+
+    def _retention(self, meta: TableMeta) -> int:
+        try:
+            return int(meta.properties.get("keep_versions", self.keep_versions))
+        except (TypeError, ValueError):
+            return self.keep_versions
 
     def overwrite(self, name: str, df: DataFrame,
                   new_schema: Optional[T.StructType] = None,
@@ -508,7 +516,7 @@ class TableStore:
         if new_column_types is not None:
             meta.column_types = dict(new_column_types)
         self._write_meta(name, meta)
-        self._vacuum(name, keep_before=next_v - self.keep_versions)
+        self._vacuum(name, keep_before=next_v - self._retention(meta))
 
     def _vacuum(self, name: str, keep_before: int) -> None:
         """Drop manifests older than ``keep_before`` and pool files no

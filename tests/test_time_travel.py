@@ -79,3 +79,35 @@ def test_history_ledger_and_retention(engine, spark):
     # DataFrame surface mirrors the ledger
     rows = engine.read.table_history("dbo.h").collect()
     assert rows[0]["version"] == 6 and rows[0]["operation"] == "update"
+
+
+def test_per_table_retention_property(engine, spark):
+    """The keep_versions table property overrides the store default:
+    an audit table keeps deeper history, a churn table keeps less."""
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+
+    engine.create.table("dbo.deep", {"id": "bigint", "val": "nvarchar(10)"},
+                        primary_key_column="id",
+                        properties={"keep_versions": 6})
+    engine.write.insert("dbo.deep", df)
+    for i in range(5):
+        engine.write.update(
+            "dbo.deep",
+            spark.createDataFrame([(1, f"v{i}")], "id long, val string"),
+        )
+    # current v6 + six retained priors: v0 still readable
+    assert engine.read.table("dbo.deep", version=0).count() == 0
+    assert len(engine.store.history("dbo.deep")) == 7
+
+    engine.create.table("dbo.shallow", {"id": "bigint", "val": "nvarchar(10)"},
+                        primary_key_column="id",
+                        properties={"keep_versions": 1})
+    engine.write.insert("dbo.shallow", df)
+    for i in range(3):
+        engine.write.update(
+            "dbo.shallow",
+            spark.createDataFrame([(1, f"v{i}")], "id long, val string"),
+        )
+    hist = engine.store.history("dbo.shallow")
+    assert len(hist) == 2  # current + one retained prior
+    assert hist[0]["version"] == 4
