@@ -332,6 +332,115 @@ def minhash_dedup_pairs(
     return verified
 
 
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    k: int = 8,
+    threshold: float = 0.8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental near-dup detection: an incoming batch against the
+    already-ingested corpus — the production ingest shape. A full-
+    corpus re-pairing costs Σ bucket² over everything ever ingested;
+    here the band join is NEW × CORPUS only, so per-ingest cost is
+    ∝ batch size × bucket collisions, independent of corpus growth
+    (the corpus side's signatures are computed once per ingest here;
+    in production they persist as an interim table and this join reads
+    them). Same two-stage verification as :func:`minhash_dedup_pairs`:
+    16-column min-hash ESTIMATE prune, then exact shingle-set Jaccard
+    on survivors. Returns (new_id, corpus_id, jaccard) — the incoming
+    documents that duplicate existing corpus content, ready to drop or
+    cluster before they ever land.
+    """
+    margin = 0.2
+    n_hashes = n_bands * rows_per_band
+    new_rows = shingle_rows(new_df, id_col, text_col, k).persist()
+    new_rows.count()
+    cor_rows = shingle_rows(corpus_df, id_col, text_col, k).persist()
+    cor_rows.count()
+    nb = _signature_base(
+        new_df, id_col, text_col, n_bands, k, rows_per_band, rows=new_rows
+    )
+    cb = _signature_base(
+        corpus_df, id_col, text_col, n_bands, k, rows_per_band, rows=cor_rows
+    )
+    n_sig = minhash_signatures(
+        new_df, id_col, text_col, n_bands, k, base=nb,
+        rows_per_band=rows_per_band,
+    )
+    c_sig = minhash_signatures(
+        corpus_df, id_col, text_col, n_bands, k, base=cb,
+        rows_per_band=rows_per_band,
+    )
+    raw = (
+        n_sig.select(
+            F.col(id_col).alias("new_id"), "band", "signature"
+        )
+        .join(
+            c_sig.select(
+                F.col(id_col).alias("corpus_id"), "band", "signature"
+            ),
+            ["band", "signature"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    m1 = nb.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    m2 = cb.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    cands = (
+        raw.join(m1, "new_id")
+        .join(m2, "corpus_id")
+        .withColumn("__est", agree / F.lit(float(n_hashes)))
+        .filter(F.col("__est") >= threshold - margin)
+        .select("new_id", "corpus_id")
+    )
+    n_sizes = new_rows.groupBy(id_col).agg(F.count("*").alias("n1"))
+    c_sizes = cor_rows.groupBy(id_col).agg(F.count("*").alias("n2"))
+    inter = (
+        cands.join(
+            new_rows.select(F.col(id_col).alias("new_id"), "sh"), "new_id"
+        )
+        .join(
+            cor_rows.select(F.col(id_col).alias("corpus_id"), "sh"),
+            ["corpus_id", "sh"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            n_sizes.select(F.col(id_col).alias("new_id"), "n1"), "new_id"
+        )
+        .join(
+            c_sizes.select(F.col(id_col).alias("corpus_id"), "n2"),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def word_ngrams(col: str | Column, n: int = 3) -> Column:
     """Word n-gram array (space-joined); < n tokens -> empty array."""
     from .text import tokens

@@ -2300,6 +2300,70 @@ def _survivors_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _minhash_incremental_sql(threshold: float = 0.5) -> str:
+    """New-batch-vs-corpus LSH dedup: the same CTE chain as the pairs
+    oracle, but candidates join the NEW side (doc_id % 7 = 3) against
+    the CORPUS side only."""
+    n_hashes = _MH_BANDS * _MH_R
+    agree = " + ".join(
+        f"(CASE WHEN m1.mh_{i} = m2.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig_{b} AS signature FROM sigs "
+        f"WHERE sig_{b} IS NOT NULL"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH {_mh_shingle_cte()},
+    stacked AS MATERIALIZED ({stacked}),
+    raw_cands AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM stacked a JOIN stacked b
+        ON a.band = b.band AND a.signature = b.signature
+      WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+    ), cands AS MATERIALIZED (
+      SELECT c.new_id, c.corpus_id
+      FROM raw_cands c
+      JOIN mins m1 ON m1.doc_id = c.new_id
+      JOIN mins m2 ON m2.doc_id = c.corpus_id
+      WHERE ({agree}) / {float(n_hashes)} >= {threshold} - 0.2
+    ), sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM sh_rows GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT c.new_id, c.corpus_id, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN sh_rows r1 ON r1.doc_id = c.new_id
+      JOIN sh_rows r2 ON r2.doc_id = c.corpus_id AND r2.sh = r1.sh
+      GROUP BY c.new_id, c.corpus_id
+    )
+    SELECT i.new_id, i.corpus_id,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (s1.n + s2.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.new_id
+    JOIN sizes s2 ON s2.doc_id = i.corpus_id
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (s1.n + s2.n - i.n_inter), 6) >= {threshold}
+    """
+
+
+@register("minhash_dedup_incremental", sql=_minhash_incremental_sql(0.5))
+def minhash_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup.py
+    minhash_dedup_incremental): the incoming batch (doc_id % 7 = 3)
+    is LSH-joined against the corpus side ONLY — per-ingest cost
+    ∝ batch x collisions, independent of corpus growth. Same
+    estimate-prune + exact-Jaccard verification as the full pairs
+    entry."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return D.minhash_dedup_incremental(
+        d.filter(k % 7 == 3), d.filter(k % 7 != 3),
+        "doc_id", "text", _MH_BANDS, _MH_K, 0.5, rows_per_band=_MH_R,
+    )
+
+
 @register("minhash_dedup_pairs", sql=_minhash_pairs_sql(0.5))
 def minhash_dedup_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -4746,7 +4810,7 @@ _GRADE_FIRST = [
     "grouping_sets_revenue",
     "verb_history",
     "corpus_shuffle_shards",
-    "unpivot_lineitem_measures",
+    "minhash_dedup_incremental",
     "regr_bool_aggregates",
     "unigram_logprob_quality",
 ]

@@ -96,3 +96,41 @@ def test_edge_nodes_default_matches_explicit_nodes(spark):
     # sparse = full minus singletons (which label themselves)
     assert sparse == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
     assert full == sparse | {(4, 4), (5, 5), (6, 6), (9, 9)}
+
+
+def test_incremental_dedup_finds_cross_side_dups_only(spark):
+    """A planted near-dup across the batch/corpus boundary must be
+    found; corpus-internal duplicates must NOT appear (they are the
+    corpus backfill's job, not the ingest gate's)."""
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain in spain falls mainly on the plain every day"
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " with one extra tail"),  # corpus dup
+            Row(doc_id=3, text="completely different content about "
+                               "spark manifests and parquet footers"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base + " tail"),         # dup of 1 and 2
+            Row(doc_id=101, text="unrelated fresh text about minhash "
+                                 "bands and jaccard verification"),
+        ]
+    )
+    out = minhash_dedup_incremental(
+        new, corpus, threshold=0.5
+    ).collect()
+    found = {(r["new_id"], r["corpus_id"]) for r in out}
+    assert (100, 1) in found and (100, 2) in found
+    assert all(nid == 100 for nid, _ in found)
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in out)
