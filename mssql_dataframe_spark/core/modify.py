@@ -95,6 +95,43 @@ class modify:
         else:
             raise ValueError("modify must be one of add|alter|drop")
 
+    def check_constraint(
+        self,
+        table_name: str,
+        modify: str,
+        name: str,
+        expression: Optional[str] = None,
+    ) -> None:
+        """ADD/DROP a named CHECK constraint (beyond-reference; the
+        Delta ``ALTER TABLE ADD CONSTRAINT`` analog). Expressions use
+        the engine's restricted where-grammar. ``add`` audits the
+        EXISTING data first with one agg over the current snapshot —
+        a table in violation cannot acquire the constraint — then
+        every subsequent insert/update/merge/SCD2 enforces it on the
+        rows it writes."""
+        from ..validation import enforce_check_constraints
+
+        meta = self._store.meta(table_name)
+        props = dict(meta.properties)
+        checks = dict(props.get("check_constraints") or {})
+        if modify == "add":
+            if not expression:
+                raise ValueError("expression required for check add")
+            if name in checks:
+                raise ValueError(f"check constraint {name!r} already exists")
+            enforce_check_constraints(
+                self._store.read(table_name), {name: expression}
+            )
+            checks[name] = expression
+        elif modify == "drop":
+            if name not in checks:
+                raise ValueError(f"no check constraint {name!r}")
+            del checks[name]
+        else:
+            raise ValueError("modify must be one of add|drop")
+        props["check_constraints"] = checks
+        self._store.update_meta(table_name, properties=props)
+
     def primary_key(
         self,
         table_name: str,

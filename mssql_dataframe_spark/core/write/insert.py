@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from ...errors import DataframeColumnInvalidValue
 from ...store import TableStore
-from ...validation import precheck_dataframe
+from ...validation import enforce_check_constraints, precheck_dataframe
 from .. import datetimeoffset as dto
 
 logger = logging.getLogger("mssql_dataframe_spark")
@@ -132,5 +132,9 @@ def insert(
         if f.name not in df.columns:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
 
-    store.append(table_name, df.select(*meta.spark_schema.fieldNames()))
+    out = df.select(*meta.spark_schema.fieldNames())
+    enforce_check_constraints(
+        out, meta.properties.get("check_constraints") or {}
+    )
+    store.append(table_name, out)
     return df

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist
 from ...store import TableStore
-from ...validation import precheck_dataframe
+from ...validation import enforce_check_constraints, precheck_dataframe
 from .update import resolve_match_columns
 
 
@@ -142,6 +142,9 @@ def merge_scd2(
     )
     out = j.select(F.explode(variants).alias("__r")).select(
         *[F.col(f"__r.{f.name}").alias(f.name) for f in meta.spark_schema.fields]
+    )
+    enforce_check_constraints(
+        out, meta.properties.get("check_constraints") or {}
     )
     if keep_entries is not None:
         store.replace_files(table_name, out, keep_entries, op="merge_scd2")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist, SQLUndefinedPrimaryKey
 from ...store import TableStore
-from ...validation import precheck_dataframe
+from ...validation import enforce_check_constraints, precheck_dataframe
 from .. import datetimeoffset as dto
 from .insert import ensure_time_columns
 
@@ -116,6 +116,9 @@ def update_op(
         out_cols.append(col.cast(f.dataType).alias(c))
 
     result = joined.select(*out_cols)
+    enforce_check_constraints(
+        result, meta.properties.get("check_constraints") or {}
+    )
     if keep_entries is not None:
         store.replace_files(table_name, result, keep_entries, op="update")
     else:

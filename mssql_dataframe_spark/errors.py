@@ -68,3 +68,10 @@ class DataframeColumnInvalidValue(Exception):
     the declared precision, or NULL into a NOT NULL column (reference:
     custom_errors.py:68; SQL Server surfaces these as conversion /
     integrity errors)."""
+
+
+class SQLCheckConstraintViolation(Exception):
+    """Row(s) violate a declared CHECK constraint (beyond-reference;
+    the Delta ``ALTER TABLE ADD CONSTRAINT`` enforcement analog). SQL
+    semantics: a row violates only when the expression is FALSE —
+    NULL passes."""

@@ -4033,6 +4033,47 @@ def verb_time_travel(spark, sf_dir):
 
 
 @register(
+    "verb_check_constraints",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_totalprice > 0
+    """,
+)
+def verb_check_constraints(spark, sf_dir):
+    """CHECK constraints (modify.check_constraint — Delta ADD
+    CONSTRAINT analog, beyond the reference): the add audits existing
+    data with one agg, then every write enforces the restricted-
+    grammar expression on the rows it produces (one agg over written
+    rows; NULL passes per SQL semantics). This entry proves the full
+    path: constrained create -> audited add -> enforced insert ->
+    read-back."""
+    eng = _scratch_engine(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+    eng.create.table(
+        "dbo.orders_cc",
+        {"o_orderkey": "bigint", "o_custkey": "bigint",
+         "o_totalprice": "float"},
+        primary_key_column="o_orderkey",
+    )
+    eng.write.insert("dbo.orders_cc", src.limit(1))
+    eng.modify.check_constraint(
+        "dbo.orders_cc", "add", "price_pos", "o_totalprice > 0"
+    )
+    eng.write.insert(
+        "dbo.orders_cc",
+        src.join(eng.read.table("dbo.orders_cc").select("o_orderkey"),
+                 "o_orderkey", "left_anti"),
+    )
+    return eng.read.table("dbo.orders_cc")
+
+
+@register(
     "verb_history",
     sql="""
     SELECT * FROM (VALUES
@@ -4805,7 +4846,7 @@ _GRADE_FIRST = [
     "window_rank_ntile",
     "window_lead_lag_monthly",
     "window_sessionization",
-    "window_moving_avg_frames",
+    "verb_check_constraints",
     "window_running_user_value",
     "grouping_sets_revenue",
     "verb_history",

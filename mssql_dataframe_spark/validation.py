@@ -101,6 +101,47 @@ def precheck_dataframe(
     return out if bounds_col is _NO_BOUNDS else (out, bounds)
 
 
+def enforce_check_constraints(df: DataFrame, checks: dict) -> None:
+    """Enforce declared CHECK constraints on rows about to be written
+    — ONE agg job over ``df`` (the new/rewritten rows only; rows
+    carried by manifest reference were validated at their own write
+    time, so write cost stays ∝ touched data, exactly Delta's CHECK
+    enforcement shape). Expressions use the engine's restricted
+    where-grammar (identifiers.compile_where), so constraint text
+    cannot smuggle arbitrary SQL. SQL semantics: violation only when
+    the expression is FALSE; NULL passes. ``df`` always carries the
+    full table schema on every write path, so every constraint is
+    evaluable."""
+    from .identifiers import compile_where
+
+    if not checks:
+        return
+    aggs = []
+    names = []
+    for name, expr in sorted(checks.items()):
+        compiled = compile_where(expr)
+        cond = F.expr(compiled)
+        try:
+            df.select(cond.alias("__c"))  # eager analysis: resolve refs
+        except Exception as exc:
+            raise DataframeColumnInvalidValue(
+                f"check constraint {name!r} is not evaluable on the "
+                f"write: {exc}"
+            ) from None
+        aggs.append(
+            F.max(F.when(cond == F.lit(False), 1).otherwise(0)).alias(name)
+        )
+        names.append(name)
+    row = df.agg(*aggs).first().asDict()
+    violated = [n for n in names if row.get(n) == 1]
+    if violated:
+        from .errors import SQLCheckConstraintViolation
+
+        raise SQLCheckConstraintViolation(
+            f"check constraint(s) violated: {violated}"
+        )
+
+
 def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     """Upcast numeric columns to their category's widest type before
     range checks (reference: conversion.py:214-253)."""
