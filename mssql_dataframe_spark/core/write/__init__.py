@@ -5,6 +5,7 @@ Reference: mssql_dataframe/core/write/{insert,update,merge}.py.
 
 from __future__ import annotations
 
+from .delete import delete_op  # noqa: F401
 from .insert import insert  # noqa: F401
 from .merge import merge_op  # noqa: F401
 from .scd2 import merge_scd2  # noqa: F401
@@ -23,6 +24,9 @@ class write:
         return insert(
             self._store, table_name, dataframe, self.include_metadata_timestamps
         )
+
+    def delete(self, table_name, dataframe, match_columns=None):
+        return delete_op(self._store, table_name, dataframe, match_columns)
 
     def update(self, table_name, dataframe, match_columns=None):
         return update_op(

@@ -4033,6 +4033,42 @@ def verb_time_travel(spark, sf_dir):
 
 
 @register(
+    "verb_delete_keys",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 3000
+      AND NOT (o_orderkey % 5 = 2)
+    """,
+)
+def verb_delete_keys(spark, sf_dir):
+    """Keys-based DELETE (write.delete, core/write/delete.py — beyond
+    the reference, whose deletes ride MERGE's not-matched-by-source
+    clause): the GDPR erase shape. Files whose key range misses the
+    keys carry over by manifest reference; the survivors come from one
+    left-anti join over the touched files only."""
+    eng = _scratch_engine(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_custkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+    eng.create.table(
+        "dbo.orders_del",
+        {"o_orderkey": "bigint", "o_custkey": "bigint",
+         "o_totalprice": "float"},
+        primary_key_column="o_orderkey",
+    )
+    eng.write.insert("dbo.orders_del", src)
+    eng.write.delete(
+        "dbo.orders_del",
+        src.filter(F.col("o_orderkey") % 5 == 2).select("o_orderkey"),
+    )
+    return eng.read.table("dbo.orders_del")
+
+
+@register(
     "verb_check_constraints",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -351,3 +351,39 @@ def test_append_is_a_versioned_commit(engine, spark):
     assert eng.store.meta("dbo.vc").version == 3
     upd = eng.read.table_changes("dbo.vc", from_version=2, to_version=3).collect()
     assert {r["change_type"] for r in upd} == {"update"}
+
+
+def test_delete_prunes_and_counts(engine, spark):
+    """Keys-based delete: files outside the key range carry over by
+    reference; the returned count is exact; non-PK keys and extra
+    columns are handled."""
+    eng = engine
+    _make_keyed_table(eng, spark, "dl", n=1000, parts=8)
+    before = _manifest_paths(eng, "dbo.dl")
+
+    keys = spark.range(10, 60).select(F.col("id").alias("k"))
+    n = eng.write.delete("dbo.dl", keys)
+    assert n == 50
+    after = _manifest_paths(eng, "dbo.dl")
+    assert before & after, "no files carried over by reference"
+    out = eng.read.table("dbo.dl")
+    assert out.count() == 950
+    assert out.filter("k >= 10 AND k < 60").count() == 0
+
+    # deleting absent keys is a no-op with count 0
+    assert eng.write.delete(
+        "dbo.dl", spark.range(5000, 5010).select(F.col("id").alias("k"))
+    ) == 0
+
+    # extra non-key columns are rejected
+    import pytest
+    with pytest.raises(ValueError, match="match-key columns only"):
+        eng.write.delete(
+            "dbo.dl",
+            spark.range(3).select(F.col("id").alias("k"),
+                                  F.col("id").cast("double").alias("v")),
+        )
+
+    # the commit is labeled in history
+    ops = [h["operation"] for h in eng.store.history("dbo.dl")]
+    assert ops[0] == "delete" or "delete" in ops
