@@ -111,6 +111,53 @@ def main() -> None:
         f"| read.table proj/filter/order/limit ({len(rows)} rows out) | {rd:.3f} | — |"
     )
 
+    # pruned-merge scaling: the property the 100-TB design rests on —
+    # a fixed-size upsert against a key-clustered table should cost
+    # ~the same as the table doubles, because only intersecting files
+    # rewrite. A full-rewrite engine shows ~2x per doubling here.
+    lines += [
+        "",
+        "## Pruned-merge scaling (fixed 1k-key upsert vs table size)",
+        "",
+        "Key-clustered table (cluster_on_write); the upsert touches keys "
+        "0..999 only. Flat wall-clock across doublings = mutation cost "
+        "∝ touched data, not table size.",
+        "",
+        "| table rows | files | upsert wall p50 (s) |",
+        "|---|---|---|",
+    ]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    for mult in (1, 2, 4):
+        eng = fresh_engine()
+        tbl = "dbo.scale_m"
+        eng.create.table(
+            tbl, {"k": "bigint", "v": "float"}, primary_key_column="k",
+            properties={"cluster_on_write": True},
+        )
+        big = base
+        for i in range(1, mult):
+            big = big.unionByName(
+                base.select((F.col("k") + F.lit(i * 10_000_000)).alias("k"), "v")
+            )
+        eng.write.insert(tbl, big)
+        src = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit(1.5).cast("double").alias("v")
+        )
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            eng.write.merge(tbl, src, upsert=True)
+            samples.append(time.perf_counter() - t0)
+        n_files = len(
+            eng.store.manifest(tbl, eng.store.meta(tbl).version)
+        )
+        lines.append(
+            f"| {n * mult:,} | {n_files} | {statistics.median(samples):.3f} |"
+        )
+
     # streaming state bounds: peak state rows + watermark eviction per
     # entry, from the query-progress stateOperators metrics — a
     # regression in eviction (state growing with the stream) shows up
