@@ -4065,6 +4065,41 @@ def verb_time_travel(spark, sf_dir):
 
 
 @register(
+    "verb_restore",
+    sql="""
+    SELECT n_nationkey, n_name, 'restore(v1)' AS last_op
+    FROM nation
+    """,
+)
+def verb_restore(spark, sf_dir):
+    """RESTORE TABLE ... TO VERSION AS OF analog (beyond-reference):
+    a bad write is rolled back by committing the target version's
+    manifest as the next version — entries carried by reference,
+    manifest-only cost, zero data movement at 100 TB exactly as at
+    sf0.01. The rollback is itself a labeled commit (auditable in
+    ``history()``), and the gate reads the CURRENT snapshot after the
+    restore, proving the pre-update rows came back."""
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    eng.create.table_from_dataframe(
+        "dbo.nation_rs", nation, primary_key="n_nationkey"
+    )
+    eng.write.insert("dbo.nation_rs", nation)  # create=v0, insert=v1
+    v_ins = eng.store.meta("dbo.nation_rs").version
+    eng.write.update(  # v2: the "bad write" to roll back
+        "dbo.nation_rs",
+        nation.select(
+            "n_nationkey", F.concat("n_name", F.lit("_X")).alias("n_name")
+        ),
+    )
+    v_new = eng.restore("dbo.nation_rs", v_ins)  # v3 == v1 data
+    op = eng.store.commit_info("dbo.nation_rs", v_new).get("op")
+    return eng.read.table("dbo.nation_rs").select(
+        "n_nationkey", "n_name", F.lit(op).alias("last_op")
+    )
+
+
+@register(
     "verb_delete_keys",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice

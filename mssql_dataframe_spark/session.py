@@ -99,6 +99,12 @@ class SparkEngine:
         Returns (files_before, files_after)."""
         return self.store.optimize(table_name, small_file_rows=small_file_rows)
 
+    def restore(self, table_name: str, version: int) -> int:
+        """Roll a table back to a retained prior snapshot (Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` analog): manifest-only
+        commit, zero data movement. Returns the new version."""
+        return self.store.restore(table_name, version)
+
     def register_view(self, table_name: str, view_name: str | None = None):
         """Expose a stored table to ``spark.sql`` queries."""
         v = view_name or table_name.split(".")[-1]

@@ -303,6 +303,9 @@ class TableStore:
             entries.append({
                 "path": dst_name, "rows": rows, "min": lo, "max": hi,
                 "stats_col": stats_col if lo is not None else None,
+                # written schema, so restore() can reject a rollback
+                # across a column drop/rename instead of misreading
+                "schema_cols": list(schema.fieldNames()),
             })
         shutil.rmtree(stage, ignore_errors=True)
         return entries
@@ -452,6 +455,49 @@ class TableStore:
         meta.version = next_v
         self._write_meta(name, meta)
         self._vacuum(name, keep_before=next_v - self._retention(meta))
+
+    def restore(self, name: str, version: int) -> int:
+        """Roll the table back to a retained prior snapshot (the Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` analog) by committing
+        the target version's manifest as the NEXT version — entries
+        carried by reference, manifest-only cost, zero data movement
+        at any scale. Restore is itself a commit (visible in
+        ``history()``), so a mistaken restore can be restored away.
+        Restores DATA only: the declared schema stays current, so a
+        restore across a column DROP/rename is rejected rather than
+        misread (columns ADDed after the target version read back as
+        NULL, like Delta's missing-column semantics)."""
+        meta = self.meta(name)
+        v = int(version)
+        if v > meta.version or not os.path.exists(
+            self._manifest_path(name, v)
+        ):
+            raise ValueError(
+                f"version {v} of table {name!r} is not available "
+                f"(current {meta.version}, retention keeps "
+                f"{self._retention(meta)} prior snapshots)"
+            )
+        carried = self.manifest(name, v)
+        declared = set(meta.spark_schema.fieldNames())
+        for e in carried:
+            cols = e.get("schema_cols")
+            if cols is not None and not set(cols) <= declared:
+                raise ValueError(
+                    f"cannot restore {name!r} to v{v}: file "
+                    f"{e['path']} carries columns "
+                    f"{sorted(set(cols) - declared)} no longer in the "
+                    "declared schema (restore across a column drop/"
+                    "rename is not supported)"
+                )
+        next_v = meta.version + 1
+        self._write_manifest(name, next_v, carried, commit={
+            "op": f"restore(v{v})", "ts": time.time(),
+            "n_added": 0, "n_kept": len(carried),
+        })
+        meta.version = next_v
+        self._write_meta(name, meta)
+        self._vacuum(name, keep_before=next_v - self._retention(meta))
+        return next_v
 
     #: snapshots retained behind the current version; lazy DataFrames
     #: handed out by ``read()`` stay valid across this many subsequent

@@ -111,3 +111,55 @@ def test_per_table_retention_property(engine, spark):
     hist = engine.store.history("dbo.shallow")
     assert len(hist) == 2  # current + one retained prior
     assert hist[0]["version"] == 4
+
+
+def test_restore_rolls_back_data(engine, spark):
+    """RESTORE commits the target manifest as the next version:
+    data returns to the prior state, history keeps both the bad
+    write and the rollback, and no files are rewritten."""
+    _mk(engine, spark)
+    v_ins = engine.store.meta("dbo.tt").version
+    files_before = {
+        e["path"] for e in engine.store.manifest("dbo.tt", v_ins)
+    }
+    engine.write.update(
+        "dbo.tt", spark.createDataFrame([(1, "BAD")], "id long, val string")
+    )
+    v_new = engine.restore("dbo.tt", v_ins)
+    assert v_new == v_ins + 2
+    cur = {r["id"]: r["val"] for r in engine.read.table("dbo.tt").collect()}
+    assert cur == {1: "a", 2: "b"}
+    # manifest-only: restored snapshot references the v1 files verbatim
+    assert {
+        e["path"] for e in engine.store.manifest("dbo.tt", v_new)
+    } == files_before
+    hist = engine.store.history("dbo.tt")
+    assert hist[0]["operation"] == f"restore(v{v_ins})"
+    assert hist[0]["n_files_added"] == 0
+    # the bad write remains auditable between them
+    assert hist[1]["operation"] == "update"
+
+
+def test_restore_validates_window_and_schema(engine, spark):
+    _mk(engine, spark)
+    with pytest.raises(ValueError, match="not available"):
+        engine.restore("dbo.tt", 9)
+    # restore across a column DROP is rejected, not misread
+    v_ins = engine.store.meta("dbo.tt").version
+    engine.modify.column("dbo.tt", modify="drop", column_name="val")
+    with pytest.raises(ValueError, match="no longer in the declared schema"):
+        engine.restore("dbo.tt", v_ins)
+
+
+def test_restore_of_restore(engine, spark):
+    """A mistaken restore is itself rolled back by another restore."""
+    _mk(engine, spark)
+    v_ins = engine.store.meta("dbo.tt").version
+    engine.write.update(
+        "dbo.tt", spark.createDataFrame([(2, "b2")], "id long, val string")
+    )
+    v_upd = engine.store.meta("dbo.tt").version
+    engine.restore("dbo.tt", v_ins)
+    engine.restore("dbo.tt", v_upd)
+    cur = {r["id"]: r["val"] for r in engine.read.table("dbo.tt").collect()}
+    assert cur == {1: "a", 2: "b2"}
