@@ -473,3 +473,112 @@ def int8_quantize(
         qval.cast("int").alias("qval"),
         F.col("scale"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    tau_sq_bp: int = 8100,
+    quant: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings to
+    ``k`` deterministic centroids, pick one representative per cluster
+    (min id), and flag every member whose cosine similarity to its
+    cluster representative clears ``sqrt(tau_sq_bp/10000)`` as a
+    semantic duplicate. Returns ``(vec_id, cluster_id, is_dup)``.
+
+    Exactness: vectors are quantized ``floor(v*quant + 0.5)`` with a
+    power-of-two ``quant`` (multiplication by 2^n is exact in binary
+    FP, so the quantized ints are bit-identical on any engine), and
+    the cosine test runs entirely in int64 —
+    ``10000*dot^2 >= tau_sq_bp * |a|^2 * |b|^2`` with ``dot > 0`` —
+    no float comparisons anywhere, so the keep/drop verdict cannot
+    straddle an ulp. Centroids are the ``k`` min-id vectors (ANSI-SQL
+    reproducible, like ivf_topk's codebook); assignment minimizes the
+    integer squared L2 distance with lowest-cid tie-break.
+
+    Scale shape: centroids broadcast (k rows) into a map-side cross
+    join; the argmin is ONE combiner aggregation keyed on the vector
+    id (the min-struct reduces the k-fan map-side, and its (dist, cid)
+    prefix is unique per id so the carried q/nv tail never influences
+    the ordering); representatives are a k-row aggregate broadcast
+    back. No shuffle ever carries more than the corpus itself. For a
+    production k ~ sqrt(N) codebook, swap the cross join for the
+    ivf_topk mapInPandas matmul assignment — the cluster/represent/
+    flag pipeline downstream is unchanged.
+    """
+    qcol = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+
+    def sqnorm(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+
+    qe = embeddings.select(
+        F.col(id_col).alias("vec_id"), qcol.alias("q")
+    ).withColumn("nv", sqnorm(F.col("q")))
+
+    cent = (
+        qe.orderBy("vec_id").limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nv").alias("nc"),
+        )
+    )
+
+    fanned = qe.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "q", "nv", "cid", "nc",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ).alias("cdot"),
+    )
+    assign = (
+        fanned
+        .withColumn("dist", F.col("nv") + F.col("nc") - 2 * F.col("cdot"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "q", "nv")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.q").alias("q"),
+            F.col("m.nv").alias("nv"),
+        )
+    )
+
+    rep = (
+        assign.groupBy("cid")
+        .agg(F.min(F.struct("vec_id", "q", "nv")).alias("r"))
+        .select(
+            "cid",
+            F.col("r.vec_id").alias("rep_id"),
+            F.col("r.q").alias("rq"),
+            F.col("r.nv").alias("nr"),
+        )
+    )
+
+    joined = assign.join(F.broadcast(rep), "cid")
+    rdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("rq"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return joined.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        (
+            (F.col("vec_id") != F.col("rep_id"))
+            & (rdot > 0)
+            & (
+                F.lit(10000) * rdot * rdot
+                >= F.lit(tau_sq_bp) * F.col("nv") * F.col("nr")
+            )
+        ).alias("is_dup"),
+    )

@@ -4381,6 +4381,75 @@ def mv_incremental_update(spark, sf_dir):
 
 
 @register(
+    "embedding_semantic_dedup",
+    sql="""
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nv
+      FROM qe
+    ),
+    cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             q AS cq, nv AS nc
+      FROM (SELECT vec_id, q, nv FROM qn ORDER BY vec_id LIMIT 8)
+    ),
+    dots AS (
+      SELECT e.vec_id, e.q, e.nv, c.cid, c.nc,
+             CAST(list_sum(list_transform(list_zip(e.q, c.cq),
+                                          p -> p[1] * p[2]))
+                  AS BIGINT) AS cdot
+      FROM qn e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid, q, nv FROM (
+        SELECT vec_id, cid, q, nv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY nv + nc - 2 * cdot, cid) AS rn
+        FROM dots) WHERE rn = 1
+    ),
+    rep AS (
+      SELECT cid, min(vec_id) AS rep_id FROM assign GROUP BY cid
+    ),
+    scored AS (
+      SELECT a.vec_id, a.cid, a.nv, r.rep_id, b.nv AS nr,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                          p -> p[1] * p[2]))
+                  AS BIGINT) AS rdot
+      FROM assign a
+      JOIN rep r ON a.cid = r.cid
+      JOIN assign b ON b.vec_id = r.rep_id
+    )
+    SELECT vec_id, cid AS cluster_id,
+           (vec_id <> rep_id AND rdot > 0
+            AND 10000 * rdot * rdot >= 1200 * nv * nr) AS is_dup
+    FROM scored
+    """,
+)
+def embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup): cluster to k deterministic centroids, flag
+    members cosine-similar to their cluster representative. The
+    keep/drop verdict is computed entirely in int64 (power-of-two
+    quantization + squared-cosine inequality), so engine and oracle
+    agree exactly — no float threshold straddling. The gate threshold
+    (cos^2 >= 0.12) is data-scaled: the synthetic embeddings are
+    near-orthogonal (max within-cluster cos^2 ~= 0.24), so a
+    production 0.9 cutoff would never fire and leave the dup branch
+    unexercised; the default stays 0.9 for real corpora."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, tau_sq_bp=1200, quant=1024)
+
+
+@register(
     "embedding_int8_quantize",
     sql="""
     WITH s AS (
