@@ -906,3 +906,64 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def fuzzy_join_dist1(
+    df: DataFrame,
+    id_col: str = "id",
+    str_col: str = "text",
+) -> DataFrame:
+    """Exact edit-distance-1 self-join via FastSS deletion
+    neighborhoods: every string generates itself plus each
+    single-character deletion; two strings within Levenshtein
+    distance 1 ALWAYS share a neighborhood key (substitution at i —
+    both drop position i; insert/delete — the longer drops the extra
+    char), so the equi-join on the key misses no true pair, and a
+    final ``levenshtein <= 1`` filter discards the collisions (key
+    sharers are provably within distance 2 — candidates stay bounded).
+
+    Returns ``(id1, id2)`` with ``id1 < id2``, each true pair once.
+
+    Scale shape: the neighborhood explode is a narrow ~(len+1)-fan map,
+    the join is an equi-join on short string keys (one shuffle), and
+    verification costs one integer ``levenshtein`` per surviving
+    candidate — never O(N^2). Skew note: a hot key (many strings
+    sharing a deletion variant, e.g. very short strings) concentrates
+    a bucket exactly like an LSH band; at corpus scale cap or salt
+    keys above a bucket-size bound as in ``lsh_candidate_pairs``.
+    """
+    s = F.col(str_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    keyed = (
+        df.filter(s.isNotNull())
+        .select(F.col(id_col).alias("id"), s.alias("s"),
+                F.explode(variants).alias("k"))
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.s").alias("s1"),
+            F.col("b.s").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.filter(F.levenshtein("s1", "s2") <= 1)
+        .select("id1", "id2")
+    )

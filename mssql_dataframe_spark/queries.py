@@ -2536,6 +2536,26 @@ def simhash_pairs(spark, sf_dir):
 
 
 @register(
+    "fuzzy_join_names",
+    sql="""
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_join_names(spark, sf_dir):
+    """Exact edit-distance-1 fuzzy self-join (operators/dedup.py:
+    fuzzy_join_dist1) — FastSS deletion-neighborhood blocking: the
+    equi-join on single-deletion variants provably misses no true
+    pair, and integer levenshtein verifies survivors. The oracle is
+    the brute-force O(n^2) join, so the gate proves the blocked plan
+    returns EXACTLY the quadratic answer at linear-ish cost."""
+    c = _t(spark, sf_dir, "customer")
+    return D.fuzzy_join_dist1(c, id_col="c_custkey", str_col="c_name")
+
+
+@register(
     "ngram_jaccard_pairs",
     sql=r"""
     WITH t AS MATERIALIZED (

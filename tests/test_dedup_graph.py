@@ -134,3 +134,38 @@ def test_incremental_dedup_finds_cross_side_dups_only(spark):
     assert (100, 1) in found and (100, 2) in found
     assert all(nid == 100 for nid, _ in found)
     assert all(0.5 <= r["jaccard"] <= 1.0 for r in out)
+
+
+class TestFuzzyJoinDist1:
+    def _run(self, spark, rows):
+        from mssql_dataframe_spark.operators.dedup import fuzzy_join_dist1
+        df = spark.createDataFrame(rows, "id long, text string")
+        return sorted(
+            (r["id1"], r["id2"])
+            for r in fuzzy_join_dist1(df, "id", "text").collect()
+        )
+
+    def test_substitution_insertion_deletion(self, spark):
+        pairs = self._run(spark, [
+            (1, "kitten"),
+            (2, "mitten"),    # substitution
+            (3, "kittens"),   # insertion
+            (4, "kiten"),     # deletion
+            (5, "sitting"),   # distance > 1 from all
+        ])
+        assert pairs == [(1, 2), (1, 3), (1, 4)]
+
+    def test_equal_strings_match(self, spark):
+        assert self._run(spark, [(1, "abc"), (2, "abc")]) == [(1, 2)]
+
+    def test_empty_and_null(self, spark):
+        # "" vs "a" is distance 1; NULL rows are dropped
+        pairs = self._run(spark, [(1, ""), (2, "a"), (3, None), (4, "ab")])
+        assert pairs == [(1, 2), (2, 4)]
+
+    def test_no_duplicate_pairs_from_shared_variants(self, spark):
+        # "ab"/"ba" share TWO deletion variants ("a" and "b") but are
+        # distance 2 — must not appear; "ab"/"b" share one and are
+        # distance 1 — must appear exactly once
+        pairs = self._run(spark, [(1, "ab"), (2, "ba"), (3, "b")])
+        assert pairs == [(1, 3), (2, 3)]
