@@ -58,6 +58,8 @@ HEADLINE = [
     "dedup_cluster_survivors",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
+    "fuzzy_join_names",
+    "embedding_semantic_dedup",
     "text_quality_features",
     "text_tfidf_top_terms",
     "unigram_logprob_quality",

@@ -932,7 +932,10 @@ def fuzzy_join_dist1(
     a bucket exactly like an LSH band; at corpus scale cap or salt
     keys above a bucket-size bound as in ``lsh_candidate_pairs``.
     """
-    s = F.col(str_col)
+    base = df.filter(F.col(str_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s")
+    )
+    s = F.col("s")
     variants = F.array_union(
         F.array(s),
         F.transform(
@@ -943,11 +946,16 @@ def fuzzy_join_dist1(
             ),
         ),
     )
-    keyed = (
-        df.filter(s.isNotNull())
-        .select(F.col(id_col).alias("id"), s.alias("s"),
-                F.explode(variants).alias("k"))
-    )
+    # a small input (one parquet file) scans as ONE partition, and a
+    # broadcast probe inherits its parent partitioning — the explode,
+    # probe, and levenshtein verification would all run on a single
+    # thread. Spread the probe side first; the shuffle moves only the
+    # pre-explode (id, s) rows. Inputs already wider than the session
+    # parallelism keep their partitioning.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    keyed = base.select("id", "s", F.explode(variants).alias("k"))
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(
@@ -961,9 +969,12 @@ def fuzzy_join_dist1(
             F.col("a.s").alias("s1"),
             F.col("b.s").alias("s2"),
         )
-        .distinct()
     )
+    # verify BEFORE deduplicating: levenshtein is a cheap map-side
+    # filter, and the distinct then shuffles only the surviving int
+    # pairs instead of every candidate with both strings attached
     return (
         cands.filter(F.levenshtein("s1", "s2") <= 1)
         .select("id1", "id2")
+        .distinct()
     )
