@@ -60,6 +60,7 @@ HEADLINE = [
     "simhash_near_dup_pairs",
     "fuzzy_join_names",
     "embedding_semantic_dedup",
+    "exact_substring_dup_pairs",
     "text_quality_features",
     "text_tfidf_top_terms",
     "unigram_logprob_quality",

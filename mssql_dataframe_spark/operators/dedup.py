@@ -978,3 +978,61 @@ def fuzzy_join_dist1(
         .select("id1", "id2")
         .distinct()
     )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 48,
+    kgram: int = 8,
+    mod: int = 16,
+) -> DataFrame:
+    """Exact-substring near-dup pairs: documents sharing a VERBATIM
+    ``window``-char span (the exact-substring dedup of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" —
+    re-expressed relationally instead of via a suffix array).
+
+    Content-defined anchoring makes it offset-independent: a position
+    is an anchor when the md5 of its ``kgram``-char prefix hashes to
+    ``0 mod mod``; both copies of a shared span select the SAME
+    anchors regardless of where the span sits in each document, so
+    anchored windows align without comparing every offset pair. A
+    shared span of length >= window + mod*kgram (expected) contains an
+    anchor; the equi-join on the window text is then EXACT — no
+    verification step needed, matches are literal string equality.
+
+    Scale shape: ~len/mod anchored rows per document (the explode is
+    the only fan-out), one equi-join on 48-char keys, distinct on int
+    pairs. Cost ∝ corpus size + true matches, never O(N^2). The same
+    skew note as fuzzy_join_dist1 applies to pathological hot windows
+    (boilerplate headers): cap or salt oversized window buckets.
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= window)
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    pos = base.select(
+        "id", "t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - F.lit(window - 1))
+        ).alias("p"),
+    )
+    khash = F.conv(
+        F.substring(F.md5(F.col("t").substr(F.col("p"), F.lit(kgram))), 1, 10),
+        16, 10,
+    ).cast("long")
+    anchored = pos.filter(khash % mod == 0).select(
+        "id", F.col("t").substr(F.col("p"), F.lit(window)).alias("w")
+    )
+    a, b = anchored.alias("a"), anchored.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )

@@ -2536,6 +2536,38 @@ def simhash_pairs(spark, sf_dir):
 
 
 @register(
+    "exact_substring_dup_pairs",
+    sql="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, GREATEST(LENGTH(text) - 48 + 1, 0) + 1)) AS p
+      FROM documents
+    ),
+    anchored AS (
+      SELECT doc_id, substring(text, CAST(p AS INT), 48) AS w
+      FROM pos
+      WHERE (('0x' || substring(md5(substring(text, CAST(p AS INT), 8)),
+                                1, 10))::BIGINT) % 16 = 0
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM anchored a JOIN anchored b
+      ON a.w = b.w AND a.doc_id < b.doc_id
+    """,
+)
+def exact_substring_dup_pairs(spark, sf_dir):
+    """Exact-substring near-dup pairs (operators/dedup.py:
+    exact_substring_pairs): documents sharing a verbatim 48-char span,
+    found via content-defined md5 anchors (offset-independent, so
+    shared spans align without O(N^2) offset comparison) and an
+    equi-join on the anchored window text — the relational form of
+    suffix-array exact-substring dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_substring_pairs(
+        d, id_col="doc_id", text_col="text", window=48, kgram=8, mod=16
+    )
+
+
+@register(
     "fuzzy_join_names",
     sql="""
     SELECT a.c_custkey AS id1, b.c_custkey AS id2

@@ -169,3 +169,35 @@ class TestFuzzyJoinDist1:
         # distance 1 — must appear exactly once
         pairs = self._run(spark, [(1, "ab"), (2, "ba"), (3, "b")])
         assert pairs == [(1, 3), (2, 3)]
+
+
+class TestExactSubstringPairs:
+    def _run(self, spark, rows, **kw):
+        from mssql_dataframe_spark.operators.dedup import exact_substring_pairs
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted(
+            (r["id1"], r["id2"])
+            for r in exact_substring_pairs(df, **kw).collect()
+        )
+
+    def test_shared_span_found_at_any_offset(self, spark):
+        span = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, "AAAA " + span + " tail one"),
+            (2, "a completely different prefix here " + span),
+            (3, "no overlap with anything else in this corpus at all ok"),
+        ]
+        pairs = self._run(spark, rows, window=24, kgram=4, mod=2)
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
+
+    def test_short_docs_are_safe(self, spark):
+        rows = [(1, "tiny"), (2, "tiny"), (3, None)]
+        assert self._run(spark, rows, window=24, kgram=4, mod=2) == []
+
+    def test_pair_reported_once(self, spark):
+        # long shared text -> many shared anchored windows, one pair row
+        shared = "x" * 5 + " shared sentence repeated verbatim " * 4
+        rows = [(1, shared + " a"), (2, shared + " b")]
+        pairs = self._run(spark, rows, window=24, kgram=4, mod=2)
+        assert pairs == [(1, 2)]
