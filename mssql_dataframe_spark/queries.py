@@ -4152,6 +4152,44 @@ def verb_restore(spark, sf_dir):
 
 
 @register(
+    "verb_clone_diverge",
+    sql="""
+    SELECT n_nationkey,
+           n_name AS src_name,
+           n_name || '_C' AS clone_name
+    FROM nation
+    """,
+)
+def verb_clone_diverge(spark, sf_dir):
+    """SHALLOW CLONE analog (store.py:clone): the clone shares the
+    source's immutable files by reference (hard links locally,
+    absolute URIs on object storage) at O(files) metadata cost, then
+    diverges independently — the gate updates ONLY the clone and
+    proves the source still reads its original rows while the clone
+    reads the updated ones."""
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    eng.create.table_from_dataframe(
+        "dbo.nation_src", nation, primary_key="n_nationkey"
+    )
+    eng.write.insert("dbo.nation_src", nation)
+    eng.clone("dbo.nation_src", "dbo.nation_clone")
+    eng.write.update(
+        "dbo.nation_clone",
+        nation.select(
+            "n_nationkey", F.concat("n_name", F.lit("_C")).alias("n_name")
+        ),
+    )
+    src = eng.read.table("dbo.nation_src").select(
+        "n_nationkey", F.col("n_name").alias("src_name")
+    )
+    cln = eng.read.table("dbo.nation_clone").select(
+        "n_nationkey", F.col("n_name").alias("clone_name")
+    )
+    return src.join(cln, "n_nationkey")
+
+
+@register(
     "verb_delete_keys",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -99,6 +99,11 @@ class SparkEngine:
         Returns (files_before, files_after)."""
         return self.store.optimize(table_name, small_file_rows=small_file_rows)
 
+    def clone(self, src_table: str, dst_table: str):
+        """Zero-copy clone of a table's current snapshot (Delta
+        ``SHALLOW CLONE`` analog). Returns the new table's metadata."""
+        return self.store.clone(src_table, dst_table)
+
     def restore(self, table_name: str, version: int) -> int:
         """Roll a table back to a retained prior snapshot (Delta
         ``RESTORE TABLE ... TO VERSION AS OF`` analog): manifest-only

@@ -38,6 +38,7 @@ import os
 import shutil
 import time
 import uuid
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -455,6 +456,42 @@ class TableStore:
         meta.version = next_v
         self._write_meta(name, meta)
         self._vacuum(name, keep_before=next_v - self._retention(meta))
+
+    def clone(self, src: str, dst: str) -> TableMeta:
+        """Zero-copy table clone (Delta ``SHALLOW CLONE`` analog): the
+        destination gets a copy of the source's current manifest and
+        metadata, with pool entries HARD-LINKED to the source's
+        immutable files — O(files) metadata work, no data read or
+        rewrite at any table size. The tables then diverge freely:
+        every later commit and vacuum touches only its own pool, and a
+        shared file's bytes are freed when the last link drops. On
+        object storage the same shape references absolute file URIs
+        instead of links (Delta's shallow-clone AddFile carries the
+        source path verbatim)."""
+        if self.exists(dst):
+            raise ValueError(f"table {dst!r} already exists")
+        meta = self.meta(src)
+        entries = self.manifest(src, meta.version)
+        src_pool, dst_pool = self._pool_dir(src), self._pool_dir(dst)
+        os.makedirs(dst_pool, exist_ok=True)
+        for e in entries:
+            os.link(
+                os.path.join(src_pool, e["path"]),
+                os.path.join(dst_pool, e["path"]),
+            )
+        new_meta = dataclasses.replace(
+            meta, name=str(dst), version=0, created_at=time.time(),
+            column_types=dict(meta.column_types),
+            primary_key=list(meta.primary_key),
+            not_nullable=list(meta.not_nullable),
+            properties=dict(meta.properties),
+        )
+        self._write_manifest(dst, 0, [dict(e) for e in entries], commit={
+            "op": f"clone({src})", "ts": time.time(),
+            "n_added": 0, "n_kept": len(entries),
+        })
+        self._write_meta(dst, new_meta)
+        return new_meta
 
     def restore(self, name: str, version: int) -> int:
         """Roll the table back to a retained prior snapshot (the Delta

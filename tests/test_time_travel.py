@@ -163,3 +163,46 @@ def test_restore_of_restore(engine, spark):
     engine.restore("dbo.tt", v_upd)
     cur = {r["id"]: r["val"] for r in engine.read.table("dbo.tt").collect()}
     assert cur == {1: "a", 2: "b2"}
+
+
+def test_clone_is_zero_copy_and_diverges(engine, spark):
+    """SHALLOW CLONE: same rows, hard-linked files (no data copy),
+    then independent evolution and vacuum on each side."""
+    import os as _os
+
+    _mk(engine, spark)
+    engine.clone("dbo.tt", "dbo.tt2")
+    # same data, shared inodes
+    assert {
+        (r["id"], r["val"]) for r in engine.read.table("dbo.tt2").collect()
+    } == {(1, "a"), (2, "b")}
+    src_pool = engine.store._pool_dir("dbo.tt")
+    dst_pool = engine.store._pool_dir("dbo.tt2")
+    for e in engine.store.manifest("dbo.tt2", 0):
+        s = _os.stat(_os.path.join(dst_pool, e["path"]))
+        assert s.st_nlink >= 2
+        assert s.st_ino == _os.stat(
+            _os.path.join(src_pool, e["path"])
+        ).st_ino
+    # diverge: update the clone only
+    engine.write.update(
+        "dbo.tt2", spark.createDataFrame([(1, "c2")], "id long, val string")
+    )
+    assert {r["val"] for r in engine.read.table("dbo.tt").collect()} == {"a", "b"}
+    assert {r["val"] for r in engine.read.table("dbo.tt2").collect()} == {"c2", "b"}
+    # churn the SOURCE past retention: its vacuum must not break the
+    # clone (hard link keeps the bytes alive)
+    for i in range(5):
+        engine.write.update(
+            "dbo.tt",
+            spark.createDataFrame([(2, f"s{i}")], "id long, val string"),
+        )
+    assert engine.read.table("dbo.tt2").count() == 2
+
+
+def test_clone_rejects_existing_destination(engine, spark):
+    import pytest as _pytest
+
+    _mk(engine, spark)
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.clone("dbo.tt", "dbo.tt")
