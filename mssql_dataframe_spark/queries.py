@@ -5011,6 +5011,36 @@ def corpus_mixture_audit(spark, sf_dir):
 
 
 @register(
+    "source_xml_roundtrip",
+    sql="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def source_xml_roundtrip(spark, sf_dir):
+    """XML sink+source (Spark 4's built-in xml data source, the
+    spark-xml merge): write supplier rows as <row> elements, read them
+    back with an explicit schema (no inference pass at scale), and
+    aggregate — the oracle computes the same from parquet, proving the
+    XML round trip lossless for the projected columns."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    path = os.path.join(_SCRATCH, f"xml_{uuid.uuid4().hex}")
+    s.write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    back = spark.read.schema(s.schema).option("rowTag", "row").format(
+        "xml"
+    ).load(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        F.sum(F.length("s_name")).cast("bigint").alias("name_chars"),
+    )
+
+
+@register(
     "source_orc_roundtrip",
     sql="""
     SELECT l_returnflag,
