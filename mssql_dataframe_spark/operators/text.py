@@ -316,3 +316,71 @@ def char_entropy(
         ).alias("char_entropy"),
         F.count("*").cast("bigint").alias("distinct_chars"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information — the classic
+    corpus-analysis pass for multi-word expressions ("new york",
+    "machine learning") used to build tokenizer merge candidates and
+    phrase vocabularies.
+
+    PMI = ln( (c_xy/B) / ((c_x/U)(c_y/U)) ) for adjacent lowercased
+    token pairs, expanded to ln-of-integer-count terms and quantized
+    ``round(ln(k)*1e6)`` so the score is an ORDER-INDEPENDENT int64
+    sum — same trick as unigram_logprob; engine and oracle rank
+    identically, and the (pmi, tok1, tok2) sort key is unique so the
+    top-N cut is deterministic.
+
+    Scale shape: bigrams come from one array zip (no self-join); pair
+    and unigram counts are two combiner aggregations; U and B are
+    one-row aggregates broadcast into the scoring join; the unigram
+    side joins twice by token (broadcast when the vocabulary is small,
+    shuffle otherwise — Catalyst/AQE picks). Nothing holds more than
+    the vocabulary in any single task.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    base = df.select(toks.alias("tk")).filter(F.size("tk") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.size("tk") - 1).alias("t1"),
+                F.slice("tk", 2, F.size("tk") - 1).alias("t2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    big = pairs.groupBy("t1", "t2").agg(F.count("*").alias("c_xy"))
+    totals = uni.agg(
+        F.sum("c").alias("U")
+    ).crossJoin(big.agg(F.sum("c_xy").alias("B")))
+
+    def qln(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    scored = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("tok").alias("t1"),
+                         F.col("c").alias("c_x")), "t1")
+        .join(uni.select(F.col("tok").alias("t2"),
+                         F.col("c").alias("c_y")), "t2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "t1", "t2", F.col("c_xy").alias("pair_count"),
+            (
+                qln(F.col("c_xy")) + 2 * qln(F.col("U"))
+                - qln(F.col("B")) - qln(F.col("c_x")) - qln(F.col("c_y"))
+            ).alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_q").desc(), "t1", "t2"
+    ).limit(top_n)

@@ -2489,6 +2489,52 @@ def unigram_logprob_quality(spark, sf_dir):
 
 
 @register(
+    "bigram_pmi_collocations",
+    sql=r"""
+    WITH d AS (
+      SELECT CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_transform(
+                         regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> lower(t)) END AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT tk[CAST(i AS INT)] AS t1, tk[CAST(i AS INT) + 1] AS t2
+      FROM (SELECT tk, unnest(range(1, GREATEST(len(tk), 1))) AS i FROM d)
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(tk) AS tok FROM d) GROUP BY tok
+    ),
+    big AS (SELECT t1, t2, COUNT(*) AS c_xy FROM pairs GROUP BY t1, t2),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS u,
+                   (SELECT SUM(c_xy) FROM big) AS b),
+    scored AS (
+      SELECT t1, t2, c_xy AS pair_count,
+             CAST(ROUND(LN(c_xy::DOUBLE) * 1e6) AS BIGINT)
+             + 2 * CAST(ROUND(LN(u::DOUBLE) * 1e6) AS BIGINT)
+             - CAST(ROUND(LN(b::DOUBLE) * 1e6) AS BIGINT)
+             - CAST(ROUND(LN(x.c::DOUBLE) * 1e6) AS BIGINT)
+             - CAST(ROUND(LN(y.c::DOUBLE) * 1e6) AS BIGINT) AS pmi_q
+      FROM big JOIN uni x ON big.t1 = x.tok
+               JOIN uni y ON big.t2 = y.tok, tot
+      WHERE c_xy >= 5
+    )
+    SELECT t1, t2, pair_count, pmi_q
+    FROM scored ORDER BY pmi_q DESC, t1, t2 LIMIT 50
+    """,
+)
+def bigram_pmi_collocations(spark, sf_dir):
+    """Top-50 collocations by PMI (operators/text.py:bigram_pmi) —
+    multi-word-expression mining for tokenizer merge candidates.
+    ln-of-count terms quantized to int64 at 1e-6 (the unigram_logprob
+    trick) make the score and therefore the top-N cut engine-exact;
+    the (pmi, t1, t2) sort key is unique so LIMIT is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    return X.bigram_pmi(d, min_count=5, top_n=50)
+
+
+@register(
     "simhash_near_dup_pairs",
     sql=r"""
     -- full SimHash replica: md5-60-bit token hash, per-bit +-1 sums,
@@ -5038,6 +5084,35 @@ def source_xml_roundtrip(spark, sf_dir):
         F.sum("s_suppkey").cast("bigint").alias("key_sum"),
         F.sum(F.length("s_name")).cast("bigint").alias("name_chars"),
     )
+
+
+@register(
+    "source_schema_evolution_merge",
+    sql="""
+    SELECT r_regionkey, r_name,
+           CASE WHEN r_regionkey >= 3 THEN 'batch2' END AS batch_tag
+    FROM region
+    """,
+)
+def source_schema_evolution_merge(spark, sf_dir):
+    """Schema-drift read (``mergeSchema``): batch 1 lands without the
+    ``batch_tag`` column, batch 2 adds it — the merged scan unions the
+    footers' schemas and back-fills NULL for files written before the
+    column existed, the standard lake pattern for additive evolution
+    (same semantics the store's versioned manifests give MODIFY ADD).
+    """
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = os.path.join(_SCRATCH, f"evo_{uuid.uuid4().hex}")
+    r.filter(F.col("r_regionkey") < 3).write.mode("overwrite").parquet(
+        os.path.join(path, "b=1")
+    )
+    r.filter(F.col("r_regionkey") >= 3).withColumn(
+        "batch_tag", F.lit("batch2")
+    ).write.mode("overwrite").parquet(os.path.join(path, "b=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "b=1"), os.path.join(path, "b=2")
+    )
+    return back.select("r_regionkey", "r_name", "batch_tag")
 
 
 @register(

@@ -113,3 +113,25 @@ def test_unigram_logprob_scores_and_edges(spark):
     df2 = _docs(spark, [(1, "The THE the")])
     r = unigram_logprob(df2).collect()[0]
     assert r.n_tokens == 3 and r.mean_logprob == pytest.approx(0.0, abs=2e-6)
+
+
+def test_bigram_pmi_ranks_collocations(spark):
+    """'new york' always adjacent -> top PMI; frequent-but-independent
+    pairs score lower; min_count prunes rare pairs."""
+    from mssql_dataframe_spark.operators.text import bigram_pmi
+
+    docs = ["new york " * 6 + "the cat the dog the cat the dog"] * 3 + [
+        "the a " * 20,          # frequent tokens, weak association
+        "rare pair",            # below min_count
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    out = bigram_pmi(df, min_count=5, top_n=10).collect()
+    assert out, "expected collocations"
+    ranked = [(r["t1"], r["t2"]) for r in out]
+    assert ranked[0] == ("new", "york")
+    assert ("rare", "pair") not in ranked
+    # scores strictly ordered, ints
+    scores = [r["pmi_q"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(s, int) for s in scores)
