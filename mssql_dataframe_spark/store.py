@@ -72,10 +72,10 @@ class TableMeta:
         return T.StructType.fromJson(self.spark_schema_json)
 
 
-def _footer_stats(path: str, col: Optional[str]):
-    """(rows, min, max) for ``col`` from the Parquet footer — no scan.
+def _footer_stats(path: str, cols: list[str]):
+    """(rows, {col: (min, max)}) from the Parquet footer — no scan.
 
-    Returns (rows, None, None) when the column is absent, has no valid
+    A column is omitted from the dict when it is absent, has no valid
     chunk statistics, or its values are not plain int/str (the JSON-
     and comparison-safe types). Parquet stats may be truncated for long
     strings; they remain valid OUTER bounds, so range pruning built on
@@ -85,23 +85,31 @@ def _footer_stats(path: str, col: Optional[str]):
 
     md = pq.ParquetFile(path).metadata
     rows = md.num_rows
-    if not col:
-        return rows, None, None
-    try:
-        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
-    except ValueError:
-        return rows, None, None
-    lo = hi = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return rows, None, None
-        mn, mx = st.min, st.max
-        if not isinstance(mn, (int, str)) or isinstance(mn, bool):
-            return rows, None, None
-        lo = mn if lo is None else min(lo, mn)
-        hi = mx if hi is None else max(hi, mx)
-    return rows, lo, hi
+    bounds: dict[str, tuple] = {}
+    if not cols:
+        return rows, bounds
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    for col in cols:
+        try:
+            idx = names.index(col)
+        except ValueError:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, str)) or isinstance(mn, bool):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            bounds[col] = (lo, hi)
+    return rows, bounds
 
 
 def _plain_scalar(v):
@@ -251,9 +259,25 @@ class TableStore:
             return prop
         return meta.primary_key[0] if len(meta.primary_key) == 1 else None
 
+    def _stats_cols(self, meta: TableMeta) -> list[str]:
+        """ALL columns whose bounds manifest entries record: the
+        primary stats column plus any extras in the ``stats_columns``
+        table property (list or comma-joined string) — the Delta
+        collect-stats-for-N-columns shape, so pruning works on more
+        than one key (e.g. both the surrogate PK and the SCD2 business
+        key) and survives a later primary-key change for free."""
+        extra = meta.properties.get("stats_columns") or []
+        if isinstance(extra, str):
+            extra = [c.strip() for c in extra.split(",") if c.strip()]
+        primary = self._stats_col(meta)
+        out = [primary] if primary else []
+        out.extend(c for c in extra if c and c not in out)
+        return out
+
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
                   stats_col: Optional[str],
-                  cluster: bool = False) -> list[dict]:
+                  cluster: bool = False,
+                  extra_stats_cols: Optional[list[str]] = None) -> list[dict]:
         """Materialize ``df`` as new immutable pool files; return their
         manifest entries (footer row counts + key bounds).
 
@@ -288,22 +312,30 @@ class TableStore:
         # step; here it is the local analog of that parallelism)
         from concurrent.futures import ThreadPoolExecutor
 
+        harvest = [stats_col] if stats_col else []
+        for c in extra_stats_cols or []:
+            if c and c not in harvest and c in schema.fieldNames():
+                harvest.append(c)
         entries = []
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(moved)))) as ex:
             stats = list(
-                ex.map(lambda m: _footer_stats(m[1], stats_col), moved)
+                ex.map(lambda m: _footer_stats(m[1], harvest), moved)
             )
-        for (dst_name, dst), (rows, lo, hi) in zip(moved, stats):
+        for (dst_name, dst), (rows, bounds) in zip(moved, stats):
             if rows == 0:
                 os.remove(dst)  # empty part files bloat the manifest
                 continue
-            # stats_col is recorded PER ENTRY: after a primary-key or
-            # stats_column change, old entries' bounds describe the OLD
-            # column — split_by_key_range must not compare them against
-            # the new key (silent lost updates otherwise).
+            lo, hi = bounds.get(stats_col, (None, None))
+            # stats are recorded PER ENTRY, column-labeled: after a
+            # primary-key or stats_column change, old entries' bounds
+            # describe the OLD column — split_by_key_range must not
+            # compare them against the new key (silent lost updates
+            # otherwise). The legacy stats_col/min/max triple stays for
+            # the primary column; "stats" carries every harvested one.
             entries.append({
                 "path": dst_name, "rows": rows, "min": lo, "max": hi,
                 "stats_col": stats_col if lo is not None else None,
+                "stats": {c: [b[0], b[1]] for c, b in bounds.items()},
                 # written schema, so restore() can reject a rollback
                 # across a column drop/rename instead of misreading
                 "schema_cols": list(schema.fieldNames()),
@@ -385,24 +417,30 @@ class TableStore:
     ) -> tuple[list[str], list[dict]]:
         """Partition the current manifest into (touched paths, kept
         entries) for a source whose ``col`` values span [lo, hi].
-        An entry is kept ONLY when its recorded ``stats_col`` matches
-        ``col`` (bounds written before a primary-key/stats_column change
-        describe a different column and must count as touched) and its
-        range is provably disjoint. Files without usable stats are
-        always touched (safe)."""
+        An entry is kept ONLY when it carries bounds RECORDED FOR
+        ``col`` (bounds written before a primary-key/stats_column
+        change describe a different column and must count as touched)
+        and its range is provably disjoint. Bounds come from the
+        column-labeled ``stats`` map when present (multi-column stats:
+        any recorded column can prune) with the legacy single
+        stats_col/min/max triple as fallback. Files without usable
+        stats for ``col`` are always touched (safe)."""
         meta = self.meta(name)
         lo, hi = _plain_scalar(lo), _plain_scalar(hi)
-        if self._stats_col(meta) != col or lo is None or hi is None:
+        if lo is None or hi is None:
             ents = self.manifest(name, meta.version)
             return [e["path"] for e in ents], []
         touched, kept = [], []
         for e in self.manifest(name, meta.version):
+            b = (e.get("stats") or {}).get(col)
+            if b is None and e.get("stats_col") == col:
+                b = (e.get("min"), e.get("max"))
             if (
-                e.get("stats_col") != col
-                or e.get("min") is None
-                or e.get("max") is None
-                or type(e["min"]) is not type(lo)
-                or not (e["max"] < lo or e["min"] > hi)
+                b is None
+                or b[0] is None
+                or b[1] is None
+                or type(b[0]) is not type(lo)
+                or not (b[1] < lo or b[0] > hi)
             ):
                 touched.append(e["path"])
             else:
@@ -444,6 +482,7 @@ class TableStore:
         entries = self._stage_in(
             name, df, meta.spark_schema, self._stats_col(meta),
             cluster=bool(meta.properties.get("cluster_on_write")),
+            extra_stats_cols=self._stats_cols(meta),
         )
         next_v = meta.version + 1
         carried = self.manifest(name, meta.version)
@@ -587,6 +626,7 @@ class TableStore:
         staged = self._stage_in(
             name, df, schema, stats_col,
             cluster=bool(meta.properties.get("cluster_on_write")),
+            extra_stats_cols=self._stats_cols(meta),
         )
         entries = keep_entries + staged
         self._write_manifest(name, next_v, entries, commit={

@@ -387,3 +387,55 @@ def test_delete_prunes_and_counts(engine, spark):
     # the commit is labeled in history
     ops = [h["operation"] for h in eng.store.history("dbo.dl")]
     assert ops[0] == "delete" or "delete" in ops
+
+
+def test_multi_column_stats_prune_on_secondary_key(engine, spark):
+    """With stats_columns declared, entries carry bounds for EVERY
+    listed column, so pruning engages on a secondary key (and keeps
+    working after the PK later swaps to it) — the Delta
+    collect-stats-for-N-columns shape."""
+    eng = engine
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") + 100_000).alias("v2"),
+            F.lit(0.0).cast("double").alias("v"),
+        )
+        # cluster by v2 so files are disjoint on the SECONDARY key too
+        .repartitionByRange(8, "v2")
+        .sortWithinPartitions("v2")
+    )
+    eng.create.table(
+        "dbo.mstats", {"k": "bigint", "v2": "bigint", "v": "float"},
+        primary_key_column="k",
+        properties={"stats_columns": ["v2"]},
+    )
+    eng.write.insert("dbo.mstats", df)
+
+    meta = eng.store.meta("dbo.mstats")
+    ents = eng.store.manifest("dbo.mstats", meta.version)
+    assert all(set(e["stats"]) == {"k", "v2"} for e in ents)
+
+    # pruning decision on the secondary column: narrow v2 range keeps
+    # most files
+    touched, kept = eng.store.split_by_key_range(
+        "dbo.mstats", "v2", 100_100, 100_150
+    )
+    assert kept, "expected files provably disjoint on v2 to be kept"
+    assert len(touched) < len(ents)
+
+    # end-to-end after PK swap to v2: bounds recorded at write time
+    # let the keyed update BOTH prune and hit every matching row
+    eng.modify.primary_key("dbo.mstats", "drop")
+    eng.modify.primary_key("dbo.mstats", "add", columns="v2")
+    before = _manifest_paths(eng, "dbo.mstats")
+    src = spark.range(100_100, 100_150).select(
+        F.col("id").alias("v2"), F.lit(9.5).cast("double").alias("v")
+    )
+    eng.write.update("dbo.mstats", src, match_columns=["v2"])
+    out = eng.read.table("dbo.mstats")
+    assert out.filter("v = 9.5").count() == 50
+    assert out.count() == 1000
+    after = _manifest_paths(eng, "dbo.mstats")
+    assert before & after, "disjoint files must carry over by reference"
