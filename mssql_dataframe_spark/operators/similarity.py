@@ -582,3 +582,117 @@ def semantic_dedup(
             )
         ).alias("is_dup"),
     )
+
+
+def kmeans_quantized(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact Lloyd k-means over an embedding column — the
+    codebook trainer behind IVF inverted lists and SemDeDup clusters.
+
+    Every quantity lives on the ``1/quant`` grid as int64: vectors are
+    quantized ``floor(v*quant + 0.5)`` (power-of-two quant => exact in
+    binary FP), assignment minimizes integer squared L2 with
+    lowest-cid tie-break, and the centroid update is the round-half-up
+    integer mean ``floor((2*s + n) / (2n))`` per coordinate (numerator
+    < 2^53, so the double division is exact). Lloyd's loop is
+    therefore BIT-REPRODUCIBLE on any engine, any partitioning, any
+    reduction order — unlike float k-means, whose per-cluster mean
+    depends on summation order. Init = the k min-id vectors; an empty
+    cluster keeps its previous centroid.
+
+    Returns one row per cluster: (cid, n_members, inertia_q) after
+    ``iters`` assignment/update rounds — inertia in squared grid
+    units, an exact int64.
+
+    Scale shape: the quantized corpus is computed once and persisted;
+    each iteration is one map-side cross join against the k broadcast
+    centroids, one combiner argmin keyed on the vector id, and one
+    (cid, pos) combiner aggregation whose k*dim output is collected to
+    the driver for the next broadcast (the classic broadcast-iteration
+    pattern; k*dim ints, never data). Driver loop runs ``iters``
+    times — at 100 TB each round is a single pass over the corpus, so
+    train on a sample and assign the full corpus once, exactly like
+    production IVF training.
+    """
+    qcol = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+
+    def sqsum(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+
+    def dotc(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a_, x: a_ + x,
+        )
+
+    spark = embeddings.sparkSession
+    qe = (
+        embeddings.select(F.col(id_col).alias("vec_id"), qcol.alias("q"))
+        .withColumn("nv", sqsum(F.col("q")))
+        .persist()
+    )
+    init = qe.orderBy("vec_id").limit(k).collect()
+    cents = [(i, list(r["q"])) for i, r in enumerate(init)]
+
+    def assign_for(cents_rows):
+        cdf = spark.createDataFrame(
+            [(cid, cq) for cid, cq in cents_rows],
+            "cid int, cq array<bigint>",
+        ).withColumn("nc", sqsum(F.col("cq")))
+        fan = qe.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "q", "nv", "cid",
+            (F.col("nv") + F.col("nc") - 2 * dotc(F.col("q"), F.col("cq")))
+            .alias("dist"),
+        )
+        return (
+            fan.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "q")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.dist").alias("dist"),
+                F.col("m.cid").alias("cid"),
+                F.col("m.q").alias("q"),
+            )
+        )
+
+    for _ in range(iters - 1):
+        assign = assign_for(cents)
+        means = (
+            assign.select("cid", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "s", "n"))
+                    ),
+                    lambda t: F.floor(
+                        (2 * t["s"] + t["n"]) / (2.0 * t["n"])
+                    ).cast("long"),
+                ).alias("cq")
+            )
+            .collect()
+        )
+        got = {r["cid"]: list(r["cq"]) for r in means}
+        cents = [(cid, got.get(cid, cq)) for cid, cq in cents]
+
+    final = assign_for(cents)
+    out = final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist").alias("inertia_q"),
+    )
+    qe.unpersist()
+    return out.select("cid", "n_members", "inertia_q")

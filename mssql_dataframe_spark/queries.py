@@ -957,7 +957,8 @@ def q22(spark, sf_dir):
 @register(
     "window_top3_orders_per_customer",
     sql="""
-    SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -4585,6 +4586,83 @@ def embedding_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, k=8, tau_sq_bp=1200, quant=1024)
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3,
+                       quant: int = 1024, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of kmeans_quantized: because every
+    Lloyd step is integer-exact on the 1/quant grid, the iterative
+    algorithm is expressible as a FLAT chain of ``iters`` assignment +
+    mean CTEs that reproduces Spark's result bit-for-bit."""
+    zipdot = ("CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
+              "p -> p[1] * p[2])) AS BIGINT)")
+    dist = f"e.nv + c.nc - 2 * {zipdot}"
+    parts = [f"""
+    qn AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qe AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nv
+      FROM qn
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             q AS cq,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nc
+      FROM (SELECT vec_id, q FROM qe ORDER BY vec_id LIMIT {k})
+    )"""]
+    for i in range(iters):
+        parts.append(f""",
+    a{i} AS (
+      SELECT vec_id, q, cid, dist FROM (
+        SELECT e.vec_id, e.q, c.cid, {dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM qe e CROSS JOIN c{i} c) WHERE rn = 1
+    )""")
+        if i < iters - 1:
+            parts.append(f""",
+    m{i} AS (
+      SELECT cid, i AS pos,
+             CAST(SUM(q[CAST(i AS INT)]) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a{i}, range(1, {dim} + 1) r(i)
+      GROUP BY cid, i
+    ),
+    cm{i} AS (
+      SELECT cid,
+             list(CAST(FLOOR((2 * s + n) / (2.0 * n)) AS BIGINT)
+                  ORDER BY pos) AS cq
+      FROM m{i} GROUP BY cid
+    ),
+    c{i + 1} AS (
+      SELECT p.cid, COALESCE(m.cq, p.cq) AS cq,
+             CAST(list_sum(list_transform(COALESCE(m.cq, p.cq),
+                                          x -> x * x)) AS BIGINT) AS nc
+      FROM c{i} p LEFT JOIN cm{i} m ON p.cid = m.cid
+    )""")
+    parts.append(f"""
+    SELECT cid, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS inertia_q
+    FROM a{iters - 1} GROUP BY cid
+    """)
+    return "WITH" + "".join(parts[:-1])[1:] + parts[-1]
+
+
+@register("kmeans_codebook_train", sql=_kmeans_oracle_sql())
+def kmeans_codebook_train(spark, sf_dir):
+    """Integer-exact Lloyd k-means (operators/similarity.py:
+    kmeans_quantized): the codebook trainer behind IVF/SemDeDup. All
+    arithmetic lives on the 1/1024 grid in int64 — assignment,
+    round-half-up centroid means, inertia — so 3 Lloyd iterations
+    reproduce bit-for-bit on any engine, and the oracle is the SAME
+    algorithm unrolled into flat SQL CTEs. Per-cluster sizes and
+    exact integer inertia are the graded output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_quantized(emb, k=8, iters=3, quant=1024)
+
+
 @register(
     "embedding_int8_quantize",
     sql="""
@@ -4796,7 +4874,7 @@ def per_source_cap(spark, sf_dir):
 @register(
     "python_udtf_char_ngrams",
     sql="""
-    SELECT n_nationkey,
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
            substring(n_name, CAST(i AS INT), 3) AS gram,
            CAST(i - 1 AS INT) AS pos
     FROM (SELECT n_nationkey, n_name,

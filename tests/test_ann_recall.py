@@ -73,3 +73,45 @@ def test_multi_table_planes_are_distinct():
     W = S.plane_matrix(24, 64)
     assert len({tuple(row) for row in W.tolist()}) == 24
     assert np.linalg.matrix_rank(W) == 24
+
+
+def test_kmeans_quantized_exact_and_monotone(spark):
+    """Integer-exact Lloyd: identical results across runs, inertia
+    non-increasing in the iteration count, all vectors assigned."""
+    import random
+
+    from mssql_dataframe_spark.operators.similarity import kmeans_quantized
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(iters):
+        out = kmeans_quantized(df, k=4, iters=iters).collect()
+        return (
+            sum(r["n_members"] for r in out),
+            sum(r["inertia_q"] for r in out),
+            sorted((r["cid"], r["n_members"], r["inertia_q"]) for r in out),
+        )
+
+    n1, i1, r1 = run(1)
+    n3, i3, r3 = run(3)
+    n3b, _, r3b = run(3)
+    assert n1 == n3 == n3b == 120
+    assert i3 <= i1          # Lloyd never increases inertia
+    assert r3 == r3b         # bit-reproducible
+
+
+def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
+    """With k greater than the number of distinct points, surplus
+    clusters stay empty and their centroids persist without error."""
+    from mssql_dataframe_spark.operators.similarity import kmeans_quantized
+
+    rows = [(i, [1.0, 1.0]) for i in range(3)] + [(3, [-1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_quantized(df, k=3, iters=2).collect()
+    assert sum(r["n_members"] for r in out) == 4
+    # identical points collapse onto the first centroid; total exact
+    assert all(r["inertia_q"] >= 0 for r in out)
