@@ -138,3 +138,50 @@ def range_join_banded(
     )
     # no dedup needed: each left row lives in exactly one band, so it
     # meets each right interval at most once
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    fact_time: str,
+    valid_from: str = "_valid_from",
+    valid_to: str = "_valid_to",
+    dim_values: Optional[list[str]] = None,
+    suffix: str = "_pit",
+) -> DataFrame:
+    """Point-in-time join against a type-2 dimension: every fact row
+    attaches the dimension version valid AT ITS OWN timestamp —
+    ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)`` — the
+    as-reported view that makes backtests and training-data builds
+    leakage-free (joining the CURRENT version would leak the future).
+
+    Scale shape: one equi-join shuffle on the business key; the
+    interval containment is a post-join filter that keeps at most ONE
+    version per fact because SCD2 intervals partition the timeline per
+    key (merge_scd2 closes the prior version at exactly the new
+    version's valid_from). Pre-filter fan-out is bounded by a key's
+    history length, never the table size; at 100 TB both sides shuffle
+    once on the same key, or not at all if written bucketed by it.
+    """
+    dim_values = dim_values or [
+        c for c in dim.columns
+        if c not in set(on) | {valid_from, valid_to, "_is_current"}
+    ]
+    f, d = facts.alias("__f"), dim.alias("__d")
+    t = F.col(f"__f.{fact_time}")
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & (F.col(f"__f.{c}") == F.col(f"__d.{c}"))
+    cond = (
+        cond
+        & (F.col(f"__d.{valid_from}") <= t)
+        & (F.col(f"__d.{valid_to}").isNull()
+           | (t < F.col(f"__d.{valid_to}")))
+    )
+    taken = set(facts.columns)
+    out_cols = [F.col(f"__f.{c}") for c in facts.columns]
+    for c in dim_values:
+        name = c if c not in taken else f"{c}{suffix}"
+        out_cols.append(F.col(f"__d.{c}").alias(name))
+    return f.join(d, cond, "inner").select(*out_cols)

@@ -4237,6 +4237,93 @@ def verb_clone_diverge(spark, sf_dir):
 
 
 @register(
+    "scd2_point_in_time_join",
+    sql="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey <= 150
+    ),
+    hist AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             TIMESTAMP '2024-01-01 00:00:00' AS vf,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN TIMESTAMP '2024-06-01 00:00:00' END AS vt
+      FROM base
+      UNION ALL
+      SELECT c_custkey, 'V2', c_acctbal + 50.0,
+             TIMESTAMP '2024-06-01 00:00:00', NULL
+      FROM base WHERE c_custkey % 3 = 0
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey AS c_custkey,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN TIMESTAMP '2024-03-01 00:00:00'
+                  ELSE TIMESTAMP '2024-08-01 00:00:00' END AS fact_ts
+      FROM orders WHERE o_custkey <= 150
+    )
+    SELECT f.o_orderkey, f.c_custkey, f.fact_ts, h.c_name, h.c_acctbal
+    FROM facts f JOIN hist h ON f.c_custkey = h.c_custkey
+     AND h.vf <= f.fact_ts AND (h.vt IS NULL OR f.fact_ts < h.vt)
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time join (operators/joins.py:point_in_time_join)
+    against a type-2 dimension BUILT BY the engine's own merge_scd2
+    verbs: March facts see every customer's v1, August facts see the
+    re-versioned rows — the leakage-free as-reported view a backtest
+    or training-data build needs. One equi-join shuffle; the interval
+    filter keeps exactly one version per fact."""
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    eng.create.table(
+        "dbo.cust_pit",
+        {
+            "c_custkey": "bigint",
+            "c_name": "nvarchar(200)",
+            "c_acctbal": "float",
+            "_valid_from": "datetime2",
+            "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    eng.write.merge_scd2(
+        "dbo.cust_pit", base, match_columns=["c_custkey"], as_of=t1
+    )
+    changed = base.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("V2").alias("c_name"),
+        (F.col("c_acctbal") + F.lit(50.0)).alias("c_acctbal"),
+    )
+    eng.write.merge_scd2(
+        "dbo.cust_pit", changed, match_columns=["c_custkey"], as_of=t2
+    )
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 150)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.lit("2024-03-01 00:00:00"),
+            ).otherwise(F.lit("2024-08-01 00:00:00"))
+            .cast("timestamp_ntz").alias("fact_ts"),
+        )
+    )
+    dim = eng.read.table("dbo.cust_pit")
+    return J.point_in_time_join(
+        facts, dim, on=["c_custkey"], fact_time="fact_ts",
+        dim_values=["c_name", "c_acctbal"],
+    ).select("o_orderkey", "c_custkey", "fact_ts", "c_name", "c_acctbal")
+
+
+@register(
     "verb_delete_keys",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice

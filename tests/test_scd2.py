@@ -166,3 +166,60 @@ def test_duplicate_match_keys_raise(engine, spark):
     dup = _src(spark, [(1, "a", 2.0), (1, "a", 3.0)])
     with pytest.raises(Exception):
         engine.write.merge_scd2("dbo.scd", dup, as_of=_ts(T2))
+
+
+def test_point_in_time_join_picks_version_at_fact_time(spark):
+    """Facts see the version valid at THEIR timestamp: boundary hits
+    the new version (valid_from inclusive, valid_to exclusive), open
+    intervals match forever, unmatched keys drop (inner)."""
+    from mssql_dataframe_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01 00:00:00", "2024-06-01 00:00:00", False),
+            (1, "v2", "2024-06-01 00:00:00", None, True),
+            (2, "w1", "2024-01-01 00:00:00", None, True),
+        ],
+        "k long, name string, _valid_from string, _valid_to string, _is_current boolean",
+    ).selectExpr(
+        "k", "name",
+        "CAST(_valid_from AS TIMESTAMP_NTZ) AS _valid_from",
+        "CAST(_valid_to AS TIMESTAMP_NTZ) AS _valid_to",
+        "_is_current",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, "2024-03-15 00:00:00"),   # inside v1
+            (11, 1, "2024-06-01 00:00:00"),   # boundary -> v2
+            (12, 1, "2025-01-01 00:00:00"),   # open interval -> v2
+            (13, 2, "2024-02-01 00:00:00"),   # w1
+            (14, 3, "2024-02-01 00:00:00"),   # no dimension row
+            (15, 1, "2023-12-31 00:00:00"),   # before any version
+        ],
+        "fid long, k long, ts string",
+    ).selectExpr("fid", "k", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    out = {
+        r["fid"]: r["name"]
+        for r in point_in_time_join(
+            facts, dim, on=["k"], fact_time="ts", dim_values=["name"]
+        ).collect()
+    }
+    assert out == {10: "v1", 11: "v2", 12: "v2", 13: "w1"}
+
+
+def test_point_in_time_join_suffixes_colliding_columns(spark):
+    from mssql_dataframe_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, "dimname", "2024-01-01 00:00:00", None)],
+        "k long, name string, _valid_from string, _valid_to string",
+    ).selectExpr("k", "name",
+                 "CAST(_valid_from AS TIMESTAMP_NTZ) AS _valid_from",
+                 "CAST(_valid_to AS TIMESTAMP_NTZ) AS _valid_to")
+    facts = spark.createDataFrame(
+        [(1, "factname", "2024-02-01 00:00:00")], "k long, name string, ts string"
+    ).selectExpr("k", "name", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    row = point_in_time_join(
+        facts, dim, on=["k"], fact_time="ts", dim_values=["name"]
+    ).collect()[0]
+    assert row["name"] == "factname" and row["name_pit"] == "dimname"
