@@ -178,3 +178,49 @@ def test_minhash_signature_determinism_and_range(spark, texts):
     for r in sig.collect():
         again.setdefault(r["doc_id"], {})[r["band"]] = r["signature"]
     assert by_doc == again
+
+
+@st.composite
+def fuzzy_case(draw):
+    alphabet = "abc"
+    n = draw(st.integers(min_value=2, max_value=12))
+    return [
+        draw(st.text(alphabet=alphabet, min_size=0, max_size=6))
+        for _ in range(n)
+    ]
+
+
+@given(fuzzy_case())
+@_settings
+def test_fuzzy_join_dist1_matches_bruteforce(spark, strings):
+    """Deletion-neighborhood blocking returns EXACTLY the brute-force
+    edit-distance-<=1 pair set on arbitrary short strings over a tiny
+    alphabet (maximum variant collisions)."""
+    from mssql_dataframe_spark.operators.dedup import fuzzy_join_dist1
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (i, j)
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if lev(strings[i], strings[j]) <= 1
+    }
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "id long, text string"
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in fuzzy_join_dist1(df, "id", "text").collect()
+    }
+    assert got == expected
