@@ -4360,6 +4360,61 @@ def verb_delete_keys(spark, sf_dir):
 
 
 @register(
+    "pipeline_dedup_sweep",
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, 'xx', 'mirror', n_chars
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text
+    )
+    SELECT c.doc_id, c.lang, c.source, c.n_chars
+    FROM corpus c JOIN survivors s ON c.doc_id = s.doc_id
+    """,
+)
+def pipeline_dedup_sweep(spark, sf_dir):
+    """End-to-end dedup sweep ON THE STORE: ingest the corpus into a
+    managed table, find exact-duplicate losers with the dedup
+    operator, erase them with the keys-based DELETE verb (pruned,
+    versioned commit), and read the surviving snapshot back — the
+    operator suite and the warehouse verbs composing as one pipeline,
+    which is how a production corpus refresh actually runs. The
+    pre-delete snapshot stays time-travel readable."""
+    eng = _scratch_engine(spark)
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # a mirrored slice makes the duplicates real: every 4th document
+    # re-ingested under a new id (the re-crawl shape); min-id
+    # survivorship must keep the originals and erase the mirrors
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text",
+            F.lit("xx").alias("lang"), F.lit("mirror").alias("source"),
+            "n_chars",
+        )
+    )
+    eng.create.table(
+        "dbo.corpus",
+        {"doc_id": "bigint", "text": "nvarchar(max)",
+         "lang": "nvarchar(8)", "source": "nvarchar(64)",
+         "n_chars": "bigint"},
+        primary_key_column="doc_id",
+    )
+    eng.write.insert("dbo.corpus", docs)
+    tbl = eng.read.table("dbo.corpus")
+    survivors = D.exact_dedup(tbl, ["text"], "doc_id").select("doc_id")
+    losers = tbl.select("doc_id").join(survivors, "doc_id", "left_anti")
+    eng.write.delete("dbo.corpus", losers)
+    return eng.read.table("dbo.corpus").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
     "verb_check_constraints",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice
