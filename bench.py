@@ -67,6 +67,8 @@ HEADLINE = [
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "kmeans_codebook_train",
+    "scd2_point_in_time_join",
     # multimodal (real PPM/BMP/WAV codecs over mapInPandas)
     "multimodal_resize",
     "multimodal_audio_features",
