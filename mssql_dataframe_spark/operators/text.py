@@ -384,3 +384,69 @@ def bigram_pmi(
     return scored.orderBy(
         F.col("pmi_q").desc(), "t1", "t2"
     ).limit(top_n)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str = "v",
+    k_track: int = 64,
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact top-N frequent values via a distributed Misra-Gries
+    sketch + verification — the corpus-vocabulary shape where a full
+    ``GROUP BY value`` would build a hash table over billions of
+    distinct keys just to keep twenty.
+
+    Phase 1 (sketch, one pass, no shuffle): each partition runs
+    Misra-Gries with ``k_track`` counters over its rows inside
+    ``mapInPandas`` and emits only its surviving counters. Pigeonhole
+    guarantee: any value with global count > N/(k_track+1) survives in
+    at least one partition summary, so the candidate union contains
+    every true heavy hitter. Phase 2 (verify): exact counts for the
+    candidate set only — the count aggregation's key set is the tiny
+    candidate union, never the full vocabulary. Output is the exact
+    (value, cnt) top-N with deterministic (cnt desc, value) order —
+    independent of partitioning, because candidates are a superset of
+    the answer and counting is exact.
+    """
+    import pandas as pd_
+
+    src = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k_track:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd_.DataFrame(
+                {"v": list(counters), "w": list(counters.values())}
+            )
+
+    cands = (
+        src.mapInPandas(mg, "v string, w long")
+        .groupBy("v").agg(F.sum("w").alias("w"))
+        .select("v")
+    )
+    exact = (
+        src.join(F.broadcast(cands), "v")
+        .groupBy("v").agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.orderBy(F.col("cnt").desc(), F.col("v"))
+        .limit(top_n)
+        .select(F.col("v").alias("value"), "cnt")
+    )

@@ -2490,6 +2490,37 @@ def unigram_logprob_quality(spark, sf_dir):
 
 
 @register(
+    "heavy_hitters_tokens",
+    sql=r"""
+    WITH toks AS (
+      SELECT lower(unnest(regexp_split_to_array(TRIM(text), '\s+'))) AS v
+      FROM documents WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    )
+    SELECT v AS value, COUNT(*) AS cnt
+    FROM toks GROUP BY v
+    ORDER BY cnt DESC, value LIMIT 20
+    """,
+)
+def heavy_hitters_tokens(spark, sf_dir):
+    """Exact top-20 corpus tokens via distributed Misra-Gries +
+    verify (operators/text.py:heavy_hitters): the sketch pass emits
+    only per-partition surviving counters (no shuffle of the token
+    stream), and exact counting keys on the tiny candidate union
+    instead of the full vocabulary — at 100 TB that is the difference
+    between a 20-key and a billions-of-keys aggregation hash table.
+    The oracle is the brute-force GROUP BY; candidates are provably a
+    superset of every value with count > N/(k+1), so the exact top-20
+    match regardless of partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select(F.explode(X.tokens(F.col("text"))).alias("t")).select(
+        F.lower("t").alias("v")
+    )
+    return X.heavy_hitters(toks, col="v", k_track=64, top_n=20)
+
+
+@register(
     "bigram_pmi_collocations",
     sql=r"""
     WITH d AS (

@@ -135,3 +135,29 @@ def test_bigram_pmi_ranks_collocations(spark):
     scores = [r["pmi_q"] for r in out]
     assert scores == sorted(scores, reverse=True)
     assert all(isinstance(s, int) for s in scores)
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Skewed stream with far more distinct values than counters: the
+    sketch must still surface every true heavy hitter, and the verify
+    pass returns exact counts in deterministic order."""
+    from mssql_dataframe_spark.operators.text import heavy_hitters
+
+    rows = (
+        [("hot1",)] * 500 + [("hot2",)] * 300 + [("hot3",)] * 200
+        + [(f"noise{i}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    out = heavy_hitters(df, col="v", k_track=8, top_n=3).collect()
+    assert [(r["value"], r["cnt"]) for r in out] == [
+        ("hot1", 500), ("hot2", 300), ("hot3", 200),
+    ]
+
+
+def test_heavy_hitters_tie_break_and_nulls(spark):
+    from mssql_dataframe_spark.operators.text import heavy_hitters
+
+    rows = [("b",)] * 5 + [("a",)] * 5 + [("c",)] * 2 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "v string")
+    out = heavy_hitters(df, col="v", k_track=4, top_n=2).collect()
+    assert [(r["value"], r["cnt"]) for r in out] == [("a", 5), ("b", 5)]
