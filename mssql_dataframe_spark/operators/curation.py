@@ -328,3 +328,61 @@ def per_source_cap(
     if keep_col is not None:
         return flagged.withColumn(keep_col, F.col("__rn") <= cap).drop("__rn")
     return flagged.filter(F.col("__rn") <= cap).drop("__rn")
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    floor_bp: int = 1000,
+) -> DataFrame:
+    """Quality-proportional source downsampling: each source keeps a
+    fraction of ALL its documents equal to its quality-gate pass rate
+    (in basis points, floored at ``floor_bp`` so no source vanishes) —
+    data-derived mixture weights instead of the hand-tuned
+    ``pct_by_stratum`` config, the common second pass after per-doc
+    filtering ("low-quality domains contribute less, not just their
+    failing pages").
+
+    Determinism end to end: the pass rate is a pure count ratio turned
+    into basis points with the integer round-half-up formula
+    ``floor((2*10000*g + n) / (2n))`` (no ROUND-mode divergence), and
+    the keep decision compares the 60-bit content-keyed md5 bucket
+    against it — the same content key as dataset_split_hash, so a
+    document's verdict never changes as the corpus grows.
+
+    Returns surviving (id, source, keep_bp) rows. Scale shape: one
+    quality scan + one per-source agg (broadcast back — sources are
+    few), then a map-side filter; the corpus never shuffles.
+    """
+    from .training import _content_key
+
+    flags = quality_filter(df, text_col=text_col, id_col=id_col).select(
+        id_col, "keep"
+    )
+    joined = df.select(id_col, text_col, source_col).join(flags, id_col)
+    rates = (
+        joined.groupBy(source_col)
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("g"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            source_col,
+            F.greatest(
+                F.lit(floor_bp),
+                F.floor(
+                    (2 * 10000 * F.col("g") + F.col("n"))
+                    / (2.0 * F.col("n"))
+                ).cast("int"),
+            ).alias("keep_bp"),
+        )
+    )
+    bucket = _content_key(id_col, text_col) % 10000
+    return (
+        joined.join(F.broadcast(rates), source_col)
+        .withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < F.col("keep_bp"))
+        .select(id_col, source_col, "keep_bp")
+    )

@@ -4013,6 +4013,30 @@ def pack_sequences_budget(spark, sf_dir):
 
 
 @register(
+    "curriculum_stages_per_lang",
+    sql="""
+    SELECT doc_id, lang,
+           CAST(NTILE(10) OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS INT) AS stage
+    FROM documents
+    """,
+)
+def curriculum_stages_per_lang(spark, sf_dir):
+    """Curriculum staging: decile buckets short-to-long WITHIN each
+    language — the easy-first ordering a curriculum-trained run feeds
+    shard by shard. Per-language window partitions keep the sort
+    distributed (no global single-reducer NTILE; the same per-shard
+    shape as pack_sequences_per_lang), and the (n_chars, doc_id) key
+    is all-integer so the stage assignment is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "lang",
+        F.ntile(10).over(w).cast("int").alias("stage"),
+    )
+
+
+@register(
     "pack_sequences_per_lang",
     sql=r"""
     WITH toks AS (
@@ -5188,6 +5212,39 @@ def corpus_quality_filter(spark, sf_dir):
     NOT repetition -> per-document keep verdict (the manifest a
     training run filters on)."""
     return C.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_weighted_mixture",
+    sql=f"""
+    WITH flags AS ({{0}}),
+    j AS (
+      SELECT d.doc_id, d.text, d.source, f.keep
+      FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+    ),
+    rates AS (
+      SELECT source,
+             GREATEST(1000, CAST(FLOOR(
+               (2 * 10000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                + COUNT(*)) / (2.0 * COUNT(*))) AS INT)) AS keep_bp
+      FROM j GROUP BY source
+    )
+    SELECT j.doc_id, j.source, CAST(r.keep_bp AS INT) AS keep_bp
+    FROM j JOIN rates r USING (source)
+    WHERE (('0x' || substring(md5(j.doc_id::VARCHAR || ':' || j.text),
+                              1, 15))::BIGINT) % 10000 < r.keep_bp
+    """.format(REGISTRY["corpus_quality_filter"]["sql"]),
+)
+def quality_weighted_mixture(spark, sf_dir):
+    """Quality-proportional source downsampling (operators/curation.py
+    quality_weighted_sample): mixture weights DERIVED from each
+    source's quality-gate pass rate instead of hand-tuned config — a
+    low-quality domain contributes proportionally less of ALL its
+    pages. Pass rates become basis points via the integer round-half-
+    up formula (no ROUND-mode divergence) and gate the content-keyed
+    md5 bucket, so verdicts are engine-exact and stable as the corpus
+    grows."""
+    return C.quality_weighted_sample(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -120,3 +120,38 @@ def test_quality_filter_verdicts(spark):
     assert out[1]["repetition_flag"] and not out[1]["keep"]
     assert not out[2]["quality_flag"] and not out[2]["keep"]
     assert not out[3]["keep"] and out[3]["n_words"] == 0
+
+
+def test_quality_weighted_sample_rates_and_floor(spark):
+    """A source's keep rate tracks its quality pass rate; the floor
+    keeps terrible sources at floor_bp instead of zero; verdicts are
+    content-keyed (stable across runs)."""
+    from mssql_dataframe_spark.operators.curation import (
+        quality_weighted_sample,
+    )
+
+    good = ("This is a perfectly reasonable sentence with many words "
+            "and ordinary punctuation, repeated nowhere else at all.")
+    rows = []
+    # "clean" source: unique wordy docs -> high pass rate
+    for i in range(40):
+        rows.append((i, f"{good} Variant number {i} adds fresh words "
+                        f"token{i} extra{i} more{i}.", "clean"))
+    # "spam" source: degenerate one-word docs -> fails the gate
+    for i in range(40, 80):
+        rows.append((i, "buy " * 3, "spam"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = quality_weighted_sample(df, floor_bp=1000).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # clean keeps most docs at ~its pass rate; spam floored at 10%
+    assert all(r["keep_bp"] == 1000 for r in by_src.get("spam", []))
+    assert len(by_src.get("spam", [])) <= 12
+    clean = by_src.get("clean", [])
+    assert clean and clean[0]["keep_bp"] >= 9000
+    assert len(clean) >= 30
+    # deterministic: second run identical
+    again = quality_weighted_sample(df, floor_bp=1000).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
