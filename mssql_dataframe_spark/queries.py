@@ -4379,6 +4379,47 @@ def scd2_point_in_time_join(spark, sf_dir):
 
 
 @register(
+    "verb_optimize_zorder",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           'zorder(o_orderkey,o_custkey)' AS last_op
+    FROM orders WHERE o_orderkey <= 4000
+    """,
+)
+def verb_optimize_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER BY analog (store.py:optimize_zorder): rewrite
+    along a Morton curve over (o_orderkey, o_custkey) so every file is
+    tight in BOTH keys and the column-labeled stats prune mutations or
+    scans on either — 1-D clustering would scramble the second key.
+    The gate proves the rewrite is lossless and the commit labeled;
+    pruning-on-both-keys is pinned by test_store_pruned_merge."""
+    eng = _scratch_engine(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_custkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+    eng.create.table(
+        "dbo.orders_z",
+        {"o_orderkey": "bigint", "o_custkey": "bigint",
+         "o_totalprice": "float"},
+        primary_key_column="o_orderkey",
+    )
+    eng.write.insert("dbo.orders_z", src)
+    eng.store.optimize_zorder(
+        "dbo.orders_z", ["o_orderkey", "o_custkey"], n_files=4
+    )
+    v = eng.store.meta("dbo.orders_z").version
+    op = eng.store.commit_info("dbo.orders_z", v).get("op")
+    return eng.read.table("dbo.orders_z").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(op).alias("last_op"),
+    )
+
+
+@register(
     "verb_delete_keys",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice

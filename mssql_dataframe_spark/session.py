@@ -99,6 +99,12 @@ class SparkEngine:
         Returns (files_before, files_after)."""
         return self.store.optimize(table_name, small_file_rows=small_file_rows)
 
+    def optimize_zorder(self, table_name: str, cols: list[str],
+                        n_files: int | None = None):
+        """Morton-curve multi-key clustering rewrite (Delta ``OPTIMIZE
+        ZORDER BY`` analog). Returns (files_before, files_after)."""
+        return self.store.optimize_zorder(table_name, cols, n_files=n_files)
+
     def clone(self, src_table: str, dst_table: str):
         """Zero-copy clone of a table's current snapshot (Delta
         ``SHALLOW CLONE`` analog). Returns the new table's metadata."""

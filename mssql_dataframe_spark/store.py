@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .errors import SQLTableDoesNotExist
@@ -698,6 +699,78 @@ class TableStore:
         else:
             df = df.coalesce(n_out)
         self.replace_files(name, df, keep, op="optimize")
+        return len(entries), len(self.manifest(name, self.meta(name).version))
+
+    def optimize_zorder(
+        self, name: str, cols: list[str], n_files: Optional[int] = None
+    ) -> tuple[int, int]:
+        """Multi-dimensional clustering rewrite (the Delta ``OPTIMIZE
+        ZORDER BY`` analog): rewrite the WHOLE table ordered along a
+        Morton curve over ``cols``, so every file covers a tight range
+        in EVERY listed column at once — with the column-labeled stats
+        map, ``split_by_key_range`` then prunes sharply on whichever
+        of the keys a mutation or scan filters by (1-D clustering
+        sharpens one key and scrambles the others).
+
+        Each column is min-max normalized to 16 bits with ONE
+        aggregation over the table, then bits interleave into the
+        Morton key — a pure codegen'd integer expression, no UDF. The
+        rewrite range-partitions + sorts by that key: one shuffle of
+        the table, the same cost class as any clustering rewrite.
+        Returns (files_before, files_after)."""
+        meta = self.meta(name)
+        for c in cols:
+            if c not in meta.spark_schema.fieldNames():
+                raise ValueError(f"zorder column {c!r} not in table schema")
+        entries = self.manifest(name, meta.version)
+        df = self.read(name)
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+        ).first()
+        norms = []
+        for c in cols:
+            lo = bounds[f"__lo_{c}"]
+            hi = bounds[f"__hi_{c}"]
+            span = (hi - lo) if (hi is not None and lo is not None
+                                 and hi > lo) else 1.0
+            norms.append(
+                F.least(
+                    F.lit(65535),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo or 0.0))
+                        * 65535.0 / F.lit(span)
+                    ).cast("long"),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(16):
+            for ci, nc in enumerate(norms):
+                z = z + (
+                    F.shiftleft(
+                        F.shiftright(nc, bit).bitwiseAND(F.lit(1)),
+                        bit * len(norms) + ci,
+                    )
+                )
+        total = sum(e.get("rows") or 0 for e in entries) or 1
+        n_out = n_files or max(1, len(entries))
+        ordered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        # record stats for every z-order column so pruning engages on
+        # each of them against the rewritten files
+        extra = [c for c in cols if c != self._stats_col(meta)]
+        prior = meta.properties.get("stats_columns") or []
+        if isinstance(prior, str):
+            prior = [s.strip() for s in prior.split(",") if s.strip()]
+        merged = list(dict.fromkeys([*prior, *extra]))
+        if merged != prior:
+            meta.properties["stats_columns"] = merged
+            self._write_meta(name, meta)
+        self.replace_files(name, ordered, [], op=f"zorder({','.join(cols)})")
         return len(entries), len(self.manifest(name, self.meta(name).version))
 
     def update_meta(self, name: str, **changes) -> TableMeta:

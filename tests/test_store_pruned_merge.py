@@ -439,3 +439,47 @@ def test_multi_column_stats_prune_on_secondary_key(engine, spark):
     assert out.count() == 1000
     after = _manifest_paths(eng, "dbo.mstats")
     assert before & after, "disjoint files must carry over by reference"
+
+
+def test_optimize_zorder_prunes_on_both_keys(engine, spark):
+    """ZORDER rewrite: data identical, every file tight in BOTH keys,
+    so split_by_key_range prunes on either column afterwards."""
+    eng = engine
+    # two independent uniform keys: 1-D clustering on k would leave v2
+    # ranges full-width in every file
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 4096).alias("v2"),
+        F.lit(1.0).cast("double").alias("v"),
+    )
+    eng.create.table(
+        "dbo.zord", {"k": "bigint", "v2": "bigint", "v": "float"},
+        primary_key_column="k",
+    )
+    eng.write.insert("dbo.zord", df)
+    before = eng.read.table("dbo.zord").groupBy().sum("k", "v2").first()
+
+    n_before, n_after = eng.store.optimize_zorder(
+        "dbo.zord", ["k", "v2"], n_files=8
+    )
+    assert n_after >= 4
+    after = eng.read.table("dbo.zord").groupBy().sum("k", "v2").first()
+    assert (before[0], before[1]) == (after[0], after[1])
+    assert eng.read.table("dbo.zord").count() == 4096
+
+    meta = eng.store.meta("dbo.zord")
+    ents = eng.store.manifest("dbo.zord", meta.version)
+    assert all({"k", "v2"} <= set(e["stats"]) for e in ents)
+    # narrow range on EACH key must keep (prune) at least one file
+    for col in ("k", "v2"):
+        touched, kept = eng.store.split_by_key_range(
+            "dbo.zord", col, 0, 255
+        )
+        assert kept, f"expected pruning on {col} after zorder"
+        assert len(touched) < len(ents)
+    # a later keyed update still hits every matching row
+    src = spark.range(0, 64).select(
+        F.col("id").alias("k"), F.lit(9.5).cast("double").alias("v")
+    )
+    eng.write.update("dbo.zord", src, match_columns=["k"])
+    assert eng.read.table("dbo.zord").filter("v = 9.5").count() == 64
