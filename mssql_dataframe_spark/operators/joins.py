@@ -185,3 +185,51 @@ def point_in_time_join(
         name = c if c not in taken else f"{c}{suffix}"
         out_cols.append(F.col(f"__d.{c}").alias(name))
     return f.join(d, cond, "inner").select(*out_cols)
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a daily grid with
+    forward fill — the gap-fill/resample operator time-series stores
+    ship natively and Spark lacks: each key gets one row per calendar
+    day spanning ITS OWN event range, carrying the latest value at or
+    before that day's start (leading gap = NULL until the first
+    event).
+
+    Built on :func:`asof_join`, so the cost model is the same: one
+    shuffle on the key for the grid aggregation and one for the as-of
+    window pass — no per-grid-point subquery, no interval cross join.
+    Equal-timestamp events are pre-collapsed with ``max`` so the fill
+    is deterministic on any engine. Grid size = Σ per-key day spans,
+    independent of event density (dense keys don't inflate it, sparse
+    keys don't miss days).
+    """
+    day = F.date_trunc("DAY", F.col(time_col))
+    grid = (
+        events.groupBy(key_col)
+        .agg(
+            F.min(day).alias("__d0"),
+            F.max(day).alias("__d1"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("__d0"), F.col("__d1"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    dedup = events.groupBy(key_col, time_col).agg(
+        F.max(value_col).alias(value_col)
+    )
+    return asof_join(
+        grid, dedup, on=key_col,
+        left_time="grid_ts", right_time=time_col,
+        right_values=[value_col], suffix="_filled",
+    ).select(key_col, "grid_ts", f"{value_col}_filled")

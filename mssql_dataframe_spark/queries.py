@@ -2521,6 +2521,42 @@ def heavy_hitters_tokens(spark, sf_dir):
 
 
 @register(
+    "timeseries_gap_fill",
+    sql="""
+    WITH e AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    span AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS d0,
+             date_trunc('day', MAX(ts)) AS d1
+      FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS grid_ts
+      FROM span
+    )
+    SELECT g.user_id, g.grid_ts, e.value AS value_filled
+    FROM grid g ASOF LEFT JOIN e
+      ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Daily resample + forward fill (operators/joins.py:
+    resample_forward_fill) — the time-series gap-fill operator Spark
+    lacks natively, rebuilt on the single-window-pass as-of join: each
+    user's own day span becomes a grid carrying the latest value at or
+    before each day start. The oracle uses DuckDB's native ASOF LEFT
+    JOIN, checking our union+window construction against a real asof
+    implementation."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return J.resample_forward_fill(
+        e, key_col="user_id", time_col="ts", value_col="value"
+    )
+
+
+@register(
     "bigram_pmi_collocations",
     sql=r"""
     WITH d AS (

@@ -224,3 +224,28 @@ def test_fuzzy_join_dist1_matches_bruteforce(spark, strings):
         for r in fuzzy_join_dist1(df, "id", "text").collect()
     }
     assert got == expected
+
+
+def test_resample_forward_fill_semantics(spark):
+    """Daily grid spans each key's own range; day starts BEFORE the
+    first event fill NULL; later gap days carry the last value."""
+    from mssql_dataframe_spark.operators.joins import resample_forward_fill
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-03 09:00:00", 7.0),   # Jan 2 is a gap day
+            (2, "2024-02-10 00:00:00", 1.0),
+        ],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {
+        (r["user_id"], str(r["grid_ts"])[:10]): r["value_filled"]
+        for r in resample_forward_fill(e).collect()
+    }
+    assert out == {
+        (1, "2024-01-01"): None,   # day START precedes the 10:00 event
+        (1, "2024-01-02"): 5.0,
+        (1, "2024-01-03"): 5.0,    # 09:00 event is after day start
+        (2, "2024-02-10"): 1.0,    # midnight event ties day start: <=
+    }
