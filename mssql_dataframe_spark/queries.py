@@ -2521,6 +2521,109 @@ def heavy_hitters_tokens(spark, sf_dir):
 
 
 @register(
+    "events_funnel_conversion",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           (s2.user_id IS NOT NULL) AS reached_click,
+           (s3.user_id IS NOT NULL) AS reached_purchase
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view -> click AFTER the first view -> purchase
+    AFTER that click): per-user stage reach flags, the product-
+    analytics conversion query. Each stage is one filtered min-ts
+    aggregation joined forward — stage k scans only stage-(k-1)
+    survivors' events; all joins key on user_id, so on a cluster the
+    whole funnel is co-partitioned with zero extra shuffles after the
+    first."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t2").isNotNull().alias("reached_click"),
+            F.col("t3").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@register(
+    "events_activity_streaks",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS anchor
+      FROM days
+    )
+    SELECT user_id, CAST(MIN(d) AS VARCHAR) AS streak_start,
+           CAST(MAX(d) AS VARCHAR) AS streak_end,
+           CAST(COUNT(*) AS INT) AS streak_days
+    FROM grp GROUP BY user_id, anchor
+    """,
+)
+def events_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE
+    active days, via the classic date-minus-row_number anchor (equal
+    within a run, shifts at every gap). Per-user window partitions +
+    one aggregation — both distributed on user_id; no self-join, no
+    recursion."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("DAY", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w))
+    )
+    return grp.groupBy("user_id", "anchor").agg(
+        F.min("d").cast("string").alias("streak_start"),
+        F.max("d").cast("string").alias("streak_end"),
+        F.count("*").cast("int").alias("streak_days"),
+    ).drop("anchor")
+
+
+@register(
     "timeseries_gap_fill",
     sql="""
     WITH e AS (
