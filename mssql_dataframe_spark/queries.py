@@ -2521,6 +2521,53 @@ def heavy_hitters_tokens(spark, sf_dir):
 
 
 @register(
+    "events_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             DATEDIFF('day', f.cohort,
+                      CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort AS VARCHAR) AS cohort,
+           CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort, day_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day, then
+    distinct active users per (cohort, day-offset) — the table behind
+    every retention curve. One agg for cohorts (broadcast back: one
+    row per user is still keyed on user_id, so the join is
+    co-partitioned), one distinct + count; day offsets are integer
+    datediffs, cohort dates render as ISO strings for engine-exact
+    output."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.to_date(F.date_trunc("DAY", "ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort",
+            F.datediff(day, F.col("cohort")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "day_offset").agg(
+        F.count("*").alias("active_users")
+    ).select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "active_users",
+    )
+
+
+@register(
     "events_funnel_conversion",
     sql="""
     WITH s1 AS (
