@@ -75,3 +75,10 @@ class SQLCheckConstraintViolation(Exception):
     the Delta ``ALTER TABLE ADD CONSTRAINT`` enforcement analog). SQL
     semantics: a row violates only when the expression is FALSE —
     NULL passes."""
+
+
+class SQLConcurrentWriteConflict(Exception):
+    """Another writer committed a version between this write's snapshot
+    read and its commit attempt (beyond-reference; the Delta optimistic
+    concurrency ``ConcurrentModificationException`` analog). The write
+    was NOT applied — re-read and retry."""

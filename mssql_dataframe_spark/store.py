@@ -380,7 +380,10 @@ class TableStore:
 
         Always reads with the declared schema so an empty snapshot
         yields a correctly-typed empty DataFrame and schema drift in
-        stray files cannot leak through.
+        stray files cannot leak through. A retained version committed
+        BEFORE a later MODIFY COLUMN reads with the schema recorded in
+        its own commit, so time travel is faithful across schema
+        evolution.
         """
         meta = self.meta(name)
         v = meta.version if version is None else int(version)
@@ -397,7 +400,14 @@ class TableStore:
             os.path.join(self._pool_dir(name), e["path"])
             for e in self.manifest(name, v)
         ]
-        return self._read_paths(meta, paths)
+        schema = meta.spark_schema
+        if version is not None and v != meta.version:
+            recorded = self.commit_info(name, v).get("schema")
+            if recorded is not None:
+                schema = T.StructType.fromJson(recorded)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def _read_paths(self, meta: TableMeta, paths: list[str]) -> DataFrame:
         schema = meta.spark_schema
@@ -485,12 +495,14 @@ class TableStore:
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
         )
+        self._check_no_concurrent_commit(name, meta.version, entries)
         next_v = meta.version + 1
         carried = self.manifest(name, meta.version)
         self._write_manifest(
             name, next_v, carried + entries, commit={
                 "op": "append", "ts": time.time(),
                 "n_added": len(entries), "n_kept": len(carried),
+                "schema": meta.spark_schema.jsonValue(),
             }
         )
         meta.version = next_v
@@ -529,6 +541,7 @@ class TableStore:
         self._write_manifest(dst, 0, [dict(e) for e in entries], commit={
             "op": f"clone({src})", "ts": time.time(),
             "n_added": 0, "n_kept": len(entries),
+            "schema": meta.spark_schema.jsonValue(),
         })
         self._write_meta(dst, new_meta)
         return new_meta
@@ -570,6 +583,7 @@ class TableStore:
         self._write_manifest(name, next_v, carried, commit={
             "op": f"restore(v{v})", "ts": time.time(),
             "n_added": 0, "n_kept": len(carried),
+            "schema": meta.spark_schema.jsonValue(),
         })
         meta.version = next_v
         self._write_meta(name, meta)
@@ -629,10 +643,14 @@ class TableStore:
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
         )
+        self._check_no_concurrent_commit(name, meta.version, staged)
         entries = keep_entries + staged
         self._write_manifest(name, next_v, entries, commit={
             "op": op, "ts": time.time(),
             "n_added": len(staged), "n_kept": len(keep_entries),
+            # per-version schema: read(version=N) stays faithful
+            # across later MODIFY COLUMN commits
+            "schema": schema.jsonValue(),
         })
         meta.version = next_v
         if new_schema is not None:
@@ -641,6 +659,32 @@ class TableStore:
             meta.column_types = dict(new_column_types)
         self._write_meta(name, meta)
         self._vacuum(name, keep_before=next_v - self._retention(meta))
+
+    def _check_no_concurrent_commit(
+        self, name: str, expected_version: int, staged: list[dict]
+    ) -> None:
+        """Optimistic concurrency control (the Delta
+        ``ConcurrentModificationException`` shape): a commit is valid
+        only against the snapshot it read. If another writer advanced
+        the table while this write staged its files, the staged files
+        are discarded and the write fails CLEANLY — the winner's commit
+        is untouched, the loser re-reads and retries. Single-writer
+        pipelines never hit this; two engines sharing a store root do."""
+        current = self.meta(name)
+        if current.version != expected_version:
+            pool = self._pool_dir(name)
+            for e in staged:
+                try:
+                    os.remove(os.path.join(pool, e["path"]))
+                except FileNotFoundError:
+                    pass
+            from .errors import SQLConcurrentWriteConflict
+
+            raise SQLConcurrentWriteConflict(
+                f"table {name!r}: version advanced "
+                f"{expected_version} -> {current.version} during the "
+                "write; staged files discarded — re-read and retry"
+            )
 
     def _vacuum(self, name: str, keep_before: int) -> None:
         """Drop manifests older than ``keep_before`` and pool files no

@@ -206,3 +206,63 @@ def test_clone_rejects_existing_destination(engine, spark):
     _mk(engine, spark)
     with _pytest.raises(ValueError, match="already exists"):
         engine.clone("dbo.tt", "dbo.tt")
+
+
+def test_version_read_uses_its_own_schema(engine, spark):
+    """Time travel across a version-bumping schema change (ALTER
+    rewrites data at v+1): the prior version reads with the schema
+    RECORDED IN ITS OWN COMMIT, not the current one. Metadata-only
+    ADD does not bump the version, so the current snapshot simply
+    gains a NULL column (Delta ADD COLUMN semantics)."""
+    df = spark.createDataFrame([(1, 5), (2, 7)], "id long, num int")
+    engine.create.table("dbo.sv", {"id": "bigint", "num": "int"},
+                        primary_key_column="id")
+    engine.write.insert("dbo.sv", df)
+    v_ins = engine.store.meta("dbo.sv").version
+    engine.modify.column("dbo.sv", modify="alter", column_name="num",
+                         data_type="bigint")
+    assert engine.store.meta("dbo.sv").version == v_ins + 1
+    old = engine.read.table("dbo.sv", version=v_ins)
+    new = engine.read.table("dbo.sv")
+    assert dict(old.dtypes)["num"] == "int"
+    assert dict(new.dtypes)["num"] == "bigint"
+    assert {(r["id"], r["num"]) for r in old.collect()} == {(1, 5), (2, 7)}
+
+
+def test_concurrent_writer_conflict_detected(engine, spark):
+    """Optimistic concurrency: a commit against a stale snapshot
+    version fails cleanly, discards its staged files, and leaves the
+    winner's commit untouched."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.errors import SQLConcurrentWriteConflict
+    from mssql_dataframe_spark.session import SparkEngine
+
+    _mk(engine, spark)
+    store = engine.store
+    stale_v = store.meta("dbo.tt").version
+
+    # another writer advances the table while the loser stages
+    eng2 = SparkEngine(spark=spark, store_root=store.root)
+    eng2.write.insert(
+        "dbo.tt", spark.createDataFrame([(9, "z")], "id long, val string")
+    )
+
+    pool = store._pool_dir("dbo.tt")
+    fake = _os.path.join(pool, "f_staged_loser.parquet")
+    open(fake, "wb").close()
+    with _pytest.raises(SQLConcurrentWriteConflict, match="re-read and retry"):
+        store._check_no_concurrent_commit(
+            "dbo.tt", stale_v, [{"path": "f_staged_loser.parquet"}]
+        )
+    assert not _os.path.exists(fake)  # loser's staged file discarded
+    rows = {
+        (r["id"], r["val"]) for r in engine.read.table("dbo.tt").collect()
+    }
+    assert rows == {(1, "a"), (2, "b"), (9, "z")}
+    # a current-version commit still passes the guard
+    store._check_no_concurrent_commit(
+        "dbo.tt", store.meta("dbo.tt").version, []
+    )
