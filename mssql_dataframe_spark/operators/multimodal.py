@@ -531,3 +531,89 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms")
     )
+
+
+def ahash_near_dup_pairs(
+    media: DataFrame,
+    out_w: int = 6,
+    out_h: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs via average hash: decode
+    (real PPM/BMP parsers) -> box-resize to ``out_w x out_h`` -> one
+    bit per cell (gray above the image mean, compared as integers:
+    ``gray*n_px > sum(gray)`` — no float mean) -> pigeonhole-blocked
+    Hamming join. Brightness/contrast-shifted copies of an image keep
+    their bit pattern (a constant shift moves every cell AND the mean
+    together), which is exactly why aHash catches re-encoded
+    duplicates that byte-level dedup misses.
+
+    Scale shape mirrors simhash_near_dup_pairs: the hash is
+    ``max_hamming+1`` blocks; two hashes within the budget MUST agree
+    on at least one block (pigeonhole), so candidates come from an
+    equi-join on (block_idx, block_value) and only candidates pay the
+    exact popcount. Decode cost is one ``mapInPandas`` pass; nothing
+    downstream touches pixels again.
+    """
+    n_px = out_w * out_h
+    n_blocks = max_hamming + 1
+    block_bits = (n_px + n_blocks - 1) // n_blocks
+
+    px = decode_box_resize_pixels(media, out_w=out_w, out_h=out_h)
+    gray = px.select(
+        "media_id",
+        (F.col("px_y") * out_w + F.col("px_x")).alias("pos"),
+        (F.col("r") + F.col("g") + F.col("b")).cast("long").alias("gray"),
+    )
+    tot = gray.groupBy("media_id").agg(F.sum("gray").alias("total"))
+    hashed = (
+        gray.join(tot, "media_id")
+        .groupBy("media_id")
+        .agg(
+            # shiftleft with a COLUMN bit count needs the SQL form (the
+            # Python helper only accepts a literal numBits)
+            F.sum(
+                F.expr(
+                    f"CASE WHEN gray * {n_px} > total THEN "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT)) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("ah")
+        )
+    )
+    blocks = hashed.select(
+        "media_id", "ah",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("blk"),
+                    F.shiftright(F.col("ah"), k * block_bits)
+                    .bitwiseAND(F.lit((1 << block_bits) - 1))
+                    .alias("blk_val"),
+                )
+                for k in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("media_id", "ah", F.col("b.blk"), F.col("b.blk_val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id1"),
+            F.col("b.media_id").alias("id2"),
+            F.col("a.ah").alias("h1"),
+            F.col("b.ah").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -3231,6 +3231,57 @@ def multimodal_resize(spark, sf_dir):
 
 
 @register(
+    "multimodal_ahash_dedup_pairs",
+    sql="""
+    WITH img AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+      SELECT gx.X AS X, gy.Y AS Y, gdx.dx AS dx, gdy.dy AS dy
+      FROM generate_series(0, 5) gx(X), generate_series(0, 7) gy(Y),
+           generate_series(0, 4) gdx(dx), generate_series(0, 3) gdy(dy)
+    ),
+    px AS (
+      SELECT media_id, X, Y,
+             CAST(SUM((media_id*31 + (4*Y+dy)*7 + (5*X+dx)*3     ) % 256)
+                  // 20 AS INT) AS r,
+             CAST(SUM((media_id*31 + (4*Y+dy)*7 + (5*X+dx)*3 + 11) % 256)
+                  // 20 AS INT) AS g,
+             CAST(SUM((media_id*31 + (4*Y+dy)*7 + (5*X+dx)*3 + 22) % 256)
+                  // 20 AS INT) AS b
+      FROM img, grid GROUP BY media_id, X, Y
+    ),
+    g2 AS (SELECT media_id, X, Y, (r+g+b) AS gray FROM px),
+    tot AS (SELECT media_id, CAST(SUM(gray) AS BIGINT) AS total
+            FROM g2 GROUP BY media_id),
+    h AS (
+      SELECT g2.media_id,
+             CAST(SUM(CASE WHEN g2.gray*48 > t.total
+                           THEN (1::BIGINT << CAST(g2.Y*6+g2.X AS INT))
+                           ELSE 0 END) AS BIGINT) AS ah
+      FROM g2 JOIN tot t ON g2.media_id = t.media_id
+      GROUP BY g2.media_id
+    )
+    SELECT a.media_id AS id1, b.media_id AS id2,
+           CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ah, b.ah)) <= 3
+    """,
+)
+def multimodal_ahash_dedup_pairs(spark, sf_dir):
+    """Perceptual image dedup (operators/multimodal.py:
+    ahash_near_dup_pairs): REAL PPM/BMP decode -> box resize ->
+    integer average-hash bits -> pigeonhole-blocked Hamming join. The
+    oracle recomputes every pixel from the image-generating formula
+    and does the brute-force O(n^2) Hamming join, so the blocked plan
+    is checked to return exactly the quadratic answer through the
+    actual byte-decode path."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = M.synthesize_images(d)
+    return M.ahash_near_dup_pairs(media, out_w=6, out_h=8, max_hamming=3)
+
+
+@register(
     "multimodal_resize_stub_contract",
     sql="""
     WITH media AS (

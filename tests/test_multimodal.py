@@ -98,3 +98,33 @@ def test_decode_box_resize_pixels_end_to_end(spark):
             [got[c].to_numpy().reshape(8, 6) for c in ("r", "g", "b")], axis=-1
         )
         assert np.array_equal(arr, expect)
+
+
+def test_ahash_brightness_invariance_and_blocking(spark):
+    """aHash: a brightness-shifted copy keeps its bit pattern (cells
+    and mean shift together) -> hamming 0; a structurally different
+    image exceeds the budget; pairs come back exactly once."""
+    import numpy as np
+
+    from mssql_dataframe_spark.operators.multimodal import (
+        ahash_near_dup_pairs, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 200, size=(32, 30, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, size=(32, 30, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_bmp(shifted))),   # other codec, same image
+            (3, bytearray(encode_ppm(other))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in ahash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out and (2, 3) not in out
