@@ -4616,6 +4616,39 @@ def scd2_point_in_time_join(spark, sf_dir):
 
 
 @register(
+    "verb_vacuum_retention",
+    sql="""
+    SELECT n_nationkey, n_name || '_X' AS n_name,
+           1 AS readable_versions
+    FROM nation
+    """,
+)
+def verb_vacuum_retention(spark, sf_dir):
+    """Explicit VACUUM (store.py:vacuum — Delta VACUUM analog): after
+    dropping history to keep_versions=0, exactly one snapshot stays
+    readable and the current data is untouched; unreferenced pool
+    files unlink without any rewrite. The gate returns the surviving
+    snapshot plus the readable-version count."""
+    eng = _scratch_engine(spark)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    eng.create.table_from_dataframe(
+        "dbo.nation_vac", nation, primary_key="n_nationkey"
+    )
+    eng.write.insert("dbo.nation_vac", nation)
+    eng.write.update(
+        "dbo.nation_vac",
+        nation.select(
+            "n_nationkey", F.concat("n_name", F.lit("_X")).alias("n_name")
+        ),
+    )
+    readable = eng.vacuum("dbo.nation_vac", keep_versions=0)
+    return eng.read.table("dbo.nation_vac").select(
+        "n_nationkey", "n_name",
+        F.lit(readable).cast("int").alias("readable_versions"),
+    )
+
+
+@register(
     "verb_optimize_zorder",
     sql="""
     SELECT o_orderkey, o_custkey,

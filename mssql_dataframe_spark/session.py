@@ -105,6 +105,11 @@ class SparkEngine:
         ZORDER BY`` analog). Returns (files_before, files_after)."""
         return self.store.optimize_zorder(table_name, cols, n_files=n_files)
 
+    def vacuum(self, table_name: str, keep_versions: int | None = None) -> int:
+        """Explicitly drop history beyond the retention window (Delta
+        ``VACUUM`` analog). Returns readable version count."""
+        return self.store.vacuum(table_name, keep_versions)
+
     def clone(self, src_table: str, dst_table: str):
         """Zero-copy clone of a table's current snapshot (Delta
         ``SHALLOW CLONE`` analog). Returns the new table's metadata."""

@@ -686,6 +686,26 @@ class TableStore:
                 "write; staged files discarded — re-read and retry"
             )
 
+    def vacuum(self, name: str, keep_versions: Optional[int] = None) -> int:
+        """Explicit retention enforcement (the Delta ``VACUUM`` analog):
+        drop manifests more than ``keep_versions`` behind the current
+        version (default: the table's retention property) and delete
+        pool files no retained manifest references. Returns the number
+        of versions still readable. Metadata + unlink cost only — data
+        files are never rewritten, and the current snapshot is always
+        retained."""
+        meta = self.meta(name)
+        k = self._retention(meta) if keep_versions is None else max(
+            0, int(keep_versions)
+        )
+        self._vacuum(name, keep_before=meta.version - k)
+        readable = 0
+        for v in range(meta.version, -1, -1):
+            if not os.path.exists(self._manifest_path(name, v)):
+                break
+            readable += 1
+        return readable
+
     def _vacuum(self, name: str, keep_before: int) -> None:
         """Drop manifests older than ``keep_before`` and pool files no
         retained manifest references."""

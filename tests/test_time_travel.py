@@ -266,3 +266,32 @@ def test_concurrent_writer_conflict_detected(engine, spark):
     store._check_no_concurrent_commit(
         "dbo.tt", store.meta("dbo.tt").version, []
     )
+
+
+def test_explicit_vacuum_drops_history(engine, spark):
+    """VACUUM with keep_versions=0 leaves only the current snapshot
+    readable, deletes unreferenced pool files, and never touches the
+    current data."""
+    import os as _os
+
+    _mk(engine, spark)
+    engine.write.update(
+        "dbo.tt", spark.createDataFrame([(1, "a2")], "id long, val string")
+    )
+    store = engine.store
+    assert engine.read.table("dbo.tt", version=1).count() == 2
+    readable = engine.vacuum("dbo.tt", keep_versions=0)
+    assert readable == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not available"):
+        engine.read.table("dbo.tt", version=1)
+    cur = {r["val"] for r in engine.read.table("dbo.tt").collect()}
+    assert cur == {"a2", "b"}
+    # pool holds only files the surviving manifest references
+    meta = store.meta("dbo.tt")
+    live = {e["path"] for e in store.manifest("dbo.tt", meta.version)}
+    pool = store._pool_dir("dbo.tt")
+    assert {
+        f for f in _os.listdir(pool) if f.endswith(".parquet")
+    } == live
