@@ -3647,6 +3647,46 @@ def streaming_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "streaming_stream_stream_left_join",
+    sql="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               make_timestamp(epoch_us(ts)) AS ts
+        FROM events
+    ),
+    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM e WHERE event_type = 'click')
+    SELECT v.user_id, v.view_id, c.click_id,
+           CAST(epoch_us(v.view_ts) AS BIGINT) AS view_epoch_us,
+           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_epoch_us
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
+    """,
+)
+def streaming_stream_stream_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join (streaming/
+    events.py:stream_stream_left_join): unmatched views null-extend
+    only once the watermark proves their join window closed — a
+    far-future sentinel batch in the staged replay sweeps the
+    watermark past every real row, so the drained stream equals the
+    batch left join the oracle runs. This is the semantics the inner
+    join cannot show: the watermark is load-bearing for emission, not
+    just for eviction."""
+    from .streaming import events as STR
+
+    out = STR.stream_stream_left_join(spark, sf_dir, "6 hours")
+    return out.select(
+        "user_id", "view_id", "click_id",
+        F.unix_micros(F.col("view_ts")).alias("view_epoch_us"),
+        F.unix_micros(F.col("click_ts")).alias("click_epoch_us"),
+    )
+
+
+@register(
     "streaming_stateful_user_stats",
     sql="""
     SELECT user_id, COUNT(*) AS n_events,

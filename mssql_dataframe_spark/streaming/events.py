@@ -385,6 +385,47 @@ def staged_event_source_factory(spark: SparkSession, sf_dir: str,
     return factory, stage
 
 
+def add_sentinel_batch(spark: SparkSession, sf_dir: str, stage: str,
+                       n_batches: int = 4) -> None:
+    """Append one FAR-FUTURE sentinel batch (a view and a click for
+    user_id -1, 30 days past the data) to a staged source: when it
+    drains last, the watermark sweeps past every real row's join
+    window, so OUTER stream-stream join results emit fully and the
+    drained output is batch-equivalent. Without it, unmatched rows
+    from the final real batch stay withheld in state forever — the
+    standard last-batch caveat of watermarked outer joins."""
+    import time as _time
+
+    batch = load_events(spark, sf_dir)
+    far = batch.agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("t")
+    ).first()["t"]
+
+    def typed(name, col):
+        return col.cast(batch.schema[name].dataType).alias(name)
+
+    # TWO sentinel batches: the first advances the watermark past every
+    # real row's join window, the SECOND gives the engine a subsequent
+    # micro-batch in which the newly-expired outer state actually emits
+    # (watermark updates commit at batch end; eviction output surfaces
+    # in the next batch — with a single sentinel the final real batch's
+    # unmatched rows would stay withheld)
+    for i in range(2):
+        sent = spark.range(2).select(
+            typed("event_id", F.lit(-1 - 2 * i) - F.col("id")),
+            typed("ts", F.lit(far) + F.expr(f"INTERVAL {i} DAYS")),
+            typed("user_id", F.lit(-1)),
+            typed("event_type",
+                  F.when(F.col("id") == 0, "view").otherwise("click")),
+            typed("value", F.lit(0.0)),
+            typed("props", F.lit(None)),
+        ).select(*batch.columns)
+        _time.sleep(1.05)
+        sent.coalesce(1).write.parquet(
+            os.path.join(stage, f"b={n_batches + i}")
+        )
+
+
 def stream_stream_interval_join(
     spark: SparkSession,
     sf_dir: str,
@@ -448,3 +489,71 @@ def stream_stream_interval_join(
         "click_ts",
     )
     return _run_to_memory(joined, name, mode="append", progress_out=progress_out)
+
+
+def stream_stream_left_join(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "6 hours",
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every view
+    emits — matched with same-user clicks inside ``horizon``, or
+    null-extended once the watermark proves no click can still arrive.
+    The outer semantics are what make watermarks LOAD-BEARING: Spark
+    may emit an unmatched view only after the join window is provably
+    closed, so the query replays against a multi-batch staged source
+    whose final FAR-FUTURE sentinel batch (add_sentinel_batch) sweeps
+    the watermark past every real row — the drained output is then
+    exactly the batch left join, which the oracle replays. Without the
+    sentinel, unmatched views from the last real batch would be
+    withheld in state forever (the standard outer-join caveat).
+    """
+    import shutil as _shutil
+
+    factory, stage = staged_event_source_factory(spark, sf_dir)
+    add_sentinel_batch(spark, sf_dir, stage)
+    name = f"sslj_{uuid.uuid4().hex[:8]}"
+    views = (
+        factory()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        factory()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"""v_user = c_user
+            AND click_ts >= view_ts
+            AND click_ts <= view_ts + INTERVAL {horizon}"""
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id", "click_id", "view_ts", "click_ts",
+    )
+    try:
+        drained = _run_to_memory(
+            joined, name, mode="append", progress_out=progress_out
+        )
+        # the sentinel row is excluded AFTER the drain: filtering it
+        # inside the streaming query would be pushed down into the
+        # parquet scans, strip the sentinel at the source, and stall
+        # the watermark it exists to advance
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)

@@ -80,3 +80,30 @@ def test_stream_stream_join_state_bounded_and_batch_equivalent(spark, sf_dir):
         assert 0 < max_state < n_view_click
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_stream_left_join_emits_unmatched(spark):
+    """Left-outer interval join: unmatched views null-extend once the
+    watermark passes their window (the sentinel batches force full
+    emission), matched pairs equal the batch join, and join state is
+    evicted across the staged drain."""
+    from mssql_dataframe_spark.events_source import load_events
+    from mssql_dataframe_spark.streaming.events import (
+        stream_stream_left_join,
+    )
+
+    prog = []
+    out = stream_stream_left_join(
+        spark, "/root/testdata/sf0.001", "6 hours", progress_out=prog
+    ).collect()
+    assert any(r["click_id"] is None for r in out)
+    e = load_events(spark, "/root/testdata/sf0.001")
+    v = e.filter("event_type='view'")
+    n_views = v.count()
+    # every view appears at least once (outer totality)
+    assert len({r["view_id"] for r in out}) == n_views
+    removed = sum(
+        s.get("numRowsRemoved", 0)
+        for p in prog for s in p.get("stateOperators", [])
+    )
+    assert removed > 0, "watermark must evict join state during the drain"
