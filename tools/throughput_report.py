@@ -216,6 +216,12 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    state_row(
+        "streaming_stream_stream_left_join (staged + sentinel)",
+        lambda pr: STR.stream_stream_left_join(
+            spark, sf_dir, progress_out=pr
+        ),
+    )
 
     shutil.rmtree(scratch, ignore_errors=True)
     path = os.path.join(os.path.dirname(__file__), "..", "THROUGHPUT.md")
