@@ -450,3 +450,66 @@ def heavy_hitters(
         .limit(top_n)
         .select(F.col("v").alias("value"), "cnt")
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-self-trained BIGRAM LM quality score — the sharper
+    CCNet-style perplexity proxy: each document's mean
+    ``ln P(w_i | w_{i-1})`` under add-one-smoothed conditional
+    probabilities ``(c(prev,w)+1) / (c(prev)+V)`` estimated from the
+    corpus itself. Catches word-salad documents whose TOKENS are all
+    common but whose TRANSITIONS are improbable — exactly what the
+    unigram score cannot see.
+
+    Determinism: both log terms are ln-of-integer quantities
+    (``c2+1`` and ``c1+V``) quantized to 1e-6 int64 before the
+    per-document sum, so the aggregate is order-independent and
+    engine-exact; the single final division runs in doubles.
+
+    Scale shape: bigrams from one array zip (no self-join), two
+    combiner count aggregations, the vocabulary size as a broadcast
+    one-row cross join, probe joins keyed on the bigram/context —
+    everything built-in expressions, no UDFs, same cost class as the
+    unigram scorer plus one join.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    base = df.select(F.col(id_col), toks.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.size("tk") - 1).alias("t1"),
+                F.slice("tk", 2, F.size("tk") - 1).alias("t2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+
+    big = pairs.groupBy("t1", "t2").agg(F.count("*").alias("c2"))
+    ctx = big.groupBy("t1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").cast("long").alias("v"))
+    )
+
+    def qln(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    scored = (
+        pairs.join(big, ["t1", "t2"])
+        .join(ctx, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (qln(F.col("c2") + 1) - qln(F.col("c1") + F.col("v")))
+            .alias("qterm"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("qterm") / 1e6 / F.count("*"), 6)
+        .alias("mean_logprob"),
+    )

@@ -2707,6 +2707,53 @@ def timeseries_gap_fill(spark, sf_dir):
 
 
 @register(
+    "bigram_logprob_quality",
+    sql=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_transform(
+                         regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> lower(t)) END AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT doc_id, tk[CAST(i AS INT)] AS t1,
+             tk[CAST(i AS INT) + 1] AS t2
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, GREATEST(len(tk), 1))) AS i FROM d)
+    ),
+    big AS (SELECT t1, t2, COUNT(*) AS c2 FROM pairs GROUP BY t1, t2),
+    ctx AS (SELECT t1, SUM(c2) AS c1 FROM big GROUP BY t1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(tk) AS tok FROM d)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(ROUND(LN((b.c2 + 1)::DOUBLE) * 1e6) AS BIGINT)
+             - CAST(ROUND(LN((x.c1 + vocab.v)::DOUBLE) * 1e6) AS BIGINT)
+               AS qterm
+      FROM pairs p JOIN big b ON p.t1 = b.t1 AND p.t2 = b.t2
+                   JOIN ctx x ON p.t1 = x.t1, vocab
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(qterm) / 1e6 / COUNT(*), 6) AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob_quality(spark, sf_dir):
+    """Bigram-LM quality score (operators/text.py:bigram_logprob) —
+    the sharper CCNet-style perplexity proxy: mean smoothed
+    ln P(w|prev) under the corpus's own transition counts, catching
+    common-words-in-improbable-order documents the unigram score
+    cannot. Both log terms are quantized ln-of-integers summed as
+    int64, so the score is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return X.bigram_logprob(d)
+
+
+@register(
     "bigram_pmi_collocations",
     sql=r"""
     WITH d AS (

@@ -161,3 +161,18 @@ def test_heavy_hitters_tie_break_and_nulls(spark):
     df = spark.createDataFrame(rows, "v string")
     out = heavy_hitters(df, col="v", k_track=4, top_n=2).collect()
     assert [(r["value"], r["cnt"]) for r in out] == [("a", 5), ("b", 5)]
+
+
+def test_bigram_logprob_ranks_transition_quality(spark):
+    """Documents built from common tokens in IMPROBABLE order score
+    below documents following the corpus's dominant transitions —
+    the signal the unigram score cannot produce."""
+    from mssql_dataframe_spark.operators.text import bigram_logprob
+
+    fluent = "the cat sat on the mat " * 10
+    salad = "mat the on sat cat the " * 10   # same tokens, odd order
+    docs = [(i, fluent) for i in range(8)] + [(8, salad)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
+    assert out[8] < out[0]
+    assert all(out[i] == out[0] for i in range(8))
