@@ -4703,6 +4703,54 @@ def scd2_point_in_time_join(spark, sf_dir):
 
 
 @register(
+    "data_profile_orders",
+    sql="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def data_profile_orders(spark, sf_dir):
+    """Per-column data-quality profile (operators/profiling.py:
+    column_profile — the Deequ report shape): row/null/distinct counts
+    and min/max per column, ALL columns in ONE aggregation pass with
+    map-side combine. The oracle computes each column's metrics
+    independently; matching proves the fused single-pass plan."""
+    from .operators.profiling import column_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return column_profile(
+        o, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+@register(
     "verb_vacuum_retention",
     sql="""
     SELECT n_nationkey, n_name || '_X' AS n_name,

@@ -424,3 +424,20 @@ def test_single_validation_job(engine, spark):
         f"validation jobs grew with column count: {narrow} jobs at 1 "
         f"decimal column vs {wide} at 12"
     )
+
+
+def test_column_profile_single_pass_and_nulls(spark):
+    """Profile metrics are exact (nulls counted, distinct exact,
+    min/max rendered) and the whole report is ONE aggregate job."""
+    from mssql_dataframe_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    out = {r["column_name"]: r for r in column_profile(df, ["k", "s"]).collect()}
+    k, s = out["k"], out["s"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 1, 2)
+    assert (k["min_value"], k["max_value"]) == ("1", "2")
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_value"], s["max_value"]) == ("a", "b")
