@@ -513,3 +513,51 @@ def bigram_logprob(
         F.round(F.sum("qterm") / 1e6 / F.count("*"), 6)
         .alias("mean_logprob"),
     )
+
+
+def apply_token_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "+",
+) -> DataFrame:
+    """Apply a FIXED ordered merge table to the whitespace token
+    stream — the BPE/WordPiece APPLY step (training-side merge mining
+    is bigram_pmi; this is the inference side a tokenizer service
+    runs): merge k replaces each adjacent pair "a b" with the fused
+    symbol "a+b", in rule order, each rule replacing every
+    non-overlapping occurrence left to right — plain-string
+    ``replace`` semantics, identical in Spark and ANSI SQL, so the
+    segmentation is engine-exact.
+
+    Returns (id, n_tokens_before, n_tokens_after, tokenized) where
+    ``tokenized`` is the space-joined post-merge symbol stream. Pure
+    narrow string expressions — no shuffle, no UDF; cost is k scans of
+    each document's token string (k = merge-table size; a production
+    apply compiles the table into a trie, but the relational form is
+    what proves the semantics).
+    """
+    stream = F.concat_ws(
+        " ", F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    )
+    out = stream
+    for a, b in merges:
+        out = F.replace(
+            out, F.lit(f"{a} {b}"), F.lit(f"{a}{joiner}{b}")
+        )
+    # NULL text -> NULL token array; count must read 0 (and guard the
+    # legacy -1 size-of-null convention)
+    n_before = F.greatest(
+        F.lit(0), F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+    ).cast("bigint")
+    n_after = F.when(F.length(out) == 0, F.lit(0).cast("bigint")).otherwise(
+        (F.length(out) - F.length(F.replace(out, F.lit(" "), F.lit("")))
+         + 1).cast("bigint")
+    )
+    return df.select(
+        F.col(id_col),
+        n_before.alias("n_tokens_before"),
+        n_after.alias("n_tokens_after"),
+        out.alias("tokenized"),
+    )

@@ -2707,6 +2707,56 @@ def timeseries_gap_fill(spark, sf_dir):
 
 
 @register(
+    "tokenizer_apply_merges",
+    sql=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN ''
+                  ELSE array_to_string(list_transform(
+                         regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> lower(t)), ' ') END AS s,
+             CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                  END AS n_before
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_before,
+             replace(replace(replace(replace(
+               s,
+               'table hash', 'table+hash'),
+               'part filter', 'part+filter'),
+               'customer join', 'customer+join'),
+               'merge group', 'merge+group') AS tokenized
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n_before AS BIGINT) AS n_tokens_before,
+           CAST(CASE WHEN LENGTH(tokenized) = 0 THEN 0
+                ELSE LENGTH(tokenized)
+                     - LENGTH(replace(tokenized, ' ', '')) + 1 END
+                AS BIGINT) AS n_tokens_after,
+           tokenized
+    FROM m
+    """,
+)
+def tokenizer_apply_merges(spark, sf_dir):
+    """Tokenizer merge APPLICATION (operators/text.py:
+    apply_token_merges): fuse the corpus's top adjacent pairs (mined
+    by bigram_pmi) into single symbols, rule by rule, with
+    plain-string replace semantics identical across engines — the
+    BPE/WordPiece apply step, proven against an oracle that performs
+    the same ordered replaces in SQL. Per-document token counts
+    before/after quantify the compression the merge table buys."""
+    d = _t(spark, sf_dir, "documents")
+    return X.apply_token_merges(
+        d,
+        merges=[("table", "hash"), ("part", "filter"),
+                ("customer", "join"), ("merge", "group")],
+    )
+
+
+@register(
     "bigram_logprob_quality",
     sql=r"""
     WITH d AS (

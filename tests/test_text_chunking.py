@@ -176,3 +176,30 @@ def test_bigram_logprob_ranks_transition_quality(spark):
     out = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
     assert out[8] < out[0]
     assert all(out[i] == out[0] for i in range(8))
+
+
+def test_apply_token_merges_order_and_overlap(spark):
+    """Merges apply in rule order with left-to-right non-overlapping
+    replacement; chained merges compose across rules, token counts
+    reflect the fusion."""
+    from mssql_dataframe_spark.operators.text import apply_token_merges
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a a a"),          # overlapping candidate pairs
+            (3, "x y z"),          # rule 2 then rule 1 chains on result
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["tokenized"], r["n_tokens_before"], r["n_tokens_after"])
+        for r in apply_token_merges(
+            df, merges=[("a", "b"), ("y", "z"), ("x", "y+z")]
+        ).collect()
+    }
+    assert out[1] == ("a+b a+b c", 5, 3)
+    assert out[2] == ("a a a", 3, 3)   # "a a" not a rule: untouched
+    assert out[3] == ("x+y+z", 3, 1)   # rule 3 fuses rule 2's output
+    assert out[4] == ("", 0, 0)
