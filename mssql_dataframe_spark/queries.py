@@ -2671,6 +2671,45 @@ def events_activity_streaks(spark, sf_dir):
 
 
 @register(
+    "null_safe_join_semantics",
+    sql="""
+    WITH k AS (
+      SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation
+    )
+    SELECT a.n_nationkey AS n1, b.n_nationkey AS n2,
+           (a.rk IS NULL) AS joined_on_null
+    FROM k a JOIN k b
+      ON a.rk IS NOT DISTINCT FROM b.rk
+     AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def null_safe_join_semantics(spark, sf_dir):
+    """Null-safe equality join (Spark ``<=>`` / ANSI ``IS NOT DISTINCT
+    FROM``): NULL keys MATCH each other instead of silently dropping —
+    the semantics entity-resolution pipelines need when the join key
+    is legitimately absent. The NULLIF-derived key makes one region's
+    nations all-NULL; the gate proves they pair with each other while
+    plain ``=`` would discard them."""
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.rk").eqNullSafe(F.col("b.rk"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_nationkey").alias("n1"),
+            F.col("b.n_nationkey").alias("n2"),
+            F.col("a.rk").isNull().alias("joined_on_null"),
+        )
+    )
+
+
+@register(
     "timeseries_gap_fill",
     sql="""
     WITH e AS (
