@@ -2671,6 +2671,57 @@ def events_activity_streaks(spark, sf_dir):
 
 
 @register(
+    "try_cast_tolerant_ingest",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN 'n/a'
+                  ELSE '' END AS raw_num,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '2024-0' || ((doc_id % 9) + 1) || '-15'
+                  ELSE 'not-a-date' END AS raw_date
+      FROM documents
+    )
+    SELECT doc_id,
+           TRY_CAST(raw_num AS BIGINT) AS parsed_num,
+           CAST(TRY_CAST(raw_date AS DATE) AS VARCHAR) AS parsed_date,
+           (TRY_CAST(raw_num AS BIGINT) IS NULL) AS num_failed
+    FROM raw
+    """,
+)
+def try_cast_tolerant_ingest(spark, sf_dir):
+    """Error-tolerant ingestion casts (``try_cast``): malformed values
+    become NULL instead of failing the job — the ELT semantics for
+    dirty feeds, where ANSI mode's strict CAST would kill a 100-TB
+    load over one bad row. The oracle mirrors with DuckDB TRY_CAST;
+    dates render as ISO strings for dtype parity."""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("n/a"))
+        .otherwise(F.lit(""))
+        .alias("raw_num"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("2024-0"),
+                ((F.col("doc_id") % 9) + 1).cast("string"),
+                F.lit("-15"),
+            ),
+        ).otherwise(F.lit("not-a-date")).alias("raw_date"),
+    )
+    return raw.select(
+        "doc_id",
+        F.expr("try_cast(raw_num AS BIGINT)").alias("parsed_num"),
+        F.expr("CAST(try_cast(raw_date AS DATE) AS STRING)")
+        .alias("parsed_date"),
+        F.expr("try_cast(raw_num AS BIGINT) IS NULL").alias("num_failed"),
+    )
+
+
+@register(
     "null_safe_join_semantics",
     sql="""
     WITH k AS (
