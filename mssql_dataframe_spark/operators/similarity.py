@@ -696,3 +696,114 @@ def kmeans_quantized(
     )
     qe.unpersist()
     return out.select("cid", "n_members", "inertia_q")
+
+
+def exact_topk_scalable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = QUANT,
+    max_queries: int = 1 << 14,
+) -> DataFrame:
+    """Exact top-k cosine neighbors, LINEAR in the corpus size.
+
+    :func:`brute_force_topk` is the recall oracle but materializes
+    |Q|x|N| scored rows through a window shuffle — quadratic traffic
+    that dies at 100 TB. Here the (small) query set is collected once,
+    broadcast to executors, and a ``mapInPandas`` kernel streams each
+    corpus partition through one int64 numpy matmul per Arrow batch,
+    keeping a running per-query top-k inside the partition. Only
+    ``partitions x Q x k`` candidate rows ever leave the scan stage;
+    one tiny window pass merges them into the global answer. No N x Q
+    rows exist anywhere — same single-pass shape as IVF assignment.
+
+    Determinism (the established quantized contract of this module):
+    vectors quantize to ``floor(v*quant + 0.5)`` int64, so dot
+    products are exact integers in any summation order; the score
+    ``dot / (sqrt(|q|^2) * sqrt(|c|^2))`` is one IEEE divide over two
+    correctly-rounded sqrts of exact integers — bit-identical in
+    numpy, the JVM, and DuckDB. Ties break on neighbor id. Per-
+    partition pruning is lossless: a global top-k row is top-k within
+    its own partition under the same total order.
+    """
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+        )
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"{len(q_rows)} query vectors; cap is {max_queries} — "
+            "batch the query set (each batch is one linear scan)"
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Qm = np.floor(
+        np.vstack([r["__qv"] for r in q_rows]) * quant + 0.5
+    ).astype(np.int64)  # (Q, dim)
+    qn = np.sqrt((Qm * Qm).sum(axis=1).astype(np.float64))  # exact ints in
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Qm, qn))
+
+    def scan(batches):
+        qids, Qm_, qn_ = bc.value
+        nq = len(qids)
+        # running per-query top-k across the partition's batches
+        acc_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        acc_sc = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.floor(
+                np.stack(pdf["__cv"].to_numpy()) * quant + 0.5
+            ).astype(np.int64)  # (B, dim)
+            nid = pdf["neighbor_id"].to_numpy()
+            cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            dots = (C @ Qm_.T).astype(np.float64)  # exact: |dot| << 2^53
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = dots / np.outer(cn, qn_)  # (B, Q) IEEE div of exacts
+            S = np.nan_to_num(S, nan=-np.inf)
+            for j in range(nq):
+                s = S[:, j]
+                keep = nid != qids[j]  # exclude self-match
+                ids = np.concatenate([acc_ids[j], nid[keep]])
+                sc = np.concatenate([acc_sc[j], s[keep]])
+                if len(ids) > k:
+                    # total order: score desc, neighbor_id asc
+                    order = np.lexsort((ids, -sc))[:k]
+                    ids, sc = ids[order], sc[order]
+                acc_ids[j], acc_sc[j] = ids, sc
+        out_q, out_n, out_s = [], [], []
+        for j in range(nq):
+            out_q.extend([qids[j]] * len(acc_ids[j]))
+            out_n.extend(acc_ids[j].tolist())
+            out_s.extend(acc_sc[j].tolist())
+        yield pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "score": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    cand = c.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("score"), 8).alias("cosine_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

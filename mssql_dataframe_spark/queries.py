@@ -3337,6 +3337,43 @@ def ann_recall_at10(spark, sf_dir):
 
 
 @register(
+    "embedding_topk_exact_scalable",
+    sql=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, {S.duckdb_quantize_sql('embedding::DOUBLE[]')} AS qv
+      FROM embeddings
+    ), q AS (SELECT vec_id, qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.qv)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.qv, e.qv))) AS score
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC)
+                AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(score, 8) AS cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_topk_exact_scal(spark, sf_dir):
+    """Exact top-k WITHOUT the crossJoin: the linear-scan production
+    path (operators/similarity.py exact_topk_scalable — broadcast
+    query matrix, per-partition int64-matmul running top-k, only
+    partitions x Q x k rows ever shuffle). The quantized-cosine order
+    is the module's engine-exact contract; the DuckDB twin ranks by
+    the same integer dots. brute_force_topk stays registered as the
+    float recall oracle; this entry is the one you run at 100 TB."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.exact_topk_scalable(e, q, dim=_DIM, k=10)
+
+
+@register(
     "embedding_near_dup_pairs",
     sql=f"""
     WITH e0 AS (

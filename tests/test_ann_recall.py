@@ -115,3 +115,30 @@ def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
     assert sum(r["n_members"] for r in out) == 4
     # identical points collapse onto the first centroid; total exact
     assert all(r["inertia_q"] >= 0 for r in out)
+
+
+def test_exact_topk_scalable_partition_invariant(spark):
+    """The per-partition running top-k prune is lossless: the answer
+    must be identical whether the corpus arrives as 1 partition or
+    many (every global top-k row is top-k of its own partition under
+    the same (score desc, id asc) total order)."""
+    e = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 5")
+    one = S.exact_topk_scalable(e.coalesce(1), q, dim=64, k=10)
+    many = S.exact_topk_scalable(e.repartition(7), q, dim=64, k=10)
+    rows1 = sorted(map(tuple, one.collect()))
+    rows7 = sorted(map(tuple, many.collect()))
+    assert rows1 == rows7
+    assert len(rows1) == 5 * 10
+
+
+def test_exact_topk_scalable_agrees_with_brute_force_neighbors(spark):
+    """Quantized-int ordering vs float ordering: the neighbor SETS
+    should agree almost everywhere on real data (quantization at 1/64
+    only reorders near-ties)."""
+    e = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 5")
+    fast = _topk_sets(S.exact_topk_scalable(e, q, dim=64, k=10))
+    brute = _topk_sets(S.brute_force_topk(e, q, k=10, dim=64))
+    hits = sum(len(fast[qi] & brute[qi]) for qi in brute)
+    assert hits >= 0.8 * sum(len(v) for v in brute.values())
