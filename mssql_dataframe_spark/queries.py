@@ -1507,6 +1507,155 @@ def regr_bool_aggregates(spark, sf_dir):
 
 
 @register(
+    "argmax_aggregates",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           arg_max(o_custkey, o_totalprice * 1e9 + o_orderkey)
+             AS top_spender_cust,
+           arg_min(o_orderkey, o_totalprice * 1e9 + o_orderkey)
+             AS cheapest_orderkey,
+           ROUND(MEDIAN(o_totalprice), 6) AS median_price,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def argmax_aggregates(spark, sf_dir):
+    """argmax/argmin aggregates (Spark `max_by`/`min_by` == DuckDB
+    `arg_max`/`arg_min`) plus `median` and `count_if`. The ordering
+    value is made UNIQUE per row (price*1e9 + orderkey: price deltas
+    quantize to >=1e7, orderkeys stay below that) because max_by ties
+    are engine-nondeterministic; identical IEEE arithmetic on both
+    sides keeps the winner bit-agreed. The argmax shape replaces the
+    self-join-on-max anti-pattern — one map-side-combinable agg pass
+    instead of scan+join, which is the difference that matters on a
+    100 TB fact table."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice") * F.lit(1e9) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.max_by("o_custkey", v).alias("top_spender_cust"),
+        F.min_by("o_orderkey", v).alias("cheapest_orderkey"),
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.count_if(F.col("o_totalprice") > 200000)
+        .cast("bigint")
+        .alias("n_big"),
+    )
+
+
+@register(
+    "histogram_equi_width",
+    sql="""
+    SELECT CAST(FLOOR((o_totalprice - 0.0) / ((600000.0 - 0.0) / 24))
+                AS BIGINT) + 1 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_equi_width(spark, sf_dir):
+    """Equi-width histogram via the SQL:2016 `width_bucket` builtin —
+    the profiling primitive behind optimizer statistics and data-drift
+    monitors. The DuckDB twin inlines width_bucket's exact definition
+    (floor((x-lo)/((hi-lo)/nb))+1, the same IEEE operation order Spark's
+    WidthBucket codegen uses), so boundary values land in the same
+    bucket in both engines. One map-side-combinable agg, no shuffle
+    beyond the 26-key exchange."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(24)
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "lateral_topk_per_nation",
+    sql="""
+    SELECT n.n_name, l.c_name, l.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) l
+    """,
+)
+def lateral_topk_per_nation(spark, sf_dir):
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    new in Spark 4): top-3 customers by balance per nation, written as
+    a per-row subquery instead of window+filter. Catalyst decorrelates
+    it into a ranked join (DomainJoin -> window under the hood), so
+    the executed plan is the same shuffle-once shape as the explicit
+    window formulation — the feature is the SURFACE, the plan stays
+    scale-sane."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name, l.c_acctbal
+        FROM nation_lat_v n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) l
+        """
+    )
+
+
+@register(
+    "recursive_cte_supplier_tree",
+    sql="""
+    WITH RECURSIVE tree(suppkey, depth) AS (
+      SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, t.depth + 1
+      FROM supplier s JOIN tree t ON s.s_suppkey // 2 = t.suppkey
+    )
+    SELECT t.depth, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_acctbal
+    FROM tree t JOIN supplier s ON s.s_suppkey = t.suppkey
+    GROUP BY t.depth
+    """,
+)
+def recursive_cte_supplier_tree(spark, sf_dir):
+    """WITH RECURSIVE (new in Spark 4): walk the implicit binary tree
+    parent(k) = k DIV 2 from supplier 1, reporting per-depth counts and
+    balance totals. Each recursion level is one join of the frontier
+    against the (pruned, pushed-down) supplier scan — at 100 TB the
+    frontier stays small relative to the table and the loop depth is
+    log2(N), the same iterative-join shape as the dedup connected-
+    components operator but expressed declaratively."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rec_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(suppkey, depth) AS (
+          SELECT s_suppkey, 0 FROM supplier_rec_v WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, t.depth + 1
+          FROM supplier_rec_v s JOIN tree t ON s.s_suppkey DIV 2 = t.suppkey
+        )
+        SELECT t.depth, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+                 AS sum_acctbal
+        FROM tree t JOIN supplier_rec_v s ON s.s_suppkey = t.suppkey
+        GROUP BY t.depth
+        """
+    )
+
+
+@register(
     "source_partitioned_pruning",
     sql="""
     SELECT o_orderstatus, COUNT(*) AS n,
