@@ -132,6 +132,67 @@ class modify:
         props["check_constraints"] = checks
         self._store.update_meta(table_name, properties=props)
 
+    def foreign_key(
+        self,
+        table_name: str,
+        modify: str,
+        name: str,
+        columns: Optional[str | list[str]] = None,
+        ref_table: Optional[str] = None,
+        ref_columns: Optional[str | list[str]] = None,
+    ) -> None:
+        """ADD/DROP a named FOREIGN KEY (beyond-reference; warehouse
+        engines usually declare FKs NOT ENFORCED — here ``add`` audits
+        the EXISTING rows with one keys-only anti join against the
+        parent's current snapshot, and every subsequent
+        insert/update/merge/SCD2 enforces the FK on the rows it
+        writes, same hook as CHECK constraints). SQL MATCH SIMPLE:
+        rows with any NULL FK column pass."""
+        from ..validation import enforce_foreign_keys
+
+        meta = self._store.meta(table_name)
+        props = dict(meta.properties)
+        fks = dict(props.get("foreign_keys") or {})
+        if modify == "add":
+            cols = [columns] if isinstance(columns, str) else list(columns or [])
+            rcols = (
+                [ref_columns]
+                if isinstance(ref_columns, str)
+                else list(ref_columns or [])
+            )
+            if not cols or not ref_table or len(cols) != len(rcols):
+                raise ValueError(
+                    "foreign_key add needs columns, ref_table and "
+                    "ref_columns of equal length"
+                )
+            if name in fks:
+                raise ValueError(f"foreign key {name!r} already exists")
+            for c in cols:
+                if c not in meta.spark_schema.fieldNames():
+                    raise SQLColumnDoesNotExist(c)
+            ref_meta = self._store.meta(ref_table)  # raises if absent
+            for rc in rcols:
+                if rc not in ref_meta.spark_schema.fieldNames():
+                    raise SQLColumnDoesNotExist(rc)
+            spec = {
+                "columns": cols,
+                "ref_table": ref_table,
+                "ref_columns": rcols,
+            }
+            # audit: a table in violation cannot acquire the FK
+            enforce_foreign_keys(
+                self._store, self._store.read(table_name), {name: spec}
+            )
+            fks[name] = spec
+        elif modify == "drop":
+            if name not in fks:
+                raise ValueError(f"no foreign key {name!r}")
+            del fks[name]
+        else:
+            raise ValueError("modify must be one of add|drop")
+        props["foreign_keys"] = fks
+        self._store.update_meta(table_name, properties=props)
+
     def primary_key(
         self,
         table_name: str,

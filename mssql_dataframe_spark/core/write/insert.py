@@ -24,7 +24,11 @@ from pyspark.sql.window import Window
 
 from ...errors import DataframeColumnInvalidValue
 from ...store import TableStore
-from ...validation import enforce_check_constraints, precheck_dataframe
+from ...validation import (
+    enforce_check_constraints,
+    enforce_foreign_keys,
+    precheck_dataframe,
+)
 from .. import datetimeoffset as dto
 
 logger = logging.getLogger("mssql_dataframe_spark")
@@ -135,6 +139,9 @@ def insert(
     out = df.select(*meta.spark_schema.fieldNames())
     enforce_check_constraints(
         out, meta.properties.get("check_constraints") or {}
+    )
+    enforce_foreign_keys(
+        store, out, meta.properties.get("foreign_keys") or {}
     )
     store.append(table_name, out)
     return df

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist
 from ...store import TableStore
-from ...validation import enforce_check_constraints, precheck_dataframe
+from ...validation import (
+    enforce_check_constraints,
+    enforce_foreign_keys,
+    precheck_dataframe,
+)
 from .. import datetimeoffset as dto
 from .insert import assign_identity, ensure_time_columns
 from .update import resolve_match_columns
@@ -192,6 +196,9 @@ def merge_op(
     result = joined.select(*out_cols)
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}
+    )
+    enforce_foreign_keys(
+        store, result, meta.properties.get("foreign_keys") or {}
     )
     if keep_entries is not None:
         store.replace_files(table_name, result, keep_entries, op="merge")

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist
 from ...store import TableStore
-from ...validation import enforce_check_constraints, precheck_dataframe
+from ...validation import (
+    enforce_check_constraints,
+    enforce_foreign_keys,
+    precheck_dataframe,
+)
 from .update import resolve_match_columns
 
 
@@ -145,6 +149,9 @@ def merge_scd2(
     )
     enforce_check_constraints(
         out, meta.properties.get("check_constraints") or {}
+    )
+    enforce_foreign_keys(
+        store, out, meta.properties.get("foreign_keys") or {}
     )
     if keep_entries is not None:
         store.replace_files(table_name, out, keep_entries, op="merge_scd2")

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist, SQLUndefinedPrimaryKey
 from ...store import TableStore
-from ...validation import enforce_check_constraints, precheck_dataframe
+from ...validation import (
+    enforce_check_constraints,
+    enforce_foreign_keys,
+    precheck_dataframe,
+)
 from .. import datetimeoffset as dto
 from .insert import ensure_time_columns
 
@@ -118,6 +122,9 @@ def update_op(
     result = joined.select(*out_cols)
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}
+    )
+    enforce_foreign_keys(
+        store, result, meta.properties.get("foreign_keys") or {}
     )
     if keep_entries is not None:
         store.replace_files(table_name, result, keep_entries, op="update")

@@ -82,3 +82,10 @@ class SQLConcurrentWriteConflict(Exception):
     read and its commit attempt (beyond-reference; the Delta optimistic
     concurrency ``ConcurrentModificationException`` analog). The write
     was NOT applied — re-read and retry."""
+
+
+class SQLForeignKeyViolation(Exception):
+    """Row(s) reference key values absent from the parent table
+    (beyond-reference; warehouse engines typically declare FKs
+    unenforced — this engine audits on ADD and enforces on write).
+    SQL MATCH SIMPLE semantics: a row with any NULL FK column passes."""

@@ -5283,6 +5283,65 @@ def verb_check_constraints(spark, sf_dir):
 
 
 @register(
+    "verb_foreign_key_audit",
+    sql="""
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM lineitem WHERE l_orderkey <= 1000
+    GROUP BY l_orderkey
+    """,
+)
+def verb_foreign_key_audit(spark, sf_dir):
+    """FOREIGN KEY constraints (modify.foreign_key — beyond-reference;
+    warehouses usually declare FKs NOT ENFORCED, this engine audits on
+    ADD and enforces on every write via one keys-only anti join,
+    validation.enforce_foreign_keys). The entry proves the full path:
+    parent + child store tables, audited FK add over clean data, an
+    orphan insert REJECTED with SQLForeignKeyViolation (and not
+    persisted — enforcement runs before the commit), and the surviving
+    child content matching the oracle exactly."""
+    from mssql_dataframe_spark.errors import SQLForeignKeyViolation
+
+    eng = _scratch_engine(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    eng.create.table_from_dataframe(
+        "dbo.orders_fkp", orders, primary_key="o_orderkey"
+    )
+    eng.write.insert("dbo.orders_fkp", orders)
+    eng.create.table_from_dataframe(
+        "dbo.lines_fkc", lines, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    eng.write.insert("dbo.lines_fkc", lines)
+    eng.modify.foreign_key(
+        "dbo.lines_fkc", "add", "fk_order",
+        columns="l_orderkey",
+        ref_table="dbo.orders_fkp", ref_columns="o_orderkey",
+    )
+    orphans = lines.limit(5).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(10_000_000)
+    )
+    try:
+        eng.write.insert("dbo.lines_fkc", orphans)
+        raise AssertionError("orphan insert must raise SQLForeignKeyViolation")
+    except SQLForeignKeyViolation:
+        pass
+    return (
+        eng.read.table("dbo.lines_fkc")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            _dsum(F.col("l_extendedprice"), "total_price"),
+        )
+    )
+
+
+@register(
     "verb_history",
     sql="""
     SELECT * FROM (VALUES

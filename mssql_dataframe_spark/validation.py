@@ -142,6 +142,47 @@ def enforce_check_constraints(df: DataFrame, checks: dict) -> None:
         )
 
 
+def enforce_foreign_keys(store, df: DataFrame, fks: dict) -> None:
+    """Enforce declared FOREIGN KEY constraints on rows about to be
+    written (beyond-reference; most warehouses declare FKs NOT
+    ENFORCED — here the write fails fast like SQL Server would).
+
+    Shape: per FK, ONE keys-only left-anti join of the written rows'
+    distinct FK tuples against the parent table's key projection. Both
+    sides project just the key columns, so at 100 TB this is a slim
+    shuffle (or a broadcast when the parent key set is small — Catalyst
+    decides from stats). Cost is ∝ touched rows + parent keys, never
+    the full child table. SQL MATCH SIMPLE semantics: a row with any
+    NULL FK column passes; only fully-non-NULL orphan tuples violate.
+    """
+    if not fks:
+        return
+    for name in sorted(fks):
+        spec = fks[name]
+        cols = list(spec["columns"])
+        parent = store.read(spec["ref_table"]).select(
+            *[
+                F.col(rc).alias(c)
+                for c, rc in zip(cols, spec["ref_columns"])
+            ]
+        )
+        orphans = (
+            df.select(*cols)
+            .na.drop(how="any")
+            .distinct()
+            .join(parent, cols, "left_anti")
+            .limit(1)
+            .count()
+        )
+        if orphans:
+            from .errors import SQLForeignKeyViolation
+
+            raise SQLForeignKeyViolation(
+                f"foreign key {name!r} violated: written rows reference "
+                f"{cols} values absent from {spec['ref_table']}"
+            )
+
+
 def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     """Upcast numeric columns to their category's widest type before
     range checks (reference: conversion.py:214-253)."""
