@@ -233,3 +233,46 @@ def resample_forward_fill(
         left_time="grid_ts", right_time=time_col,
         right_values=[value_col], suffix="_filled",
     ).select(key_col, "grid_ts", f"{value_col}_filled")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    band_col: str,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    min_overlap_us: int = 0,
+) -> DataFrame:
+    """Interval-overlap self/two-table join: pairs whose
+    ``[start, end]`` ranges intersect, banded by an equi-key.
+
+    The naive formulation is a pure theta-join (O(L*R) nested loop at
+    any scale). The scalable shape joins on ``band_col`` FIRST — a
+    coarse time bucket (day/hour) or tenant key that both sides carry
+    — so Spark plans a hash equi-join and the overlap predicates
+    become cheap post-join filters; cost is sum of band-pair sizes,
+    never the cross product. Intervals that span bands must be
+    exploded onto each band they touch and the output de-duplicated
+    (same contract as the banded range join above).
+
+    Emits every left x right pair in the same band with
+    ``overlap_us = least(ends) - greatest(starts)`` (microseconds,
+    exact integer arithmetic in any engine) ``>= min_overlap_us``.
+    Column names on the right side get an ``_r`` suffix.
+    """
+    r = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    )
+    cond = (
+        (F.col(band_col) == F.col(f"{band_col}_r"))
+        & (F.col(start_col) <= F.col(f"{end_col}_r"))
+        & (F.col(f"{start_col}_r") <= F.col(end_col))
+    )
+    overlap = F.unix_micros(
+        F.least(F.col(end_col), F.col(f"{end_col}_r"))
+    ) - F.unix_micros(F.greatest(F.col(start_col), F.col(f"{start_col}_r")))
+    return (
+        left.join(r, cond)
+        .withColumn("overlap_us", overlap)
+        .filter(F.col("overlap_us") >= F.lit(min_overlap_us))
+    )

@@ -1995,6 +1995,113 @@ def range_join_bands(spark, sf_dir):
     )
 
 
+_BLOOM_CONFS = {
+    # runtime bloom filters are sized for clusters: the application
+    # side must look >10GB before Spark bothers. Locally we force the
+    # injection (threshold 0) and forbid broadcast so the join keeps
+    # the shuffle shape the filter exists to protect.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "bloom_filter_join_prune",
+    sql="""
+    SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#13'
+    GROUP BY l.l_returnflag
+    """,
+)
+def bloom_filter_join_prune(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    the selective dim-side filter (one brand of part) builds a bloom
+    filter at runtime that is pushed into the FACT-side scan as
+    might_contain(xxhash64(l_partkey)) — ~96% of lineitem rows die at
+    the scan, BEFORE the join shuffle. This is the 100 TB lever when
+    the dim side is too big to broadcast but still selective: shuffle
+    volume drops by the filter's selectivity for the cost of one tiny
+    bloom build. tests/test_plans.py pins might_contain into the
+    lineitem scan filter. The entry materializes under the forced
+    confs, then restores session state (results are conf-independent —
+    a bloom filter only removes rows the join would drop anyway)."""
+    old = {}
+    for k in _BLOOM_CONFS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None  # no value and no default -> unset to restore
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        l = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+        df = (
+            l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n_lines"),
+                _dsum(F.col("l_extendedprice"), "revenue"),
+            )
+        )
+        rows = df.collect()
+        schema = df.schema
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "interval_overlap_join",
+    sql="""
+    WITH iv AS (
+      SELECT user_id, DATE_TRUNC('day', ts) AS day,
+             MIN(ts) AS start_ts, MAX(ts) AS end_ts
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day, a.user_id AS user1, b.user_id AS user2,
+           epoch_us(least(a.end_ts, b.end_ts))
+             - epoch_us(greatest(a.start_ts, b.start_ts)) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+    WHERE epoch_us(least(a.end_ts, b.end_ts))
+            - epoch_us(greatest(a.start_ts, b.start_ts)) >= 72000000000
+    """,
+)
+def interval_overlap_entry(spark, sf_dir):
+    """Interval-overlap join (operators/joins.py interval_overlap_join):
+    per-user daily activity intervals, paired where the spans
+    intersect for >= 20h. Banded by day so the plan is a hash
+    equi-join with post-filters — cost is per-band pair counts, never
+    the |intervals|^2 theta product. Overlap is exact integer
+    microseconds (epoch differences cancel any timezone epoch offset),
+    so both engines agree bit-for-bit."""
+    e = load_events(spark, sf_dir)
+    iv = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    pairs = J.interval_overlap_join(
+        iv, iv, band_col="day", start_col="start_ts", end_col="end_ts",
+        min_overlap_us=72_000_000_000,  # 20 hours
+    ).filter(F.col("user_id") < F.col("user_id_r"))
+    return pairs.select(
+        "day",
+        F.col("user_id").alias("user1"),
+        F.col("user_id_r").alias("user2"),
+        "overlap_us",
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar function passthrough
 # ---------------------------------------------------------------------------

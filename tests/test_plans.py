@@ -142,3 +142,43 @@ def test_mv_delta_is_broadcast(spark):
     plan = _plan(spark, "mv_incremental_update")
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    # The injected runtime bloom filter must appear as a
+    # might_contain(...) predicate on the FACT side (lineitem), i.e.
+    # rows die at the scan before the join shuffle. Mirrors the
+    # bloom_filter_join_prune entry's conf setup.
+    from pyspark.sql import functions as F
+
+    old = {}
+    for k in Q._BLOOM_CONFS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in Q._BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        l = Q._t(spark, SF, "lineitem")
+        p = Q._t(spark, SF, "part").filter(F.col("p_brand") == "Brand#13")
+        df = (
+            l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # and the filter guards the fact-side key, not the part side
+    assert "l_partkey" in plan.split("might_contain")[1].splitlines()[0]
