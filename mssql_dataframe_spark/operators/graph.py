@@ -1,0 +1,93 @@
+"""Graph operators over edge-list DataFrames.
+
+Connected components lives in operators/dedup.py (it grew out of the
+near-duplicate clustering pipeline); this module holds the rank-style
+iterative algorithms.
+
+Determinism contract (same as the k-means trainer): all arithmetic is
+int64 — ranks are micro-units (1e6 = rank 1.0), per-edge contributions
+use integer floor division, and damping is ``(num * x) div den``. Sums
+of int64 are associative, so numpy, the JVM, and a DuckDB oracle that
+unrolls the same iterations agree bit-for-bit; no float accumulation
+order can leak into results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    iters: int = 5,
+    unit: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Damped PageRank over a directed edge list, integer-exact.
+
+    Update rule (per-node-normalized form, all int64)::
+
+        contrib(u)   = r_k(u) div outdeg(u)
+        r_{k+1}(v)   = (1-d)*unit  +  d * sum_{u->v} contrib(u)
+                     = ((d_den-d_num)*unit) div d_den
+                       + (d_num * sum) div d_den
+
+    Dangling nodes (no out-edges) contribute nothing — their mass
+    decays toward the teleport base, the standard "leak" variant; both
+    engines implement the same choice so results match exactly.
+
+    Scale shape: the edge list joins the (|V|-sized) rank frame on
+    ``src`` and aggregates contributions by ``dst`` — one shuffle per
+    iteration, the irreducible PageRank cost. The degree-annotated
+    edge frame is built ONCE and persisted so each iteration re-reads
+    it instead of recomputing the self-join; rank lineage is truncated
+    every iteration with ``localCheckpoint`` so the plan does not grow
+    with the iteration count (the lesson from the connected-components
+    operator). At 100 TB you would additionally pre-partition edges by
+    ``src`` at write time so the per-iteration join is shuffle-free on
+    the edge side.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_w = e.join(outdeg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    base = ((d_den - d_num) * unit) // d_den
+    ranks = nodes.withColumn("rank_q", F.lit(unit).cast("bigint"))
+    for _ in range(iters):
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.node_id)
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("rank_q div outdeg").alias("contrib"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({d_num} * coalesce(in_sum, 0L)) div {d_den}"
+                    )
+                ).cast("bigint").alias("rank_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select("node_id", "rank_q")
+    edges_w.unpersist()
+    nodes.unpersist()
+    return out

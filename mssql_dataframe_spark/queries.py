@@ -5785,6 +5785,73 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3,
     return "WITH" + "".join(parts[:-1])[1:] + parts[-1]
 
 
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """The SAME integer PageRank (operators/graph.py) unrolled into a
+    flat CTE chain — one CTE per iteration, like the k-means oracle.
+    CASTs guard DuckDB's SUM->HUGEINT widening."""
+    parts = ["""WITH bp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS c_node, 2 * l.l_suppkey + 1 AS s_node
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS MATERIALIZED (
+      SELECT c_node AS src, s_node AS dst FROM bp
+      UNION ALL
+      SELECT s_node, c_node FROM bp
+    ), outdeg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT node_id FROM (
+        SELECT src AS node_id FROM edges
+        UNION ALL SELECT dst FROM edges)
+    ), r0 AS MATERIALIZED (
+      SELECT node_id, CAST(1000000 AS BIGINT) AS rank_q FROM nodes
+    )"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", r{k} AS MATERIALIZED (
+      SELECT n.node_id,
+             CAST(150000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT)
+               AS rank_q
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node_id,
+               CAST(SUM(r.rank_q // d.outdeg) AS BIGINT) AS in_sum
+        FROM edges e
+        JOIN r{k - 1} r ON r.node_id = e.src
+        JOIN outdeg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node_id = n.node_id
+    )""")
+    parts.append(f"\n    SELECT node_id, rank_q FROM r{iters}")
+    return "".join(parts)
+
+
+@register("pagerank_customer_supplier", sql=_pagerank_oracle_sql())
+def pagerank_customer_supplier(spark, sf_dir):
+    """Damped PageRank (operators/graph.py pagerank_quantized) over the
+    bipartite customer<->supplier purchase graph (edge when a customer
+    bought from a supplier; both directions so the walk mixes). All
+    arithmetic is int64 micro-units with integer floor division, so 5
+    iterations reproduce bit-for-bit on any engine; the oracle unrolls
+    the identical update rule into one CTE per iteration. One shuffle
+    per iteration (contribution agg by dst) — the irreducible
+    PageRank cost; lineage is checkpoint-truncated per iteration."""
+    from mssql_dataframe_spark.operators import graph as G
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    bp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = bp.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(
+        bp.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    return G.pagerank_quantized(edges, iters=5)
+
+
 @register("kmeans_codebook_train", sql=_kmeans_oracle_sql())
 def kmeans_codebook_train(spark, sf_dir):
     """Integer-exact Lloyd k-means (operators/similarity.py:

@@ -1,0 +1,41 @@
+"""pagerank_quantized: integer-exact damped PageRank. Hand-computed
+fixed points on tiny graphs pin the update rule; the cross-engine
+bit-exactness is covered by the oracle-parity suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mssql_dataframe_spark.operators.graph import pagerank_quantized
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs], "src long, dst long"
+    )
+
+
+def _ranks(df):
+    return {r["node_id"]: r["rank_q"] for r in df.collect()}
+
+
+def test_two_node_cycle_is_fixed_point(spark):
+    # a<->b: each node keeps exactly unit rank every iteration:
+    # 150000 + (85 * 1000000 div 1) div 100 = 1000000
+    r = _ranks(pagerank_quantized(_edges(spark, [(1, 2), (2, 1)]), iters=4))
+    assert r == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_dangling_node_decays_to_teleport_base(spark):
+    # a->b, b dangling: a gets no in-mass (rank 150000 after iter 1);
+    # b's rank after 2 iters = 150000 + (85*150000) div 100 = 277500
+    r = _ranks(pagerank_quantized(_edges(spark, [(1, 2)]), iters=2))
+    assert r == {1: 150_000, 2: 277_500}
+
+
+def test_hub_outranks_leaves(spark):
+    # star: leaves 2..5 all point at 1 and 1 points back at each
+    pairs = [(i, 1) for i in (2, 3, 4, 5)] + [(1, i) for i in (2, 3, 4, 5)]
+    r = _ranks(pagerank_quantized(_edges(spark, pairs), iters=5))
+    assert all(r[1] > r[i] for i in (2, 3, 4, 5))
+    assert len({r[i] for i in (2, 3, 4, 5)}) == 1  # symmetric leaves agree
