@@ -132,6 +132,40 @@ class modify:
         props["check_constraints"] = checks
         self._store.update_meta(table_name, properties=props)
 
+    def masking_policy(
+        self,
+        table_name: str,
+        modify: str,
+        column_name: str,
+        function: Optional[str] = None,
+    ) -> None:
+        """ADD/DROP a Dynamic Data Masking policy on a column (SQL
+        Server ``MASKED WITH (FUNCTION = ...)`` analog — the reference
+        targets SQL Server, whose DDM this mirrors; core/masking.py).
+        Metadata-only in both directions: storage keeps real values,
+        reads apply the mask unless called with ``unmask=True`` (the
+        UNMASK-permission analog)."""
+        from . import masking
+
+        meta = self._store.meta(table_name)
+        if column_name not in meta.spark_schema.fieldNames():
+            raise SQLColumnDoesNotExist(column_name)
+        props = dict(meta.properties)
+        policies = dict(props.get("masking_policies") or {})
+        if modify == "add":
+            if not function:
+                raise ValueError("function required for masking_policy add")
+            masking.validate_mask_function(function)
+            policies[column_name] = function.strip()
+        elif modify == "drop":
+            if column_name not in policies:
+                raise ValueError(f"no masking policy on {column_name!r}")
+            del policies[column_name]
+        else:
+            raise ValueError("modify must be one of add|drop")
+        props["masking_policies"] = policies
+        self._store.update_meta(table_name, properties=props)
+
     def foreign_key(
         self,
         table_name: str,

@@ -67,11 +67,18 @@ class read:
         order_direction: Optional[str] = None,
         include_tz_offsets: bool = False,
         version: Optional[int] = None,
+        unmask: bool = False,
     ) -> DataFrame:
         """``version`` reads a retained prior snapshot (time travel;
         beyond-reference — the COW store keeps ``keep_versions`` old
         snapshots). Old data is projected through the CURRENT declared
-        schema: columns added since the snapshot read as NULL."""
+        schema: columns added since the snapshot read as NULL.
+
+        ``unmask=True`` is the UNMASK-permission analog: it bypasses
+        declared Dynamic Data Masking policies (core/masking.py).
+        Masks otherwise apply LAST — like SQL Server DDM, ``where``
+        predicates evaluate on real values, and masking is a pure
+        output transform (metadata-driven, zero UDFs)."""
         meta = self._store.meta(table_name)
         df = self._store.read(table_name, version=version)
 
@@ -122,6 +129,13 @@ class read:
                 raise ValueError("limit must be an integer (reference read.py:111-117)")
             df = df.limit(limit)
 
+        if not unmask:
+            from . import masking
+
+            df = masking.apply_masks(
+                df, meta.spark_schema,
+                meta.properties.get("masking_policies") or {},
+            )
         return df
 
     def table_changes(

@@ -5449,6 +5449,60 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_masked_reads",
+    sql="""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             'u' || CAST(c_custkey AS VARCHAR) || '@corp.example' AS email
+      FROM customer WHERE c_custkey <= 1500
+    )
+    SELECT c_custkey,
+           CASE WHEN c_name IS NULL THEN NULL
+                WHEN LENGTH(c_name) <= 5 THEN '...'
+                ELSE substring(c_name, 1, 2) || '...'
+                     || substring(c_name, LENGTH(c_name) - 2, 3) END AS c_name,
+           CASE WHEN c_acctbal IS NULL THEN NULL
+                ELSE CAST(0 AS DOUBLE) END AS c_acctbal,
+           CASE WHEN email IS NULL THEN NULL
+                ELSE substring(email, 1, 1) || 'XXX@XXXX.com' END AS email
+    FROM src WHERE c_acctbal > 5000
+    """,
+)
+def verb_masked_reads(spark, sf_dir):
+    """Dynamic Data Masking (modify.masking_policy + read-time
+    application, core/masking.py — the SQL Server ``MASKED WITH``
+    analog; the reference targets SQL Server, whose DDM this mirrors).
+    Policies are metadata (add/drop never rewrites data); reads apply
+    partial()/default()/email() masks as built-in column expressions
+    LAST, so the ``where`` predicate here filters on REAL acctbal
+    values while the output shows masked ones — exactly DDM's
+    documented behavior. ``unmask=True`` (the UNMASK permission) is
+    pinned by tests/test_masking.py."""
+    eng = _scratch_engine(spark)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1500)
+        .select(
+            "c_custkey", "c_name", "c_acctbal",
+            F.concat(
+                F.lit("u"), F.col("c_custkey").cast("string"),
+                F.lit("@corp.example"),
+            ).alias("email"),
+        )
+    )
+    eng.create.table_from_dataframe(
+        "dbo.cust_ddm", cust, primary_key="c_custkey"
+    )
+    eng.write.insert("dbo.cust_ddm", cust)
+    eng.modify.masking_policy(
+        "dbo.cust_ddm", "add", "c_name", "partial(2,'...',3)"
+    )
+    eng.modify.masking_policy("dbo.cust_ddm", "add", "c_acctbal", "default()")
+    eng.modify.masking_policy("dbo.cust_ddm", "add", "email", "email()")
+    return eng.read.table("dbo.cust_ddm", where="c_acctbal > 5000")
+
+
+@register(
     "verb_history",
     sql="""
     SELECT * FROM (VALUES
