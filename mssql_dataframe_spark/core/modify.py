@@ -132,6 +132,61 @@ class modify:
         props["check_constraints"] = checks
         self._store.update_meta(table_name, properties=props)
 
+    def computed_column(
+        self,
+        table_name: str,
+        modify: str,
+        column_name: str,
+        expression: Optional[str] = None,
+        data_type: str = "bigint",
+    ) -> None:
+        """ADD/DROP a computed column (SQL Server ``ADD <col> AS
+        (<expr>) PERSISTED`` analog; core/generated.py). ``add``
+        extends the schema, records the whitelist-validated expression
+        in table properties, and backfills existing rows in one COW
+        rewrite (PERSISTED: values live in storage, so stats/pruning
+        see them). Every subsequent write recomputes the column;
+        explicit writes into it are rejected (SQL Server error 271)."""
+        from . import generated
+
+        meta = self._store.meta(table_name)
+        props = dict(meta.properties)
+        computed = dict(props.get("computed_columns") or {})
+        if modify == "add":
+            if column_name in meta.spark_schema.fieldNames():
+                raise ValueError(
+                    f"column {column_name!r} already exists"
+                )
+            expr = generated.validate_computed_expr(
+                expression, meta.spark_schema.fieldNames()
+            )
+            spec = parse_column_spec(data_type)
+            new_schema = meta.spark_schema.add(
+                column_name, spec.spark_type, True
+            )
+            types = dict(meta.column_types)
+            types[column_name] = data_type
+            computed[column_name] = expr
+            props["computed_columns"] = computed
+            df = self._store.read(table_name).withColumn(
+                column_name, F.expr(expr).cast(spec.spark_type)
+            )
+            self._store.overwrite(
+                table_name, df.select(*new_schema.fieldNames()),
+                new_schema, types, op="add_computed_column",
+            )
+            self._store.update_meta(table_name, properties=props)
+        elif modify == "drop":
+            if column_name not in computed:
+                raise ValueError(f"no computed column {column_name!r}")
+            del computed[column_name]
+            props["computed_columns"] = computed
+            # drop the expression AND the column (one COW rewrite)
+            self._store.update_meta(table_name, properties=props)
+            self.column(table_name, "drop", column_name)
+        else:
+            raise ValueError("modify must be one of add|drop")
+
     def masking_policy(
         self,
         table_name: str,

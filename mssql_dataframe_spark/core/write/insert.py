@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ...errors import DataframeColumnInvalidValue
 from ...store import TableStore
+from .. import generated
 from ...validation import (
     enforce_check_constraints,
     enforce_foreign_keys,
@@ -102,6 +103,9 @@ def insert(
     meta = store.meta(table_name)
     if include_metadata_timestamps:
         meta = ensure_time_columns(store, table_name, ["_time_insert"])
+    generated.reject_explicit_writes(
+        dataframe.columns, meta.properties.get("computed_columns") or {}
+    )
 
     # NOT NULL enforcement: declared not-null columns plus primary-key
     # columns (the reference surfaces SQL Server's NOT NULL violation);
@@ -137,6 +141,7 @@ def insert(
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
 
     out = df.select(*meta.spark_schema.fieldNames())
+    out = generated.materialize(out, meta)
     enforce_check_constraints(
         out, meta.properties.get("check_constraints") or {}
     )

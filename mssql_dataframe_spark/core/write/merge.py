@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist
 from ...store import TableStore
+from .. import generated
 from ...validation import (
     enforce_check_constraints,
     enforce_foreign_keys,
@@ -60,6 +61,9 @@ def merge_op(
         meta = ensure_time_columns(
             store, table_name, ["_time_insert", "_time_update"]
         )
+    generated.reject_explicit_writes(
+        dataframe.columns, meta.properties.get("computed_columns") or {}
+    )
     match = resolve_match_columns(meta, dataframe, match_columns)
     for c in delete_requires:
         if c not in dataframe.columns:
@@ -194,6 +198,7 @@ def merge_op(
         out_cols.append(col.cast(f.dataType).alias(c))
 
     result = joined.select(*out_cols)
+    result = generated.materialize(result, meta)
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}
     )

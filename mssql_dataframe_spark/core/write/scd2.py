@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist
 from ...store import TableStore
+from .. import generated
 from ...validation import (
     enforce_check_constraints,
     enforce_foreign_keys,
@@ -55,6 +56,9 @@ def merge_scd2(
     ``current_timestamp``); pass a literal for reproducible loads.
     """
     meta = store.meta(table_name)
+    generated.reject_explicit_writes(
+        dataframe.columns, meta.properties.get("computed_columns") or {}
+    )
     scd_cols = (valid_from_col, valid_to_col, current_col)
     for c in scd_cols:
         if c not in meta.column_types:
@@ -147,6 +151,7 @@ def merge_scd2(
     out = j.select(F.explode(variants).alias("__r")).select(
         *[F.col(f"__r.{f.name}").alias(f.name) for f in meta.spark_schema.fields]
     )
+    out = generated.materialize(out, meta)
     enforce_check_constraints(
         out, meta.properties.get("check_constraints") or {}
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ...errors import SQLColumnDoesNotExist, SQLUndefinedPrimaryKey
 from ...store import TableStore
+from .. import generated
 from ...validation import (
     enforce_check_constraints,
     enforce_foreign_keys,
@@ -64,6 +65,9 @@ def update_op(
     meta = store.meta(table_name)
     if include_metadata_timestamps:
         meta = ensure_time_columns(store, table_name, ["_time_update"])
+    generated.reject_explicit_writes(
+        dataframe.columns, meta.properties.get("computed_columns") or {}
+    )
     match = resolve_match_columns(meta, dataframe, match_columns)
 
     # unique_key=match: duplicate match keys in the source would fan out
@@ -120,6 +124,7 @@ def update_op(
         out_cols.append(col.cast(f.dataType).alias(c))
 
     result = joined.select(*out_cols)
+    result = generated.materialize(result, meta)
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}
     )

@@ -5449,6 +5449,66 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_computed_columns",
+    sql="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey <= 4000
+    ), upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM src
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_band
+    FROM upd
+    """,
+)
+def verb_computed_columns(spark, sf_dir):
+    """Computed columns (modify.computed_column — SQL Server ``ADD col
+    AS (expr) PERSISTED`` analog, core/generated.py): whitelist-
+    validated expression, backfilled once, RECOMPUTED by the engine on
+    every write (the update below shifts o_totalprice and price_band
+    follows), explicit writes rejected like SQL Server error 271.
+    Zero extra Spark jobs — materialization is a column expression on
+    the frames the writes already produce."""
+    from mssql_dataframe_spark.errors import DataframeColumnInvalidValue
+
+    eng = _scratch_engine(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+    eng.create.table_from_dataframe(
+        "dbo.orders_gc", src, primary_key="o_orderkey"
+    )
+    eng.write.insert("dbo.orders_gc", src)
+    eng.modify.computed_column(
+        "dbo.orders_gc", "add", "o_year", "year(o_orderdate)", "bigint"
+    )
+    eng.modify.computed_column(
+        "dbo.orders_gc", "add", "price_band",
+        "floor(o_totalprice / 50000)", "bigint",
+    )
+    upd = src.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 50000.0).alias("o_totalprice"),
+    )
+    eng.write.update("dbo.orders_gc", upd)
+    bad = src.limit(1).withColumn("o_year", F.lit(1999).cast("bigint"))
+    try:
+        eng.write.insert("dbo.orders_gc", bad)
+        raise AssertionError("explicit computed-column write must fail")
+    except DataframeColumnInvalidValue:
+        pass
+    return eng.read.table("dbo.orders_gc")
+
+
+@register(
     "verb_masked_reads",
     sql="""
     WITH src AS (
