@@ -57,6 +57,69 @@ class read:
             "n_files_kept int, n_rows bigint, timestamp double",
         )
 
+    def table_stats(
+        self,
+        table_name: str,
+        columns: Optional[list[str]] = None,
+    ) -> DataFrame:
+        """Metadata-only column statistics: (column, n_rows, min, max)
+        answered ENTIRELY from the manifest's per-file footer stats —
+        no data scan, the Delta "COUNT(*) from the log" optimization
+        generalized to MIN/MAX of stats-tracked columns. O(files)
+        driver-side: at 100 TB this returns in manifest-read time
+        while the equivalent scan would touch the full table.
+
+        Only stats-harvested columns qualify (the primary key /
+        ``stats_column`` / ``stats_columns`` — the same set file
+        pruning uses); asking for anything else raises rather than
+        silently scanning. Entries written before a column joined the
+        stats set carry no bounds for it → that column raises too
+        (stale metadata must never masquerade as an answer; run
+        ``optimize`` to rewrite stats). min/max arrive as strings
+        (one render for int and date keys alike); n_rows is exact.
+        """
+        meta = self._store.meta(table_name)
+        entries = self._store.manifest(table_name, meta.version)
+        tracked = self._store._stats_cols(meta)
+        cols = list(columns) if columns is not None else list(tracked)
+        spark = self._store.spark
+        out = []
+        n_rows = sum(int(e.get("rows") or 0) for e in entries)
+        for c in cols:
+            if c not in meta.spark_schema.fieldNames():
+                raise SQLColumnDoesNotExist(c)
+            if c not in tracked:
+                raise ValueError(
+                    f"column {c!r} is not stats-tracked (tracked: "
+                    f"{tracked}); declare it via stats_column/"
+                    "stats_columns properties and optimize"
+                )
+            bounds = []
+            for e in entries:
+                b = (e.get("stats") or {}).get(c)
+                if b is None and e.get("stats_col") == c:
+                    b = [e.get("min"), e.get("max")]
+                if b is None or b[0] is None or b[1] is None:
+                    raise ValueError(
+                        f"file {e['path']!r} carries no {c!r} bounds "
+                        "(written before the column was stats-tracked); "
+                        "optimize the table to refresh stats"
+                    )
+                bounds.append(b)
+            lo = min(b[0] for b in bounds) if bounds else None
+            hi = max(b[1] for b in bounds) if bounds else None
+            out.append(
+                (
+                    c,
+                    n_rows,
+                    None if lo is None else str(lo),
+                    None if hi is None else str(hi),
+                )
+            )
+        return spark.createDataFrame(
+            out, "column string, n_rows bigint, min string, max string"
+        )
+
     def table(
         self,
         table_name: str,

@@ -5449,6 +5449,43 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_stats_metadata_read",
+    sql="""
+    SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS VARCHAR) AS "min",
+           CAST(MAX(o_custkey) AS VARCHAR) AS "max"
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR),
+           CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def verb_stats_metadata_read(spark, sf_dir):
+    """Metadata-only statistics (read.table_stats): COUNT/MIN/MAX
+    answered purely from the manifest's per-file footer stats — zero
+    data scan, the Delta count-from-log optimization generalized to
+    MIN/MAX of stats-tracked columns. The oracle computes the same
+    numbers by scanning the actual data, so a green row PROVES the
+    manifest stats are exact, not estimates. o_custkey is tracked via
+    the stats_columns property (the multi-column stats machinery
+    behind Z-ORDER pruning); o_orderkey rides the primary-key stats."""
+    eng = _scratch_engine(spark)
+    orders = _t(spark, sf_dir, "orders")
+    eng.create.table_from_dataframe(
+        "dbo.orders_ms", orders, primary_key="o_orderkey"
+    )
+    eng.store.update_meta(
+        "dbo.orders_ms", properties={"stats_columns": ["o_custkey"]}
+    )
+    eng.write.insert("dbo.orders_ms", orders)
+    return eng.read.table_stats(
+        "dbo.orders_ms", ["o_custkey", "o_orderkey"]
+    )
+
+
+@register(
     "verb_computed_columns",
     sql="""
     WITH src AS (

@@ -1,0 +1,57 @@
+"""read.table_stats: metadata-only COUNT/MIN/MAX from manifest footer
+stats. Exactness is proven against real scans; untracked or
+stale-stats columns must refuse, never estimate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mssql_dataframe_spark import errors
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(id=i, v=i * 10) for i in range(lo, hi)], "id long, v long"
+    )
+
+
+def test_stats_match_data_and_refresh_on_writes(engine, spark):
+    engine.create.table(
+        "dbo.ts", {"id": "bigint", "v": "bigint"}, primary_key_column="id"
+    )
+    engine.write.insert("dbo.ts", _df(spark, 0, 100))
+    engine.write.insert("dbo.ts", _df(spark, 500, 600))
+    rows = {r["column"]: r for r in
+            engine.read.table_stats("dbo.ts", ["id"]).collect()}
+    assert rows["id"]["n_rows"] == 200
+    assert rows["id"]["min"] == "0" and rows["id"]["max"] == "599"
+
+
+def test_untracked_column_refuses(engine, spark):
+    engine.create.table(
+        "dbo.ts2", {"id": "bigint", "v": "bigint"}, primary_key_column="id"
+    )
+    engine.write.insert("dbo.ts2", _df(spark, 0, 10))
+    with pytest.raises(ValueError, match="not stats-tracked"):
+        engine.read.table_stats("dbo.ts2", ["v"])
+    with pytest.raises(errors.SQLColumnDoesNotExist):
+        engine.read.table_stats("dbo.ts2", ["ghost"])
+
+
+def test_pre_tracking_files_refuse_until_optimize(engine, spark):
+    engine.create.table(
+        "dbo.ts3", {"id": "bigint", "v": "bigint"}, primary_key_column="id"
+    )
+    engine.write.insert("dbo.ts3", _df(spark, 0, 50))  # v not tracked yet
+    meta = engine.store.meta("dbo.ts3")
+    props = dict(meta.properties)
+    props["stats_columns"] = ["v"]
+    engine.store.update_meta("dbo.ts3", properties=props)
+    with pytest.raises(ValueError, match="no 'v' bounds"):
+        engine.read.table_stats("dbo.ts3", ["v"])
+    engine.store.optimize("dbo.ts3", small_file_rows=10_000_000)
+    rows = {r["column"]: r for r in
+            engine.read.table_stats("dbo.ts3", ["v"]).collect()}
+    assert rows["v"]["min"] == "0" and rows["v"]["max"] == "490"
+    assert rows["v"]["n_rows"] == 50
