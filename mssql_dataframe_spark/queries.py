@@ -1253,6 +1253,43 @@ def window_moving_avg(spark, sf_dir):
 
 
 @register(
+    "window_time_range_frames",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS trailing_7d_value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_7d_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frames(spark, sf_dir):
+    """Time-based RANGE window frame: 7-day trailing sum/count per
+    user — the sliding-metric shape behind feature stores and rate
+    monitors. The frame bound is VALUE-based (epoch microseconds, so
+    both engines cut the window at the identical microsecond — a
+    seconds-granular bound would disagree on sub-second neighbors),
+    unlike the ROWS frames above. One shuffle on user_id; the sum is
+    exact DECIMAL inside the frame, so no accumulation-order noise."""
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_value"),
+        F.count("*").over(w).cast("bigint").alias("trailing_7d_n"),
+    )
+
+
+@register(
     "window_rank_ntile",
     sql="""
     SELECT c_custkey, c_mktsegment,
