@@ -561,3 +561,76 @@ def apply_token_merges(
         n_after.alias("n_tokens_after"),
         out.alias("tokenized"),
     )
+
+
+def learn_token_merges(
+    df: DataFrame,
+    rounds: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "+",
+) -> "list[tuple[int, str, str, int]]":
+    """LEARN a BPE/WordPiece-style merge table at whitespace-token
+    granularity — the training half of :func:`apply_token_merges`.
+
+    Classic iterative BPE: each round (1) splits the CURRENT symbol
+    stream (so pairs fused in earlier rounds participate as single
+    symbols — the re-segmentation is what distinguishes BPE training
+    from one-shot bigram mining like bigram_pmi), (2) counts adjacent
+    symbol pairs corpus-wide, (3) fuses the most frequent pair
+    everywhere (ties break lexicographically), using the SAME
+    plain-replace semantics the apply step documents, so a table
+    learned here replays identically through apply_token_merges and
+    through a SQL oracle.
+
+    Returns ``[(rank, left, right, pair_count), ...]``.
+
+    Scale shape: one shuffle per round (pair-count agg, map-side
+    combined on the slim pair strings); the driver holds ONE scalar
+    winner per round — never a vocabulary. Re-segmentation is a
+    narrow per-row string expression stacked onto the stream column;
+    lineage depth = rounds, so for production round counts (10k+
+    merges) you would checkpoint every ~50 rounds and compile the
+    accumulated table into a trie — the relational form here is what
+    proves the semantics.
+    """
+    stream = F.concat_ws(
+        " ", F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    )
+    base = (
+        df.select(stream.alias("seg"))
+        .filter(F.length("seg") > 0)
+        .persist()
+    )
+    seg = base
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for k in range(rounds):
+            toks = F.split(F.col("seg"), " ")
+            pairs = F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            top = (
+                seg.select(F.explode(pairs).alias("pair"))
+                .groupBy("pair")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .first()
+            )
+            if top is None:
+                break
+            a, b = top["pair"].split(" ", 1)
+            merges.append((k, a, b, int(top["cnt"])))
+            seg = seg.withColumn(
+                "seg",
+                F.replace(
+                    F.col("seg"),
+                    F.lit(f"{a} {b}"),
+                    F.lit(f"{a}{joiner}{b}"),
+                ),
+            )
+    finally:
+        base.unpersist()
+    return merges

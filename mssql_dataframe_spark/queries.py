@@ -3089,6 +3089,60 @@ def timeseries_gap_fill(spark, sf_dir):
     )
 
 
+def _bpe_train_oracle_sql(rounds: int = 5) -> str:
+    """The SAME iterative merge training unrolled into one
+    count/argmax/replace CTE triple per round."""
+    parts = [r"""WITH s0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(
+               regexp_split_to_array(TRIM(text), '\s+'),
+               t -> lower(t)), ' ') AS seg
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    )"""]
+    for k in range(rounds):
+        parts.append(f""", p{k} AS MATERIALIZED (
+      SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                    ELSE [toks[i] || ' ' || toks[i + 1]
+                          FOR i IN range(1, len(toks))] END) AS pair
+      FROM (SELECT str_split(seg, ' ') AS toks FROM s{k})
+    ), w{k} AS MATERIALIZED (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM p{k} GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), s{k + 1} AS MATERIALIZED (
+      SELECT replace(seg, (SELECT pair FROM w{k}),
+                     (SELECT replace(pair, ' ', '+') FROM w{k})) AS seg
+      FROM s{k}
+    )""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS merge_rank, split_part(pair, ' ', 1) AS left_sym,"
+        f" split_part(pair, ' ', 2) AS right_sym, cnt AS pair_count"
+        f" FROM w{k}"
+        for k in range(rounds)
+    )
+    parts.append("\n    " + sel)
+    return "".join(parts)
+
+
+@register("tokenizer_learn_merges", sql=_bpe_train_oracle_sql(5))
+def tokenizer_learn_merges(spark, sf_dir):
+    """Tokenizer merge TRAINING (operators/text.py learn_token_merges):
+    classic iterative BPE at token granularity — count adjacent pairs,
+    fuse the corpus-wide winner, RE-SEGMENT, repeat, so earlier merges
+    participate in later pairs (the property one-shot bigram mining
+    lacks). One map-side-combined shuffle per round; the driver holds
+    one scalar winner per round, never a vocabulary. The oracle
+    unrolls the identical count/argmax/replace loop into SQL CTEs, so
+    the learned table (and by extension every segmentation it
+    produces through tokenizer_apply_merges) is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    rows = X.learn_token_merges(d, rounds=5)
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
 @register(
     "tokenizer_apply_merges",
     sql=r"""

@@ -203,3 +203,21 @@ def test_apply_token_merges_order_and_overlap(spark):
     assert out[2] == ("a a a", 3, 3)   # "a a" not a rule: untouched
     assert out[3] == ("x+y+z", 3, 1)   # rule 3 fuses rule 2's output
     assert out[4] == ("", 0, 0)
+
+
+def test_learn_token_merges_resegments_between_rounds(spark):
+    # corpus engineered so round 2's winner ("a+b c") only EXISTS
+    # after round 1 fused "a b" — one-shot bigram mining cannot learn
+    # this table
+    from pyspark.sql import Row
+    from mssql_dataframe_spark.operators.text import learn_token_merges
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="a b x c") for i in range(6)]
+        + [Row(doc_id=9, text="a b")],
+        "doc_id long, text string",
+    )
+    merges = learn_token_merges(docs, rounds=3)
+    assert merges[0] == (0, "a", "b", 7)  # beats "b x"/"x c" at 6
+    assert merges[1] == (1, "a+b", "x", 6)  # visible only post-fusion
+    assert merges[2] == (2, "a+b+x", "c", 6)
