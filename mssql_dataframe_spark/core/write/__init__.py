@@ -5,7 +5,7 @@ Reference: mssql_dataframe/core/write/{insert,update,merge}.py.
 
 from __future__ import annotations
 
-from .delete import delete_op  # noqa: F401
+from .delete import delete_op, delete_where_op  # noqa: F401
 from .insert import insert  # noqa: F401
 from .merge import merge_op  # noqa: F401
 from .scd2 import merge_scd2  # noqa: F401
@@ -27,6 +27,9 @@ class write:
 
     def delete(self, table_name, dataframe, match_columns=None):
         return delete_op(self._store, table_name, dataframe, match_columns)
+
+    def delete_where(self, table_name, where):
+        return delete_where_op(self._store, table_name, where)
 
     def update(self, table_name, dataframe, match_columns=None):
         return update_op(

@@ -15,9 +15,12 @@ Cost ∝ touched data, not table size.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ...store import TableStore
 from ...validation import precheck_dataframe
@@ -69,6 +72,62 @@ def delete_op(
     else:
         store.overwrite(table_name, survivors, op="delete")
     # deleted count from manifest row totals — no extra scan or job
+    total_after = sum(
+        e.get("rows") or 0
+        for e in store.manifest(table_name, store.meta(table_name).version)
+    )
+    return total_before - total_after
+
+
+def delete_where_op(
+    store: TableStore,
+    table_name: str,
+    where: str,
+) -> int:
+    """Predicate DELETE (the Delta ``DELETE WHERE`` analog, completing
+    the keys-based form above): erase every row matching a
+    restricted-grammar predicate. SQL semantics: rows delete only when
+    the predicate is TRUE — NULL keeps the row.
+
+    Scale shape — Delta's file-level pruning without a stats
+    dependency: ONE slim scan (predicate columns + the
+    ``_metadata.file_path`` hidden column, so Parquet reads only what
+    the predicate needs) finds the files containing at least one
+    matching row; every other file carries into the next manifest BY
+    REFERENCE, and only the touched files are rewritten with the
+    negated predicate. Cost ∝ matching files, not table size; a
+    predicate on a stats-clustered column touches few files because
+    matching rows are physically co-located (optimize/Z-ORDER).
+    Returns the number of rows deleted; a no-match delete commits
+    nothing.
+    """
+    from ...identifiers import compile_where
+
+    meta = store.meta(table_name)
+    entries = store.manifest(table_name, meta.version)
+    if not entries:
+        return 0
+    cond_sql = compile_where(where)
+
+    target_all = store.read(table_name)
+    cond = F.expr(cond_sql)
+    matched = {
+        os.path.basename(r["f"])
+        for r in target_all.filter(cond)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    if not matched:
+        return 0
+    touched = [e["path"] for e in entries if e["path"] in matched]
+    keep_entries = [e for e in entries if e["path"] not in matched]
+
+    survivors = store.read_files(table_name, touched).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    total_before = sum(e.get("rows") or 0 for e in entries)
+    store.replace_files(table_name, survivors, keep_entries, op="delete_where")
     total_after = sum(
         e.get("rows") or 0
         for e in store.manifest(table_name, store.meta(table_name).version)

@@ -5540,6 +5540,40 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_delete_where",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_orderkey <= 8000
+      AND NOT (l_quantity >= 45 AND l_discount > 0.05)
+    """,
+)
+def verb_delete_where(spark, sf_dir):
+    """Predicate DELETE (write.delete_where — Delta ``DELETE WHERE``
+    analog; core/write/delete.py:delete_where_op). One slim scan
+    (predicate columns + _metadata.file_path) finds the files holding
+    matches; untouched files carry by manifest reference and only
+    touched files rewrite with the negated predicate — cost ∝ matching
+    files. tests/test_delete_where.py pins by-reference carry, NULL
+    row retention, and the commit-nothing no-match path."""
+    eng = _scratch_engine(spark)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 8000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+    eng.create.table_from_dataframe(
+        "dbo.li_dw", li, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    eng.write.insert("dbo.li_dw", li)
+    n = eng.write.delete_where(
+        "dbo.li_dw", "l_quantity >= 45 AND l_discount > 0.05"
+    )
+    assert n > 0, "the predicate matches rows at every sf"
+    return eng.read.table("dbo.li_dw")
+
+
+@register(
     "verb_stats_metadata_read",
     sql="""
     SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
