@@ -130,6 +130,7 @@ class read:
         order_direction: Optional[str] = None,
         include_tz_offsets: bool = False,
         version: Optional[int] = None,
+        timestamp_as_of: Optional[float] = None,
         unmask: bool = False,
     ) -> DataFrame:
         """``version`` reads a retained prior snapshot (time travel;
@@ -143,6 +144,27 @@ class read:
         predicates evaluate on real values, and masking is a pure
         output transform (metadata-driven, zero UDFs)."""
         meta = self._store.meta(table_name)
+        if timestamp_as_of is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version or timestamp_as_of, not both"
+                )
+            # Delta TIMESTAMP AS OF analog: the latest RETAINED commit
+            # at or before the instant. Driver-side over O(retained
+            # versions) manifest headers — no data touched.
+            candidates = [
+                h["version"]
+                for h in self._store.history(table_name)
+                if h["timestamp"] is not None
+                and h["timestamp"] <= float(timestamp_as_of)
+            ]
+            if not candidates:
+                raise ValueError(
+                    f"no retained version of {table_name!r} at or "
+                    f"before timestamp {timestamp_as_of} (retention "
+                    "may have vacuumed it)"
+                )
+            version = max(candidates)
         df = self._store.read(table_name, version=version)
 
         # datetimeoffset companion offset columns are engine-internal;

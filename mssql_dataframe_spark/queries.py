@@ -1396,6 +1396,45 @@ def source_json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "source_nested_struct_pruning",
+    sql="""
+    SELECT c_custkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def source_nested_struct_pruning(spark, sf_dir):
+    """Nested-struct sink + schema-pruned source: customers written as
+    two structs (profile, geo), then an aggregate touching ONE nested
+    leaf. Catalyst's nested-schema pruning narrows the Parquet
+    ReadSchema to struct<profile:struct<c_acctbal>> — the other leaves
+    never leave the footer (tests/test_plans.py pins this). At 100 TB
+    of event-style nested records, leaf-level pruning is the
+    difference between scanning one column chunk and inflating whole
+    structs."""
+    c = _t(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct("c_name", "c_acctbal").alias("profile"),
+        F.struct("c_nationkey", "c_mktsegment").alias("geo"),
+    )
+    path = os.path.join(_SCRATCH, f"nested_{uuid.uuid4().hex}")
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            (F.col("c_custkey") % 10).alias("bucket"),
+            F.col("profile.c_acctbal").alias("bal"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            _dsum(F.col("bal"), "sum_bal"),
+        )
+    )
+
+
+@register(
     "bucketed_join_no_shuffle",
     sql="""
     SELECT o.o_orderpriority,

@@ -182,3 +182,17 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
     assert "bloom_filter_agg" in plan
     # and the filter guards the fact-side key, not the part side
     assert "l_partkey" in plan.split("might_contain")[1].splitlines()[0]
+
+
+def test_nested_schema_pruning_reads_one_leaf(spark):
+    df = Q.REGISTRY["source_nested_struct_pruning"]["fn"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_acctbal" in read_schema
+    # sibling leaf and the whole geo struct must be pruned away
+    assert "c_name" not in read_schema
+    assert "geo" not in read_schema

@@ -295,3 +295,31 @@ def test_explicit_vacuum_drops_history(engine, spark):
     assert {
         f for f in _os.listdir(pool) if f.endswith(".parquet")
     } == live
+
+
+def test_timestamp_as_of_resolves_latest_retained(engine, spark):
+    import time
+
+    from pyspark.sql import Row
+
+    engine.create.table(
+        "dbo.tsa", {"id": "bigint", "v": "int"}, primary_key_column="id"
+    )
+    marks = []
+    for k in range(3):
+        engine.write.insert(
+            "dbo.tsa",
+            spark.createDataFrame([Row(id=k, v=k)], "id long, v int"),
+        )
+        marks.append(time.time())
+        time.sleep(0.05)
+    # at mark[i], versions 0..i+1 exist; the read must see i+1 rows
+    for i, ts in enumerate(marks):
+        got = engine.read.table("dbo.tsa", timestamp_as_of=ts).count()
+        assert got == i + 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no retained version"):
+        engine.read.table("dbo.tsa", timestamp_as_of=marks[0] - 1e6)
+    with _pytest.raises(ValueError, match="not both"):
+        engine.read.table("dbo.tsa", version=1, timestamp_as_of=marks[0])
