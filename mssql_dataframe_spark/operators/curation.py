@@ -386,3 +386,50 @@ def quality_weighted_sample(
         .filter(F.col("__bucket") < F.col("keep_bp"))
         .select(id_col, source_col, "keep_bp")
     )
+
+
+def fuzzy_decontaminate(
+    train_df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_bands: int = 8,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Fuzzy train/eval decontamination — the near-duplicate
+    complement of :func:`decontamination_overlap`'s exact n-gram
+    check (paraphrased or lightly-edited benchmark leakage slips past
+    exact grams; GPT-3-style dedup uses Jaccard overlap instead).
+
+    Built on the two-set LSH machinery (dedup.minhash_dedup_incremental
+    with train as the probing side): band-join candidates, min-hash
+    estimate prune, exact shingle-Jaccard verify — cost ∝ train size x
+    bucket collisions, independent of how the benchmark suite grows,
+    and the benchmark side is tiny so its signatures broadcast.
+
+    Returns ONE ROW PER TRAIN DOC — the curation-gate shape:
+    (id, contaminated, worst_jaccard, n_bench_hits); filter
+    ``NOT contaminated`` to emit the clean corpus.
+    """
+    from .dedup import minhash_dedup_incremental
+
+    pairs = minhash_dedup_incremental(
+        train_df, benchmark_df, id_col, text_col,
+        n_bands, k, threshold, rows_per_band=rows_per_band,
+    )
+    verdicts = pairs.groupBy("new_id").agg(
+        F.max("jaccard").alias("worst_jaccard"),
+        F.count("*").cast("bigint").alias("n_bench_hits"),
+    )
+    return (
+        train_df.select(F.col(id_col))
+        .join(verdicts, F.col(id_col) == F.col("new_id"), "left")
+        .select(
+            id_col,
+            F.col("worst_jaccard").isNotNull().alias("contaminated"),
+            "worst_jaccard",
+            F.coalesce(F.col("n_bench_hits"), F.lit(0)).alias("n_bench_hits"),
+        )
+    )

@@ -2665,10 +2665,14 @@ def _survivors_sql(threshold: float = 0.5) -> str:
     """
 
 
-def _minhash_incremental_sql(threshold: float = 0.5) -> str:
-    """New-batch-vs-corpus LSH dedup: the same CTE chain as the pairs
-    oracle, but candidates join the NEW side (doc_id % 7 = 3) against
-    the CORPUS side only."""
+def _minhash_two_set_cte(
+    threshold: float, new_pred: str, corpus_pred: str
+) -> str:
+    """Shared CTE chain for new-vs-corpus LSH joins (incremental
+    ingest dedup AND fuzzy decontamination): signatures over all
+    documents, band join restricted to new x corpus, estimate-prune,
+    exact-Jaccard verify. Ends with a ``two_set_pairs`` CTE of
+    (new_id, corpus_id, jaccard >= threshold)."""
     n_hashes = _MH_BANDS * _MH_R
     agree = " + ".join(
         f"(CASE WHEN m1.mh_{i} = m2.mh_{i} THEN 1 ELSE 0 END)"
@@ -2679,14 +2683,13 @@ def _minhash_incremental_sql(threshold: float = 0.5) -> str:
         f"WHERE sig_{b} IS NOT NULL"
         for b in range(_MH_BANDS)
     )
-    return f"""
-    WITH {_mh_shingle_cte()},
+    return f"""{_mh_shingle_cte()},
     stacked AS MATERIALIZED ({stacked}),
     raw_cands AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
       FROM stacked a JOIN stacked b
         ON a.band = b.band AND a.signature = b.signature
-      WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+      WHERE (a.{new_pred}) AND (b.{corpus_pred})
     ), cands AS MATERIALIZED (
       SELECT c.new_id, c.corpus_id
       FROM raw_cands c
@@ -2701,16 +2704,61 @@ def _minhash_incremental_sql(threshold: float = 0.5) -> str:
       JOIN sh_rows r1 ON r1.doc_id = c.new_id
       JOIN sh_rows r2 ON r2.doc_id = c.corpus_id AND r2.sh = r1.sh
       GROUP BY c.new_id, c.corpus_id
-    )
-    SELECT i.new_id, i.corpus_id,
-           ROUND(CAST(i.n_inter AS DOUBLE)
-                 / (s1.n + s2.n - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes s1 ON s1.doc_id = i.new_id
-    JOIN sizes s2 ON s2.doc_id = i.corpus_id
-    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
-                / (s1.n + s2.n - i.n_inter), 6) >= {threshold}
+    ), two_set_pairs AS MATERIALIZED (
+      SELECT i.new_id, i.corpus_id,
+             ROUND(CAST(i.n_inter AS DOUBLE)
+                   / (s1.n + s2.n - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.new_id
+      JOIN sizes s2 ON s2.doc_id = i.corpus_id
+      WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                  / (s1.n + s2.n - i.n_inter), 6) >= {threshold}
+    )"""
+
+
+def _minhash_incremental_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_two_set_cte(threshold, "doc_id % 7 = 3", "doc_id % 7 <> 3")}
+    SELECT new_id, corpus_id, jaccard FROM two_set_pairs
     """
+
+
+def _fuzzy_decontam_sql(threshold: float = 0.5) -> str:
+    """Per-train-doc contamination verdict: train docs (% 11 <> 5)
+    LSH-checked against the benchmark split (% 11 = 5)."""
+    cte = _minhash_two_set_cte(
+        threshold, "doc_id % 11 <> 5", "doc_id % 11 = 5"
+    )
+    return f"""
+    WITH {cte}
+    SELECT d.doc_id,
+           (v.worst_jaccard IS NOT NULL) AS contaminated,
+           v.worst_jaccard,
+           COALESCE(v.n_bench_hits, 0) AS n_bench_hits
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 5) d
+    LEFT JOIN (
+      SELECT new_id, MAX(jaccard) AS worst_jaccard,
+             CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+      FROM two_set_pairs GROUP BY new_id
+    ) v ON v.new_id = d.doc_id
+    """
+
+
+@register("decontamination_fuzzy", sql=_fuzzy_decontam_sql(0.5))
+def decontamination_fuzzy(spark, sf_dir):
+    """Fuzzy train/eval decontamination (operators/curation.py
+    fuzzy_decontaminate): paraphrased benchmark leakage that exact
+    n-gram overlap (decontamination_overlap) misses is caught by
+    LSH-bucketed shingle-Jaccard — the GPT-3-style dedup check. One
+    verdict row per train doc (the curation-gate shape); cost ∝ train
+    x bucket collisions, benchmark signatures broadcast-small."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return C.fuzzy_decontaminate(
+        d.filter(k % 11 != 5), d.filter(k % 11 == 5),
+        "doc_id", "text", threshold=0.5,
+        n_bands=_MH_BANDS, k=_MH_K, rows_per_band=_MH_R,
+    )
 
 
 @register("minhash_dedup_incremental", sql=_minhash_incremental_sql(0.5))
