@@ -77,6 +77,15 @@ HEADLINE = [
     "dataset_split_hash",
     "stratified_sample_lang",
     "corpus_quality_filter",
+    # round-5 session 2 additions: iterative graph, exact-ANN scale
+    # path, runtime-filtered join, BPE training, fuzzy decontam,
+    # predicate DELETE on the store
+    "pagerank_customer_supplier",
+    "embedding_topk_exact_scalable",
+    "bloom_filter_join_prune",
+    "tokenizer_learn_merges",
+    "decontamination_fuzzy",
+    "verb_delete_where",
 ]
 
 
