@@ -47,6 +47,7 @@ class write:
         match_columns=None,
         upsert=False,
         delete_requires=None,
+        auto_evolve=False,
     ):
         return merge_op(
             self._store,
@@ -56,6 +57,7 @@ class write:
             upsert,
             delete_requires,
             self.include_metadata_timestamps,
+            auto_evolve,
         )
 
     def merge_scd2(

@@ -27,7 +27,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ...errors import SQLColumnDoesNotExist
+from ...errors import DataframeColumnDoesNotExist, SQLColumnDoesNotExist
 from ...store import TableStore
 from .. import generated
 from ...validation import (
@@ -48,6 +48,7 @@ def merge_op(
     upsert: bool = False,
     delete_requires: Optional[list[str]] = None,
     include_metadata_timestamps: bool = False,
+    auto_evolve: bool = False,
 ) -> DataFrame:
     delete_requires = list(delete_requires or [])
     if upsert and delete_requires:
@@ -57,6 +58,31 @@ def merge_op(
         )
 
     meta = store.meta(table_name)
+    if auto_evolve:
+        # Delta mergeSchema/autoMerge analog: source columns the target
+        # lacks become nullable columns via a METADATA-ONLY schema add
+        # (the declared-schema read fills NULL in existing files — no
+        # rewrite), typed by the best-effort inverse rule the
+        # df-derived create path already uses. Computed/identity
+        # columns can't arrive this way: they aren't in any source.
+        from ...conversion_rules import spark_type_to_spec
+
+        new_cols = [
+            c for c in dataframe.columns
+            if c not in meta.spark_schema.fieldNames()
+        ]
+        if new_cols:
+            schema = meta.spark_schema
+            types = dict(meta.column_types)
+            for c in new_cols:
+                spec = spark_type_to_spec(dataframe.schema[c].dataType)
+                schema = schema.add(c, spec.spark_type, True)
+                types[c] = spec.render()
+            meta = store.update_meta(
+                table_name,
+                spark_schema_json=schema.jsonValue(),
+                column_types=types,
+            )
     if include_metadata_timestamps:
         meta = ensure_time_columns(
             store, table_name, ["_time_insert", "_time_update"]
@@ -81,6 +107,13 @@ def merge_op(
         upsert and not delete_requires
         and match == list(meta.primary_key) and len(match) == 1
     )
+
+    unknown = [c for c in dataframe.columns if c not in meta.column_types]
+    if unknown:
+        raise DataframeColumnDoesNotExist(
+            f"source column(s) {unknown} are not columns of "
+            f"{table_name!r}; pass auto_evolve=True to add them"
+        )
 
     # unique_key=match: T-SQL MERGE raises when one target row would be
     # updated twice; not_nullable mirrors the reference's NOT NULL

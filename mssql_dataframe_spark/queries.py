@@ -1253,6 +1253,31 @@ def window_moving_avg(spark, sf_dir):
 
 
 @register(
+    "global_topn_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def global_topn_orders(spark, sf_dir):
+    """Global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject —
+    each partition keeps a local top-100 heap and only those rows
+    reach the driver-side merge, NEVER a full-table sort shuffle
+    (tests/test_plans.py pins the plan). The difference between a
+    bounded-memory top-N and a total sort is the whole game for
+    leaderboard queries on a 100 TB fact table. Deterministic
+    tie-break on the key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
     "window_time_range_frames",
     sql="""
     SELECT event_id, user_id,
@@ -5624,6 +5649,51 @@ def verb_foreign_key_audit(spark, sf_dir):
             _dsum(F.col("l_extendedprice"), "total_price"),
         )
     )
+
+
+@register(
+    "verb_merge_auto_evolve",
+    sql="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey <= 1200
+    ), src AS (
+      SELECT c_custkey, c_name, c_custkey % 3 AS loyalty_tier
+      FROM customer WHERE c_custkey % 2 = 0 AND c_custkey <= 1500
+    )
+    SELECT COALESCE(b.c_custkey, s.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, b.c_name) AS c_name,
+           b.c_acctbal,
+           s.loyalty_tier
+    FROM base b FULL JOIN src s ON b.c_custkey = s.c_custkey
+    """,
+)
+def verb_merge_auto_evolve(spark, sf_dir):
+    """Merge with schema auto-evolution (write.merge(auto_evolve=True)
+    — the Delta autoMerge analog): the source's new ``loyalty_tier``
+    column becomes a nullable target column via a METADATA-ONLY schema
+    add (existing files read NULL through the declared schema; no
+    rewrite), then the merge proceeds — matched rows keep unprovided
+    columns (c_acctbal), unmatched-source rows insert with NULLs. The
+    oracle's FULL JOIN reproduces all three row classes."""
+    eng = _scratch_engine(spark)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.filter(F.col("c_custkey") <= 1200).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    eng.create.table_from_dataframe(
+        "dbo.cust_ae", base, primary_key="c_custkey"
+    )
+    eng.write.insert("dbo.cust_ae", base)
+    src = (
+        cust.filter((F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") <= 1500))
+        .select(
+            "c_custkey", "c_name",
+            (F.col("c_custkey") % 3).alias("loyalty_tier"),
+        )
+    )
+    eng.write.merge("dbo.cust_ae", src, upsert=True, auto_evolve=True)
+    return eng.read.table("dbo.cust_ae")
 
 
 @register(

@@ -441,3 +441,34 @@ def test_column_profile_single_pass_and_nulls(spark):
     assert (k["min_value"], k["max_value"]) == ("1", "2")
     assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
     assert (s["min_value"], s["max_value"]) == ("a", "b")
+
+
+def test_merge_auto_evolve_adds_column_metadata_only(engine, spark):
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark import errors as E
+
+    engine.create.table(
+        "dbo.ae", {"id": "bigint", "v": "int"}, primary_key_column="id"
+    )
+    engine.write.insert(
+        "dbo.ae",
+        spark.createDataFrame([Row(id=1, v=10), Row(id=2, v=20)],
+                              "id long, v int"),
+    )
+    v_before = engine.store.meta("dbo.ae").version
+    src = spark.createDataFrame(
+        [Row(id=2, v=21, tag="b"), Row(id=3, v=30, tag="c")],
+        "id long, v int, tag string",
+    )
+    # without the flag, an unknown source column is still an error
+    import pytest as _pytest
+    with _pytest.raises(E.DataframeColumnDoesNotExist):
+        engine.write.merge("dbo.ae", src, upsert=True)
+    engine.write.merge("dbo.ae", src, upsert=True, auto_evolve=True)
+    rows = {r["id"]: (r["v"], r["tag"])
+            for r in engine.read.table("dbo.ae").collect()}
+    assert rows == {1: (10, None), 2: (21, "b"), 3: (30, "c")}
+    # schema add was metadata-only: exactly ONE data commit (the merge)
+    assert engine.store.meta("dbo.ae").version == v_before + 1
+    assert engine.store.meta("dbo.ae").column_types["tag"] == "nvarchar(MAX)"

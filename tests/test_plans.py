@@ -196,3 +196,11 @@ def test_nested_schema_pruning_reads_one_leaf(spark):
     # sibling leaf and the whole geo struct must be pruned away
     assert "c_name" not in read_schema
     assert "geo" not in read_schema
+
+
+def test_global_topn_avoids_total_sort(spark):
+    plan = _plan(spark, "global_topn_orders")
+    assert "TakeOrderedAndProject" in plan
+    # no full-table sort exchange: the only movement is the top-N merge
+    tree = plan.split("\n\n")[0]
+    assert "Exchange rangepartitioning" not in tree
