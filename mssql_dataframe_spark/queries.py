@@ -1420,6 +1420,56 @@ def source_json_roundtrip(spark, sf_dir):
     )
 
 
+_AGG_PUSHDOWN_CONFS = {
+    # v2 parquet scan + footer-statistics aggregate pushdown
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.sources.useV1SourceList": "",
+}
+
+
+@register(
+    "source_parquet_agg_pushdown",
+    sql="""
+    SELECT MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    """,
+)
+def source_parquet_agg_pushdown(spark, sf_dir):
+    """Parquet footer-statistics aggregate pushdown (v2 scan):
+    MIN/MAX/COUNT are answered from row-group metadata — the scan
+    reads FOOTERS, not data pages (plan shows PushedAggregation;
+    tests/test_plans.py pins it). The native-Spark complement of
+    read.table_stats' manifest-based answer: same O(files) economics,
+    here for raw parquet directories outside the managed store.
+    Session confs are saved/restored around an in-entry
+    materialization (results are conf-independent)."""
+    old = {}
+    for k in _AGG_PUSHDOWN_CONFS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in _AGG_PUSHDOWN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = _t(spark, sf_dir, "orders")
+        df = o.agg(
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        rows = df.collect()
+        schema = df.schema
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "source_nested_struct_pruning",
     sql="""

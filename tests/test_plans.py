@@ -204,3 +204,31 @@ def test_global_topn_avoids_total_sort(spark):
     # no full-table sort exchange: the only movement is the top-N merge
     tree = plan.split("\n\n")[0]
     assert "Exchange rangepartitioning" not in tree
+
+
+def test_parquet_aggregate_pushdown_hits_footers(spark):
+    from pyspark.sql import functions as F
+
+    old = {}
+    for k in Q._AGG_PUSHDOWN_CONFS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in Q._AGG_PUSHDOWN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = Q._t(spark, SF, "orders")
+        df = o.agg(F.min("o_orderkey"), F.max("o_orderkey"), F.count("*"))
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan
