@@ -111,6 +111,46 @@ class create:
             properties=properties,
         )
 
+    def view(
+        self,
+        view_name: str,
+        source_table: str,
+        column_names=None,
+        where=None,
+        order_column=None,
+        order_direction=None,
+        limit=None,
+    ) -> None:
+        """CREATE VIEW (SQL Server analog, beyond the reference's verb
+        surface): a stored READ SPEC over one base table — exactly the
+        restricted ``read.table`` parameter set (projection /
+        where-grammar filter / order / limit), never arbitrary SQL, so
+        the view catalog adds zero injection surface. Metadata-only.
+        Reads compose with the base table's masking policies like SQL
+        Server views do (masks apply unless the reader may UNMASK)."""
+        from ..identifiers import compile_where
+
+        if where is not None:
+            compile_where(where)  # validate at CREATE time, fail fast
+        meta = self._store.meta(source_table)  # raises if absent
+        for c in column_names or ():
+            if c not in meta.spark_schema.fieldNames():
+                raise SQLColumnDoesNotExist(c)
+        self._store.create_view(
+            view_name,
+            {
+                "source": source_table,
+                "column_names": list(column_names) if column_names else None,
+                "where": where,
+                "order_column": order_column,
+                "order_direction": order_direction,
+                "limit": limit,
+            },
+        )
+
+    def drop_view(self, view_name: str) -> None:
+        self._store.drop_view(view_name)
+
     def table_from_dataframe(
         self,
         table_name: str,

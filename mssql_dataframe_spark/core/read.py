@@ -120,6 +120,43 @@ class read:
             out, "column string, n_rows bigint, min string, max string"
         )
 
+    def view(
+        self,
+        view_name: str,
+        where: Optional[str] = None,
+        limit: Optional[int] = None,
+        unmask: bool = False,
+    ) -> DataFrame:
+        """Read a stored view (create.view): the base table is read
+        through ``read.table`` with the view's stored spec — so
+        predicate pushdown, column pruning, and the base table's
+        masking policies all apply — then any caller-side ``where`` /
+        ``limit`` narrow the result further (AND semantics, same
+        restricted grammar)."""
+        from ..identifiers import compile_where
+
+        spec = self._store.view_spec(view_name)
+        # the stored where filters the BASE relation (SQL semantics:
+        # WHERE precedes the view's projection, so it may reference
+        # base columns the view does not expose)
+        df = self.table(
+            spec["source"],
+            where=spec.get("where"),
+            order_column=spec.get("order_column"),
+            order_direction=spec.get("order_direction"),
+            limit=spec.get("limit"),
+            unmask=unmask,
+        )
+        cols = spec.get("column_names")
+        if cols:
+            df = df.select(*cols)
+        # the caller's narrowing sees VIEW columns only (post-project)
+        if where is not None:
+            df = df.filter(compile_where(where))
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
     def table(
         self,
         table_name: str,

@@ -5702,6 +5702,38 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_views",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'
+      AND c_custkey <= 1400
+    """,
+)
+def verb_views(spark, sf_dir):
+    """Stored views (create.view / read.view — SQL Server CREATE VIEW
+    analog): a view is a metadata-only READ SPEC over one base table
+    (projection + where-grammar filter + order/limit — never arbitrary
+    SQL, zero injection surface), validated at CREATE time. Reads go
+    through read.table, so pushdown, pruning, and masking policies
+    compose; the caller's extra where ANDs on top, exactly like
+    filtering a SQL Server view."""
+    eng = _scratch_engine(spark)
+    cust = _t(spark, sf_dir, "customer")
+    eng.create.table_from_dataframe(
+        "dbo.cust_v", cust, primary_key="c_custkey"
+    )
+    eng.write.insert("dbo.cust_v", cust)
+    eng.create.view(
+        "dbo.v_building_rich",
+        "dbo.cust_v",
+        column_names=["c_custkey", "c_name", "c_acctbal"],
+        where="c_acctbal > 5000 AND c_mktsegment = 'BUILDING'",
+    )
+    return eng.read.view("dbo.v_building_rich", where="c_custkey <= 1400")
+
+
+@register(
     "verb_merge_auto_evolve",
     sql="""
     WITH base AS (

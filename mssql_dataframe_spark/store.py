@@ -156,6 +156,44 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._table_dir(name), _META))
 
+    # -- views (SQL Server CREATE VIEW analog) ------------------------
+    def _view_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_view.json")
+
+    def is_view(self, name: str) -> bool:
+        return os.path.exists(self._view_path(name))
+
+    def create_view(self, name: str, spec: dict) -> None:
+        """A view is a STORED READ SPEC over one base table — the same
+        restricted parameter set as ``read.table`` (columns / where /
+        order / limit), never arbitrary SQL, so the view catalog adds
+        zero injection surface. Metadata-only: one small json."""
+        if self.exists(name):
+            raise ValueError(f"{name!r} already exists as a table")
+        if self.is_view(name):
+            raise ValueError(f"view {name!r} already exists")
+        if not self.exists(spec["source"]):
+            raise SQLTableDoesNotExist(
+                f"view source table {spec['source']!r} does not exist"
+            )
+        os.makedirs(os.path.dirname(self._view_path(name)), exist_ok=True)
+        tmp = self._view_path(name) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, self._view_path(name))
+
+    def view_spec(self, name: str) -> dict:
+        try:
+            with open(self._view_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise SQLTableDoesNotExist(f"view {name!r} does not exist")
+
+    def drop_view(self, name: str) -> None:
+        if not self.is_view(name):
+            raise SQLTableDoesNotExist(f"view {name!r} does not exist")
+        os.remove(self._view_path(name))
+
     def meta(self, name: str) -> TableMeta:
         path = os.path.join(self._table_dir(name), _META)
         try:
