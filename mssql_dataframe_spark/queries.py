@@ -2215,7 +2215,7 @@ def bloom_filter_join_prune(spark, sf_dir):
     "interval_overlap_join",
     sql="""
     WITH iv AS (
-      SELECT user_id, DATE_TRUNC('day', ts) AS day,
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
              MIN(ts) AS start_ts, MAX(ts) AS end_ts
       FROM events GROUP BY 1, 2
     )
