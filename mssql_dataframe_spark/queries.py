@@ -1253,6 +1253,56 @@ def window_moving_avg(spark, sf_dir):
 
 
 @register(
+    "timeseries_ewma_quantized",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(list_reduce(
+                  list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ORDER BY ts, event_id),
+                  (acc, x) -> (13 * x + 87 * acc) // 100
+                ) AS BIGINT) AS ewma_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def timeseries_ewma_quantized(spark, sf_dir):
+    """Exponentially-weighted moving average per user — the recursive
+    time-series smoother no window frame can express (each state
+    depends on the previous state, not a fixed frame). Values quantize
+    to integer cents and the recurrence is pure int64
+    ((13x + 87e) div 100, operands nonnegative so floor == truncate),
+    so Spark's higher-order `aggregate` fold and DuckDB's list_reduce
+    produce bit-identical states. Per-user sequences are bounded by
+    user activity (collect_list stays small per group); a stateful
+    streaming variant would use applyInPandasWithState — this is the
+    batch backfill shape."""
+    e = load_events(spark, sf_dir)
+    q = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), q.alias("q")))
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"), seq.alias("seq")
+    )
+    # per-step floor((13x+87e)/100): operands stay exact integers in
+    # double (< 2^53) and floor(n/100.0) == n // 100 there, so the
+    # fold state is int64-exact at every step, matching DuckDB's `//`
+    ewma = F.aggregate(
+        F.slice(F.col("seq"), 2, F.size("seq") - 1),
+        F.element_at(F.col("seq"), 1)["q"],
+        lambda acc, x: F.floor(
+            (F.lit(13) * x["q"] + F.lit(87) * acc) / F.lit(100)
+        ).cast("long"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        ewma.cast("bigint").alias("ewma_cents"),
+    )
+
+
+@register(
     "global_topn_orders",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice
