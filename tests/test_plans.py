@@ -232,3 +232,51 @@ def test_parquet_aggregate_pushdown_hits_footers(spark):
             else:
                 spark.conf.set(k, v)
     assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The automatic complement of salted_join_user_events: with AQE
+    skew handling on (thresholds scaled down to sandbox volumes), a
+    hot-key partition is SPLIT at runtime — the final plan shows
+    SortMergeJoin(skew=true) over an AQEShuffleRead marked 'skewed'.
+    At 100 TB this is the default defense when the skew isn't known
+    in advance; explicit salting remains the deterministic form."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200000).select(
+            F.when(F.col("id") < 150000, 0)
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        df = big.join(right, "k")
+        assert len(df.collect()) == 200000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "skewed" in plan  # the AQEShuffleRead split the hot partition
