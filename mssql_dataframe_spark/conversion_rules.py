@@ -1,8 +1,11 @@
-"""The 19-type data model: SQL type string <-> Spark type <-> pandas dtype.
+"""The SQL Server data model: SQL type string <-> Spark type <-> pandas dtype.
 
-Reimplements the reference's conversion-rules table (reference:
-mssql_dataframe/core/conversion_rules.py:7-166) as a dict of rules keyed by
-the lowercase SQL type name. Each rule carries the value bounds the
+19 reference types (reference: mssql_dataframe/core/conversion_rules.py:7-166)
+plus 5 beyond-reference SQL Server types (real, money, smallmoney,
+smalldatetime, uniqueidentifier) so a wider slice of real SQL Server
+schemas ports without edits.
+
+Rules are keyed by the lowercase SQL type name. Each rule carries the value bounds the
 reference enforces before every write (reference: conversion.py:256-326)
 plus the Spark type constructor used by our engine.
 
@@ -15,6 +18,10 @@ Divergences (documented per SURVEY.md §7):
   0..24h range.
 - SQL Server's 100 ns datetime2 resolution exceeds Spark's 1 µs
   timestamps; rounding below 1 µs therefore truncates (warned).
+- ``smalldatetime`` rounds to the MINUTE (SQL Server: second parts of
+  29.998 s or less round down, 29.999 s or more round up).
+- ``uniqueidentifier`` stores the canonical 36-char upper-case GUID
+  rendering; malformed values are rejected at validation time.
 """
 
 from __future__ import annotations
@@ -116,6 +123,28 @@ RULES: dict[str, Rule] = {
                      _fixed(T.StringType()), sized=True),
     "binary": Rule("binary", "binary", None, None, "object",
                    _fixed(T.BinaryType()), sized=True),
+    # -- beyond-reference SQL Server types --------------------------
+    "real": Rule(
+        "real", "approximate_decimal_numeric", -3.4e38, 3.4e38, "float32",
+        _fixed(T.FloatType()),
+    ),
+    "money": Rule(
+        "money", "exact_decimal_numeric", None, None, "object",
+        _fixed(T.DecimalType(19, 4)),
+    ),
+    "smallmoney": Rule(
+        "smallmoney", "exact_decimal_numeric", None, None, "object",
+        _fixed(T.DecimalType(10, 4)),
+    ),
+    "smalldatetime": Rule(
+        "smalldatetime", "date_time", datetime.datetime(1900, 1, 1),
+        datetime.datetime(2079, 6, 6, 23, 59), "datetime64[ns]",
+        _fixed(T.TimestampNTZType()),
+    ),
+    "uniqueidentifier": Rule(
+        "uniqueidentifier", "character string", None, None, "string",
+        _fixed(T.StringType()),
+    ),
     "varbinary": Rule("varbinary", "binary", None, None, "object",
                       _fixed(T.BinaryType()), sized=True),
 }

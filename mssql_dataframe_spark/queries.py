@@ -5752,6 +5752,79 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_extended_types_roundtrip",
+    sql="""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_totalprice,
+             o_orderdate
+               + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice / 7, 4) AS DOUBLE) AS price_money,
+           CAST(o_totalprice AS FLOAT4) AS price_real,
+           make_timestamp(
+             epoch_us(ts) - (epoch_us(ts) % 60000000)
+             + CASE WHEN (epoch_us(ts) % 60000000) >= 29998500
+                    THEN 60000000 ELSE 0 END) AS ts_smalldatetime,
+           upper(substring(h,1,8) || '-' || substring(h,9,4) || '-'
+                 || substring(h,13,4) || '-' || substring(h,17,4) || '-'
+                 || substring(h,21,12)) AS row_guid
+    FROM src
+    """,
+)
+def verb_extended_types_roundtrip(spark, sf_dir):
+    """The five beyond-reference SQL Server types through the full
+    write pipeline: money (DECIMAL(19,4) scale rounding), real
+    (float32), smalldatetime (MINUTE rounding — 29.998 s down,
+    29.999 s up), uniqueidentifier (GUID validation + canonical
+    upper-case rendering). The engine performs the rounding/
+    normalization at write time (validation.py); the oracle reproduces
+    each grid explicitly, so a green row proves the type contracts,
+    not just the cast."""
+    eng = _scratch_engine(spark)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    src = o.select(
+        "o_orderkey",
+        # >4 decimal places: the engine's money rule must round (scale
+        # 4, HALF_UP) — proven because the oracle rounds explicitly
+        (F.col("o_totalprice") / 7).alias("price_money"),
+        F.col("o_totalprice").alias("price_real"),
+        (
+            F.col("o_orderdate").cast("timestamp_ntz")
+            + F.make_dt_interval(
+                secs=(F.col("o_orderkey") % 86400).cast("double")
+            )
+        ).alias("ts_smalldatetime"),
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8), F.substring(h, 9, 4),
+            F.substring(h, 13, 4), F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        ).alias("row_guid"),
+    )
+    eng.create.table(
+        "dbo.xtypes",
+        {
+            "o_orderkey": "bigint",
+            "price_money": "money",
+            "price_real": "real",
+            "ts_smalldatetime": "smalldatetime",
+            "row_guid": "uniqueidentifier",
+        },
+        primary_key_column="o_orderkey",
+    )
+    eng.write.insert("dbo.xtypes", src)
+    # money renders as float64 from DuckDB; compare in DOUBLE
+    return eng.read.table("dbo.xtypes").withColumn(
+        "price_money", F.col("price_money").cast("double")
+    )
+
+
+@register(
     "verb_views",
     sql="""
     SELECT c_custkey, c_name, c_acctbal

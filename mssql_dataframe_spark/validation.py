@@ -196,7 +196,19 @@ def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     return out
 
 
+_GUID_RE = (
+    "^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}"
+    "-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+)
+
+_DECIMAL_SQL_TYPES = ("numeric", "decimal", "money", "smallmoney")
+
+
 def _decimal_target(spec: ColumnSpec) -> T.DecimalType:
+    if spec.sql_type == "money":
+        return T.DecimalType(19, 4)
+    if spec.sql_type == "smallmoney":
+        return T.DecimalType(10, 4)
     return T.DecimalType(
         spec.size or 18, spec.scale if spec.scale is not None else 0
     )
@@ -249,7 +261,18 @@ def _validate_single_pass(
                 ).alias(f"{col}__uni")
             )
 
-        if spec.sql_type in ("numeric", "decimal"):
+        if spec.sql_type == "uniqueidentifier":
+            # malformed GUIDs are invalid values, not length errors
+            aggs.append(
+                F.max(
+                    (c.isNotNull() & ~c.cast("string").rlike(_GUID_RE)).cast(
+                        "int"
+                    )
+                ).alias(f"{col}__bad")
+            )
+            bad_cols.append(col)
+
+        if spec.sql_type in _DECIMAL_SQL_TYPES:
             target = _decimal_target(spec)
             # rounding-changed flag (warning gate): NULL-safe — an
             # overflowing cast yields NULL which the inequality maps to
@@ -375,8 +398,16 @@ def _prepare_values(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     out = df
     for col, spec in specs.items():
         dt = df.schema[col].dataType
-        if spec.sql_type in ("numeric", "decimal"):
+        if spec.sql_type in _DECIMAL_SQL_TYPES:
             out = out.withColumn(col, F.col(col).cast(_decimal_target(spec)))
+        elif spec.sql_type == "uniqueidentifier":
+            # canonical upper-case GUID rendering (SQL Server compares
+            # case-insensitively and renders upper)
+            out = out.withColumn(col, F.upper(F.col(col).cast("string")))
+        elif spec.sql_type == "smalldatetime" and isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType)
+        ):
+            out = out.withColumn(col, _smalldatetime_grid(F.col(col)))
         elif spec.sql_type == "datetime" and isinstance(
             dt, (T.TimestampType, T.TimestampNTZType)
         ):
@@ -422,6 +453,19 @@ def _datetime_grid(c: F.Column) -> F.Column:
         .otherwise(ms - last + 10)
     )
     return F.timestamp_micros(snapped * F.lit(1000)).cast("timestamp_ntz")
+
+
+def _smalldatetime_grid(c: F.Column) -> F.Column:
+    """smalldatetime rounds to the MINUTE: second parts of 29.998 s or
+    less round down, 29.999 s or more round up (SQL Server contract);
+    the boundary lands at 29.9985 s. Integer µs arithmetic — same
+    exactness argument as the DATETIME grid above."""
+    micros = F.unix_micros(c.cast("timestamp"))
+    m = F.pmod(micros, F.lit(60_000_000))
+    rounded = micros - m + F.when(
+        m >= 29_998_500, F.lit(60_000_000)
+    ).otherwise(F.lit(0))
+    return F.timestamp_micros(rounded).cast("timestamp_ntz")
 
 
 def _cast_to_rules(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:

@@ -36,6 +36,11 @@ ALL_COLS = {
     "c_nvarchar": "nvarchar(100)",
     "c_binary": "binary(8)",
     "c_varbinary": "varbinary(16)",
+    "c_real": "real",
+    "c_money": "money",
+    "c_smallmoney": "smallmoney",
+    "c_smalldatetime": "smalldatetime",
+    "c_uniqueidentifier": "uniqueidentifier",
 }
 
 
@@ -72,6 +77,11 @@ def _boundary_rows():
         # conversion.py:611-620) — the round-tripped value is padded
         c_binary=b"\x00" * 8,
         c_varbinary=b"",
+        c_real=-(2.0 ** 127),  # exactly representable in float32
+        c_money=decimal.Decimal("-922337203685477.5808"),
+        c_smallmoney=decimal.Decimal("-214748.3648"),
+        c_smalldatetime=datetime.datetime(1900, 1, 1),
+        c_uniqueidentifier="00000000-0000-0000-0000-000000000000",
     )
     max_row = dict(
         pk=2,
@@ -100,6 +110,12 @@ def _boundary_rows():
         c_nvarchar="日本語テキスト",
         c_binary=b"\x01\x02\x03\x04\x05\x06\x07\x08",
         c_varbinary=b"\xff" * 16,
+        c_real=2.0 ** 127,
+        c_money=decimal.Decimal("922337203685477.5807"),
+        c_smallmoney=decimal.Decimal("214748.3647"),
+        # .997 grid slot analog: max minute slot the round can't exceed
+        c_smalldatetime=datetime.datetime(2079, 6, 6, 23, 59),
+        c_uniqueidentifier="FFFFFFFF-FFFF-FFFF-FFFF-FFFFFFFFFFFF",
     )
     null_row = {k: (3 if k == "pk" else None) for k in min_row}
     return [min_row, max_row, null_row]
