@@ -229,7 +229,9 @@ def spark_type_to_spec(dt: T.DataType) -> ColumnSpec:
         return ColumnSpec("int", None, None, False)
     if isinstance(dt, T.LongType):
         return ColumnSpec("bigint", None, None, False)
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
+    if isinstance(dt, T.FloatType):
+        return ColumnSpec("real", None, None, False)
+    if isinstance(dt, T.DoubleType):
         return ColumnSpec("float", None, None, False)
     if isinstance(dt, T.DecimalType):
         return ColumnSpec("decimal", dt.precision, dt.scale, False)
