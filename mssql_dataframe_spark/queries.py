@@ -5752,6 +5752,41 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_temp_table_staging",
+    sql="""
+    SELECT n_nationkey, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+)
+def verb_temp_table_staging(spark, sf_dir):
+    """Temp-table staging flow, using the reference's own ##-name
+    convention (its QUICKSTART creates ##-named tables — reference
+    create.py:54-62 doctests): stage customers into a ##global temp,
+    join against nation, aggregate. #local names are session-scoped
+    (hidden from list_tables, invisible to other sessions on the same
+    root, dropped by close()); ##global is shared — tempdb semantics,
+    pinned by tests/test_temp_tables.py."""
+    eng = _scratch_engine(spark)
+    cust = _t(spark, sf_dir, "customer")
+    eng.create.table_from_dataframe(
+        "dbo.##cust_stage", cust, primary_key="c_custkey"
+    )
+    eng.write.insert("dbo.##cust_stage", cust)
+    staged = eng.read.table("dbo.##cust_stage")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        staged.join(F.broadcast(n), staged.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            _dsum(F.col("c_acctbal"), "sum_bal"),
+        )
+    )
+
+
+@register(
     "verb_extended_types_roundtrip",
     sql="""
     WITH src AS (

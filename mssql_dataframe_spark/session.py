@@ -88,6 +88,18 @@ class SparkEngine:
                 "_time_insert & _time_update columns."
             )
 
+    def __enter__(self) -> "SparkEngine":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
+    def close(self) -> None:
+        """End the engine session: #local temp tables are dropped
+        (SQL Server tempdb semantics). The SparkSession is left
+        running — it may be shared."""
+        self.store.drop_temp_tables()
+
     def get_schema(self, table_name: str, dataframe=None):
         """Introspect a table; with ``dataframe=`` also validate+convert
         the candidate frame (reference conversion.py:38-162)."""

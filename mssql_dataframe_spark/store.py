@@ -141,17 +141,51 @@ class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = os.path.abspath(root)
+        # session token scoping #local temp tables (SQL Server: a
+        # #table is visible only to the creating session)
+        self._session_token = uuid.uuid4().hex[:12]
         os.makedirs(self.root, exist_ok=True)
 
     # -- catalog ------------------------------------------------------
     def _table_dir(self, name: str) -> str:
         # schema.table -> schema/table on disk; default schema dbo
-        # (reference: conversion.py:24-35 _get_schema_name)
+        # (reference: conversion.py:24-35 _get_schema_name).
+        # SQL Server temp-name contract (the reference's own examples
+        # create ##-named tables): a ``#local`` table routes under a
+        # session-token directory (invisible to other TableStore
+        # sessions on the same root and dropped by drop_temp_tables);
+        # a ``##global`` table routes under a shared temp directory
+        # (visible across sessions, like tempdb global temps). Both
+        # are excluded from list_tables.
         parts = str(name).split(".")
         if len(parts) == 1:
             parts = ["dbo", parts[0]]
         safe = [p.replace("/", "_") for p in parts]
+        leaf = safe[-1]
+        if leaf.startswith("##"):
+            return os.path.join(self.root, "_temp_global", *safe)
+        if leaf.startswith("#"):
+            return os.path.join(
+                self.root, f"_temp_{self._session_token}", *safe
+            )
         return os.path.join(self.root, *safe)
+
+    def drop_temp_tables(self) -> int:
+        """Drop every #local temp table this session created (the
+        session-close semantics of tempdb). Returns the count."""
+        tdir = os.path.join(self.root, f"_temp_{self._session_token}")
+        n = 0
+        if os.path.isdir(tdir):
+            for schema in os.listdir(tdir):
+                sdir = os.path.join(tdir, schema)
+                if os.path.isdir(sdir):
+                    n += sum(
+                        1
+                        for t in os.listdir(sdir)
+                        if os.path.exists(os.path.join(sdir, t, _META))
+                    )
+            shutil.rmtree(tdir, ignore_errors=True)
+        return n
 
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._table_dir(name), _META))
