@@ -132,6 +132,117 @@ class modify:
         props["check_constraints"] = checks
         self._store.update_meta(table_name, properties=props)
 
+    def rename_column(
+        self, table_name: str, column_name: str, new_name: str
+    ) -> None:
+        """``sp_rename 'table.col', 'new'`` analog. Plain Parquet has
+        no column mapping (Delta's rename trick), so the rename is a
+        COW cast-rewrite like ``column alter`` — metadata alone would
+        leave files whose physical name no longer matches the schema.
+        PK / identity / NOT NULL / stats bookkeeping follows the
+        rename; declared artifacts whose EXPRESSIONS mention the
+        column (check constraints, computed columns, masks, FKs) block
+        the rename with an actionable error, like SQL Server's
+        dependency errors."""
+        meta = self._store.meta(table_name)
+        schema = meta.spark_schema
+        if column_name not in schema.fieldNames():
+            raise SQLColumnDoesNotExist(column_name)
+        if new_name in schema.fieldNames():
+            raise ValueError(f"column {new_name!r} already exists")
+        props = dict(meta.properties)
+        blockers = []
+        for kind, refs in (
+            ("check constraint", props.get("check_constraints") or {}),
+            ("computed column", props.get("computed_columns") or {}),
+        ):
+            for nm, expr in refs.items():
+                if column_name in str(expr):
+                    blockers.append(f"{kind} {nm!r}")
+        if column_name in (props.get("masking_policies") or {}):
+            blockers.append("masking policy")
+        for nm, fk in (props.get("foreign_keys") or {}).items():
+            if column_name in fk["columns"]:
+                blockers.append(f"foreign key {nm!r}")
+        if blockers:
+            raise ValueError(
+                f"cannot rename {column_name!r}: referenced by "
+                f"{', '.join(blockers)} — drop and re-add them around "
+                "the rename"
+            )
+
+        df = self._store.read(table_name).withColumnRenamed(
+            column_name, new_name
+        )
+        fields = [
+            T.StructField(
+                new_name if f.name == column_name else f.name,
+                f.dataType, f.nullable,
+            )
+            for f in schema.fields
+        ]
+        types = {
+            (new_name if k == column_name else k): v
+            for k, v in meta.column_types.items()
+        }
+
+        def _ren(seq):
+            return [new_name if c == column_name else c for c in seq]
+
+        if props.get("stats_column") == column_name:
+            props["stats_column"] = new_name
+        if props.get("stats_columns"):
+            props["stats_columns"] = _ren(props["stats_columns"])
+        self._store.overwrite(
+            table_name, df, T.StructType(fields), types, op="rename_column"
+        )
+        self._store.update_meta(
+            table_name,
+            primary_key=_ren(meta.primary_key),
+            not_nullable=_ren(meta.not_nullable),
+            identity_column=(
+                new_name
+                if meta.identity_column == column_name
+                else meta.identity_column
+            ),
+            properties=props,
+        )
+
+    def rename_table(self, table_name: str, new_name: str) -> None:
+        """``sp_rename 'old', 'new'`` analog: a pure metadata move (the
+        manifest's file paths are pool-relative, so no data is
+        touched). Blocked while other tables' FOREIGN KEYs or stored
+        views reference the table — SQL Server raises dependency
+        errors the same way."""
+        import os
+
+        self._store.meta(table_name)  # raises if absent
+        if self._store.exists(new_name) or self._store.is_view(new_name):
+            raise ValueError(f"{new_name!r} already exists")
+        deps = []
+        for t in self._store.list_tables():
+            if t == table_name:
+                continue
+            fks = self._store.meta(t).properties.get("foreign_keys") or {}
+            for nm, fk in fks.items():
+                if fk["ref_table"] == table_name:
+                    deps.append(f"foreign key {nm!r} on {t}")
+        for v, spec in self._store.list_view_specs():
+            if spec.get("source") == table_name:
+                deps.append(f"view {v!r}")
+        if deps:
+            raise ValueError(
+                f"cannot rename {table_name!r}: referenced by "
+                f"{', '.join(deps)}"
+            )
+        src_dir = self._store._table_dir(table_name)
+        dst_dir = self._store._table_dir(new_name)
+        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+        os.rename(src_dir, dst_dir)
+        meta2 = self._store.meta(new_name)
+        meta2.name = new_name
+        self._store._write_meta(new_name, meta2)
+
     def computed_column(
         self,
         table_name: str,

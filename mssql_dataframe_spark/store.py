@@ -223,6 +223,20 @@ class TableStore:
         except FileNotFoundError:
             raise SQLTableDoesNotExist(f"view {name!r} does not exist")
 
+    def list_view_specs(self) -> list[tuple[str, dict]]:
+        """(view_name, spec) for every stored view under the root."""
+        out = []
+        for schema in sorted(os.listdir(self.root)):
+            sdir = os.path.join(self.root, schema)
+            if not os.path.isdir(sdir):
+                continue
+            for t in sorted(os.listdir(sdir)):
+                vp = os.path.join(sdir, t, "_view.json")
+                if os.path.exists(vp):
+                    with open(vp) as f:
+                        out.append((f"{schema}.{t}", json.load(f)))
+        return out
+
     def drop_view(self, name: str) -> None:
         if not self.is_view(name):
             raise SQLTableDoesNotExist(f"view {name!r} does not exist")
