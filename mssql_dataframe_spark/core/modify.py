@@ -193,9 +193,9 @@ class modify:
             props["stats_column"] = new_name
         if props.get("stats_columns"):
             props["stats_columns"] = _ren(props["stats_columns"])
-        self._store.overwrite(
-            table_name, df, T.StructType(fields), types, op="rename_column"
-        )
+        # key bookkeeping FIRST so the rewrite's footer-stat harvest
+        # labels bounds with the NEW name (pruning stays live through
+        # the rename instead of degrading until the next rewrite)
         self._store.update_meta(
             table_name,
             primary_key=_ren(meta.primary_key),
@@ -206,6 +206,9 @@ class modify:
                 else meta.identity_column
             ),
             properties=props,
+        )
+        self._store.overwrite(
+            table_name, df, T.StructType(fields), types, op="rename_column"
         )
 
     def rename_table(self, table_name: str, new_name: str) -> None:

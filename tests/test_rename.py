@@ -76,3 +76,12 @@ def test_rename_table_blocked_by_references(engine, spark):
     engine.create.view("dbo.v_rn", "dbo.rn")
     with pytest.raises(ValueError, match="view"):
         engine.modify.rename_table("dbo.rn", "dbo.rnX")
+
+
+def test_rename_column_keeps_pruning_stats_live(engine, spark):
+    _mk(engine, spark)
+    engine.modify.rename_column("dbo.rn", "id", "row_id")
+    meta = engine.store.meta("dbo.rn")
+    entries = engine.store.manifest("dbo.rn", meta.version)
+    assert entries and all(e["stats_col"] == "row_id" for e in entries)
+    assert all(e["min"] is not None for e in entries)
