@@ -5752,6 +5752,72 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_sequence_numbering",
+    sql="""
+    SELECT 'nation' AS entity, CAST(n_nationkey AS BIGINT) AS entity_key,
+           CAST(9 + ROW_NUMBER() OVER (ORDER BY n_nationkey) * 10
+                AS BIGINT) AS seq_no
+    FROM nation
+    UNION ALL
+    SELECT 'region', CAST(r_regionkey AS BIGINT),
+           CAST((SELECT 9 + COUNT(*) * 10 FROM nation)
+                + ROW_NUMBER() OVER (ORDER BY r_regionkey) * 10 AS BIGINT)
+    FROM region
+    """,
+)
+def verb_sequence_numbering(spark, sf_dir):
+    """SEQUENCE objects (store.create_sequence /
+    next_sequence_values — SQL Server CREATE SEQUENCE +
+    sp_sequence_get_range analog): a named generator independent of
+    any table, reserving ranges atomically under a lock (concurrent
+    reservations never overlap — tests/test_sequences.py). Two draws
+    number two DIFFERENT tables from one sequence — the cross-table
+    use identity columns can't serve; the second draw continuing
+    where the first stopped is what the oracle's offset arithmetic
+    checks."""
+    eng = _scratch_engine(spark)
+    eng.store.create_sequence("seq.entity", start=19, increment=10)
+    n = _t(spark, sf_dir, "nation").select("n_nationkey").orderBy("n_nationkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey").orderBy("r_regionkey")
+    n_keys = [row[0] for row in n.collect()]
+    r_keys = [row[0] for row in r.collect()]
+    n_vals = eng.store.next_sequence_values("seq.entity", len(n_keys))
+    r_vals = eng.store.next_sequence_values("seq.entity", len(r_keys))
+    rows = [("nation", k, v) for k, v in zip(n_keys, n_vals)] + [
+        ("region", k, v) for k, v in zip(r_keys, r_vals)
+    ]
+    return spark.createDataFrame(
+        rows, "entity string, entity_key bigint, seq_no bigint"
+    )
+
+
+@register(
+    "verb_rename_roundtrip",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def verb_rename_roundtrip(spark, sf_dir):
+    """sp_rename analogs (modify.rename_column / rename_table): the
+    column rename is ONE COW rewrite with all key bookkeeping carried
+    (pruning stats relabel to the new name in the same commit); the
+    table rename is a pure metadata move. Reading the renamed table
+    through the renamed column proves both paths end-to-end."""
+    eng = _scratch_engine(spark)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    eng.create.table_from_dataframe("dbo.ord_rn", o, primary_key="o_orderkey")
+    eng.write.insert("dbo.ord_rn", o)
+    eng.modify.rename_column("dbo.ord_rn", "o_totalprice", "price")
+    eng.modify.rename_table("dbo.ord_rn", "dbo.orders_renamed")
+    return eng.read.table("dbo.orders_renamed")
+
+
+@register(
     "verb_temp_table_staging",
     sql="""
     SELECT n_nationkey, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,

@@ -170,6 +170,78 @@ class TableStore:
             )
         return os.path.join(self.root, *safe)
 
+    # -- sequences (SQL Server CREATE SEQUENCE analog) ----------------
+    def _seq_path(self, name: str) -> str:
+        safe = str(name).replace("/", "_").replace(".", "_")
+        return os.path.join(self.root, "_sequences", f"{safe}.json")
+
+    def create_sequence(
+        self, name: str, start: int = 1, increment: int = 1
+    ) -> None:
+        """CREATE SEQUENCE: a named number generator independent of any
+        table (identity columns cover the per-table case; sequences
+        serve cross-table keys and block reservation). Driver-side
+        metadata — one tiny json."""
+        if increment == 0:
+            raise ValueError("increment must be non-zero")
+        path = self._seq_path(name)
+        if os.path.exists(path):
+            raise ValueError(f"sequence {name!r} already exists")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"next": int(start), "increment": int(increment)}, f)
+        os.replace(tmp, path)
+
+    def next_sequence_values(self, name: str, count: int = 1) -> list[int]:
+        """NEXT VALUE FOR, vectorized: atomically reserve ``count``
+        values (sp_sequence_get_range analog). A lock file serializes
+        concurrent reservations — ranges never overlap; like SQL
+        Server, values HANDED OUT are consumed even if the caller
+        discards them (gaps are normal)."""
+        if count < 1:
+            raise ValueError("count must be >= 1")
+        path = self._seq_path(name)
+        lock = path + ".lock"
+        import time as _time
+
+        deadline = _time.time() + 30
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        f"sequence {name!r} lock not released"
+                    )
+                _time.sleep(0.01)
+        try:
+            try:
+                with open(path) as f:
+                    state = json.load(f)
+            except FileNotFoundError:
+                raise SQLTableDoesNotExist(
+                    f"sequence {name!r} does not exist"
+                )
+            nxt, inc = state["next"], state["increment"]
+            vals = [nxt + i * inc for i in range(count)]
+            state["next"] = nxt + count * inc
+            tmp = path + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, path)
+        finally:
+            os.remove(lock)
+        return vals
+
+    def drop_sequence(self, name: str) -> None:
+        try:
+            os.remove(self._seq_path(name))
+        except FileNotFoundError:
+            raise SQLTableDoesNotExist(f"sequence {name!r} does not exist")
+
     def drop_temp_tables(self) -> int:
         """Drop every #local temp table this session created (the
         session-close semantics of tempdb). Returns the count."""
