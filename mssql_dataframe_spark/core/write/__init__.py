@@ -6,6 +6,7 @@ Reference: mssql_dataframe/core/write/{insert,update,merge}.py.
 from __future__ import annotations
 
 from .delete import delete_op, delete_where_op  # noqa: F401
+from .ingest import ingest_directory  # noqa: F401
 from .insert import insert  # noqa: F401
 from .merge import merge_op  # noqa: F401
 from .scd2 import merge_scd2  # noqa: F401
@@ -30,6 +31,12 @@ class write:
 
     def delete_where(self, table_name, where):
         return delete_where_op(self._store, table_name, where)
+
+    def ingest_directory(self, table_name, path, file_format="parquet"):
+        return ingest_directory(
+            self._store, table_name, path, file_format,
+            self.include_metadata_timestamps,
+        )
 
     def update(self, table_name, dataframe, match_columns=None):
         return update_op(

@@ -1,0 +1,66 @@
+"""``write.ingest_directory``: incremental file-discovery ingestion —
+the Auto Loader / COPY INTO pattern. Each call ingests exactly the
+files that have APPEARED in a landing directory since the last call;
+already-ingested files are remembered in table properties and never
+re-read or double-counted, so repeated invocation is idempotent over
+a growing directory (the landing-zone contract: files are immutable
+once written; appends arrive as new files).
+
+Scale shape: discovery is one driver-side listing (object-store
+LIST on a cluster — at very large file counts a real Auto Loader
+switches to notification queues; the ledger here is the file-names
+list, O(files) metadata). The read that follows passes ONLY the new
+files to the scan, so ingest cost is ∝ new data. The append itself
+rides the standard insert path (validation, constraints, identity,
+computed columns all apply).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ...store import TableStore
+from .insert import insert
+
+
+def _list_data_files(path: str, suffix: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(suffix) and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def ingest_directory(
+    store: TableStore,
+    table_name: str,
+    path: str,
+    file_format: str = "parquet",
+    include_metadata_timestamps: bool = False,
+) -> int:
+    """Ingest files not seen before; returns how many files were read.
+    A call that discovers nothing new writes nothing (no commit)."""
+    meta = store.meta(table_name)
+    suffix = "." + file_format
+    listed = _list_data_files(path, suffix)
+    seen = set(meta.properties.get("ingested_files") or [])
+    new_files = [f for f in listed if os.path.relpath(f, path) not in seen]
+    if not new_files:
+        return 0
+    reader = store.spark.read.schema(meta.spark_schema)
+    if file_format == "parquet":
+        df = reader.parquet(*new_files)
+    elif file_format == "json":
+        df = reader.json(new_files)
+    elif file_format == "csv":
+        df = reader.option("header", True).csv(new_files)
+    else:
+        raise ValueError(f"unsupported ingest format {file_format!r}")
+    insert(store, table_name, df, include_metadata_timestamps)
+    props = dict(store.meta(table_name).properties)
+    props["ingested_files"] = sorted(
+        seen | {os.path.relpath(f, path) for f in new_files}
+    )
+    store.update_meta(table_name, properties=props)
+    return len(new_files)

@@ -1253,6 +1253,56 @@ def window_moving_avg(spark, sf_dir):
 
 
 @register(
+    "events_mad_outliers",
+    sql="""
+    WITH stats AS (
+      SELECT event_type,
+             MEDIAN(value) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.event_id, e.value, s.med,
+             ABS(e.value - s.med) AS adev
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    ), mad AS (
+      SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           ROUND(d.value, 2) AS value,
+           ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE m.mad > 0
+      AND ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.0
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: median/MAD z-scores per event type —
+    the monitoring gate that survives heavy tails where mean/stddev
+    z-scores get dragged by the outliers they're hunting. Two exact
+    medians (percentile — interpolation identical to DuckDB's MEDIAN)
+    and two broadcast joins of the per-type scalar frames; the event
+    scan never shuffles. 1.4826 is the standard normal-consistency
+    constant; the identical IEEE expression on both sides keeps the
+    threshold decision bit-agreed."""
+    e = load_events(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(stats), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
+@register(
     "timeseries_ewma_quantized",
     sql="""
     SELECT user_id,
@@ -5749,6 +5799,49 @@ def verb_foreign_key_audit(spark, sf_dir):
             _dsum(F.col("l_extendedprice"), "total_price"),
         )
     )
+
+
+@register(
+    "verb_incremental_ingest",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def verb_incremental_ingest(spark, sf_dir):
+    """Incremental file-discovery ingestion (write.ingest_directory —
+    the Auto Loader / COPY INTO pattern): two waves of files land in a
+    directory; the first ingest reads wave 1, the second reads ONLY
+    wave 2 (the ingested-files ledger skips seen files), and a third
+    call ingests nothing and commits nothing. Row counts prove no
+    file was double-read — a re-read would double wave 1 through the
+    append path. Ingest cost ∝ new files; the scan receives only the
+    new paths."""
+    eng = _scratch_engine(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    land = os.path.join(_SCRATCH, f"landing_{uuid.uuid4().hex}")
+    o.filter(F.col("o_orderkey") <= 1000).write.mode("overwrite").parquet(
+        os.path.join(land, "wave1")
+    )
+    eng.create.table(
+        "dbo.ord_inc",
+        {"o_orderkey": "bigint", "o_custkey": "bigint",
+         "o_totalprice": "float"},
+        primary_key_column="o_orderkey",
+    )
+    n1 = eng.write.ingest_directory("dbo.ord_inc", land)
+    assert n1 > 0
+    o.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)
+    ).write.mode("overwrite").parquet(os.path.join(land, "wave2"))
+    n2 = eng.write.ingest_directory("dbo.ord_inc", land)
+    assert n2 > 0
+    v = eng.store.meta("dbo.ord_inc").version
+    assert eng.write.ingest_directory("dbo.ord_inc", land) == 0
+    assert eng.store.meta("dbo.ord_inc").version == v  # no empty commit
+    return eng.read.table("dbo.ord_inc")
 
 
 @register(
