@@ -4375,6 +4375,44 @@ def streaming_foreach_batch_upsert(spark, sf_dir):
 
 
 @register(
+    "streaming_ingest_dedup_store",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE text IS NOT NULL
+    ), d AS (
+      SELECT doc_id, text, md5(text) AS fp, doc_id % 3 AS b FROM raw
+    ), firstb AS (
+      SELECT fp, MIN(b) AS mb FROM d GROUP BY fp
+    ), surv AS (
+      SELECT d.fp, MIN(d.doc_id) AS doc_id
+      FROM d JOIN firstb f ON d.fp = f.fp AND d.b = f.mb
+      GROUP BY d.fp
+    )
+    SELECT s.doc_id, s.fp AS fingerprint,
+           CAST(LENGTH(dd.text) AS BIGINT) AS n_chars
+    FROM surv s JOIN d dd ON dd.doc_id = s.doc_id
+    """,
+)
+def streaming_ingest_dedup_store(spark, sf_dir):
+    """Streaming corpus ingestion with exact dedup against the
+    accumulated store (streaming/events.py
+    streaming_corpus_ingest_dedup): per micro-batch, one winner per
+    content fingerprint, keys-only anti join against the store's
+    fingerprints, insert of only the novel documents. The oracle
+    states the deterministic replay's survivors exactly: the first
+    batch containing a fingerprint wins, min doc_id within it — the
+    cross-batch dependence is the part plain batch dedup entries
+    don't exercise."""
+    from .streaming import events as STR
+
+    return STR.streaming_corpus_ingest_dedup(
+        spark, sf_dir, _scratch_engine(spark)
+    )
+
+
+@register(
     "streaming_dedup_exact",
     sql="""
     SELECT event_type, COUNT(*) AS n_unique

@@ -557,3 +557,82 @@ def stream_stream_left_join(
         return drained.filter(F.col("user_id") >= 0)
     finally:
         _shutil.rmtree(stage, ignore_errors=True)
+
+
+def streaming_corpus_ingest_dedup(
+    spark: SparkSession, sf_dir: str, engine, n_batches: int = 3
+) -> DataFrame:
+    """Streaming corpus ingest with exact dedup against the
+    ACCUMULATED store — the production ingestion gate: each
+    micro-batch keeps one winner per content fingerprint (min doc_id),
+    anti-joins the store's existing fingerprints (keys-only — the
+    corpus text never re-reads), and inserts only novel documents.
+    A document seen in an earlier batch never lands twice; duplicate
+    copies inside one batch collapse before the store is touched.
+
+    Replay is hermetic: the corpus is staged as ``n_batches``
+    doc_id-sliced files with ascending mod-times, so ``availableNow``
+    + ``maxFilesPerTrigger=1`` drains them in a deterministic order
+    and the final table is batch-order-reproducible — which is what
+    lets a plain SQL oracle state the expected survivors exactly
+    (first batch containing a fingerprint wins, min doc_id within
+    it)."""
+    import time as _time
+
+    table = "dbo.corpus_stream"
+    engine.create.table(
+        table,
+        {"doc_id": "bigint", "fingerprint": "char(32)", "n_chars": "bigint"},
+        primary_key_column="doc_id",
+    )
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    # mirrored copy at +100000 (100000 % n_batches != 0): every text
+    # recurs in a DIFFERENT batch class, so the cross-batch dedup path
+    # is genuinely exercised, not just the within-batch collapse
+    docs = base.unionAll(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    stage = os.path.join(_SCRATCH, f"ingest_src_{uuid.uuid4().hex}")
+    for k in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == k).coalesce(1).write.parquet(
+            os.path.join(stage, f"b={k}")
+        )
+        _time.sleep(1.05)  # distinct mod-times fix the replay order
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "b=*"))
+    )
+
+    def _sink(mb: DataFrame, _batch_id: int) -> None:
+        cand = (
+            mb.select(
+                F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+                "doc_id",
+                F.length("text").cast("bigint").alias("n_chars"),
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("n_chars").alias("n_chars"),
+            )
+        )
+        seen = engine.read.table(table).select("fingerprint")
+        fresh = cand.join(seen, "fingerprint", "left_anti")
+        engine.write.insert(
+            table, fresh.select("doc_id", "fingerprint", "n_chars")
+        )
+
+    checkpoint = os.path.join(_SCRATCH, f"ckpt_ing_{uuid.uuid4().hex}")
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine.read.table(table)
