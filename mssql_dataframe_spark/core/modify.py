@@ -301,6 +301,42 @@ class modify:
         else:
             raise ValueError("modify must be one of add|drop")
 
+    def row_filter_policy(
+        self,
+        table_name: str,
+        modify: str,
+        name: str,
+        predicate: Optional[str] = None,
+    ) -> None:
+        """ADD/DROP a named row-filter policy (SQL Server Row-Level
+        Security analog: CREATE SECURITY POLICY ... ADD FILTER
+        PREDICATE). Predicates use the engine's restricted
+        where-grammar, validated at ADD time; reads silently apply the
+        AND of all declared filters (before projection, so a predicate
+        may reference columns a projection drops), unless called with
+        ``bypass_row_filters=True``. Filter-only — write-side BLOCK
+        predicates are intentionally out of scope and documented so."""
+        from ..identifiers import compile_where
+
+        meta = self._store.meta(table_name)
+        props = dict(meta.properties)
+        filters = dict(props.get("row_filters") or {})
+        if modify == "add":
+            if not predicate:
+                raise ValueError("predicate required for row filter add")
+            if name in filters:
+                raise ValueError(f"row filter {name!r} already exists")
+            compile_where(predicate)  # validate, fail at ADD time
+            filters[name] = predicate
+        elif modify == "drop":
+            if name not in filters:
+                raise ValueError(f"no row filter {name!r}")
+            del filters[name]
+        else:
+            raise ValueError("modify must be one of add|drop")
+        props["row_filters"] = filters
+        self._store.update_meta(table_name, properties=props)
+
     def masking_policy(
         self,
         table_name: str,

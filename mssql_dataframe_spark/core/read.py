@@ -169,6 +169,7 @@ class read:
         version: Optional[int] = None,
         timestamp_as_of: Optional[float] = None,
         unmask: bool = False,
+        bypass_row_filters: bool = False,
     ) -> DataFrame:
         """``version`` reads a retained prior snapshot (time travel;
         beyond-reference — the COW store keeps ``keep_versions`` old
@@ -203,6 +204,17 @@ class read:
                 )
             version = max(candidates)
         df = self._store.read(table_name, version=version)
+
+        # Row-Level Security (modify.row_filter_policy): the AND of all
+        # declared filter predicates applies silently and FIRST —
+        # before projection, so predicates may reference columns the
+        # caller's projection drops; the predicate pushes into the
+        # scan like any filter.
+        if not bypass_row_filters:
+            for expr in (
+                meta.properties.get("row_filters") or {}
+            ).values():
+                df = df.filter(compile_where(expr))
 
         # datetimeoffset companion offset columns are engine-internal;
         # hidden unless asked for (core/datetimeoffset.py)

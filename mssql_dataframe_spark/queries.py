@@ -6265,6 +6265,44 @@ def verb_computed_columns(spark, sf_dir):
 
 
 @register(
+    "verb_row_level_security",
+    sql="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_acctbal IS NULL THEN NULL
+                ELSE CAST(0 AS DOUBLE) END AS c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+      AND c_custkey <= 1400
+    """,
+)
+def verb_row_level_security(spark, sf_dir):
+    """Row-Level Security (modify.row_filter_policy — SQL Server
+    security-policy FILTER PREDICATE analog): declared predicates
+    apply silently on every read, AND-ed together, BEFORE projection
+    (the policy here references c_mktsegment, which the returned
+    projection drops — exactly how RLS hides the filtering column),
+    composing with Dynamic Data Masking on c_acctbal. The predicates
+    push into the scan like any filter; bypass_row_filters is the
+    admin escape hatch (tests/test_row_filters.py)."""
+    eng = _scratch_engine(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1400)
+    eng.create.table_from_dataframe(
+        "dbo.cust_rls", cust, primary_key="c_custkey"
+    )
+    eng.write.insert("dbo.cust_rls", cust)
+    eng.modify.row_filter_policy(
+        "dbo.cust_rls", "add", "building_only", "c_mktsegment = 'BUILDING'"
+    )
+    eng.modify.row_filter_policy(
+        "dbo.cust_rls", "add", "positive_bal", "c_acctbal > 0"
+    )
+    eng.modify.masking_policy("dbo.cust_rls", "add", "c_acctbal", "default()")
+    return eng.read.table(
+        "dbo.cust_rls", column_names=["c_custkey", "c_name", "c_acctbal"]
+    ).select("c_custkey", "c_name", F.col("c_acctbal").cast("double"))
+
+
+@register(
     "verb_masked_reads",
     sql="""
     WITH src AS (
