@@ -164,6 +164,16 @@ class modify:
         for nm, fk in (props.get("foreign_keys") or {}).items():
             if column_name in fk["columns"]:
                 blockers.append(f"foreign key {nm!r}")
+        for nm, pred in (props.get("row_filters") or {}).items():
+            if column_name in str(pred):
+                blockers.append(f"row filter {nm!r}")
+        for vname, spec in self._store.list_view_specs():
+            if spec.get("source") != table_name:
+                continue
+            if column_name in (spec.get("column_names") or ()) or (
+                spec.get("where") and column_name in spec["where"]
+            ) or spec.get("order_column") == column_name:
+                blockers.append(f"view {vname!r}")
         if blockers:
             raise ValueError(
                 f"cannot rename {column_name!r}: referenced by "

@@ -85,3 +85,17 @@ def test_rename_column_keeps_pruning_stats_live(engine, spark):
     entries = engine.store.manifest("dbo.rn", meta.version)
     assert entries and all(e["stats_col"] == "row_id" for e in entries)
     assert all(e["min"] is not None for e in entries)
+
+
+def test_rename_column_blocked_by_row_filters_and_views(engine, spark):
+    _mk(engine, spark)
+    engine.modify.row_filter_policy("dbo.rn", "add", "pos", "v > 0")
+    with pytest.raises(ValueError, match="row filter"):
+        engine.modify.rename_column("dbo.rn", "v", "val")
+    engine.modify.row_filter_policy("dbo.rn", "drop", "pos")
+    engine.create.view("dbo.v_dep", "dbo.rn", column_names=["id", "v"])
+    with pytest.raises(ValueError, match="view"):
+        engine.modify.rename_column("dbo.rn", "v", "val")
+    engine.create.drop_view("dbo.v_dep")
+    engine.modify.rename_column("dbo.rn", "v", "val")  # now clean
+    assert "val" in engine.read.table("dbo.rn").columns
