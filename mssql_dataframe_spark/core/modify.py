@@ -85,6 +85,9 @@ class modify:
         elif modify == "drop":
             if column_name not in schema.fieldNames():
                 raise SQLColumnDoesNotExist(column_name)
+            self._require_no_column_dependents(
+                table_name, column_name, dict(meta.properties), "drop"
+            )
             df = self._store.read(table_name).drop(column_name)
             fields = [f for f in schema.fields if f.name != column_name]
             types = {
@@ -132,25 +135,11 @@ class modify:
         props["check_constraints"] = checks
         self._store.update_meta(table_name, properties=props)
 
-    def rename_column(
-        self, table_name: str, column_name: str, new_name: str
+    def _require_no_column_dependents(
+        self, table_name: str, column_name: str, props: dict, action: str
     ) -> None:
-        """``sp_rename 'table.col', 'new'`` analog. Plain Parquet has
-        no column mapping (Delta's rename trick), so the rename is a
-        COW cast-rewrite like ``column alter`` — metadata alone would
-        leave files whose physical name no longer matches the schema.
-        PK / identity / NOT NULL / stats bookkeeping follows the
-        rename; declared artifacts whose EXPRESSIONS mention the
-        column (check constraints, computed columns, masks, FKs) block
-        the rename with an actionable error, like SQL Server's
-        dependency errors."""
-        meta = self._store.meta(table_name)
-        schema = meta.spark_schema
-        if column_name not in schema.fieldNames():
-            raise SQLColumnDoesNotExist(column_name)
-        if new_name in schema.fieldNames():
-            raise ValueError(f"column {new_name!r} already exists")
-        props = dict(meta.properties)
+        """SQL Server-style dependency errors: declared artifacts whose
+        definitions reference the column block a rename/drop."""
         blockers = []
         for kind, refs in (
             ("check constraint", props.get("check_constraints") or {}),
@@ -176,10 +165,33 @@ class modify:
                 blockers.append(f"view {vname!r}")
         if blockers:
             raise ValueError(
-                f"cannot rename {column_name!r}: referenced by "
+                f"cannot {action} {column_name!r}: referenced by "
                 f"{', '.join(blockers)} — drop and re-add them around "
-                "the rename"
+                f"the {action}"
             )
+
+    def rename_column(
+        self, table_name: str, column_name: str, new_name: str
+    ) -> None:
+        """``sp_rename 'table.col', 'new'`` analog. Plain Parquet has
+        no column mapping (Delta's rename trick), so the rename is a
+        COW cast-rewrite like ``column alter`` — metadata alone would
+        leave files whose physical name no longer matches the schema.
+        PK / identity / NOT NULL / stats bookkeeping follows the
+        rename; declared artifacts whose EXPRESSIONS mention the
+        column (check constraints, computed columns, masks, FKs) block
+        the rename with an actionable error, like SQL Server's
+        dependency errors."""
+        meta = self._store.meta(table_name)
+        schema = meta.spark_schema
+        if column_name not in schema.fieldNames():
+            raise SQLColumnDoesNotExist(column_name)
+        if new_name in schema.fieldNames():
+            raise ValueError(f"column {new_name!r} already exists")
+        props = dict(meta.properties)
+        self._require_no_column_dependents(
+            table_name, column_name, props, "rename"
+        )
 
         df = self._store.read(table_name).withColumnRenamed(
             column_name, new_name

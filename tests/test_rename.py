@@ -99,3 +99,13 @@ def test_rename_column_blocked_by_row_filters_and_views(engine, spark):
     engine.create.drop_view("dbo.v_dep")
     engine.modify.rename_column("dbo.rn", "v", "val")  # now clean
     assert "val" in engine.read.table("dbo.rn").columns
+
+
+def test_column_drop_blocked_by_dependents_too(engine, spark):
+    _mk(engine, spark)
+    engine.modify.row_filter_policy("dbo.rn", "add", "pos", "v > 0")
+    with pytest.raises(ValueError, match="row filter"):
+        engine.modify.column("dbo.rn", "drop", "v")
+    engine.modify.row_filter_policy("dbo.rn", "drop", "pos")
+    engine.modify.column("dbo.rn", "drop", "v")
+    assert engine.read.table("dbo.rn").columns == ["id"]
