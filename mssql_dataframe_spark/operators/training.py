@@ -184,3 +184,59 @@ def stratified_sample_hash(
     return df.withColumn("__bucket", key % 100).filter(
         F.col("__bucket") < pct
     ).drop("__bucket")
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_frac_den: int = 2,
+) -> DataFrame:
+    """Temperature-based multilingual resampling (the multilingual-
+    pretraining standard: sample languages ∝ share^alpha with
+    alpha=0.5, so low-resource languages are up-weighted relative to
+    their raw share without drowning the high-resource ones).
+
+    DATA-DERIVED rates in pure integer arithmetic so any engine lands
+    on identical keep sets: per-stratum weight w_l = floor(sqrt(n_l))
+    (IEEE sqrt of an exact int is correctly rounded — identical
+    everywhere), per-doc keep rate in basis points
+    rate_l = (10000 * w_l * (N div target_frac_den)) div (W * n_l),
+    and the keep decision compares the content-keyed md5 bucket
+    (mod 10000) against it — deterministic across runs, partitionings
+    and engines, duplicates land on the same verdict.
+
+    Shape: one count agg (tiny), the scalar totals broadcast back, and
+    a map-side filter over the corpus — no shuffle of the documents
+    themselves.
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("__nl")
+    )
+    w = counts.withColumn(
+        "__wl", F.floor(F.sqrt(F.col("__nl"))).cast("long")
+    )
+    tot = w.agg(
+        F.sum("__wl").cast("long").alias("__tw"),
+        F.sum("__nl").cast("long").alias("__tn"),
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            F.expr(
+                f"(10000 * __wl * (__tn div {target_frac_den})) "
+                "div (__tw * __nl)"
+            ).cast("long").alias("rate_bp"),
+        )
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(strata_col),
+        (_content_key(id_col, text_col) % 10000).alias("__bp"),
+    )
+    return (
+        keyed.join(F.broadcast(rates), strata_col)
+        .filter(F.col("__bp") < F.col("rate_bp"))
+        .select(id_col, strata_col, "rate_bp")
+    )

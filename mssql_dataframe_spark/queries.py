@@ -5269,6 +5269,46 @@ def corpus_shuffle_shards(spark, sf_dir):
 
 
 @register(
+    "temperature_resample_lang",
+    sql="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS wl FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(wl) AS BIGINT) AS W, CAST(SUM(n) AS BIGINT) AS N
+      FROM w
+    ), rates AS (
+      SELECT w.lang,
+             CAST((10000 * w.wl * (t.N // 2)) // (t.W * w.n) AS BIGINT)
+               AS rate_bp
+      FROM w, tot t
+    ), keyed AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(doc_id::VARCHAR || ':' || text), 1, 15))
+               ::BIGINT % 10000 AS bp
+      FROM documents
+    )
+    SELECT k.doc_id, k.lang, r.rate_bp
+    FROM keyed k JOIN rates r ON k.lang = r.lang
+    WHERE k.bp < r.rate_bp
+    """,
+)
+def temperature_resample_lang(spark, sf_dir):
+    """Temperature-based multilingual resampling (operators/training.py
+    temperature_resample): per-language rates DERIVED from the data
+    (share^0.5, the multilingual-pretraining standard) in pure integer
+    arithmetic — floor(sqrt(n)) weights, basis-point rates, content-
+    keyed md5 keep decisions — so both engines land on the identical
+    keep set. One tiny count agg + broadcast rates + map-side filter;
+    the corpus never shuffles. Complements stratified_sample_lang's
+    FIXED per-stratum percentages with the data-adaptive form."""
+    d = _t(spark, sf_dir, "documents")
+    return TR.temperature_resample(d, "lang")
+
+
+@register(
     "stratified_sample_lang",
     sql="""
     WITH keyed AS (
