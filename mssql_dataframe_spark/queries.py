@@ -7231,6 +7231,90 @@ def decontamination_overlap(spark, sf_dir):
     return C.decontaminate(train, bench, n=3)
 
 
+def _training_mixture_sql() -> str:
+    qual = REGISTRY["corpus_quality_filter"]["sql"]
+    decon = REGISTRY["decontamination_overlap"]["sql"]
+    return f"""
+    WITH qual AS ({qual}),
+    decon AS ({decon}),
+    base AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+        AND doc_id % 97 <> 0
+    ),
+    s1 AS (
+      SELECT b.* FROM base b JOIN qual q ON b.doc_id = q.doc_id AND q.keep
+    ),
+    s2 AS (
+      SELECT b.* FROM s1 b
+      JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS k FROM s1 GROUP BY 1) m
+        ON b.doc_id = m.k
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2 LEFT JOIN decon d ON s2.doc_id = d.doc_id
+      WHERE d.doc_id IS NULL
+    ),
+    s4 AS (
+      SELECT * FROM (
+        SELECT s3.*, ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+        FROM s3) t
+      WHERE rn <= 15
+    )
+    SELECT 'p0_ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM base
+    UNION ALL SELECT 'p1_quality', CAST(COUNT(*) AS BIGINT) FROM s1
+    UNION ALL SELECT 'p2_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 'p3_decontaminated', CAST(COUNT(*) AS BIGINT) FROM s3
+    UNION ALL SELECT 'p4_source_capped', CAST(COUNT(*) AS BIGINT) FROM s4
+    """
+
+
+@register("pipeline_training_mixture", sql=_training_mixture_sql())
+def pipeline_training_mixture(spark, sf_dir):
+    """The full curation funnel as ONE auditable report — what a
+    training-data team reviews before a run: ingest (eval split held
+    out) -> C4/Gopher quality gate -> exact dedup (min-id survivor
+    per content hash) -> benchmark decontamination -> per-source cap.
+    Every stage reuses the corresponding registered operator, and the
+    oracle composes the SAME registered SQL twins, so the funnel
+    counts are consistent with each individually-graded entry. The
+    per-stage count drop-off is the number that gets debated in data
+    meetings; here both engines must agree on it exactly."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(
+        F.col("text").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0)
+        & (F.col("doc_id") % 97 != 0)
+    ).select("doc_id", "text", "source")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    qual = C.quality_filter(d).filter(F.col("keep")).select("doc_id")
+    s1 = base.join(qual, "doc_id")
+    winners = s1.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2 = s1.join(winners.select("doc_id"), "doc_id")
+    contaminated = C.decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0), bench, n=3
+    ).select("doc_id")
+    s3 = s2.join(contaminated, "doc_id", "left_anti")
+    s4 = C.per_source_cap(s3, cap=15, by="source", order_col="doc_id")
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+
+    return (
+        stage("p0_ingested", base)
+        .unionAll(stage("p1_quality", s1))
+        .unionAll(stage("p2_exact_dedup", s2))
+        .unionAll(stage("p3_decontaminated", s3))
+        .unionAll(stage("p4_source_capped", s4))
+    )
+
+
 @register(
     "pii_redaction",
     sql=rf"""
