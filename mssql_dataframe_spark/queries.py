@@ -5880,6 +5880,71 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_export_import",
+    sql="""
+    SELECT p_partkey, p_name,
+           CASE WHEN p_retailprice IS NULL THEN NULL
+                ELSE CAST(0 AS DOUBLE) END AS p_retailprice
+    FROM part WHERE p_partkey <= 800
+    """,
+)
+def verb_export_import(spark, sf_dir):
+    """Cross-environment table movement (store.export_table /
+    import_table — the BACKUP/RESTORE DATABASE analog): the snapshot's
+    immutable files plus ALL declared metadata travel as one
+    self-contained directory, and the import lands as a fresh v0
+    table in a DIFFERENT store root. The masking policy declared
+    before export still applies after import — proving artifacts
+    (PK, constraints, masks, computed columns) move with the data,
+    not just the rows. O(files) copy; no scan or rewrite."""
+    eng_a = _scratch_engine(spark)
+    eng_b = _scratch_engine(spark)  # a different store root
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 800)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    eng_a.create.table_from_dataframe("dbo.part_x", p, primary_key="p_partkey")
+    eng_a.write.insert("dbo.part_x", p)
+    eng_a.modify.masking_policy("dbo.part_x", "add", "p_retailprice", "default()")
+    out_dir = os.path.join(_SCRATCH, f"export_{uuid.uuid4().hex}")
+    n_files = eng_a.store.export_table("dbo.part_x", out_dir)
+    assert n_files > 0
+    n_rows = eng_b.store.import_table("dbo.part_imported", out_dir)
+    assert n_rows == p.count()
+    return eng_b.read.table("dbo.part_imported").withColumn(
+        "p_retailprice", F.col("p_retailprice").cast("double")
+    )
+
+
+@register(
+    "arrow_python_udf_reverse",
+    sql="""
+    SELECT p_partkey, reverse(p_name) AS name_rev,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len
+    FROM part WHERE p_partkey <= 1000
+    """,
+)
+def arrow_python_udf_reverse(spark, sf_dir):
+    """Arrow-optimized Python scalar UDF (Spark 4 ``useArrow=True``):
+    the modern row-UDF path — Arrow batches instead of pickled rows,
+    ~2-5x less serialization than the legacy Python UDF while keeping
+    the plain-function authoring model (pandas_udf entries cover the
+    vectorized path). The oracle runs the equivalent builtin, proving
+    the UDF's semantics; the plan shows ArrowEvalPython, not
+    BatchEvalPython."""
+    rev = F.udf(
+        lambda s: None if s is None else s[::-1], "string", useArrow=True
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    return p.select(
+        "p_partkey",
+        rev(F.col("p_name")).alias("name_rev"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
     "verb_incremental_ingest",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice

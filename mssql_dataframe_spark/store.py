@@ -704,6 +704,73 @@ class TableStore:
         self._write_meta(dst, new_meta)
         return new_meta
 
+    def export_table(self, name: str, out_dir: str) -> int:
+        """Export the CURRENT snapshot to a self-contained directory:
+        the data files plus a metadata json (schema, SQL types, PK,
+        properties) — the BACKUP DATABASE analog for moving a table
+        across store roots, environments, or machines. O(files) copy
+        of immutable parquet; no scan, no rewrite. Returns the file
+        count."""
+        meta = self.meta(name)
+        entries = self.manifest(name, meta.version)
+        os.makedirs(out_dir, exist_ok=False)
+        pool = self._pool_dir(name)
+        for e in entries:
+            shutil.copy2(
+                os.path.join(pool, e["path"]),
+                os.path.join(out_dir, e["path"]),
+            )
+        with open(os.path.join(out_dir, "_export_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "entries": entries,
+                    "spark_schema_json": meta.spark_schema_json,
+                    "column_types": meta.column_types,
+                    "primary_key": meta.primary_key,
+                    "identity_column": meta.identity_column,
+                    "identity_next": meta.identity_next,
+                    "not_nullable": meta.not_nullable,
+                    "properties": meta.properties,
+                },
+                f,
+            )
+        return len(entries)
+
+    def import_table(self, name: str, in_dir: str) -> int:
+        """Import an :meth:`export_table` directory as a new table
+        (RESTORE DATABASE analog): files copy into the pool, the
+        manifest commits as version 0, and every declared artifact
+        (PK, constraints, masks, computed columns...) arrives with the
+        metadata. Returns the imported row count."""
+        if self.exists(name):
+            raise ValueError(f"table {name!r} already exists")
+        with open(os.path.join(in_dir, "_export_meta.json")) as f:
+            ex = json.load(f)
+        pool = self._pool_dir(name)
+        os.makedirs(pool, exist_ok=True)
+        for e in ex["entries"]:
+            shutil.copy2(
+                os.path.join(in_dir, e["path"]),
+                os.path.join(pool, e["path"]),
+            )
+        meta = TableMeta(
+            name=str(name),
+            version=0,
+            column_types=dict(ex["column_types"]),
+            spark_schema_json=ex["spark_schema_json"],
+            primary_key=list(ex["primary_key"]),
+            identity_column=ex["identity_column"],
+            identity_next=int(ex["identity_next"]),
+            not_nullable=list(ex["not_nullable"]),
+            properties=dict(ex["properties"]),
+            created_at=time.time(),
+        )
+        self._write_manifest(name, 0, [dict(e) for e in ex["entries"]],
+                             commit={"op": f"import({in_dir})",
+                                     "ts": time.time()})
+        self._write_meta(name, meta)
+        return sum(e.get("rows") or 0 for e in ex["entries"])
+
     def restore(self, name: str, version: int) -> int:
         """Roll the table back to a retained prior snapshot (the Delta
         ``RESTORE TABLE ... TO VERSION AS OF`` analog) by committing

@@ -280,3 +280,9 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
     assert "SortMergeJoin(skew=true)" in plan
     assert "skewed" in plan  # the AQEShuffleRead split the hot partition
+
+
+def test_arrow_python_udf_uses_arrow_eval(spark):
+    plan = _plan(spark, "arrow_python_udf_reverse")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # the legacy pickled-row path
