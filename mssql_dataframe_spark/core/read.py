@@ -57,6 +57,35 @@ class read:
             "n_files_kept int, n_rows bigint, timestamp double",
         )
 
+    def information_schema(self) -> DataFrame:
+        """Catalog introspection as a DataFrame (INFORMATION_SCHEMA
+        .COLUMNS analog): one row per column of every table and stored
+        view in the store, with the declared SQL type and PK
+        membership. Driver-side metadata only — O(objects), no data
+        touched; temp (#/##) objects are excluded like tempdb's."""
+        spark = self._store.spark
+        rows = []
+        for t in self._store.list_tables():
+            meta = self._store.meta(t)
+            pk = set(meta.primary_key)
+            for i, (col, sqlt) in enumerate(meta.column_types.items(), 1):
+                rows.append((t, "BASE TABLE", col, i, sqlt, col in pk))
+        for vname, spec in self._store.list_view_specs():
+            src_meta = self._store.meta(spec["source"])
+            cols = spec.get("column_names") or list(
+                src_meta.column_types.keys()
+            )
+            for i, col in enumerate(cols, 1):
+                rows.append((
+                    vname, "VIEW", col, i,
+                    src_meta.column_types.get(col), False,
+                ))
+        return spark.createDataFrame(
+            rows,
+            "object_name string, object_type string, column_name string, "
+            "ordinal int, sql_type string, in_primary_key boolean",
+        )
+
     def table_stats(
         self,
         table_name: str,

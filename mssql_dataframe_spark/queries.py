@@ -5880,6 +5880,48 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_information_schema",
+    sql="""
+    SELECT * FROM (VALUES
+      ('dbo.inv_items', 'BASE TABLE', 'item_id', 1, 'bigint', true),
+      ('dbo.inv_items', 'BASE TABLE', 'sku',     2, 'nvarchar(40)', false),
+      ('dbo.inv_items', 'BASE TABLE', 'qty',     3, 'int', false),
+      ('dbo.inv_moves', 'BASE TABLE', 'move_id', 1, 'bigint', true),
+      ('dbo.inv_moves', 'BASE TABLE', 'item_id', 2, 'bigint', false),
+      ('dbo.v_item_skus', 'VIEW',     'item_id', 1, 'bigint', false),
+      ('dbo.v_item_skus', 'VIEW',     'sku',     2, 'nvarchar(40)', false)
+    ) AS t(object_name, object_type, column_name, ordinal, sql_type,
+           in_primary_key)
+    """,
+)
+def verb_information_schema(spark, sf_dir):
+    """Catalog introspection (read.information_schema —
+    INFORMATION_SCHEMA.COLUMNS analog): one row per column of every
+    table and stored view, with declared SQL types and PK membership,
+    served from metadata alone. The oracle is the exact expected
+    catalog for a two-table + one-view schema; temp objects stay
+    hidden like tempdb's."""
+    eng = _scratch_engine(spark)
+    eng.create.table(
+        "dbo.inv_items",
+        {"item_id": "bigint", "sku": "nvarchar(40)", "qty": "int"},
+        primary_key_column="item_id",
+    )
+    eng.create.table(
+        "dbo.inv_moves",
+        {"move_id": "bigint", "item_id": "bigint"},
+        primary_key_column="move_id",
+    )
+    eng.create.view(
+        "dbo.v_item_skus", "dbo.inv_items", column_names=["item_id", "sku"]
+    )
+    eng.create.table(  # must NOT appear in the catalog
+        "dbo.#scratch_tmp", {"x": "bigint"}, primary_key_column="x"
+    )
+    return eng.read.information_schema()
+
+
+@register(
     "verb_export_import",
     sql="""
     SELECT p_partkey, p_name,
