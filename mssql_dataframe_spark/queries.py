@@ -1758,6 +1758,58 @@ def regr_bool_aggregates(spark, sf_dir):
 
 
 @register(
+    "string_split_rows",
+    sql="""
+    SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+    FROM part WHERE p_partkey <= 1500
+    """,
+)
+def string_split_rows(spark, sf_dir):
+    """STRING_SPLIT table function (SQL Server 2016+): one row per
+    delimited element — the set-based string shredder. Spark's
+    explode(split(...)) is the same narrow fan-out (no shuffle; the
+    Generate sits inside the scan stage)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1500)
+    return p.select(
+        "p_partkey",
+        F.explode(F.split(F.col("p_type"), " ")).alias("word"),
+    )
+
+
+@register(
+    "date_spine_calendar",
+    sql="""
+    SELECT CAST(d AS TIMESTAMP) AS cal_date,
+           CAST(EXTRACT(ISODOW FROM d) AS INT) AS iso_weekday,
+           EXTRACT(ISODOW FROM d) <= 5 AS is_weekday,
+           CAST(EXTRACT(WEEK FROM d) AS INT) AS iso_week
+    FROM generate_series(DATE '1997-01-01', DATE '1997-12-31',
+                         INTERVAL 1 DAY) AS t(d)
+    """,
+)
+def date_spine_calendar(spark, sf_dir):
+    """Calendar date-spine generation (the dimension every gap-fill,
+    cohort, and as-of pipeline joins against): one year of dates with
+    ISO weekday/week attributes, generated relationally
+    (sequence+explode — narrow, no source table, no shuffle). ISO
+    semantics on both engines: weekday 1=Mon..7=Sun, ISO week
+    numbers."""
+    return spark.sql(
+        """
+        SELECT CAST(cal_date AS TIMESTAMP) AS cal_date,
+               CAST(extract(DAYOFWEEK_ISO FROM cal_date) AS INT)
+                 AS iso_weekday,
+               extract(DAYOFWEEK_ISO FROM cal_date) <= 5 AS is_weekday,
+               CAST(extract(WEEK FROM cal_date) AS INT) AS iso_week
+        FROM (
+          SELECT explode(sequence(DATE '1997-01-01', DATE '1997-12-31',
+                                  INTERVAL 1 DAY)) AS cal_date
+        )
+        """
+    )
+
+
+@register(
     "argmax_aggregates",
     sql="""
     SELECT o_orderpriority,
