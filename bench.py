@@ -86,6 +86,9 @@ HEADLINE = [
     "tokenizer_learn_merges",
     "decontamination_fuzzy",
     "verb_delete_where",
+    "pipeline_training_mixture",
+    "temperature_resample_lang",
+    "timeseries_ewma_quantized",
 ]
 
 
