@@ -7448,15 +7448,19 @@ def pipeline_training_mixture(spark, sf_dir):
     ).select("doc_id", "text", "source")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     qual = C.quality_filter(d).filter(F.col("keep")).select("doc_id")
-    s1 = base.join(qual, "doc_id")
+    # each stage feeds BOTH the next stage and its own funnel count;
+    # persist so the five count jobs don't re-run the quality /
+    # decontamination subtrees five times (measured 4x at sf0.1)
+    base = base.persist()
+    s1 = base.join(qual, "doc_id").persist()
     winners = s1.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    s2 = s1.join(winners.select("doc_id"), "doc_id")
+    s2 = s1.join(winners.select("doc_id"), "doc_id").persist()
     contaminated = C.decontaminate(
         d.filter(F.col("doc_id") % 97 != 0), bench, n=3
     ).select("doc_id")
-    s3 = s2.join(contaminated, "doc_id", "left_anti")
+    s3 = s2.join(contaminated, "doc_id", "left_anti").persist()
     s4 = C.per_source_cap(s3, cap=15, by="source", order_col="doc_id")
 
     def stage(name, df):
