@@ -3128,6 +3128,234 @@ def heavy_hitters_tokens(spark, sf_dir):
 
 
 @register(
+    "events_time_to_convert",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT user_id,
+             epoch_us(first_purchase) - epoch_us(first_view) AS latency_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(MIN(latency_us) AS BIGINT) AS min_latency_us,
+           CAST(MEDIAN(latency_us) AS DOUBLE) AS median_latency_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_latency_us
+    FROM conv
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Time-to-convert: per-user latency from first view to first
+    purchase, aggregated to the conversion-latency distribution — the
+    companion metric to the funnel's reach counts. Conditional MINs
+    fold both firsts into ONE agg pass (no self-join); latency is
+    exact integer microseconds."""
+    e = load_events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros(F.col("first_purchase"))
+            - F.unix_micros(F.col("first_view"))
+        ).alias("latency_us")
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converters"),
+        F.min("latency_us").cast("bigint").alias("min_latency_us"),
+        F.median("latency_us").cast("double").alias("median_latency_us"),
+        F.max("latency_us").cast("bigint").alias("max_latency_us"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    sql="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, frequency, monetary,
+             CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey)
+                  AS INT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)
+                  AS INT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)
+                  AS INT) AS m_score
+      FROM base
+    )
+    SELECT o_custkey, frequency, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic warehouse customer-scoring
+    pattern: recency/frequency/monetary quintiles (NTILE, ties broken
+    on the key for determinism) folded into named segments. One agg
+    over orders, then three global windows on the tiny per-customer
+    frame — the expensive scan happens once; the window input is
+    |customers|, not |orders|."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("frequency"),
+        _dsum(F.col("o_totalprice"), "monetary"),
+    )
+    def q(order_cols):
+        return F.ntile(5).over(Window.orderBy(*order_cols)).cast("int")
+    scored = base.select(
+        "o_custkey", "frequency", "monetary",
+        q([F.col("last_order").desc(), F.col("o_custkey")]).alias("r_score"),
+        q([F.col("frequency").desc(), F.col("o_custkey")]).alias("f_score"),
+        q([F.col("monetary").desc(), F.col("o_custkey")]).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+@register(
+    "parts_abc_pareto",
+    sql="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - l_discount AS DECIMAL(4,2))
+                           AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev,
+             SUM(revenue) OVER () AS total_rev
+      FROM rev
+    )
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           CASE WHEN cum_rev <= total_rev * 0.5 THEN 'A'
+                WHEN cum_rev <= total_rev * 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def parts_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification: parts ranked by revenue, classed by
+    cumulative-share thresholds (top-50% of revenue = A, next 30% = B)
+    — the inventory-analysis staple. The cumulative window runs in
+    EXACT DECIMAL (a double running sum would make the class boundary
+    accumulation-order-dependent); threshold compares are
+    decimal-vs-decimal. One scan + one agg shuffle; the windows see
+    the per-part frame only."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            ).cast("decimal(18,4)")
+        ).cast("decimal(18,4)").alias("revenue")
+    )
+    w_cum = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey", "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") <= F.col("total_rev") * 0.5, "A")
+        .when(F.col("cum_rev") <= F.col("total_rev") * 0.8, "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        cls.alias("abc_class"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), totals AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total
+      FROM pairs GROUP BY event_type
+    )
+    SELECT p.event_type AS from_type, p.next_type AS to_type, p.n,
+           ROUND(CAST(p.n AS DOUBLE) / t.n_total, 6) AS prob
+    FROM pairs p JOIN totals t ON p.event_type = t.event_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (LEAD window + two aggs) — the behavioral-model fit
+    behind next-action prediction and anomaly scoring. One shuffle on
+    user_id for the ordering window; the transition counts are
+    |types|^2, map-side combinable."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_total")
+    )
+    return (
+        pairs.join(totals, "event_type")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6)
+            .alias("prob"),
+        )
+    )
+
+
+@register(
     "events_retention_cohorts",
     sql="""
     WITH firsts AS (
