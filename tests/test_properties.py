@@ -249,3 +249,82 @@ def test_resample_forward_fill_semantics(spark):
         (1, "2024-01-03"): 5.0,    # 09:00 event is after day start
         (2, "2024-02-10"): 1.0,    # midnight event ties day start: <=
     }
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=20,
+    )
+)
+@_settings
+def test_pagerank_mass_properties(spark, edges):
+    """Every rank >= the teleport base, and the total rank mass never
+    exceeds |V| * unit (damping only redistributes or leaks mass —
+    dangling nodes decay, they cannot mint rank)."""
+    from mssql_dataframe_spark.operators.graph import pagerank_quantized
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    out = pagerank_quantized(df, iters=3).collect()
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    assert len(out) == len(nodes)
+    base = ((100 - 85) * 1_000_000) // 100
+    assert all(r["rank_q"] >= base for r in out)
+    assert sum(r["rank_q"] for r in out) <= len(nodes) * 1_000_000
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999), st.sampled_from(["en", "de", "fr"])),
+        min_size=4, max_size=40, unique_by=lambda t: t[0],
+    )
+)
+@_settings
+def test_temperature_resample_is_partition_invariant(spark, rows):
+    """The keep set is content-keyed: identical no matter how the
+    input is partitioned (rand()-based samplers fail this)."""
+    from mssql_dataframe_spark.operators.training import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, lang, f"doc text {i}") for i, lang in rows],
+        "doc_id long, lang string, text string",
+    )
+    a = {r["doc_id"] for r in temperature_resample(df.coalesce(1)).collect()}
+    b = {r["doc_id"] for r in temperature_resample(df.repartition(7)).collect()}
+    assert a == b
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=30))
+@_settings
+def test_ewma_fold_matches_python_reference(spark, vals):
+    """The distributed higher-order fold equals a plain sequential
+    Python loop of the same integer recurrence."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    rows = [(0, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("event_id"),
+                F.floor(F.col("value") * 100 + 0.5).cast("long").alias("q"),
+            )
+        )
+    )
+    per = df.groupBy("user_id").agg(seq.alias("seq"))
+    ewma = F.aggregate(
+        F.slice(F.col("seq"), 2, F.size("seq") - 1),
+        F.element_at(F.col("seq"), 1)["q"],
+        lambda acc, x: F.floor(
+            (F.lit(13) * x["q"] + F.lit(87) * acc) / F.lit(100)
+        ).cast("long"),
+    )
+    got = per.select(ewma.alias("e")).collect()[0]["e"]
+    ref = None
+    for v in vals:
+        q = int(v * 100 + 0.5)
+        ref = q if ref is None else (13 * q + 87 * ref) // 100
+    assert got == ref
