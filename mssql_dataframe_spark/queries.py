@@ -3128,6 +3128,92 @@ def heavy_hitters_tokens(spark, sf_dir):
 
 
 @register(
+    "basket_brand_lift",
+    sql="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob
+    ), brand_n AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM ob
+      GROUP BY p_brand
+    ), pair_n AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           ROUND(CAST(p.n_ab AS DOUBLE) * t.n
+                 / (ba.n_b * bb.n_b), 6) AS lift
+    FROM pair_n p
+    JOIN brand_n ba ON ba.p_brand = p.brand_a
+    JOIN brand_n bb ON bb.p_brand = p.brand_b
+    CROSS JOIN n_orders t
+    WHERE p.n_ab >= 5
+    """,
+)
+def basket_brand_lift(spark, sf_dir):
+    """Market-basket association mining: brand co-occurrence lift
+    within orders (lift = P(A,B)/(P(A)P(B)) — the recommender /
+    assortment-planning primitive). The basket self-join runs on the
+    SLIM distinct (order, brand) frame — |brands| per order, never
+    line items — so candidate pairs cost sum of per-order
+    basket-size^2, and the support floor prunes the output. The
+    brand-count joins broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ob = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    n_orders = ob.select(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
+    )
+    brand_n = ob.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_b")
+    )
+    a = ob.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    return (
+        pairs.join(
+            F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_a")
+                        .withColumnRenamed("n_b", "n_a_tot")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_b")
+                        .withColumnRenamed("n_b", "n_b_tot")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n")
+                / (F.col("n_a_tot") * F.col("n_b_tot")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "events_time_to_convert",
     sql="""
     WITH firsts AS (
