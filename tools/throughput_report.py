@@ -91,6 +91,49 @@ def main() -> None:
         f"| write.merge full (update+insert+delete) | {fm:.3f} | {int(n*0.75)/fm:,.0f} |"
     )
 
+    # predicate DELETE: touched-file rewrite of ~25% of rows
+    def do_delete_where():
+        eng = fresh_engine()
+        eng.create.table_from_dataframe(
+            "dbo.orders_dw", orders, primary_key="o_orderkey"
+        )
+        eng.write.insert("dbo.orders_dw", orders)
+        t0 = time.perf_counter()
+        n_del = eng.write.delete_where("dbo.orders_dw", "o_orderstatus = 'F'")
+        return time.perf_counter() - t0, n_del
+
+    dw_samples = [do_delete_where() for _ in range(RUNS)]
+    dwt = statistics.median([s[0] for s in dw_samples])
+    n_del = dw_samples[0][1]
+    lines.append(
+        f"| write.delete_where ({n_del:,} rows erased) | {dwt:.3f} "
+        f"| {n_del/dwt:,.0f} |"
+    )
+
+    # incremental directory ingest: second call reads only new files
+    def do_ingest():
+        eng = fresh_engine()
+        land = os.path.join(scratch, f"land_{uuid.uuid4().hex}")
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+            os.path.join(land, "w1")
+        )
+        eng.create.table_from_dataframe(
+            "dbo.orders_ing", orders.limit(0), primary_key="o_orderkey"
+        )
+        eng.write.ingest_directory("dbo.orders_ing", land)
+        orders.filter(F.col("o_orderkey") % 2 == 1).write.parquet(
+            os.path.join(land, "w2")
+        )
+        t0 = time.perf_counter()
+        eng.write.ingest_directory("dbo.orders_ing", land)
+        return time.perf_counter() - t0
+
+    ing = statistics.median([do_ingest() for _ in range(RUNS)])
+    lines.append(
+        f"| write.ingest_directory (incremental wave, {n//2:,} rows) "
+        f"| {ing:.3f} | {(n//2)/ing:,.0f} |"
+    )
+
     # read path: projection + filter + order + limit through the verb API
     eng = fresh_engine()
     eng.create.table_from_dataframe("dbo.orders_r", orders, primary_key="o_orderkey")
