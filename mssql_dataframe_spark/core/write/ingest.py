@@ -48,7 +48,22 @@ def ingest_directory(
     new_files = [f for f in listed if os.path.relpath(f, path) not in seen]
     if not new_files:
         return 0
-    reader = store.spark.read.schema(meta.spark_schema)
+    # engine-managed columns never come from landed files: computed
+    # columns are engine-recomputed (explicit writes are rejected),
+    # the identity column is engine-assigned, and _time_* metadata is
+    # stamped by the insert — reading them as declared-schema NULLs
+    # would trip exactly those contracts.
+    managed = set(meta.properties.get("computed_columns") or {})
+    if meta.identity_column:
+        managed.add(meta.identity_column)
+    managed.update(c for c in meta.spark_schema.fieldNames()
+                   if c.startswith("_time_"))
+    from pyspark.sql import types as T
+
+    read_schema = T.StructType(
+        [f for f in meta.spark_schema.fields if f.name not in managed]
+    )
+    reader = store.spark.read.schema(read_schema)
     if file_format == "parquet":
         df = reader.parquet(*new_files)
     elif file_format == "json":
