@@ -27,6 +27,58 @@ from ...validation import precheck_dataframe
 from .update import resolve_match_columns
 
 
+def _check_restrict_references(store, table_name, deleted_rows) -> None:
+    """SQL Server ON DELETE NO ACTION semantics: deleting parent rows
+    that a child table's FOREIGN KEY still references fails fast —
+    declared FKs protect BOTH directions (child writes are checked in
+    validation.enforce_foreign_keys; this guards the parent side on
+    the explicit delete verbs). Cost: one keys-only semi join per
+    REFERENCING FK, and only when such FKs exist; merge's
+    not-matched-by-source delete clause is intentionally unguarded
+    (its contract predates FKs) and documented so."""
+    from ...errors import SQLForeignKeyViolation
+
+    refs = []
+    for t in store.list_tables():
+        if t == table_name:
+            continue
+        fks = store.meta(t).properties.get("foreign_keys") or {}
+        for nm, fk in fks.items():
+            if fk["ref_table"] == table_name:
+                refs.append((t, nm, fk))
+    if not refs:
+        return
+    deleted_rows = deleted_rows.persist()
+    try:
+        for t, nm, fk in refs:
+            parent_keys = (
+                deleted_rows.select(
+                    *[
+                        F.col(rc).alias(c)
+                        for c, rc in zip(fk["columns"], fk["ref_columns"])
+                    ]
+                )
+                .na.drop(how="any")
+                .distinct()
+            )
+            hit = (
+                store.read(t)
+                .select(*fk["columns"])
+                .na.drop(how="any")
+                .join(parent_keys, fk["columns"], "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise SQLForeignKeyViolation(
+                    f"cannot delete from {table_name!r}: rows are still "
+                    f"referenced by foreign key {nm!r} on {t!r} "
+                    "(ON DELETE NO ACTION)"
+                )
+    finally:
+        deleted_rows.unpersist()
+
+
 def delete_op(
     store: TableStore,
     table_name: str,
@@ -61,6 +113,10 @@ def delete_op(
     if keep_entries is None:
         target = store.read(table_name)
 
+    _check_restrict_references(
+        store, table_name,
+        store.read(table_name).join(keys, on=match, how="left_semi"),
+    )
     survivors = target.join(keys, on=match, how="left_anti")
     total_before = sum(
         e.get("rows") or 0 for e in store.manifest(table_name, meta.version)
@@ -123,6 +179,9 @@ def delete_where_op(
     touched = [e["path"] for e in entries if e["path"] in matched]
     keep_entries = [e for e in entries if e["path"] not in matched]
 
+    _check_restrict_references(
+        store, table_name, target_all.filter(cond)
+    )
     survivors = store.read_files(table_name, touched).filter(
         ~F.coalesce(cond, F.lit(False))
     )

@@ -81,3 +81,24 @@ def test_update_enforced_and_drop_releases(engine, spark):
         r["ref"] for r in engine.read.table("dbo.chi").collect()
     }
     assert 55 in vals
+
+
+def test_parent_delete_blocked_while_referenced(engine, spark):
+    _mk(engine, spark)
+    engine.modify.foreign_key(
+        "dbo.chi", "add", "fk_par",
+        columns="ref", ref_table="dbo.par", ref_columns="pk",
+    )
+    # pk=1 is referenced by child (10, 1): both delete verbs must block
+    with pytest.raises(errors.SQLForeignKeyViolation, match="NO ACTION"):
+        engine.write.delete(
+            "dbo.par",
+            spark.createDataFrame([Row(pk=1)], "pk long"),
+        )
+    with pytest.raises(errors.SQLForeignKeyViolation, match="NO ACTION"):
+        engine.write.delete_where("dbo.par", "pk = 1")
+    # pk=3 is unreferenced: delete proceeds
+    assert engine.write.delete_where("dbo.par", "pk = 3") == 1
+    # dropping the FK releases the parent
+    engine.modify.foreign_key("dbo.chi", "drop", "fk_par")
+    assert engine.write.delete_where("dbo.par", "pk = 1") == 1
