@@ -6911,6 +6911,79 @@ def verb_history(spark, sf_dir):
 
 
 @register(
+    "pipeline_cdc_to_scd2",
+    sql="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 400
+    )
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS _valid_from,
+           CASE WHEN c_custkey % 4 = 0
+                THEN TIMESTAMP '2024-02-01 00:00:00' END AS _valid_to,
+           (c_custkey % 4 <> 0) AS _is_current
+    FROM base
+    UNION ALL
+    SELECT c_custkey, 'MOVED', TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+    FROM base WHERE c_custkey % 4 = 0
+    """,
+)
+def pipeline_cdc_to_scd2(spark, sf_dir):
+    """CDC-driven dimension maintenance — the composed warehouse
+    pipeline: a source table's mutation is captured with
+    ``table_changes`` (manifest-diff CDC, cost ∝ touched files) and
+    ONLY the changed keys merge into the type-2 dimension
+    (merge_scd2). The dimension never re-reads the full source after
+    initialization; unchanged keys never enter the merge. The oracle
+    states the exact expected history: originals closed at T2 where
+    the source changed, re-versioned rows current, everything else
+    untouched."""
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select("c_custkey", "c_mktsegment")
+    )
+    eng.create.table_from_dataframe(
+        "dbo.cust_src_cdc", base, primary_key="c_custkey"
+    )
+    eng.write.insert("dbo.cust_src_cdc", base)
+    v1 = eng.store.meta("dbo.cust_src_cdc").version
+
+    eng.create.table(
+        "dbo.cust_dim_scd2",
+        {
+            "c_custkey": "bigint",
+            "c_mktsegment": "nvarchar(40)",
+            "_valid_from": "datetime2",
+            "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+    eng.write.merge_scd2(
+        "dbo.cust_dim_scd2", base, match_columns=["c_custkey"], as_of=t1
+    )
+
+    upd = base.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment")
+    )
+    eng.write.update("dbo.cust_src_cdc", upd)
+    v2 = eng.store.meta("dbo.cust_src_cdc").version
+
+    changes = eng.read.table_changes("dbo.cust_src_cdc", v1, v2)
+    delta = changes.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        "c_custkey", F.col("new_c_mktsegment").alias("c_mktsegment")
+    )
+    eng.write.merge_scd2(
+        "dbo.cust_dim_scd2", delta, match_columns=["c_custkey"], as_of=t2
+    )
+    return eng.read.table("dbo.cust_dim_scd2")
+
+
+@register(
     "verb_merge_scd2",
     sql="""
     WITH base AS (
