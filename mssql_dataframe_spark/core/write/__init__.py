@@ -55,6 +55,7 @@ class write:
         upsert=False,
         delete_requires=None,
         auto_evolve=False,
+        not_matched_by_source_set=None,
     ):
         return merge_op(
             self._store,
@@ -65,6 +66,7 @@ class write:
             delete_requires,
             self.include_metadata_timestamps,
             auto_evolve,
+            not_matched_by_source_set,
         )
 
     def merge_scd2(

@@ -49,12 +49,19 @@ def merge_op(
     delete_requires: Optional[list[str]] = None,
     include_metadata_timestamps: bool = False,
     auto_evolve: bool = False,
+    not_matched_by_source_set: Optional[dict] = None,
 ) -> DataFrame:
     delete_requires = list(delete_requires or [])
     if upsert and delete_requires:
         raise ValueError(
             "delete_requires cannot be combined with upsert=True "
             "(reference merge.py:84-86)"
+        )
+    nmbs_set = dict(not_matched_by_source_set or {})
+    if nmbs_set and delete_requires:
+        raise ValueError(
+            "not_matched_by_source_set and delete_requires both claim "
+            "the WHEN NOT MATCHED BY SOURCE clause — T-SQL allows one"
         )
 
     meta = store.meta(table_name)
@@ -104,9 +111,26 @@ def merge_op(
     # intersects the source — untouched files carry over by reference.
     # At 100 TB this turns merge cost from O(table) into O(touched).
     can_prune = (
-        upsert and not delete_requires
+        upsert and not delete_requires and not nmbs_set
         and match == list(meta.primary_key) and len(match) == 1
     )
+
+    if nmbs_set:
+        # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... (T-SQL MERGE's
+        # third clause — the stale-flagging form). Expressions use the
+        # computed-column whitelist grammar over TARGET columns.
+        from ..generated import validate_computed_expr
+
+        computed = meta.properties.get("computed_columns") or {}
+        for c, expr in nmbs_set.items():
+            if c not in meta.spark_schema.fieldNames():
+                raise SQLColumnDoesNotExist(c)
+            if c in match or c == meta.identity_column or c in computed:
+                raise ValueError(
+                    f"not_matched_by_source_set cannot set {c!r} "
+                    "(key/identity/computed column)"
+                )
+            validate_computed_expr(str(expr), meta.spark_schema.fieldNames())
 
     unknown = [c for c in dataframe.columns if c not in meta.column_types]
     if unknown:
@@ -198,8 +222,9 @@ def merge_op(
     is_insert = F.col("__t").isNull()
     is_tgt_only = F.col("__s").isNull()
 
-    # keep rule for target-only rows (the delete clause)
-    if upsert:
+    # keep rule for target-only rows (the delete clause); an UPDATE
+    # clause for not-matched-by-source keeps the row by definition
+    if upsert or nmbs_set:
         keep_tgt_only = F.lit(True)
     elif dr_flags:
         # delete only when EVERY delete_requires membership holds
@@ -228,6 +253,8 @@ def merge_op(
             col = F.when(is_matched, now).otherwise(tgt[c])
         else:
             col = tgt[c]
+        if c in nmbs_set:
+            col = F.when(is_tgt_only, F.expr(str(nmbs_set[c]))).otherwise(col)
         out_cols.append(col.cast(f.dataType).alias(c))
 
     result = joined.select(*out_cols)

@@ -6911,6 +6911,43 @@ def verb_history(spark, sf_dir):
 
 
 @register(
+    "verb_merge_stale_flagging",
+    sql="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+                ELSE 'STALE' END AS c_mktsegment
+    FROM customer WHERE c_custkey <= 900
+    """,
+)
+def verb_merge_stale_flagging(spark, sf_dir):
+    """T-SQL MERGE's third clause — WHEN NOT MATCHED BY SOURCE THEN
+    UPDATE SET (write.merge(not_matched_by_source_set=...)): rows the
+    source no longer carries are FLAGGED in place instead of deleted,
+    the standard soft-delete/stale-marking feed shape. SET expressions
+    use the computed-column whitelist grammar over target columns and
+    see pre-update values, per SQL semantics. The keep rule follows
+    T-SQL: an UPDATE clause for not-matched-by-source retains the
+    row."""
+    eng = _scratch_engine(spark)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 900)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    eng.create.table_from_dataframe(
+        "dbo.cust_stale", cust, primary_key="c_custkey"
+    )
+    eng.write.insert("dbo.cust_stale", cust)
+    still_active = cust.filter(F.col("c_custkey") % 3 == 0)
+    eng.write.merge(
+        "dbo.cust_stale",
+        still_active,
+        not_matched_by_source_set={"c_mktsegment": "'STALE'"},
+    )
+    return eng.read.table("dbo.cust_stale")
+
+
+@register(
     "pipeline_cdc_to_scd2",
     sql="""
     WITH base AS (

@@ -472,3 +472,52 @@ def test_merge_auto_evolve_adds_column_metadata_only(engine, spark):
     # schema add was metadata-only: exactly ONE data commit (the merge)
     assert engine.store.meta("dbo.ae").version == v_before + 1
     assert engine.store.meta("dbo.ae").column_types["tag"] == "nvarchar(MAX)"
+
+
+def test_merge_not_matched_by_source_update(engine, spark):
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark import errors as E
+
+    engine.create.table(
+        "dbo.nmbs",
+        {"id": "bigint", "status": "varchar(10)", "v": "int"},
+        primary_key_column="id",
+    )
+    engine.write.insert(
+        "dbo.nmbs",
+        spark.createDataFrame(
+            [Row(id=i, status="live", v=i) for i in (1, 2, 3)],
+            "id long, status string, v int",
+        ),
+    )
+    src = spark.createDataFrame(
+        [Row(id=2, status="live", v=20), Row(id=4, status="live", v=40)],
+        "id long, status string, v int",
+    )
+    engine.write.merge(
+        "dbo.nmbs", src, upsert=True,
+        not_matched_by_source_set={"status": "'stale'"},
+    )
+    got = {r["id"]: (r["status"], r["v"])
+           for r in engine.read.table("dbo.nmbs").collect()}
+    # 1,3 absent from source -> flagged; 2 updated; 4 inserted
+    assert got == {1: ("stale", 1), 3: ("stale", 3),
+                   2: ("live", 20), 4: ("live", 40)}
+    # set expressions see PRE-update values and the whitelist holds
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="both claim"):
+        engine.write.merge(
+            "dbo.nmbs", src, delete_requires=["id"],
+            not_matched_by_source_set={"status": "'x'"},
+        )
+    with _pytest.raises(E.SQLInvalidSyntax):
+        engine.write.merge(
+            "dbo.nmbs", src,
+            not_matched_by_source_set={"status": "rand()"},
+        )
+    with _pytest.raises(ValueError, match="key/identity/computed"):
+        engine.write.merge(
+            "dbo.nmbs", src,
+            not_matched_by_source_set={"id": "0"},
+        )
