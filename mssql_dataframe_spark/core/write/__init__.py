@@ -5,7 +5,7 @@ Reference: mssql_dataframe/core/write/{insert,update,merge}.py.
 
 from __future__ import annotations
 
-from .delete import delete_op, delete_where_op  # noqa: F401
+from .delete import delete_op, delete_where_op, truncate_op  # noqa: F401
 from .ingest import ingest_directory  # noqa: F401
 from .insert import insert  # noqa: F401
 from .merge import merge_op  # noqa: F401
@@ -31,6 +31,9 @@ class write:
 
     def delete_where(self, table_name, where):
         return delete_where_op(self._store, table_name, where)
+
+    def truncate(self, table_name):
+        return truncate_op(self._store, table_name)
 
     def ingest_directory(self, table_name, path, file_format="parquet"):
         return ingest_directory(

@@ -192,3 +192,36 @@ def delete_where_op(
         for e in store.manifest(table_name, store.meta(table_name).version)
     )
     return total_before - total_after
+
+
+def truncate_op(store: TableStore, table_name: str) -> int:
+    """TRUNCATE TABLE: remove every row as ONE metadata commit — a new
+    version with an empty manifest, no data scanned or rewritten
+    (DELETE without WHERE pays the content-discovery scan; TRUNCATE is
+    O(1) regardless of table size, exactly SQL Server's split).
+    Retained prior versions still serve time travel until vacuumed.
+    Like SQL Server, a table referenced by a FOREIGN KEY cannot be
+    truncated at all (even if the child is empty). Identity
+    numbering continues rather than reseeding (the engine's identity
+    ledger is monotonic by design; SQL Server reseeds — documented
+    divergence). Returns the number of rows removed."""
+    from ...errors import SQLForeignKeyViolation
+
+    meta = store.meta(table_name)
+    for t in store.list_tables():
+        if t == table_name:
+            continue
+        for nm, fk in (
+            store.meta(t).properties.get("foreign_keys") or {}
+        ).items():
+            if fk["ref_table"] == table_name:
+                raise SQLForeignKeyViolation(
+                    f"cannot truncate {table_name!r}: referenced by "
+                    f"foreign key {nm!r} on {t!r}"
+                )
+    n = sum(
+        e.get("rows") or 0 for e in store.manifest(table_name, meta.version)
+    )
+    empty = store.spark.createDataFrame([], meta.spark_schema)
+    store.overwrite(table_name, empty, op="truncate")
+    return n

@@ -6911,6 +6911,32 @@ def verb_history(spark, sf_dir):
 
 
 @register(
+    "verb_truncate_reload",
+    sql="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def verb_truncate_reload(spark, sf_dir):
+    """TRUNCATE TABLE (write.truncate): every row removed as ONE
+    metadata commit — empty manifest, no scan or rewrite, O(1) at any
+    table size (DELETE without WHERE pays the content-discovery scan).
+    Prior versions still serve time travel; FK-referenced tables
+    refuse to truncate like SQL Server's. The truncate-and-reload
+    below is the classic full-refresh staging flow."""
+    eng = _scratch_engine(spark)
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    eng.create.table_from_dataframe(
+        "dbo.region_tr", r, primary_key="r_regionkey"
+    )
+    eng.write.insert("dbo.region_tr", r)
+    n = eng.write.truncate("dbo.region_tr")
+    assert n == r.count()
+    assert eng.read.table("dbo.region_tr").count() == 0
+    eng.write.insert("dbo.region_tr", r)  # reload
+    return eng.read.table("dbo.region_tr")
+
+
+@register(
     "verb_merge_stale_flagging",
     sql="""
     SELECT c_custkey, c_name,

@@ -3,6 +3,7 @@ by content discovery, NULL-predicate row retention, no-op no-match."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 
@@ -63,3 +64,28 @@ def test_no_match_commits_nothing(engine, spark):
     v_before = engine.store.meta("dbo.dw").version
     assert engine.write.delete_where("dbo.dw", "v > 999999") == 0
     assert engine.store.meta("dbo.dw").version == v_before
+
+
+def test_truncate_is_metadata_only_and_fk_guarded(engine, spark):
+    _mk(engine, spark)
+    v = engine.store.meta("dbo.dw").version
+    assert engine.write.truncate("dbo.dw") == 20
+    meta = engine.store.meta("dbo.dw")
+    assert meta.version == v + 1
+    assert engine.store.manifest("dbo.dw", meta.version) == []  # no files
+    assert engine.read.table("dbo.dw").count() == 0
+    # time travel still reaches the pre-truncate snapshot
+    assert engine.read.table("dbo.dw", version=v).count() == 20
+    # FK-referenced tables cannot be truncated, even with clean children
+    engine.create.table(
+        "dbo.dwc", {"cid": "bigint", "ref": "bigint"},
+        primary_key_column="cid",
+    )
+    engine.modify.foreign_key(
+        "dbo.dwc", "add", "fk_dw",
+        columns="ref", ref_table="dbo.dw", ref_columns="id",
+    )
+    from mssql_dataframe_spark import errors as E
+
+    with pytest.raises(E.SQLForeignKeyViolation, match="truncate"):
+        engine.write.truncate("dbo.dw")
