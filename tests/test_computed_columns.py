@@ -105,3 +105,26 @@ def test_drop_removes_column_and_expression(engine, spark):
                               "id long, qty int, price double"),
     )
     assert engine.read.table("dbo.gc").count() == 3
+
+
+def test_computed_column_filters_push_to_scan(engine, spark):
+    """The PERSISTED payoff: a where on a computed column is a plain
+    stored-column predicate — it must reach the Parquet scan as a
+    PushedFilter (a compute-on-read design would have to evaluate the
+    expression over every row first)."""
+    from pyspark.sql import Row
+
+    _mk(engine, spark)
+    engine.modify.computed_column(
+        "dbo.gc", "add", "total", "qty * price", "float"
+    )
+    df = engine.read.table("dbo.gc", where="total > 15")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters: [" in plan and "total" in plan.split(
+        "PushedFilters:"
+    )[1].splitlines()[0]
+    assert {r["id"] for r in df.collect()} == {1, 2}
