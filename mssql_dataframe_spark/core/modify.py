@@ -170,6 +170,40 @@ class modify:
                 f"the {action}"
             )
 
+    def identity_reseed(
+        self, table_name: str, new_seed: Optional[int] = None
+    ) -> int:
+        """``DBCC CHECKIDENT (table, RESEED, n)`` analog. With no seed
+        given, re-syncs the counter to max(identity)+1 (the CHECKIDENT
+        repair form). An explicit seed below that is REFUSED — SQL
+        Server would happily hand out colliding identity values and
+        fail later on the PK; this engine fails at reseed time
+        instead. Returns the next identity value. One MAX agg when the
+        current data must be consulted."""
+        meta = self._store.meta(table_name)
+        identity = meta.identity_column
+        if not identity:
+            raise SQLUndefinedPrimaryKey(
+                f"table {table_name!r} has no identity column"
+            )
+        row = (
+            self._store.read(table_name)
+            .agg(F.max(F.col(identity)).alias("m"))
+            .first()
+        )
+        floor_next = int(row["m"]) + 1 if row["m"] is not None else 1
+        if new_seed is None:
+            nxt = floor_next
+        else:
+            nxt = int(new_seed)
+            if nxt < floor_next:
+                raise ValueError(
+                    f"reseed to {nxt} would collide: max({identity}) is "
+                    f"{floor_next - 1}; lowest safe seed is {floor_next}"
+                )
+        self._store.update_meta(table_name, identity_next=nxt)
+        return nxt
+
     def rename_column(
         self, table_name: str, column_name: str, new_name: str
     ) -> None:

@@ -2681,6 +2681,32 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
+    "lang_id_confusion",
+    sql="""
+    WITH pred AS ({lang_sql})
+    SELECT d.lang AS actual_lang, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_pred
+    """.format(lang_sql=REGISTRY["text_lang_id"]["sql"]),
+)
+def lang_id_confusion(spark, sf_dir):
+    """Classifier EVALUATION as a first-class pipeline op: the
+    stopword language-ID's confusion matrix against the corpus's
+    ground-truth lang labels — the report a curation team reads
+    before trusting a filter. Predictions reuse the registered
+    operator (and the oracle reuses its registered SQL), so the
+    evaluation stays consistent with the graded classifier."""
+    d = _t(spark, sf_dir, "documents")
+    pred = X.lang_id(d).select("doc_id", "lang_pred")
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("actual_lang"), "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
     "doc_fingerprint",
     sql=r"""
     SELECT doc_id,

@@ -521,3 +521,35 @@ def test_merge_not_matched_by_source_update(engine, spark):
             "dbo.nmbs", src,
             not_matched_by_source_set={"id": "0"},
         )
+
+
+def test_identity_reseed(engine, spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from mssql_dataframe_spark import errors as E
+
+    engine.create.table(
+        "dbo.rs", {"v": "int"}, sql_primary_key=True  # identity _pk
+    )
+    engine.write.insert(
+        "dbo.rs",
+        spark.createDataFrame([Row(v=1), Row(v=2)], "v int"),
+    )
+    # jump the counter forward
+    assert engine.modify.identity_reseed("dbo.rs", 100) == 100
+    engine.write.insert(
+        "dbo.rs", spark.createDataFrame([Row(v=3)], "v int")
+    )
+    pks = sorted(r["_pk"] for r in engine.read.table("dbo.rs").collect())
+    assert pks == [1, 2, 100]
+    # repair form re-syncs to max+1
+    assert engine.modify.identity_reseed("dbo.rs") == 101
+    # colliding reseed refused
+    with _pytest.raises(ValueError, match="collide"):
+        engine.modify.identity_reseed("dbo.rs", 50)
+    # no identity column -> error
+    engine.create.table("dbo.noid", {"k": "bigint"}, primary_key_column="k")
+    with _pytest.raises(E.SQLUndefinedPrimaryKey):
+        engine.modify.identity_reseed("dbo.noid")
