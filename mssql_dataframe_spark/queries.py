@@ -3296,6 +3296,66 @@ def events_time_to_convert(spark, sf_dir):
 
 
 @register(
+    "orders_cohort_ltv",
+    sql="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP)
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), facts AS (
+      SELECT f.cohort_month,
+             CAST(
+               (EXTRACT(YEAR FROM o.o_orderdate)
+                - EXTRACT(YEAR FROM f.cohort_month)) * 12
+               + (EXTRACT(MONTH FROM o.o_orderdate)
+                  - EXTRACT(MONTH FROM f.cohort_month)) AS INT
+             ) AS month_offset,
+             o.o_custkey, o.o_totalprice
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort_month, month_offset,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM facts
+    WHERE month_offset < 12
+    GROUP BY cohort_month, month_offset
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue and active counts tracked by month offset — the
+    retention-x-revenue report subscription businesses live on.
+    The per-customer cohort frame is tiny and broadcast back onto
+    orders; month arithmetic is integer (year*12+month deltas), so no
+    calendar-library divergence between engines."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    facts = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).cast("int").alias("month_offset"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return (
+        facts.filter(F.col("month_offset") < 12)
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias(
+                "active_customers"
+            ),
+            _dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@register(
     "customer_rfm_segments",
     sql="""
     WITH base AS (
