@@ -3296,6 +3296,115 @@ def events_time_to_convert(spark, sf_dir):
 
 
 @register(
+    "source_token_drift",
+    sql=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS tok
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    ), st AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM toks GROUP BY source, tok
+    ), s_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+    ), t_tot AS (
+      SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+    ), grand AS (
+      SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st
+    ), terms AS (
+      SELECT st.source,
+             ABS(CAST(st.c_st AS DOUBLE) / s.n_s
+                 - CAST(t.c_t AS DOUBLE) / g.n) AS d,
+             CAST(t.c_t AS DOUBLE) / g.n AS p_corpus
+      FROM st
+      JOIN s_tot s ON s.source = st.source
+      JOIN t_tot t ON t.tok = st.tok
+      CROSS JOIN grand g
+    ), absent AS (
+      -- tokens a source never emits still contribute p_corpus to TVD
+      SELECT s.source,
+             SUM(CAST(t.c_t AS DOUBLE) / g.n) AS miss
+      FROM s_tot s
+      CROSS JOIN t_tot t
+      CROSS JOIN grand g
+      LEFT JOIN st ON st.source = s.source AND st.tok = t.tok
+      WHERE st.tok IS NULL
+      GROUP BY s.source
+    )
+    SELECT tr.source,
+           ROUND(0.5 * (SUM(tr.d) + COALESCE(MAX(a.miss), 0)), 6)
+             AS tvd_vs_corpus
+    FROM terms tr LEFT JOIN absent a ON a.source = tr.source
+    GROUP BY tr.source
+    """,
+)
+def source_token_drift(spark, sf_dir):
+    """Corpus drift monitor: per-source total-variation distance
+    between the source's token distribution and the corpus-wide one —
+    the report that catches one feed going off-distribution (spam
+    influx, scraper breakage) before it poisons a training mix. The
+    TVD needs the miss-mass of tokens a source never emits; that term
+    comes from one slim (source x token-present) anti-join, never a
+    dense |sources| x |vocab| matrix of data rows."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c_st")
+    ).persist()
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s")
+    )
+    t_tot = st.groupBy("tok").agg(
+        F.sum("c_st").cast("bigint").alias("c_t")
+    )
+    grand = st.agg(F.sum("c_st").cast("bigint").alias("n"))
+    terms = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(t_tot, "tok")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            F.abs(
+                F.col("c_st").cast("double") / F.col("n_s")
+                - F.col("c_t").cast("double") / F.col("n")
+            ).alias("d"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d").alias("present_sum"))
+    )
+    absent = (
+        s_tot.crossJoin(t_tot)
+        .crossJoin(F.broadcast(grand))
+        .join(
+            st.select("source", "tok", F.lit(True).alias("__has")),
+            ["source", "tok"],
+            "left",
+        )
+        .filter(F.col("__has").isNull())
+        .groupBy("source")
+        .agg(F.sum(F.col("c_t").cast("double") / F.col("n")).alias("miss"))
+    )
+    return (
+        terms.join(absent, "source", "left")
+        .select(
+            "source",
+            F.round(
+                0.5 * (F.col("present_sum") + F.coalesce("miss", F.lit(0.0))),
+                6,
+            ).alias("tvd_vs_corpus"),
+        )
+    )
+
+
+@register(
     "orders_cohort_ltv",
     sql="""
     WITH firsts AS (
