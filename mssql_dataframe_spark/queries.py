@@ -4936,6 +4936,33 @@ def streaming_foreach_batch_upsert(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful_ewma",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(list_reduce(
+                  list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ORDER BY ts, event_id),
+                  (acc, x) -> (13 * x + 87 * acc) // 100
+                ) AS BIGINT) AS ewma_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_ewma(spark, sf_dir):
+    """Streaming EWMA (streaming/events.py stateful_ewma): the same
+    int64 recurrence as the batch fold, carried as explicit per-user
+    state across time-ordered micro-batches — the drained final state
+    is BIT-IDENTICAL to the batch answer, so one oracle grades both
+    the batch and streaming forms. This is the backfill/live pairing a
+    feature store needs: identical numbers whichever path computed
+    them."""
+    from .streaming import events as STR
+
+    return STR.stateful_ewma(spark, sf_dir)
+
+
+@register(
     "streaming_ingest_dedup_store",
     sql="""
     WITH raw AS (

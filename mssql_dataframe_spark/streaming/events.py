@@ -15,6 +15,7 @@ memory sink and are returned as a DataFrame for the oracle compare.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -636,3 +637,71 @@ def streaming_corpus_ingest_dedup(
     )
     q.awaitTermination()
     return engine.read.table(table)
+
+
+def stateful_ewma(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
+    """Streaming EWMA via ``applyInPandasWithState`` — the stateful
+    twin of the batch higher-order fold (queries.py
+    timeseries_ewma_quantized): per-user smoother state (last EWMA
+    value in integer cents + event count) carried across micro-batches.
+    The recurrence is the SAME int64 arithmetic as the batch form
+    (floor((13q + 87e)/100) with exact-in-double operands), and the
+    staged source replays time-ordered batches, so the drained final
+    state is BIT-IDENTICAL to the batch computation — one oracle
+    grades both. Per-key state is two numbers; state-store size is
+    bounded by user cardinality, never event volume."""
+    import math
+
+    import pandas as pd_
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = f"sewma_{uuid.uuid4().hex[:8]}"
+    factory, stage = staged_event_source_factory(spark, sf_dir, n_batches=3)
+    ev = factory().select("user_id", "ts", "event_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        e, n = state.get if state.exists else (0, 0)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                q = int(math.floor(v * 100 + 0.5))
+                e = q if n == 0 else (13 * q + 87 * e) // 100
+                n += 1
+        state.update((int(e), int(n)))
+        yield pd_.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_cents": [e]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, ewma_cents bigint",
+        stateStructType="e bigint, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
+    shutil.rmtree(stage, ignore_errors=True)
+    # update-mode emits cumulative state per batch; n strictly grows,
+    # so the final state per user is the max-n row
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("ewma_cents", "n_events").alias("ewma_cents"),
+        )
+    )
