@@ -3296,6 +3296,63 @@ def events_time_to_convert(spark, sf_dir):
 
 
 @register(
+    "trigram_search_parts",
+    sql="""
+    WITH q AS (
+      SELECT DISTINCT unnest(
+        [substring('smal ringg', i, 3)
+         FOR i IN range(1, LENGTH('smal ringg') - 1)]) AS g
+    ), pt AS (
+      SELECT p_partkey, p_name,
+             unnest(list_distinct(
+               [substring(lower(p_name), i, 3)
+                FOR i IN range(1, LENGTH(p_name) - 1)])) AS g
+      FROM part
+    ), hits AS (
+      SELECT p_partkey, p_name, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM pt JOIN q USING (g)
+      GROUP BY p_partkey, p_name
+    )
+    SELECT p_partkey, p_name, shared
+    FROM hits WHERE shared >= 5
+    """,
+)
+def trigram_search_parts(spark, sf_dir):
+    """Trigram fuzzy search — the pg_trgm-style index pattern behind
+    typo-tolerant lookup: the query fragment's trigram set (tiny,
+    broadcast) probes the corpus's exploded trigram postings; score =
+    shared trigrams, thresholded. At 100 TB the postings frame is the
+    materialized search index (write it bucketed by trigram); the
+    probe is a broadcast join + one agg — no scan of the name column
+    at query time."""
+    needle = "smal ringg"  # a typo of the corpus's "small ring"
+    p = _t(spark, sf_dir, "part")
+
+    # trigram arrays via sequence+transform (substring by position),
+    # identical semantics to the oracle's list comprehension
+    def grams(col):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(col) - 2),
+            lambda i: col.substr(i, F.lit(3)),
+        )
+
+    q_grams = (
+        spark.createDataFrame([(needle,)], "s string")
+        .select(F.explode(F.array_distinct(grams(F.col("s")))).alias("g"))
+    )
+    postings = p.select(
+        "p_partkey", "p_name",
+        F.explode(F.array_distinct(grams(F.lower(F.col("p_name"))))).alias("g"),
+    )
+    return (
+        postings.join(F.broadcast(q_grams), "g")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+
+
+@register(
     "source_token_drift",
     sql=r"""
     WITH toks AS (
