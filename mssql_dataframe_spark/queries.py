@@ -3644,6 +3644,90 @@ def parts_abc_pareto(spark, sf_dir):
 
 
 @register(
+    "events_hourly_seasonality",
+    sql="""
+    SELECT CAST(EXTRACT(ISODOW FROM ts) AS INT) AS iso_weekday,
+           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_seasonality(spark, sf_dir):
+    """Hour-of-week seasonality heatmap (weekday x hour activity) —
+    the load-shape report behind capacity planning and anomaly
+    baselines. One map-side-combinable agg into a 7x24 grid; ISO
+    weekday semantics match across engines."""
+    e = load_events(spark, sf_dir)
+    return e.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias(
+            "iso_weekday"
+        ),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        _dsum(F.col("value"), "sum_value"),
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ), days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ), wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days JOIN ud
+        ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio product
+    teams track. Trailing-7-day distinct users cannot ride a window
+    frame (COUNT DISTINCT over RANGE isn't supported anywhere), so
+    the scalable shape is the slim (user, day) dedup frame range-
+    joined against the day spine — |days| x |active users/day| pairs,
+    never raw events."""
+    e = load_events(spark, sf_dir)
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct().persist()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = (
+        days.alias("a")
+        .join(
+            ud.alias("u"),
+            (F.col("u.d") <= F.col("a.d"))
+            & (F.col("u.d") > F.col("a.d") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.count_distinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"), "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
     "events_markov_transitions",
     sql="""
     WITH ordered AS (
