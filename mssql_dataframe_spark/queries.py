@@ -3644,6 +3644,90 @@ def parts_abc_pareto(spark, sf_dir):
 
 
 @register(
+    "supplier_otif_rate",
+    sql="""
+    SELECT l.l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(MEDIAN(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)), 1)
+             AS median_lag_days,
+           CAST(count_if(DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 90)
+                AS BIGINT) AS n_late,
+           ROUND(CAST(count_if(
+                   DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 90)
+                 AS DOUBLE) / COUNT(*), 6) AS late_rate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_suppkey
+    HAVING COUNT(*) >= 20
+    """,
+)
+def supplier_otif_rate(spark, sf_dir):
+    """Supplier ship-lag scorecard: order-to-ship latency median and
+    90-day-late rate per supplier, volume-floored so thin suppliers
+    don't swing the ranking — the supply-chain KPI behind q21's
+    waiting-supplier hunt, as a continuous metric. One join + one
+    conditional-count agg pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    late = F.count_if(lag > 90)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.median(lag), 1).alias("median_lag_days"),
+            late.cast("bigint").alias("n_late"),
+            F.round(late.cast("double") / F.count("*"), 6).alias(
+                "late_rate"
+            ),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
+
+
+@register(
+    "customer_order_gaps",
+    sql="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS prev_date
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(DATE_DIFF('day', prev_date, o_orderdate)) AS BIGINT)
+             AS max_gap_days
+    FROM seq
+    GROUP BY o_custkey
+    HAVING MAX(DATE_DIFF('day', prev_date, o_orderdate)) >= 365
+    """,
+)
+def customer_order_gaps(spark, sf_dir):
+    """Churn-signal mining: each customer's largest gap between
+    consecutive orders (LAG + datediff), surfacing year-plus dormancy.
+    One shuffle for the per-customer ordering window over the slim
+    (custkey, date) projection."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.max(
+                F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+            ).cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("max_gap_days") >= 365)
+    )
+
+
+@register(
     "events_hourly_seasonality",
     sql="""
     SELECT CAST(EXTRACT(ISODOW FROM ts) AS INT) AS iso_weekday,
