@@ -3644,6 +3644,83 @@ def parts_abc_pareto(spark, sf_dir):
 
 
 @register(
+    "events_error_budget",
+    sql="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors,
+           ROUND(CAST(count_if(event_type = 'error') AS DOUBLE)
+                 / COUNT(*), 6) AS error_rate,
+           (CAST(count_if(event_type = 'error') AS DOUBLE) / COUNT(*)
+            > 0.2) AS budget_burned
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_error_budget(spark, sf_dir):
+    """SRE error-budget monitor: daily error share with a burn flag —
+    one conditional-count agg, the alerting query that runs on every
+    event stream. The threshold compare is the same IEEE expression on
+    both engines, so the boolean verdict can't split."""
+    e = load_events(spark, sf_dir)
+    err = F.count_if(F.col("event_type") == "error")
+    rate = err.cast("double") / F.count("*")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        err.cast("bigint").alias("n_errors"),
+        F.round(rate, 6).alias("error_rate"),
+        (rate > 0.2).alias("budget_burned"),
+    )
+
+
+@register(
+    "orders_priority_mix_shift",
+    sql="""
+    WITH m AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT month, CAST(SUM(n) AS BIGINT) AS n_month FROM m GROUP BY month
+    ), shares AS (
+      SELECT m.month, m.o_orderpriority,
+             ROUND(CAST(m.n AS DOUBLE) / t.n_month, 6) AS share
+      FROM m JOIN tot t ON m.month = t.month
+    )
+    SELECT month, o_orderpriority, share,
+           ROUND(share - LAG(share) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY month), 6) AS share_delta
+    FROM shares
+    """,
+)
+def orders_priority_mix_shift(spark, sf_dir):
+    """Mix-shift monitor: each priority class's monthly share and its
+    month-over-month delta (LAG window) — the composition-drift report
+    that separates volume changes from mix changes. Slim per-month
+    frame; the window runs over |months| x |priorities| rows."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = m.groupBy("month").agg(F.sum("n").cast("bigint").alias("n_month"))
+    shares = m.join(tot, "month").select(
+        "month", "o_orderpriority",
+        F.round(F.col("n").cast("double") / F.col("n_month"), 6).alias(
+            "share"
+        ),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return shares.select(
+        "month", "o_orderpriority", "share",
+        F.round(F.col("share") - F.lag("share").over(w), 6).alias(
+            "share_delta"
+        ),
+    )
+
+
+@register(
     "supplier_otif_rate",
     sql="""
     SELECT l.l_suppkey,
