@@ -3353,6 +3353,73 @@ def trigram_search_parts(spark, sf_dir):
 
 
 @register(
+    "doc_ngram_novelty",
+    sql=r"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, len(toks) - 1)] END)) AS gram
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(TRIM(lower(text)), '\s+') AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+      )
+    ), owners AS (
+      SELECT gram, MIN(doc_id) AS first_owner FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(count_if(o.first_owner = g.doc_id) AS BIGINT) AS n_novel,
+           ROUND(CAST(count_if(o.first_owner = g.doc_id) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_rate
+    FROM g JOIN owners o ON g.gram = o.gram
+    GROUP BY g.doc_id
+    """,
+)
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the share of a doc's trigrams
+    that no earlier document (lower doc_id) contains — the diversity
+    score behind novelty-weighted sampling and the dual of n-gram
+    dedup (a near-duplicate scores ~0, fresh content ~1). One
+    first-owner agg over the exploded distinct-gram frame, then a
+    per-doc conditional count; both shuffles ride the slim
+    (doc, gram) projection."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams_arr = F.array_distinct(
+        F.when(
+            F.size(toks) < 3, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, 3)
+                ),
+            )
+        )
+    )
+    g = d.select("doc_id", F.explode(grams_arr).alias("gram"))
+    owners = g.groupBy("gram").agg(F.min("doc_id").alias("first_owner"))
+    novel = F.count_if(F.col("first_owner") == F.col("doc_id"))
+    return (
+        g.join(owners, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+@register(
     "source_token_drift",
     sql=r"""
     WITH toks AS (
