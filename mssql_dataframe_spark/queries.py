@@ -3353,6 +3353,47 @@ def trigram_search_parts(spark, sf_dir):
 
 
 @register(
+    "embedding_health_check",
+    sql=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(count_if(nrm = 0) AS BIGINT) AS n_zero,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+           ROUND(quantile_cont(nrm, 0.99), 6) AS p99_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_health_check(spark, sf_dir):
+    """Embedding-pipeline QA: per-label norm distribution and
+    degenerate-vector counts — the health report that catches a
+    broken encoder (all-zero outputs, exploding norms, label-specific
+    drift) before embeddings feed dedup or retrieval. The norm uses
+    the module's sequential-fold dot (same accumulation order as the
+    oracle) and exact interpolated percentiles; one agg over the
+    per-vector norms."""
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.select(
+        "label", S.norm(F.col("embedding").cast("array<double>")).alias("nrm")
+    )
+    return n.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.count_if(F.col("nrm") == 0).cast("bigint").alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
+        F.round(F.expr("percentile(nrm, 0.99)"), 6).alias("p99_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@register(
     "doc_ngram_novelty",
     sql=r"""
     WITH g AS (
