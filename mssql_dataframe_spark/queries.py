@@ -3665,19 +3665,33 @@ def customer_rfm_segments(spark, sf_dir):
     over orders, then three global windows on the tiny per-customer
     frame — the expensive scan happens once; the window input is
     |customers|, not |orders|."""
+    from .operators import distributed_window as DW
+
     o = _t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").cast("bigint").alias("frequency"),
         _dsum(F.col("o_totalprice"), "monetary"),
     )
-    def q(order_cols):
-        return F.ntile(5).over(Window.orderBy(*order_cols)).cast("int")
-    scored = base.select(
+    # Three exact NTILEs without a single global window: each quintile
+    # dimension gets a range-partitioned two-pass rank (distributed_
+    # window.global_row_number), then NTILE is derived arithmetically
+    # from (rank, N). Bit-identical to NTILE(5) OVER (ORDER BY ...)
+    # with the key tie-break, but every WindowExec stays partitioned.
+    d, n = DW.global_row_number(
+        base, [F.col("last_order").desc(), F.col("o_custkey")], out="__rn_r"
+    )
+    d, _ = DW.global_row_number(
+        d, [F.col("frequency").desc(), F.col("o_custkey")], out="__rn_f"
+    )
+    d, _ = DW.global_row_number(
+        d, [F.col("monetary").desc(), F.col("o_custkey")], out="__rn_m"
+    )
+    scored = d.select(
         "o_custkey", "frequency", "monetary",
-        q([F.col("last_order").desc(), F.col("o_custkey")]).alias("r_score"),
-        q([F.col("frequency").desc(), F.col("o_custkey")]).alias("f_score"),
-        q([F.col("monetary").desc(), F.col("o_custkey")]).alias("m_score"),
+        DW.ntile_from_rank(F.col("__rn_r"), n).alias("r_score"),
+        DW.ntile_from_rank(F.col("__rn_f"), n).alias("f_score"),
+        DW.ntile_from_rank(F.col("__rn_m"), n).alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
@@ -3730,18 +3744,23 @@ def parts_abc_pareto(spark, sf_dir):
             ).cast("decimal(18,4)")
         ).cast("decimal(18,4)").alias("revenue")
     )
-    w_cum = Window.orderBy(
-        F.col("revenue").desc(), F.col("l_partkey")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey", "revenue",
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(w_all).alias("total_rev"),
+    from .operators import distributed_window as DW
+
+    # Two-pass range-partitioned prefix sum instead of a global
+    # cumulative window: per-partition DECIMAL cumsum + exact Decimal
+    # offsets broadcast back (distributed_window.global_cumsum). The
+    # grand total comes out of the same pass as a driver scalar, so
+    # SUM() OVER () disappears too — zero unpartitioned WindowExec.
+    ranked, total_rev = DW.global_cumsum(
+        rev,
+        [F.col("revenue").desc(), F.col("l_partkey")],
+        "revenue",
+        out="cum_rev",
     )
+    total_lit = F.lit(total_rev).cast(dict(ranked.dtypes)["cum_rev"])
     cls = (
-        F.when(F.col("cum_rev") <= F.col("total_rev") * 0.5, "A")
-        .when(F.col("cum_rev") <= F.col("total_rev") * 0.8, "B")
+        F.when(F.col("cum_rev") <= total_lit * 0.5, "A")
+        .when(F.col("cum_rev") <= total_lit * 0.8, "B")
         .otherwise("C")
     )
     return ranked.select(
