@@ -469,6 +469,32 @@ class modify:
             for rc in rcols:
                 if rc not in ref_meta.spark_schema.fieldNames():
                     raise SQLColumnDoesNotExist(rc)
+            # SQL Server requires the referenced columns to be the
+            # parent's PRIMARY KEY or a UNIQUE constraint; without
+            # that, duplicate parent keys make ON DELETE NO ACTION
+            # checks and child enforcement ill-defined. Accept the
+            # declared PK outright, otherwise audit uniqueness with
+            # one distributed agg over the parent's keys.
+            if sorted(rcols) != sorted(ref_meta.primary_key):
+                from pyspark.sql import functions as F
+
+                dup = (
+                    self._store.read(ref_table)
+                    .select(*rcols)
+                    .na.drop()
+                    .groupBy(*rcols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        f"foreign_key add: referenced column(s) {rcols} "
+                        f"of {ref_table!r} are neither its primary key "
+                        "nor unique — SQL Server requires a PRIMARY KEY "
+                        "or UNIQUE constraint on the referenced columns"
+                    )
             spec = {
                 "columns": cols,
                 "ref_table": ref_table,
@@ -476,7 +502,8 @@ class modify:
             }
             # audit: a table in violation cannot acquire the FK
             enforce_foreign_keys(
-                self._store, self._store.read(table_name), {name: spec}
+                self._store, self._store.read(table_name), {name: spec},
+                table_name=table_name,
             )
             fks[name] = spec
         elif modify == "drop":

@@ -69,13 +69,38 @@ def ingest_directory(
     elif file_format == "json":
         df = reader.json(new_files)
     elif file_format == "csv":
-        df = reader.option("header", True).csv(new_files)
+        # CSV + explicit schema maps columns BY POSITION (the header
+        # row is skipped, not matched), so a landed file with a
+        # different column order would silently scramble values. Read
+        # header-named strings first, validate the header against the
+        # declared columns, then cast into the schema BY NAME.
+        raw = store.spark.read.option("header", True).csv(new_files)
+        by_lower = {c.lower(): c for c in raw.columns}
+        missing = [
+            f.name for f in read_schema.fields
+            if f.name.lower() not in by_lower
+        ]
+        if missing:
+            raise ValueError(
+                f"CSV header in {path!r} is missing declared column(s) "
+                f"{missing}; found {raw.columns}"
+            )
+        from pyspark.sql import functions as F
+
+        df = raw.select(
+            *[
+                F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+                for f in read_schema.fields
+            ]
+        )
     else:
         raise ValueError(f"unsupported ingest format {file_format!r}")
-    insert(store, table_name, df, include_metadata_timestamps)
-    props = dict(store.meta(table_name).properties)
-    props["ingested_files"] = sorted(
-        seen | {os.path.relpath(f, path) for f in new_files}
+    ledger = sorted(seen | {os.path.relpath(f, path) for f in new_files})
+    # the ledger rides the SAME meta write as the data commit — a crash
+    # cannot land rows without their files being remembered, so re-
+    # invocation never double-loads (the idempotency contract above)
+    insert(
+        store, table_name, df, include_metadata_timestamps,
+        extra_properties={"ingested_files": ledger},
     )
-    store.update_meta(table_name, properties=props)
     return len(new_files)

@@ -99,6 +99,7 @@ def insert(
     table_name: str,
     dataframe: DataFrame,
     include_metadata_timestamps: bool = False,
+    extra_properties: dict | None = None,
 ) -> DataFrame:
     meta = store.meta(table_name)
     if include_metadata_timestamps:
@@ -146,7 +147,8 @@ def insert(
         out, meta.properties.get("check_constraints") or {}
     )
     enforce_foreign_keys(
-        store, out, meta.properties.get("foreign_keys") or {}
+        store, out, meta.properties.get("foreign_keys") or {},
+        table_name=table_name,
     )
-    store.append(table_name, out)
+    store.append(table_name, out, extra_properties=extra_properties)
     return df

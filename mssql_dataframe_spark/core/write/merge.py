@@ -65,6 +65,14 @@ def merge_op(
         )
 
     meta = store.meta(table_name)
+    if include_metadata_timestamps:
+        # _time_* columns first: ensure_time_columns re-reads catalog
+        # meta, so it must run BEFORE the (deferred, local-only)
+        # auto_evolve schema extension below
+        meta = ensure_time_columns(
+            store, table_name, ["_time_insert", "_time_update"]
+        )
+    evolved_meta_changes = None
     if auto_evolve:
         # Delta mergeSchema/autoMerge analog: source columns the target
         # lacks become nullable columns via a METADATA-ONLY schema add
@@ -72,6 +80,10 @@ def merge_op(
         # rewrite), typed by the best-effort inverse rule the
         # df-derived create path already uses. Computed/identity
         # columns can't arrive this way: they aren't in any source.
+        # The evolution is computed LOCALLY here and written to the
+        # catalog only after precheck/constraint/FK validation passes —
+        # a merge that fails validation must not leave the new columns
+        # behind (a failed statement has no side effects).
         from ...conversion_rules import spark_type_to_spec
 
         new_cols = [
@@ -79,21 +91,19 @@ def merge_op(
             if c not in meta.spark_schema.fieldNames()
         ]
         if new_cols:
+            import dataclasses
+
             schema = meta.spark_schema
             types = dict(meta.column_types)
             for c in new_cols:
                 spec = spark_type_to_spec(dataframe.schema[c].dataType)
                 schema = schema.add(c, spec.spark_type, True)
                 types[c] = spec.render()
-            meta = store.update_meta(
-                table_name,
-                spark_schema_json=schema.jsonValue(),
-                column_types=types,
-            )
-    if include_metadata_timestamps:
-        meta = ensure_time_columns(
-            store, table_name, ["_time_insert", "_time_update"]
-        )
+            evolved_meta_changes = {
+                "spark_schema_json": schema.jsonValue(),
+                "column_types": types,
+            }
+            meta = dataclasses.replace(meta, **evolved_meta_changes)
     generated.reject_explicit_writes(
         dataframe.columns, meta.properties.get("computed_columns") or {}
     )
@@ -166,6 +176,14 @@ def merge_op(
             target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
+    if evolved_meta_changes:
+        # catalog still has the pre-evolution schema (written only on
+        # success below) — surface the new columns as NULL on the
+        # target read, exactly what the declared-schema read will do
+        # once the evolution commits
+        for f in meta.spark_schema.fields:
+            if f.name not in target.columns:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
 
     # delete_requires flags: broadcast semi-join against DISTINCT source
     # values per column (scale-safe lowering of `IN (SELECT c FROM src)`)
@@ -263,8 +281,14 @@ def merge_op(
         result, meta.properties.get("check_constraints") or {}
     )
     enforce_foreign_keys(
-        store, result, meta.properties.get("foreign_keys") or {}
+        store, result, meta.properties.get("foreign_keys") or {},
+        table_name=table_name,
     )
+    if evolved_meta_changes:
+        # validation passed — publish the schema evolution with the
+        # data commit (update_meta first so the commit's declared
+        # schema matches the files being written)
+        store.update_meta(table_name, **evolved_meta_changes)
     if keep_entries is not None:
         store.replace_files(table_name, result, keep_entries, op="merge")
     else:

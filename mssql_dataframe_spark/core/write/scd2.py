@@ -156,7 +156,8 @@ def merge_scd2(
         out, meta.properties.get("check_constraints") or {}
     )
     enforce_foreign_keys(
-        store, out, meta.properties.get("foreign_keys") or {}
+        store, out, meta.properties.get("foreign_keys") or {},
+        table_name=table_name,
     )
     if keep_entries is not None:
         store.replace_files(table_name, out, keep_entries, op="merge_scd2")

@@ -129,7 +129,8 @@ def update_op(
         result, meta.properties.get("check_constraints") or {}
     )
     enforce_foreign_keys(
-        store, result, meta.properties.get("foreign_keys") or {}
+        store, result, meta.properties.get("foreign_keys") or {},
+        table_name=table_name,
     )
     if keep_entries is not None:
         store.replace_files(table_name, result, keep_entries, op="update")

@@ -639,14 +639,24 @@ class TableStore:
             {e["path"] for e in self.manifest(name, v_new)},
         )
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(
+        self, name: str, df: DataFrame,
+        extra_properties: Optional[dict] = None,
+    ) -> None:
         """Commit the next snapshot as the current manifest's entries
         (carried by reference — manifest-only cost) plus the new files
         (Delta AddFile commit) — O(new data), never rewrites existing
         files. Versioning every insert makes ``read(version=N)`` a
         stable snapshot (a reader holding version N never sees rows
         appended after it asked) and lets manifest-diff CDC report
-        plain inserts between consecutive versions."""
+        plain inserts between consecutive versions.
+
+        ``extra_properties`` are folded into ``meta.properties`` in the
+        SAME meta write that publishes the new version — callers that
+        must update bookkeeping atomically with the data commit (e.g.
+        ingest_directory's ingested-files ledger) pass it here instead
+        of issuing a separate post-commit update_meta, so a crash can
+        never land data without its ledger entry."""
         meta = self.meta(name)
         entries = self._stage_in(
             name, df, meta.spark_schema, self._stats_col(meta),
@@ -664,6 +674,8 @@ class TableStore:
             }
         )
         meta.version = next_v
+        if extra_properties:
+            meta.properties = {**meta.properties, **extra_properties}
         self._write_meta(name, meta)
         self._vacuum(name, keep_before=next_v - self._retention(meta))
 

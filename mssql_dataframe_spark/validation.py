@@ -142,7 +142,9 @@ def enforce_check_constraints(df: DataFrame, checks: dict) -> None:
         )
 
 
-def enforce_foreign_keys(store, df: DataFrame, fks: dict) -> None:
+def enforce_foreign_keys(
+    store, df: DataFrame, fks: dict, table_name: str | None = None
+) -> None:
     """Enforce declared FOREIGN KEY constraints on rows about to be
     written (beyond-reference; most warehouses declare FKs NOT
     ENFORCED — here the write fails fast like SQL Server would).
@@ -154,6 +156,13 @@ def enforce_foreign_keys(store, df: DataFrame, fks: dict) -> None:
     decides from stats). Cost is ∝ touched rows + parent keys, never
     the full child table. SQL MATCH SIMPLE semantics: a row with any
     NULL FK column passes; only fully-non-NULL orphan tuples violate.
+
+    Self-referencing FKs (``ref_table`` == the table being written,
+    signalled via ``table_name``): SQL Server checks constraints at end
+    of statement, so a batch that contains both a parent row and a
+    child row referencing it is valid. The parent key set is therefore
+    the stored snapshot UNIONed with the outgoing rows' referenced-key
+    projection — still a keys-only plan.
     """
     if not fks:
         return
@@ -166,6 +175,19 @@ def enforce_foreign_keys(store, df: DataFrame, fks: dict) -> None:
                 for c, rc in zip(cols, spec["ref_columns"])
             ]
         )
+        if table_name is not None and spec["ref_table"] == table_name:
+            ref_in_batch = [
+                rc for rc in spec["ref_columns"] if rc in df.columns
+            ]
+            if len(ref_in_batch) == len(spec["ref_columns"]):
+                parent = parent.unionByName(
+                    df.select(
+                        *[
+                            F.col(rc).alias(c)
+                            for c, rc in zip(cols, spec["ref_columns"])
+                        ]
+                    )
+                )
         orphans = (
             df.select(*cols)
             .na.drop(how="any")

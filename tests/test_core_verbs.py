@@ -553,3 +553,38 @@ def test_identity_reseed(engine, spark):
     engine.create.table("dbo.noid", {"k": "bigint"}, primary_key_column="k")
     with _pytest.raises(E.SQLUndefinedPrimaryKey):
         engine.modify.identity_reseed("dbo.noid")
+
+
+def test_merge_auto_evolve_failed_validation_has_no_side_effect(engine, spark):
+    """A merge that fails validation must not leave auto-evolved
+    columns behind — the schema add commits only with the data."""
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from mssql_dataframe_spark import errors as E
+
+    engine.create.table(
+        "dbo.aefail", {"id": "bigint", "v": "int"}, primary_key_column="id"
+    )
+    engine.modify.check_constraint("dbo.aefail", "add", "v_pos", "v > 0")
+    engine.write.insert(
+        "dbo.aefail",
+        spark.createDataFrame([Row(id=1, v=10)], "id long, v int"),
+    )
+    bad = spark.createDataFrame(
+        [Row(id=2, v=-5, tag="x")], "id long, v int, tag string"
+    )
+    with _pytest.raises(E.SQLCheckConstraintViolation):
+        engine.write.merge("dbo.aefail", bad, upsert=True, auto_evolve=True)
+    meta = engine.store.meta("dbo.aefail")
+    assert "tag" not in meta.spark_schema.fieldNames()  # no partial evolve
+    assert "tag" not in meta.column_types
+    # the same evolution succeeds once the rows validate
+    good = spark.createDataFrame(
+        [Row(id=2, v=5, tag="x")], "id long, v int, tag string"
+    )
+    engine.write.merge("dbo.aefail", good, upsert=True, auto_evolve=True)
+    rows = {r["id"]: (r["v"], r["tag"])
+            for r in engine.read.table("dbo.aefail").collect()}
+    assert rows == {1: (10, None), 2: (5, "x")}

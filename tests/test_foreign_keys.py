@@ -102,3 +102,79 @@ def test_parent_delete_blocked_while_referenced(engine, spark):
     # dropping the FK releases the parent
     engine.modify.foreign_key("dbo.chi", "drop", "fk_par")
     assert engine.write.delete_where("dbo.par", "pk = 1") == 1
+
+
+def test_fk_add_rejects_non_unique_referenced_columns(engine, spark):
+    """SQL Server requires PRIMARY KEY/UNIQUE on the referenced
+    columns; a duplicated parent key would make delete-restrict and
+    child enforcement ill-defined."""
+    engine.create.table(
+        "dbo.parn", {"pk": "bigint", "grp": "bigint"}, primary_key_column="pk"
+    )
+    engine.write.insert(
+        "dbo.parn",
+        spark.createDataFrame(
+            [Row(pk=1, grp=10), Row(pk=2, grp=10), Row(pk=3, grp=30)],
+            "pk long, grp long",
+        ),
+    )
+    engine.create.table(
+        "dbo.chin", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    with pytest.raises(ValueError, match="neither its primary key nor unique"):
+        engine.modify.foreign_key(
+            "dbo.chin", "add", "fk_grp",
+            columns="ref", ref_table="dbo.parn", ref_columns="grp",
+        )
+    # the PK itself is always accepted without an audit scan
+    engine.modify.foreign_key(
+        "dbo.chin", "add", "fk_pk",
+        columns="ref", ref_table="dbo.parn", ref_columns="pk",
+    )
+
+
+def test_fk_add_accepts_unique_non_pk_referenced_column(engine, spark):
+    engine.create.table(
+        "dbo.paru", {"pk": "bigint", "code": "bigint"}, primary_key_column="pk"
+    )
+    engine.write.insert(
+        "dbo.paru",
+        spark.createDataFrame(
+            [Row(pk=1, code=100), Row(pk=2, code=200)], "pk long, code long"
+        ),
+    )
+    engine.create.table(
+        "dbo.chiu", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    engine.modify.foreign_key(
+        "dbo.chiu", "add", "fk_code",
+        columns="ref", ref_table="dbo.paru", ref_columns="code",
+    )
+
+
+def test_self_referencing_fk_parent_and_child_in_one_batch(engine, spark):
+    """End-of-statement semantics: one insert carrying both a manager
+    row and an employee referencing it is valid in SQL Server — the
+    check runs against the post-statement state, not the pre-write
+    snapshot."""
+    engine.create.table(
+        "dbo.emp", {"id": "bigint", "mgr": "bigint"}, primary_key_column="id"
+    )
+    engine.modify.foreign_key(
+        "dbo.emp", "add", "fk_mgr",
+        columns="mgr", ref_table="dbo.emp", ref_columns="id",
+    )
+    engine.write.insert(
+        "dbo.emp",
+        spark.createDataFrame(
+            [Row(id=1, mgr=None), Row(id=2, mgr=1), Row(id=3, mgr=2)],
+            "id long, mgr long",
+        ),
+    )
+    assert engine.read.table("dbo.emp").count() == 3
+    # an orphan reference still violates
+    with pytest.raises(errors.SQLForeignKeyViolation, match="fk_mgr"):
+        engine.write.insert(
+            "dbo.emp",
+            spark.createDataFrame([Row(id=9, mgr=99)], "id long, mgr long"),
+        )

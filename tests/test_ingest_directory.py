@@ -36,3 +36,81 @@ def test_ingest_with_computed_and_identity(engine, spark, tmp_path):
     assert engine.write.ingest_directory("dbo.ing", land) == 1
     got = {r["_pk"]: r["total"] for r in engine.read.table("dbo.ing").collect()}
     assert got[3] == 10.0
+
+
+def test_ingest_csv_maps_columns_by_name(engine, spark, tmp_path):
+    """A landed CSV whose header order differs from the declared schema
+    must map by NAME (positional mapping would scramble values)."""
+    engine.create.table(
+        "dbo.csvt", {"a": "int", "b": "varchar(10)"}, primary_key_column="a"
+    )
+    land = str(tmp_path / "land")
+    import os as _os
+
+    _os.makedirs(land)
+    with open(_os.path.join(land, "w1.csv"), "w") as f:
+        f.write("b,a\nx,1\ny,2\n")
+    assert engine.write.ingest_directory("dbo.csvt", land, file_format="csv") == 1
+    rows = sorted(
+        (r["a"], r["b"]) for r in engine.read.table("dbo.csvt").collect()
+    )
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_ingest_csv_missing_column_raises(engine, spark, tmp_path):
+    engine.create.table(
+        "dbo.csvm", {"a": "int", "b": "varchar(10)"}, primary_key_column="a"
+    )
+    land = str(tmp_path / "land")
+    import os as _os
+
+    import pytest as _pytest
+
+    _os.makedirs(land)
+    with open(_os.path.join(land, "w1.csv"), "w") as f:
+        f.write("a,wrong\n1,x\n")
+    with _pytest.raises(ValueError, match="missing declared column"):
+        engine.write.ingest_directory("dbo.csvm", land, file_format="csv")
+    # nothing committed, nothing remembered
+    assert engine.read.table("dbo.csvm").count() == 0
+    assert not (engine.store.meta("dbo.csvm").properties.get("ingested_files"))
+
+
+def test_ingest_ledger_commits_atomically_with_data(engine, spark, tmp_path):
+    """The ingested-files ledger rides the SAME commit as the data:
+    a failed insert leaves no ledger entry (so retry re-reads the
+    file), and a successful ingest is exactly one version bump whose
+    meta already carries the ledger."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from mssql_dataframe_spark import errors as E
+
+    engine.create.table(
+        "dbo.led", {"q": "int"}, sql_primary_key=True
+    )
+    engine.modify.check_constraint("dbo.led", "add", "q_pos", "q > 0")
+    land = str(tmp_path / "land")
+    spark.createDataFrame([Row(q=-5)], "q int").coalesce(1).write.parquet(
+        _os.path.join(land, "bad")
+    )
+    with _pytest.raises(E.SQLCheckConstraintViolation):
+        engine.write.ingest_directory("dbo.led", land)
+    meta = engine.store.meta("dbo.led")
+    assert not meta.properties.get("ingested_files")  # failure left no ledger
+    assert engine.read.table("dbo.led").count() == 0
+
+    # replace with a valid landing wave; the retry re-reads everything
+    import shutil as _shutil
+
+    _shutil.rmtree(land)
+    spark.createDataFrame([Row(q=7)], "q int").coalesce(1).write.parquet(
+        _os.path.join(land, "good")
+    )
+    v_before = engine.store.meta("dbo.led").version
+    assert engine.write.ingest_directory("dbo.led", land) == 1
+    meta = engine.store.meta("dbo.led")
+    assert meta.version == v_before + 1  # ONE commit: data + ledger together
+    assert len(meta.properties["ingested_files"]) == 1
+    assert engine.read.table("dbo.led").count() == 1
