@@ -6424,6 +6424,54 @@ def verb_time_travel(spark, sf_dir):
 
 
 @register(
+    "verb_timestamp_as_of",
+    sql="""
+    SELECT n_nationkey, n_name AS name_as_of,
+           n_name || '_X' AS name_now
+    FROM nation
+    """,
+)
+def verb_timestamp_as_of(spark, sf_dir):
+    """TIMESTAMP AS OF time travel (Delta ``timestampAsOf`` analog),
+    made deterministic by the store's injectable commit clock
+    (store.commit_time_provider): commits are stamped 1000/2000/3000…,
+    so "as of insert-time + 500" resolves to the pre-update snapshot
+    on every engine and every run. Resolution is a history() scan —
+    O(retained versions) metadata, zero data reads — then the chosen
+    manifest's files, identical cost to VERSION AS OF."""
+    eng = _scratch_engine(spark)
+    state = {"t": 0.0}
+
+    def _tick():
+        state["t"] += 1000.0
+        return state["t"]
+
+    eng.store.commit_time_provider = _tick
+    nation = _t(spark, sf_dir, "nation")
+    eng.create.table_from_dataframe(
+        "dbo.nation_tsa", nation, primary_key="n_nationkey"
+    )
+    eng.write.insert("dbo.nation_tsa", nation)
+    v_ins = eng.store.meta("dbo.nation_tsa").version
+    ts_ins = eng.store.commit_info("dbo.nation_tsa", v_ins)["ts"]
+    eng.write.update(
+        "dbo.nation_tsa",
+        nation.select(
+            "n_nationkey", F.concat("n_name", F.lit("_X")).alias("n_name")
+        ),
+    )
+    asof = eng.read.table(
+        "dbo.nation_tsa", timestamp_as_of=ts_ins + 500.0
+    ).select("n_nationkey", F.col("n_name").alias("name_as_of"))
+    cur = eng.read.table("dbo.nation_tsa").select(
+        "n_nationkey", F.col("n_name").alias("name_now")
+    )
+    return asof.join(cur, "n_nationkey").select(
+        "n_nationkey", "name_as_of", "name_now"
+    )
+
+
+@register(
     "verb_restore",
     sql="""
     SELECT n_nationkey, n_name, 'restore(v1)' AS last_op

@@ -144,7 +144,18 @@ class TableStore:
         # session token scoping #local temp tables (SQL Server: a
         # #table is visible only to the creating session)
         self._session_token = uuid.uuid4().hex[:12]
+        # injectable commit clock: when set (a zero-arg callable
+        # returning epoch seconds), commit timestamps come from it
+        # instead of time.time() — makes TIMESTAMP AS OF reads
+        # deterministic for tests and oracle grading without touching
+        # production behavior (None = wall clock).
+        self.commit_time_provider = None
         os.makedirs(self.root, exist_ok=True)
+
+    def _now(self) -> float:
+        if self.commit_time_provider is not None:
+            return float(self.commit_time_provider())
+        return time.time()
 
     # -- catalog ------------------------------------------------------
     def _table_dir(self, name: str) -> str:
@@ -527,7 +538,7 @@ class TableStore:
         )
         os.makedirs(self._pool_dir(name), exist_ok=True)
         self._write_manifest(name, 0, [], commit={
-            "op": "create", "ts": time.time(), "n_added": 0, "n_kept": 0,
+            "op": "create", "ts": self._now(), "n_added": 0, "n_kept": 0,
         })
         self._write_meta(name, meta)
         return meta
@@ -668,7 +679,7 @@ class TableStore:
         carried = self.manifest(name, meta.version)
         self._write_manifest(
             name, next_v, carried + entries, commit={
-                "op": "append", "ts": time.time(),
+                "op": "append", "ts": self._now(),
                 "n_added": len(entries), "n_kept": len(carried),
                 "schema": meta.spark_schema.jsonValue(),
             }
@@ -709,7 +720,7 @@ class TableStore:
             properties=dict(meta.properties),
         )
         self._write_manifest(dst, 0, [dict(e) for e in entries], commit={
-            "op": f"clone({src})", "ts": time.time(),
+            "op": f"clone({src})", "ts": self._now(),
             "n_added": 0, "n_kept": len(entries),
             "schema": meta.spark_schema.jsonValue(),
         })
@@ -779,7 +790,7 @@ class TableStore:
         )
         self._write_manifest(name, 0, [dict(e) for e in ex["entries"]],
                              commit={"op": f"import({in_dir})",
-                                     "ts": time.time()})
+                                     "ts": self._now()})
         self._write_meta(name, meta)
         return sum(e.get("rows") or 0 for e in ex["entries"])
 
@@ -818,7 +829,7 @@ class TableStore:
                 )
         next_v = meta.version + 1
         self._write_manifest(name, next_v, carried, commit={
-            "op": f"restore(v{v})", "ts": time.time(),
+            "op": f"restore(v{v})", "ts": self._now(),
             "n_added": 0, "n_kept": len(carried),
             "schema": meta.spark_schema.jsonValue(),
         })
@@ -883,7 +894,7 @@ class TableStore:
         self._check_no_concurrent_commit(name, meta.version, staged)
         entries = keep_entries + staged
         self._write_manifest(name, next_v, entries, commit={
-            "op": op, "ts": time.time(),
+            "op": op, "ts": self._now(),
             "n_added": len(staged), "n_kept": len(keep_entries),
             # per-version schema: read(version=N) stays faithful
             # across later MODIFY COLUMN commits

@@ -323,3 +323,30 @@ def test_timestamp_as_of_resolves_latest_retained(engine, spark):
         engine.read.table("dbo.tsa", timestamp_as_of=marks[0] - 1e6)
     with _pytest.raises(ValueError, match="not both"):
         engine.read.table("dbo.tsa", version=1, timestamp_as_of=marks[0])
+
+
+def test_timestamp_as_of_with_injected_commit_clock(engine, spark):
+    """Deterministic TIMESTAMP AS OF: the injectable commit clock
+    stamps commits 1000/2000/3000, so as-of resolution is exact —
+    no sleeps, no wall-clock flake."""
+    from pyspark.sql import Row
+
+    state = {"t": 0.0}
+
+    def _tick():
+        state["t"] += 1000.0
+        return state["t"]
+
+    engine.store.commit_time_provider = _tick
+    engine.create.table(
+        "dbo.tsi", {"id": "bigint", "v": "int"}, primary_key_column="id"
+    )  # v0 @ 1000
+    engine.write.insert(
+        "dbo.tsi", spark.createDataFrame([Row(id=1, v=1)], "id long, v int")
+    )  # v1 @ 2000
+    engine.write.insert(
+        "dbo.tsi", spark.createDataFrame([Row(id=2, v=2)], "id long, v int")
+    )  # v2 @ 3000
+    assert engine.read.table("dbo.tsi", timestamp_as_of=2500.0).count() == 1
+    assert engine.read.table("dbo.tsi", timestamp_as_of=3000.0).count() == 2
+    assert engine.store.commit_info("dbo.tsi", 1)["ts"] == 2000.0
