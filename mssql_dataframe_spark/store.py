@@ -476,21 +476,39 @@ class TableStore:
             dst = os.path.join(pool, dst_name)
             os.replace(os.path.join(stage, fn), dst)
             moved.append((dst_name, dst))
-        # footer reads are independent IO — harvest them in a thread
-        # pool so a many-file commit is not serialized on the driver
-        # (on a cluster this is the executor-side Delta stats-collection
-        # step; here it is the local analog of that parallelism)
-        from concurrent.futures import ThreadPoolExecutor
-
+        # footer-stat harvest (the Delta stats-collection step). Small
+        # commits read the handful of footers in a driver thread pool;
+        # large commits run the reads as a DISTRIBUTED job over the
+        # file list — executors open the footers, the driver collects
+        # only the (rows, bounds) tuples it must hold in the manifest
+        # anyway. A million-file commit therefore costs the driver
+        # O(files) tuples, never O(files) parquet opens. No data scan
+        # either way: footers only.
         harvest = [stats_col] if stats_col else []
         for c in extra_stats_cols or []:
             if c and c not in harvest and c in schema.fieldNames():
                 harvest.append(c)
         entries = []
-        with ThreadPoolExecutor(max_workers=min(16, max(1, len(moved)))) as ex:
-            stats = list(
-                ex.map(lambda m: _footer_stats(m[1], harvest), moved)
+        if len(moved) > 32:
+            paths = [m[1] for m in moved]
+            hv = list(harvest)
+            stats = (
+                self.spark.sparkContext
+                .parallelize(paths, numSlices=min(len(paths), 512))
+                .map(lambda p: (p, _footer_stats(p, hv)))
+                .collect()
             )
+            by_path = dict(stats)
+            stats = [by_path[m[1]] for m in moved]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, max(1, len(moved)))
+            ) as ex:
+                stats = list(
+                    ex.map(lambda m: _footer_stats(m[1], harvest), moved)
+                )
         for (dst_name, dst), (rows, bounds) in zip(moved, stats):
             if rows == 0:
                 os.remove(dst)  # empty part files bloat the manifest

@@ -55,3 +55,25 @@ def test_pre_tracking_files_refuse_until_optimize(engine, spark):
             engine.read.table_stats("dbo.ts3", ["v"]).collect()}
     assert rows["v"]["min"] == "0" and rows["v"]["max"] == "490"
     assert rows["v"]["n_rows"] == 50
+
+
+def test_many_file_commit_harvests_stats_distributed(engine, spark):
+    """A >32-file commit takes the distributed footer-harvest path;
+    every manifest entry still carries rows + key bounds."""
+    from pyspark.sql import Row
+
+    engine.create.table(
+        "dbo.manyf", {"id": "bigint", "v": "int"}, primary_key_column="id"
+    )
+    df = spark.createDataFrame(
+        [Row(id=i, v=i % 7) for i in range(400)], "id long, v int"
+    ).repartition(40)
+    engine.write.insert("dbo.manyf", df)
+    meta = engine.store.meta("dbo.manyf")
+    ents = engine.store.manifest("dbo.manyf", meta.version)
+    assert len(ents) > 32
+    assert sum(e["rows"] for e in ents) == 400
+    assert all(e["min"] is not None and e["max"] is not None for e in ents)
+    lo = min(e["min"] for e in ents)
+    hi = max(e["max"] for e in ents)
+    assert (lo, hi) == (0, 399)
