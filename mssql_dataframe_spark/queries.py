@@ -8590,21 +8590,35 @@ def pipeline_training_mixture(spark, sf_dir):
     per-stage count drop-off is the number that gets debated in data
     meetings; here both engines must agree on it exactly."""
     d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    # every text-dependent value the funnel needs downstream (the
+    # dedup fingerprint) is computed in THIS one scan; the persisted
+    # stage frames carry only (doc_id, source, fp) — the corpus text
+    # is never cached, so the five funnel counts run over slim
+    # doc-id frames (at 100 TB: KBs/row persisted becomes ~50 B/row)
     base = d.filter(
         F.col("text").isNotNull()
         & (F.length(F.trim(F.col("text"))) > 0)
         & (F.col("doc_id") % 97 != 0)
-    ).select("doc_id", "text", "source")
-    bench = d.filter(F.col("doc_id") % 97 == 0)
-    qual = C.quality_filter(d).filter(F.col("keep")).select("doc_id")
+    ).select(
+        "doc_id", "source",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    # persist the slim verdict frame BEFORE filtering on keep:
+    # filtering the raw quality_filter output pushes the flag
+    # expression trees (tokenize + n-gram metrics) below the joins,
+    # re-evaluating them per predicate instance — measured 6x slower
+    # at sf0.1. The cache boundary stops the pushdown, so the gate
+    # computes once.
+    qual = (
+        C.quality_filter(d).persist().filter(F.col("keep")).select("doc_id")
+    )
     # each stage feeds BOTH the next stage and its own funnel count;
-    # persist so the five count jobs don't re-run the quality /
-    # decontamination subtrees five times (measured 4x at sf0.1)
+    # persist so the count branches don't re-run the quality /
+    # decontamination subtrees
     base = base.persist()
     s1 = base.join(qual, "doc_id").persist()
-    winners = s1.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    winners = s1.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     s2 = s1.join(winners.select("doc_id"), "doc_id").persist()
     contaminated = C.decontaminate(
         d.filter(F.col("doc_id") % 97 != 0), bench, n=3
