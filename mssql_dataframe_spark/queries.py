@@ -8832,66 +8832,67 @@ def source_orc_roundtrip(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r5 rotation (VERDICT r4 "Next round" #2). Window = first 50 of
-    # queries(); COVERAGE.md "Grading manifest" documents the cycle.
-    # -- 13 store-dependent entries last graded r3, BEFORE the r4
-    #    manifest-store rewrite (store.py) — re-grade on the new store --
-    "verb_insert_read",
-    "verb_update",
-    "verb_merge_upsert",
-    "verb_merge_delete",
-    "verb_merge_delete_requires",
-    "verb_merge_identity",
-    "verb_identity_pk",
-    "verb_modify_schema",
-    "verb_schema_validate_convert",
-    "verb_read_where_grammar",
-    "verb_datetimeoffset_roundtrip",
-    "time_render_contract",
-    "streaming_foreach_batch_upsert",
-    # -- the one r4 red row, oracle dtype fixed this round --
-    "array_higher_order_functions",
-    # -- code paths changed in r5 (versioned append, bounds-on-precheck,
-    #    SQL-|| hash keys, scoped nanos conf) --
-    "verb_time_travel",
-    "verb_merge_scd2",
-    "verb_table_changes",
-    "mv_incremental_update",
-    "verb_optimize_compact",
-    "dataset_split_hash",
-    "stratified_sample_lang",
-    "streaming_tumbling_counts",
-    "asof_join_events_orders",
-    # -- new gate entries this round --
-    "pack_sequences_per_lang",
-    "ann_recall_at10",
-    # -- r1-stale regression slice (graded only in r01; first half,
-    #    remainder cycles in r6) --
-    "q2_min_price_parts",
-    "q8_market_share",
-    "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q20_bulk_suppliers",
-    "q22_idle_customers",
-    "pivot_returnflag_linestatus",
-    "cube_orders_status_priority",
-    "rollup_lineitem_status",
-    "set_ops_customers",
-    "percentile_functions",
-    "window_rank_ntile",
-    "window_lead_lag_monthly",
-    "window_sessionization",
-    "verb_check_constraints",
-    "window_running_user_value",
-    "grouping_sets_revenue",
-    "verb_history",
-    "corpus_shuffle_shards",
-    "minhash_dedup_incremental",
-    "regr_bool_aggregates",
-    "unigram_logprob_quality",
+    # r6 rotation (VERDICT r5 "Next round" #1): the window is devoted
+    # to entries that have NEVER had a driver CORRECTNESS row — 50 of
+    # the 88 (87 pre-existing + verb_timestamp_as_of, new this round);
+    # the remaining 38 front-load the r7 window. COVERAGE.md "Grading
+    # manifest" documents the cycle.
+    # -- warehouse verb suite (all sweep-green locally since r4/r5) --
+    "verb_timestamp_as_of",
+    "verb_restore",
+    "verb_clone_diverge",
+    "verb_vacuum_retention",
+    "verb_optimize_zorder",
+    "verb_delete_keys",
+    "verb_delete_where",
+    "verb_foreign_key_audit",
+    "verb_information_schema",
+    "verb_export_import",
+    "verb_incremental_ingest",
+    "verb_sequence_numbering",
+    "verb_rename_roundtrip",
+    "verb_temp_table_staging",
+    "verb_extended_types_roundtrip",
+    "verb_views",
+    "verb_merge_auto_evolve",
+    "verb_stats_metadata_read",
+    "verb_computed_columns",
+    "verb_row_level_security",
+    "verb_masked_reads",
+    "verb_truncate_reload",
+    "verb_merge_stale_flagging",
+    # -- composed pipelines --
+    "pipeline_dedup_sweep",
+    "pipeline_cdc_to_scd2",
+    "pipeline_training_mixture",
+    # -- LLM-pipeline / heavy operators --
+    "pagerank_customer_supplier",
+    "kmeans_codebook_train",
+    "embedding_semantic_dedup",
+    "embedding_topk_exact_scalable",
+    "quality_weighted_mixture",
+    "fuzzy_join_names",
+    "trigram_search_parts",
+    "doc_ngram_novelty",
+    "multimodal_ahash_dedup_pairs",
+    "exact_substring_dup_pairs",
+    "tokenizer_learn_merges",
+    "tokenizer_apply_merges",
+    "curriculum_stages_per_lang",
+    "temperature_resample_lang",
+    # -- streaming --
+    "streaming_stateful_ewma",
+    "streaming_ingest_dedup_store",
+    "streaming_stream_stream_left_join",
+    # -- window-shape fixes landed this round --
+    "customer_rfm_segments",
+    "parts_abc_pareto",
+    # -- remaining never-graded analytics/sources --
+    "scd2_point_in_time_join",
+    "data_profile_orders",
+    "arrow_python_udf_reverse",
+    "source_xml_roundtrip",
+    "source_schema_evolution_merge",
 ]
 
 
