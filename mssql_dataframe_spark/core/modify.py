@@ -495,6 +495,16 @@ class modify:
                         "nor unique — SQL Server requires a PRIMARY KEY "
                         "or UNIQUE constraint on the referenced columns"
                     )
+                # SQL Server requires a DURABLE PK/UNIQUE constraint
+                # on the referenced columns, not a point-in-time scan:
+                # record the implied UNIQUE on the parent so its own
+                # subsequent insert/update/merge keep the invariant
+                # (dropped again when this FK is dropped).
+                ref_props = dict(ref_meta.properties)
+                ref_uq = dict(ref_props.get("unique_constraints") or {})
+                ref_uq[f"uq__fk__{name}"] = rcols
+                ref_props["unique_constraints"] = ref_uq
+                self._store.update_meta(ref_table, properties=ref_props)
             spec = {
                 "columns": cols,
                 "ref_table": ref_table,
@@ -509,6 +519,24 @@ class modify:
         elif modify == "drop":
             if name not in fks:
                 raise ValueError(f"no foreign key {name!r}")
+            # release the implied UNIQUE recorded on the parent (if the
+            # FK targeted non-PK columns and the parent still exists)
+            ref_table_drop = fks[name].get("ref_table")
+            try:
+                ref_meta = self._store.meta(ref_table_drop)
+            except Exception:
+                ref_meta = None
+            if ref_meta is not None:
+                ref_uq = dict(
+                    ref_meta.properties.get("unique_constraints") or {}
+                )
+                if f"uq__fk__{name}" in ref_uq:
+                    del ref_uq[f"uq__fk__{name}"]
+                    ref_props = dict(ref_meta.properties)
+                    ref_props["unique_constraints"] = ref_uq
+                    self._store.update_meta(
+                        ref_table_drop, properties=ref_props
+                    )
             del fks[name]
         else:
             raise ValueError("modify must be one of add|drop")

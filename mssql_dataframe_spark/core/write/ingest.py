@@ -32,6 +32,59 @@ def _list_data_files(path: str, suffix: str) -> list[str]:
     return sorted(out)
 
 
+def _csv_header(file_path: str) -> tuple[str, ...]:
+    """First-line column names of one CSV file (RFC-4180 parsed)."""
+    import csv as _csv
+
+    with open(file_path, newline="") as fh:
+        for row in _csv.reader(fh):
+            return tuple(row)
+    return ()
+
+
+def _read_csv_by_name(spark, files: list[str], read_schema, path: str):
+    """Read a CSV batch safely under per-file header variation.
+
+    Files are grouped by their exact header tuple; each group is read
+    with header=True (uniform within the group, so Spark's positional
+    mapping is correct there), columns are selected by declared NAME
+    and cast, and the groups are unioned by name. A file whose header
+    lacks a declared column fails loudly instead of scrambling.
+    """
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for f in files:
+        groups.setdefault(_csv_header(f), []).append(f)
+    parts = []
+    for header, group in sorted(groups.items()):
+        by_lower = {c.lower(): c for c in header}
+        missing = [
+            fld.name for fld in read_schema.fields
+            if fld.name.lower() not in by_lower
+        ]
+        if missing:
+            raise ValueError(
+                f"CSV header {list(header)} in {path!r} (files {group}) "
+                f"is missing declared column(s) {missing}"
+            )
+        raw = spark.read.option("header", True).csv(group)
+        parts.append(
+            raw.select(
+                *[
+                    F.col(by_lower[fld.name.lower()])
+                    .cast(fld.dataType)
+                    .alias(fld.name)
+                    for fld in read_schema.fields
+                ]
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def ingest_directory(
     store: TableStore,
     table_name: str,
@@ -70,29 +123,15 @@ def ingest_directory(
         df = reader.json(new_files)
     elif file_format == "csv":
         # CSV + explicit schema maps columns BY POSITION (the header
-        # row is skipped, not matched), so a landed file with a
-        # different column order would silently scramble values. Read
-        # header-named strings first, validate the header against the
-        # declared columns, then cast into the schema BY NAME.
-        raw = store.spark.read.option("header", True).csv(new_files)
-        by_lower = {c.lower(): c for c in raw.columns}
-        missing = [
-            f.name for f in read_schema.fields
-            if f.name.lower() not in by_lower
-        ]
-        if missing:
-            raise ValueError(
-                f"CSV header in {path!r} is missing declared column(s) "
-                f"{missing}; found {raw.columns}"
-            )
-        from pyspark.sql import functions as F
-
-        df = raw.select(
-            *[
-                F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
-                for f in read_schema.fields
-            ]
-        )
+        # row is skipped, not matched), and even header-inferred reads
+        # unify a multi-file batch by the FIRST file's header — a later
+        # file with a different column order would silently scramble
+        # values. So: group the batch by each file's actual header
+        # (one driver-side first-line read per NEW file, the same
+        # O(new files) metadata cost as the discovery listing), read
+        # each header-group separately, map columns BY NAME within the
+        # group, then union the groups by name.
+        df = _read_csv_by_name(store.spark, new_files, read_schema, path)
     else:
         raise ValueError(f"unsupported ingest format {file_format!r}")
     ledger = sorted(seen | {os.path.relpath(f, path) for f in new_files})

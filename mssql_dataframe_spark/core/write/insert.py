@@ -150,5 +150,12 @@ def insert(
         store, out, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
+    uniques = meta.properties.get("unique_constraints") or {}
+    if uniques:
+        from ...validation import enforce_unique_constraints
+
+        # appended rows must not collide among themselves or with the
+        # current snapshot (keys-only scan of the existing table)
+        enforce_unique_constraints(out, uniques, existing=store.read(table_name))
     store.append(table_name, out, extra_properties=extra_properties)
     return df

@@ -284,6 +284,19 @@ def merge_op(
         store, result, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
+    uniques = meta.properties.get("unique_constraints") or {}
+    if uniques:
+        from ...validation import enforce_unique_constraints
+
+        enforce_unique_constraints(
+            result, uniques,
+            existing=(
+                store.read_files(
+                    table_name, [e["path"] for e in keep_entries]
+                )
+                if keep_entries else None
+            ),
+        )
     if evolved_meta_changes:
         # validation passed — publish the schema evolution with the
         # data commit (update_meta first so the commit's declared

@@ -132,6 +132,21 @@ def update_op(
         store, result, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
+    uniques = meta.properties.get("unique_constraints") or {}
+    if uniques:
+        from ...validation import enforce_unique_constraints
+
+        # when pruned, `result` is only the rewritten files — the
+        # carried-over files' keys are the cross-check side
+        enforce_unique_constraints(
+            result, uniques,
+            existing=(
+                store.read_files(
+                    table_name, [e["path"] for e in keep_entries]
+                )
+                if keep_entries else None
+            ),
+        )
     if keep_entries is not None:
         store.replace_files(table_name, result, keep_entries, op="update")
     else:

@@ -84,6 +84,15 @@ class SQLConcurrentWriteConflict(Exception):
     was NOT applied — re-read and retry."""
 
 
+class SQLUniqueConstraintViolation(Exception):
+    """Write would create duplicate values in column(s) covered by a
+    UNIQUE constraint (beyond-reference; recorded when a FOREIGN KEY
+    is accepted against non-PK parent columns — SQL Server requires a
+    durable PRIMARY KEY/UNIQUE constraint on FK-referenced columns,
+    not a point-in-time scan, so the parent's subsequent writes must
+    keep the invariant)."""
+
+
 class SQLForeignKeyViolation(Exception):
     """Row(s) reference key values absent from the parent table
     (beyond-reference; warehouse engines typically declare FKs

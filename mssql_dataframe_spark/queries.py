@@ -3678,14 +3678,18 @@ def customer_rfm_segments(spark, sf_dir):
     # window.global_row_number), then NTILE is derived arithmetically
     # from (rank, N). Bit-identical to NTILE(5) OVER (ORDER BY ...)
     # with the key tie-break, but every WindowExec stays partitioned.
+    pins = []
     d, n = DW.global_row_number(
-        base, [F.col("last_order").desc(), F.col("o_custkey")], out="__rn_r"
+        base, [F.col("last_order").desc(), F.col("o_custkey")],
+        out="__rn_r", pins=pins,
     )
     d, _ = DW.global_row_number(
-        d, [F.col("frequency").desc(), F.col("o_custkey")], out="__rn_f"
+        d, [F.col("frequency").desc(), F.col("o_custkey")],
+        out="__rn_f", pins=pins,
     )
     d, _ = DW.global_row_number(
-        d, [F.col("monetary").desc(), F.col("o_custkey")], out="__rn_m"
+        d, [F.col("monetary").desc(), F.col("o_custkey")],
+        out="__rn_m", pins=pins,
     )
     scored = d.select(
         "o_custkey", "frequency", "monetary",
@@ -3700,7 +3704,10 @@ def customer_rfm_segments(spark, sf_dir):
         .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
         .otherwise("regular")
     )
-    return scored.withColumn("segment", seg)
+    # finalize() materializes the (small, per-customer) result and
+    # releases the three nested range-partition caches — no pinned
+    # frame outlives the query.
+    return DW.finalize(scored.withColumn("segment", seg), pins)
 
 
 @register(
@@ -3751,23 +3758,34 @@ def parts_abc_pareto(spark, sf_dir):
     # offsets broadcast back (distributed_window.global_cumsum). The
     # grand total comes out of the same pass as a driver scalar, so
     # SUM() OVER () disappears too — zero unpartitioned WindowExec.
+    pins = []
     ranked, total_rev = DW.global_cumsum(
         rev,
         [F.col("revenue").desc(), F.col("l_partkey")],
         "revenue",
         out="cum_rev",
+        pins=pins,
     )
-    total_lit = F.lit(total_rev).cast(dict(ranked.dtypes)["cum_rev"])
+    # total_rev is a driver-side decimal.Decimal, so the class
+    # thresholds are computed EXACTLY on the driver and land in the
+    # plan as decimal literals — the boundary compare is
+    # decimal-vs-decimal end to end, matching the oracle's
+    # decimal arithmetic bit-for-bit.
+    import decimal as _dec
+
+    t_a = F.lit(total_rev * _dec.Decimal("0.5"))
+    t_b = F.lit(total_rev * _dec.Decimal("0.8"))
     cls = (
-        F.when(F.col("cum_rev") <= total_lit * 0.5, "A")
-        .when(F.col("cum_rev") <= total_lit * 0.8, "B")
+        F.when(F.col("cum_rev") <= t_a, "A")
+        .when(F.col("cum_rev") <= t_b, "B")
         .otherwise("C")
     )
-    return ranked.select(
+    out = ranked.select(
         "l_partkey",
         F.col("revenue").cast("double").alias("revenue"),
         cls.alias("abc_class"),
     )
+    return DW.finalize(out, pins)
 
 
 @register(
@@ -8832,67 +8850,69 @@ def source_orc_roundtrip(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r6 rotation (VERDICT r5 "Next round" #1): the window is devoted
-    # to entries that have NEVER had a driver CORRECTNESS row — 50 of
-    # the 88 (87 pre-existing + verb_timestamp_as_of, new this round);
-    # the remaining 38 front-load the r7 window. COVERAGE.md "Grading
+    # r7 rotation (VERDICT r6 "What's missing" #1 and #3): the window
+    # carries the final 38 entries that have NEVER had a driver
+    # CORRECTNESS row, completing full-registry driver coverage, plus
+    # a 12-entry staleness re-grade slice of rows last graded in r01
+    # (the oldest evidence in the ledger). COVERAGE.md "Grading
     # manifest" documents the cycle.
-    # -- warehouse verb suite (all sweep-green locally since r4/r5) --
-    "verb_timestamp_as_of",
-    "verb_restore",
-    "verb_clone_diverge",
-    "verb_vacuum_retention",
-    "verb_optimize_zorder",
-    "verb_delete_keys",
-    "verb_delete_where",
-    "verb_foreign_key_audit",
-    "verb_information_schema",
-    "verb_export_import",
-    "verb_incremental_ingest",
-    "verb_sequence_numbering",
-    "verb_rename_roundtrip",
-    "verb_temp_table_staging",
-    "verb_extended_types_roundtrip",
-    "verb_views",
-    "verb_merge_auto_evolve",
-    "verb_stats_metadata_read",
-    "verb_computed_columns",
-    "verb_row_level_security",
-    "verb_masked_reads",
-    "verb_truncate_reload",
-    "verb_merge_stale_flagging",
-    # -- composed pipelines --
-    "pipeline_dedup_sweep",
-    "pipeline_cdc_to_scd2",
-    "pipeline_training_mixture",
-    # -- LLM-pipeline / heavy operators --
-    "pagerank_customer_supplier",
-    "kmeans_codebook_train",
-    "embedding_semantic_dedup",
-    "embedding_topk_exact_scalable",
-    "quality_weighted_mixture",
-    "fuzzy_join_names",
-    "trigram_search_parts",
-    "doc_ngram_novelty",
-    "multimodal_ahash_dedup_pairs",
-    "exact_substring_dup_pairs",
-    "tokenizer_learn_merges",
-    "tokenizer_apply_merges",
-    "curriculum_stages_per_lang",
-    "temperature_resample_lang",
-    # -- streaming --
-    "streaming_stateful_ewma",
-    "streaming_ingest_dedup_store",
-    "streaming_stream_stream_left_join",
-    # -- window-shape fixes landed this round --
-    "customer_rfm_segments",
-    "parts_abc_pareto",
-    # -- remaining never-graded analytics/sources --
-    "scd2_point_in_time_join",
-    "data_profile_orders",
-    "arrow_python_udf_reverse",
-    "source_xml_roundtrip",
-    "source_schema_evolution_merge",
+    # -- never-graded: events analytics suite --
+    "events_mad_outliers",
+    "events_time_to_convert",
+    "events_error_budget",
+    "events_hourly_seasonality",
+    "events_dau_wau_stickiness",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "events_activity_streaks",
+    # -- never-graded: timeseries / window shapes --
+    "timeseries_ewma_quantized",
+    "timeseries_gap_fill",
+    "window_time_range_frames",
+    "date_spine_calendar",
+    "global_topn_orders",
+    "interval_overlap_join",
+    # -- never-graded: relational extensions --
+    "lateral_topk_per_nation",
+    "recursive_cte_supplier_tree",
+    "bloom_filter_join_prune",
+    "null_safe_join_semantics",
+    "argmax_aggregates",
+    "histogram_equi_width",
+    "string_split_rows",
+    "variant_json_extraction",
+    "try_cast_tolerant_ingest",
+    # -- never-graded: sources / scan shapes --
+    "source_parquet_agg_pushdown",
+    "source_nested_struct_pruning",
+    "source_token_drift",
+    # -- never-graded: business analytics --
+    "basket_brand_lift",
+    "orders_cohort_ltv",
+    "orders_priority_mix_shift",
+    "supplier_otif_rate",
+    "customer_order_gaps",
+    # -- never-graded: LLM-pipeline / text --
+    "lang_id_confusion",
+    "decontamination_fuzzy",
+    "heavy_hitters_tokens",
+    "embedding_health_check",
+    "bigram_logprob_quality",
+    "bigram_pmi_collocations",
+    # -- staleness re-grade: rows whose only driver evidence is r01 --
+    "q10_returned_items",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
+    "distinct_aggregates",
+    "window_moving_avg_frames",
+    "bucketed_join_no_shuffle",
+    "stats_aggregates",
+    "unpivot_lineitem_measures",
+    "source_partitioned_pruning",
+    "pandas_udf_embedding_norm",
 ]
 
 

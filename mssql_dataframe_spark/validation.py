@@ -205,6 +205,57 @@ def enforce_foreign_keys(
             )
 
 
+def enforce_unique_constraints(
+    df: DataFrame, uniques: dict, existing: DataFrame | None = None
+) -> None:
+    """Enforce recorded UNIQUE constraints on rows about to be written
+    (beyond-reference; recorded by ``modify.foreign_key`` when an FK
+    is accepted against non-PK parent columns — SQL Server mandates a
+    durable PK/UNIQUE constraint there, so the invariant must survive
+    later parent writes, not just the add-time scan).
+
+    Shape: per constraint, one keys-only duplicate agg over the
+    written rows, plus — when ``existing`` carries the rows this
+    commit does NOT rewrite (append target / pruned-away files) — one
+    keys-only semi join against them. Both sides project only the
+    constrained columns, so at 100 TB this is a slim shuffle and cost
+    stays ∝ touched rows + key width. SQL-Server-flavored NULL
+    handling is simplified the same way the FK checker is (MATCH
+    SIMPLE): tuples containing NULL are exempt, since they can never
+    be FK-referenced.
+    """
+    if not uniques:
+        return
+    from .errors import SQLUniqueConstraintViolation
+
+    for name in sorted(uniques):
+        cols = list(uniques[name])
+        keys = df.select(*cols).na.drop(how="any")
+        dup = (
+            keys.groupBy(*cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if not dup and existing is not None:
+            dup = (
+                keys.join(
+                    existing.select(*cols).na.drop(how="any"),
+                    cols,
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+        if dup:
+            raise SQLUniqueConstraintViolation(
+                f"unique constraint {name!r} on {cols} violated: the "
+                "write would create duplicate key values (the columns "
+                "are FK-referenced and must stay unique)"
+            )
+
+
 def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     """Upcast numeric columns to their category's widest type before
     range checks (reference: conversion.py:214-253)."""

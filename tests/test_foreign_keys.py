@@ -152,6 +152,64 @@ def test_fk_add_accepts_unique_non_pk_referenced_column(engine, spark):
     )
 
 
+def test_fk_unique_referenced_columns_stay_unique_durably(engine, spark):
+    """Accepting an FK against non-PK parent columns records a durable
+    UNIQUE on the parent: a LATER parent insert that duplicates the
+    referenced key must fail (SQL Server mandates a PK/UNIQUE
+    constraint there, not a point-in-time scan). Dropping the FK
+    releases the obligation."""
+    engine.create.table(
+        "dbo.paru2", {"pk": "bigint", "code": "bigint"}, primary_key_column="pk"
+    )
+    engine.write.insert(
+        "dbo.paru2",
+        spark.createDataFrame(
+            [Row(pk=1, code=100), Row(pk=2, code=200)], "pk long, code long"
+        ),
+    )
+    engine.create.table(
+        "dbo.chiu2", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    engine.modify.foreign_key(
+        "dbo.chiu2", "add", "fk_code2",
+        columns="ref", ref_table="dbo.paru2", ref_columns="code",
+    )
+    # duplicate-vs-existing: blocked
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.insert(
+            "dbo.paru2",
+            spark.createDataFrame([Row(pk=3, code=100)], "pk long, code long"),
+        )
+    # duplicate-within-batch: blocked
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.insert(
+            "dbo.paru2",
+            spark.createDataFrame(
+                [Row(pk=4, code=400), Row(pk=5, code=400)],
+                "pk long, code long",
+            ),
+        )
+    # update that collides two parent keys: blocked
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.update(
+            "dbo.paru2",
+            spark.createDataFrame([Row(pk=2, code=100)], "pk long, code long"),
+        )
+    # non-colliding writes still pass
+    engine.write.insert(
+        "dbo.paru2",
+        spark.createDataFrame([Row(pk=6, code=600)], "pk long, code long"),
+    )
+    assert engine.read.table("dbo.paru2").count() == 3
+    # dropping the FK releases the parent's implied UNIQUE
+    engine.modify.foreign_key("dbo.chiu2", "drop", "fk_code2")
+    engine.write.insert(
+        "dbo.paru2",
+        spark.createDataFrame([Row(pk=7, code=100)], "pk long, code long"),
+    )
+    assert engine.read.table("dbo.paru2").count() == 4
+
+
 def test_self_referencing_fk_parent_and_child_in_one_batch(engine, spark):
     """End-of-statement semantics: one insert carrying both a manager
     row and an employee referencing it is valid in SQL Server — the

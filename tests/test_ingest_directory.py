@@ -57,6 +57,54 @@ def test_ingest_csv_maps_columns_by_name(engine, spark, tmp_path):
     assert rows == [(1, "x"), (2, "y")]
 
 
+def test_ingest_csv_multi_file_mixed_header_order(engine, spark, tmp_path):
+    """One ingest call that discovers SEVERAL CSVs with different
+    header orders must map each file by ITS OWN header. (A naive
+    multi-file read unifies the batch by the first file's header and
+    maps later files positionally — silent scrambling.)"""
+    engine.create.table(
+        "dbo.csvmix", {"a": "int", "b": "varchar(10)"}, primary_key_column="a"
+    )
+    land = str(tmp_path / "land")
+    import os as _os
+
+    _os.makedirs(land)
+    # w1 sorts first and declares (a,b); w2 declares (b,a)
+    with open(_os.path.join(land, "w1.csv"), "w") as f:
+        f.write("a,b\n1,x\n")
+    with open(_os.path.join(land, "w2.csv"), "w") as f:
+        f.write("b,a\ny,2\n")
+    assert engine.write.ingest_directory("dbo.csvmix", land, file_format="csv") == 2
+    rows = sorted(
+        (r["a"], r["b"]) for r in engine.read.table("dbo.csvmix").collect()
+    )
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_ingest_csv_multi_file_one_bad_header_fails_whole_batch(
+    engine, spark, tmp_path
+):
+    """If any file in the batch lacks a declared column, the whole
+    ingest fails before commit — no partial load, no ledger entry."""
+    engine.create.table(
+        "dbo.csvbad", {"a": "int", "b": "varchar(10)"}, primary_key_column="a"
+    )
+    land = str(tmp_path / "land")
+    import os as _os
+
+    import pytest as _pytest
+
+    _os.makedirs(land)
+    with open(_os.path.join(land, "w1.csv"), "w") as f:
+        f.write("a,b\n1,x\n")
+    with open(_os.path.join(land, "w2.csv"), "w") as f:
+        f.write("a,wrong\n2,y\n")
+    with _pytest.raises(ValueError, match="missing declared column"):
+        engine.write.ingest_directory("dbo.csvbad", land, file_format="csv")
+    assert engine.read.table("dbo.csvbad").count() == 0
+    assert not (engine.store.meta("dbo.csvbad").properties.get("ingested_files"))
+
+
 def test_ingest_csv_missing_column_raises(engine, spark, tmp_path):
     engine.create.table(
         "dbo.csvm", {"a": "int", "b": "varchar(10)"}, primary_key_column="a"
