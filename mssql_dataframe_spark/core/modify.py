@@ -135,6 +135,66 @@ class modify:
         props["check_constraints"] = checks
         self._store.update_meta(table_name, properties=props)
 
+    def unique_constraint(
+        self,
+        table_name: str,
+        modify: str,
+        name: str,
+        columns: Optional[str | list[str]] = None,
+    ) -> None:
+        """ADD/DROP a named UNIQUE constraint (beyond-reference; the
+        SQL Server ``ALTER TABLE ADD CONSTRAINT ... UNIQUE`` analog,
+        completing the PK/FK/CHECK/UNIQUE constraint family). ``add``
+        audits the EXISTING rows first — one keys-only distributed
+        dup agg over the current snapshot, a table in violation cannot
+        acquire the constraint — then every subsequent
+        insert/update/merge enforces it on the rows it writes (dup agg
+        within the batch + keys-only semi join against rows the commit
+        does not rewrite; see validation.enforce_unique_constraints).
+        SQL-Server-simplified NULL handling matches the FK checker
+        (MATCH SIMPLE): tuples containing NULL are exempt.
+
+        Constraints recorded here share the ``unique_constraints``
+        table property with FK-implied uniques (``uq__fk__*`` names,
+        reserved), so a user-declared UNIQUE also satisfies the
+        FK-referenced-columns durability requirement."""
+        meta = self._store.meta(table_name)
+        props = dict(meta.properties)
+        uniques = dict(props.get("unique_constraints") or {})
+        if modify == "add":
+            cols = [columns] if isinstance(columns, str) else list(columns or [])
+            if not cols:
+                raise ValueError("columns required for unique add")
+            if name in uniques:
+                raise ValueError(f"unique constraint {name!r} already exists")
+            if name.startswith("uq__fk__"):
+                raise ValueError(
+                    "constraint names starting with 'uq__fk__' are "
+                    "reserved for FK-implied uniques"
+                )
+            for c in cols:
+                if c not in meta.spark_schema.fieldNames():
+                    raise SQLColumnDoesNotExist(c)
+            from ..validation import enforce_unique_constraints
+
+            enforce_unique_constraints(
+                self._store.read(table_name), {name: cols}
+            )
+            uniques[name] = cols
+        elif modify == "drop":
+            if name not in uniques:
+                raise ValueError(f"no unique constraint {name!r}")
+            if name.startswith("uq__fk__"):
+                raise ValueError(
+                    f"unique constraint {name!r} is implied by a foreign "
+                    "key — drop the foreign key instead"
+                )
+            del uniques[name]
+        else:
+            raise ValueError("modify must be one of add|drop")
+        props["unique_constraints"] = uniques
+        self._store.update_meta(table_name, properties=props)
+
     def _require_no_column_dependents(
         self, table_name: str, column_name: str, props: dict, action: str
     ) -> None:
@@ -153,6 +213,9 @@ class modify:
         for nm, fk in (props.get("foreign_keys") or {}).items():
             if column_name in fk["columns"]:
                 blockers.append(f"foreign key {nm!r}")
+        for nm, ucols in (props.get("unique_constraints") or {}).items():
+            if column_name in ucols:
+                blockers.append(f"unique constraint {nm!r}")
         for nm, pred in (props.get("row_filters") or {}).items():
             if column_name in str(pred):
                 blockers.append(f"row filter {nm!r}")
@@ -435,6 +498,7 @@ class modify:
         columns: Optional[str | list[str]] = None,
         ref_table: Optional[str] = None,
         ref_columns: Optional[str | list[str]] = None,
+        on_delete: str = "no_action",
     ) -> None:
         """ADD/DROP a named FOREIGN KEY (beyond-reference; warehouse
         engines usually declare FKs NOT ENFORCED — here ``add`` audits
@@ -442,7 +506,14 @@ class modify:
         parent's current snapshot, and every subsequent
         insert/update/merge/SCD2 enforces the FK on the rows it
         writes, same hook as CHECK constraints). SQL MATCH SIMPLE:
-        rows with any NULL FK column pass."""
+        rows with any NULL FK column pass.
+
+        ``on_delete`` declares the referential action the parent's
+        explicit delete verbs apply: ``no_action`` (default — parent
+        delete fails while referenced), ``cascade`` (matching child
+        rows are deleted first, recursively), or ``set_null``
+        (matching child rows get the FK columns nulled — requires
+        every FK column nullable, checked here)."""
         from ..validation import enforce_foreign_keys
 
         meta = self._store.meta(table_name)
@@ -462,9 +533,20 @@ class modify:
                 )
             if name in fks:
                 raise ValueError(f"foreign key {name!r} already exists")
+            if on_delete not in ("no_action", "cascade", "set_null"):
+                raise ValueError(
+                    "on_delete must be one of no_action|cascade|set_null"
+                )
             for c in cols:
                 if c not in meta.spark_schema.fieldNames():
                     raise SQLColumnDoesNotExist(c)
+            if on_delete == "set_null":
+                blocked = [c for c in cols if c in meta.not_nullable]
+                if blocked:
+                    raise ValueError(
+                        f"ON DELETE SET NULL requires nullable FK "
+                        f"column(s); {blocked} are NOT NULL"
+                    )
             ref_meta = self._store.meta(ref_table)  # raises if absent
             for rc in rcols:
                 if rc not in ref_meta.spark_schema.fieldNames():
@@ -510,6 +592,8 @@ class modify:
                 "ref_table": ref_table,
                 "ref_columns": rcols,
             }
+            if on_delete != "no_action":
+                spec["on_delete"] = on_delete
             # audit: a table in violation cannot acquire the FK
             enforce_foreign_keys(
                 self._store, self._store.read(table_name), {name: spec},

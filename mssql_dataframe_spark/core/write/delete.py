@@ -27,15 +27,29 @@ from ...validation import precheck_dataframe
 from .update import resolve_match_columns
 
 
-def _check_restrict_references(store, table_name, deleted_rows) -> None:
-    """SQL Server ON DELETE NO ACTION semantics: deleting parent rows
-    that a child table's FOREIGN KEY still references fails fast —
-    declared FKs protect BOTH directions (child writes are checked in
-    validation.enforce_foreign_keys; this guards the parent side on
-    the explicit delete verbs). Cost: one keys-only semi join per
-    REFERENCING FK, and only when such FKs exist; merge's
-    not-matched-by-source delete clause is intentionally unguarded
-    (its contract predates FKs) and documented so."""
+def _check_restrict_references(
+    store, table_name, deleted_rows, _chain: tuple = ()
+) -> None:
+    """SQL Server ON DELETE referential actions for the explicit
+    delete verbs. Per FOREIGN KEY referencing the deleted table, by
+    the FK's declared ``on_delete``:
+
+    - ``no_action`` (default): deleting parent rows a child still
+      references fails fast — one keys-only semi join per FK, and only
+      when such FKs exist.
+    - ``cascade``: matching child rows are deleted FIRST (their own
+      referential actions apply recursively, so cascade chains work;
+      a chain that revisits a table raises — SQL Server rejects
+      cascade cycles at DDL time, this engine at delete time), then
+      the parent delete proceeds. Child-before-parent commit order
+      keeps the FK invariant true at every commit boundary.
+    - ``set_null``: matching child rows get their FK columns set to
+      NULL (one pruned child rewrite; the FK columns are verified
+      nullable when the action is declared).
+
+    Child writes are checked in validation.enforce_foreign_keys;
+    merge's not-matched-by-source delete clause is intentionally
+    unguarded (its contract predates FKs) and documented so."""
     from ...errors import SQLForeignKeyViolation
 
     refs = []
@@ -51,6 +65,7 @@ def _check_restrict_references(store, table_name, deleted_rows) -> None:
     deleted_rows = deleted_rows.persist()
     try:
         for t, nm, fk in refs:
+            action = fk.get("on_delete", "no_action")
             parent_keys = (
                 deleted_rows.select(
                     *[
@@ -69,7 +84,45 @@ def _check_restrict_references(store, table_name, deleted_rows) -> None:
                 .limit(1)
                 .count()
             )
-            if hit:
+            if not hit:
+                continue
+            if action == "cascade":
+                if t in _chain or t == table_name:
+                    raise SQLForeignKeyViolation(
+                        f"ON DELETE CASCADE cycle: deleting from "
+                        f"{table_name!r} re-enters {t!r} via foreign key "
+                        f"{nm!r}"
+                    )
+                delete_op(
+                    store, t, parent_keys,
+                    match_columns=list(fk["columns"]),
+                    _chain=_chain + (table_name,),
+                )
+            elif action == "set_null":
+                child = store.read(t)
+                key_cols = set(fk["columns"])
+                # null the FK columns on matching rows; a left-semi
+                # flag via join would lose non-matching rows, so flag
+                # with a left join on the slim key set instead
+                marked = child.join(
+                    parent_keys.withColumn("__hit", F.lit(True)),
+                    list(fk["columns"]),
+                    "left",
+                )
+                new_child = marked.select(
+                    *[
+                        (
+                            F.when(F.col("__hit"), F.lit(None)).otherwise(
+                                F.col(f.name)
+                            ).cast(f.dataType)
+                            if f.name in key_cols
+                            else F.col(f.name)
+                        ).alias(f.name)
+                        for f in store.meta(t).spark_schema.fields
+                    ]
+                )
+                store.overwrite(t, new_child, op="fk_set_null")
+            else:
                 raise SQLForeignKeyViolation(
                     f"cannot delete from {table_name!r}: rows are still "
                     f"referenced by foreign key {nm!r} on {t!r} "
@@ -84,6 +137,7 @@ def delete_op(
     table_name: str,
     dataframe: DataFrame,
     match_columns: Optional[list[str]] = None,
+    _chain: tuple = (),
 ) -> int:
     """Delete rows whose match-column values appear in ``dataframe``
     (keys only — extra columns are rejected by the schema check).
@@ -116,6 +170,7 @@ def delete_op(
     _check_restrict_references(
         store, table_name,
         store.read(table_name).join(keys, on=match, how="left_semi"),
+        _chain=_chain,
     )
     survivors = target.join(keys, on=match, how="left_anti")
     total_before = sum(

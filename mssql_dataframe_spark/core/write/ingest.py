@@ -58,7 +58,15 @@ def _read_csv_by_name(spark, files: list[str], read_schema, path: str):
         groups.setdefault(_csv_header(f), []).append(f)
     parts = []
     for header, group in sorted(groups.items()):
-        by_lower = {c.lower(): c for c in header}
+        by_lower: dict[str, str] = {}
+        for c in header:
+            if c.lower() in by_lower:
+                raise ValueError(
+                    f"CSV header {list(header)} (files {group}) has "
+                    f"case-colliding columns {by_lower[c.lower()]!r} and "
+                    f"{c!r}; by-name mapping would silently pick one"
+                )
+            by_lower[c.lower()] = c
         missing = [
             fld.name for fld in read_schema.fields
             if fld.name.lower() not in by_lower

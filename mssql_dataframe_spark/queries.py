@@ -6963,6 +6963,113 @@ def verb_foreign_key_audit(spark, sf_dir):
 
 
 @register(
+    "verb_fk_delete_cascade",
+    sql="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_orderkey <= 1000 AND l_orderkey > 100
+    """,
+)
+def verb_fk_delete_cascade(spark, sf_dir):
+    """ON DELETE CASCADE (modify.foreign_key on_delete='cascade' —
+    SQL Server referential-action parity): deleting parent orders
+    removes their lineitems too, child commit first so the FK
+    invariant holds at every version boundary. Scale shape: the
+    cascade is one keys-only semi-join hit test plus a keys-pruned
+    child DELETE (the same file-pruned copy-on-write as a direct
+    delete) — cost ∝ referenced child files, not table size. The
+    oracle is the surviving child relation."""
+    eng = _scratch_engine(spark)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                "o_orderstatus")
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+    )
+    eng.create.table_from_dataframe(
+        "dbo.orders_cas", orders, primary_key="o_orderkey"
+    )
+    eng.write.insert("dbo.orders_cas", orders)
+    eng.create.table_from_dataframe(
+        "dbo.lines_cas", lines, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    eng.write.insert("dbo.lines_cas", lines)
+    eng.modify.foreign_key(
+        "dbo.lines_cas", "add", "fk_cas",
+        columns="l_orderkey",
+        ref_table="dbo.orders_cas", ref_columns="o_orderkey",
+        on_delete="cascade",
+    )
+    eng.write.delete(
+        "dbo.orders_cas",
+        orders.filter(F.col("o_orderkey") <= 100).select("o_orderkey"),
+    )
+    return eng.read.table("dbo.lines_cas").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "verb_unique_constraint",
+    sql="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier WHERE s_suppkey <= 200
+    UNION ALL
+    SELECT 990001, 'Supplier#990001'
+    """,
+)
+def verb_unique_constraint(spark, sf_dir):
+    """User-declared UNIQUE constraint (modify.unique_constraint —
+    the ALTER TABLE ADD CONSTRAINT ... UNIQUE analog, completing the
+    PK/FK/CHECK constraint family): ``add`` audits existing rows with
+    one keys-only dup agg, then every write enforces it — dup agg
+    within the batch plus a keys-only semi join against the standing
+    snapshot, so enforcement cost is ∝ touched rows even at 100 TB.
+    The oracle is the surviving table: original suppliers plus the one
+    admissible insert; the duplicate-name insert was refused."""
+    from mssql_dataframe_spark.errors import SQLUniqueConstraintViolation
+
+    eng = _scratch_engine(spark)
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 200)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+    )
+    eng.create.table_from_dataframe("dbo.sup_uq", sup, primary_key="s_suppkey")
+    eng.write.insert("dbo.sup_uq", sup)
+    eng.modify.unique_constraint("dbo.sup_uq", "add", "uq_sname", "s_name")
+    taken = sup.orderBy("s_suppkey").limit(1).collect()[0]["s_name"]
+    dup = spark.createDataFrame(
+        [(990000, taken)], "s_suppkey long, s_name string"
+    )
+    try:
+        eng.write.insert("dbo.sup_uq", dup)
+        raise AssertionError(
+            "duplicate-name insert must raise SQLUniqueConstraintViolation"
+        )
+    except SQLUniqueConstraintViolation:
+        pass
+    eng.write.insert(
+        "dbo.sup_uq",
+        spark.createDataFrame(
+            [(990001, "Supplier#990001")], "s_suppkey long, s_name string"
+        ),
+    )
+    return eng.read.table("dbo.sup_uq").select("s_suppkey", "s_name")
+
+
+@register(
     "verb_information_schema",
     sql="""
     SELECT * FROM (VALUES

@@ -104,6 +104,72 @@ def test_parent_delete_blocked_while_referenced(engine, spark):
     assert engine.write.delete_where("dbo.par", "pk = 1") == 1
 
 
+def test_on_delete_cascade_chain(engine, spark):
+    """ON DELETE CASCADE: deleting a parent row deletes matching child
+    rows first, recursively through grandchildren; children commit
+    before the parent so the FK invariant holds at every version."""
+    _mk(engine, spark)  # par(pk 1,2,3), chi(10->1, 11->2)
+    engine.create.table(
+        "dbo.gra", {"gid": "bigint", "cref": "bigint"}, primary_key_column="gid"
+    )
+    engine.write.insert(
+        "dbo.gra",
+        spark.createDataFrame(
+            [Row(gid=100, cref=10), Row(gid=101, cref=11)], "gid long, cref long"
+        ),
+    )
+    engine.modify.foreign_key(
+        "dbo.chi", "add", "fk_par",
+        columns="ref", ref_table="dbo.par", ref_columns="pk",
+        on_delete="cascade",
+    )
+    engine.modify.foreign_key(
+        "dbo.gra", "add", "fk_chi",
+        columns="cref", ref_table="dbo.chi", ref_columns="id",
+        on_delete="cascade",
+    )
+    assert engine.write.delete_where("dbo.par", "pk = 1") == 1
+    assert sorted(r["pk"] for r in engine.read.table("dbo.par").collect()) == [2, 3]
+    assert sorted(r["id"] for r in engine.read.table("dbo.chi").collect()) == [11]
+    assert sorted(r["gid"] for r in engine.read.table("dbo.gra").collect()) == [101]
+
+
+def test_on_delete_set_null(engine, spark):
+    _mk(engine, spark)
+    engine.modify.foreign_key(
+        "dbo.chi", "add", "fk_par",
+        columns="ref", ref_table="dbo.par", ref_columns="pk",
+        on_delete="set_null",
+    )
+    assert engine.write.delete(
+        "dbo.par", spark.createDataFrame([Row(pk=1)], "pk long")
+    ) == 1
+    got = {r["id"]: r["ref"] for r in engine.read.table("dbo.chi").collect()}
+    assert got == {10: None, 11: 2}
+
+
+def test_on_delete_set_null_requires_nullable_fk_columns(engine, spark):
+    engine.create.table(
+        "dbo.parn2", {"pk": "bigint"}, primary_key_column="pk"
+    )
+    engine.create.table(
+        "dbo.chin2", {"id": "bigint", "ref": "bigint"},
+        primary_key_column="id", not_nullable=["ref"],
+    )
+    with pytest.raises(ValueError, match="SET NULL requires nullable"):
+        engine.modify.foreign_key(
+            "dbo.chin2", "add", "fk_nn",
+            columns="ref", ref_table="dbo.parn2", ref_columns="pk",
+            on_delete="set_null",
+        )
+    with pytest.raises(ValueError, match="on_delete must be one of"):
+        engine.modify.foreign_key(
+            "dbo.chin2", "add", "fk_bad",
+            columns="ref", ref_table="dbo.parn2", ref_columns="pk",
+            on_delete="restrict",
+        )
+
+
 def test_fk_add_rejects_non_unique_referenced_columns(engine, spark):
     """SQL Server requires PRIMARY KEY/UNIQUE on the referenced
     columns; a duplicated parent key would make delete-restrict and
@@ -208,6 +274,68 @@ def test_fk_unique_referenced_columns_stay_unique_durably(engine, spark):
         spark.createDataFrame([Row(pk=7, code=100)], "pk long, code long"),
     )
     assert engine.read.table("dbo.paru2").count() == 4
+
+
+def test_unique_constraint_api(engine, spark):
+    """modify.unique_constraint: add audits existing rows, then writes
+    enforce it; drop releases; FK-implied names are protected."""
+    engine.create.table(
+        "dbo.uqt", {"pk": "bigint", "email": "varchar(40)"},
+        primary_key_column="pk",
+    )
+    engine.write.insert(
+        "dbo.uqt",
+        spark.createDataFrame(
+            [Row(pk=1, email="a@x"), Row(pk=2, email="b@x"),
+             Row(pk=3, email=None), Row(pk=4, email=None)],  # NULLs exempt
+            "pk long, email string",
+        ),
+    )
+    engine.modify.unique_constraint("dbo.uqt", "add", "uq_email", "email")
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.insert(
+            "dbo.uqt",
+            spark.createDataFrame([Row(pk=5, email="a@x")], "pk long, email string"),
+        )
+    # another NULL is always admissible (MATCH SIMPLE-style exemption)
+    engine.write.insert(
+        "dbo.uqt",
+        spark.createDataFrame([Row(pk=6, email=None)], "pk long, email string"),
+    )
+    engine.modify.unique_constraint("dbo.uqt", "drop", "uq_email")
+    engine.write.insert(
+        "dbo.uqt",
+        spark.createDataFrame([Row(pk=7, email="a@x")], "pk long, email string"),
+    )
+    assert engine.read.table("dbo.uqt").count() == 6
+
+
+def test_unique_constraint_add_audits_existing(engine, spark):
+    engine.create.table(
+        "dbo.uqa", {"pk": "bigint", "code": "bigint"}, primary_key_column="pk"
+    )
+    engine.write.insert(
+        "dbo.uqa",
+        spark.createDataFrame(
+            [Row(pk=1, code=7), Row(pk=2, code=7)], "pk long, code long"
+        ),
+    )
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.modify.unique_constraint("dbo.uqa", "add", "uq_code", "code")
+    # unknown column / duplicate name / reserved prefix all rejected
+    with pytest.raises(errors.SQLColumnDoesNotExist):
+        engine.modify.unique_constraint("dbo.uqa", "add", "uq_x", "nope")
+    with pytest.raises(ValueError, match="reserved"):
+        engine.modify.unique_constraint("dbo.uqa", "add", "uq__fk__z", "pk")
+
+
+def test_unique_constraint_blocks_column_drop(engine, spark):
+    engine.create.table(
+        "dbo.uqd", {"pk": "bigint", "code": "bigint"}, primary_key_column="pk"
+    )
+    engine.modify.unique_constraint("dbo.uqd", "add", "uq_code", "code")
+    with pytest.raises(ValueError, match="unique constraint"):
+        engine.modify.column("dbo.uqd", "drop", "code")
 
 
 def test_self_referencing_fk_parent_and_child_in_one_batch(engine, spark):

@@ -124,6 +124,27 @@ def test_ingest_csv_missing_column_raises(engine, spark, tmp_path):
     assert not (engine.store.meta("dbo.csvm").properties.get("ingested_files"))
 
 
+def test_ingest_csv_case_colliding_header_raises(engine, spark, tmp_path):
+    """A header whose columns lower-case-collide (``A`` and ``a``) is
+    ambiguous under by-name mapping — fail loudly instead of silently
+    picking whichever one the dict kept."""
+    engine.create.table(
+        "dbo.csvcc", {"a": "int", "b": "varchar(10)"}, primary_key_column="a"
+    )
+    land = str(tmp_path / "land")
+    import os as _os
+
+    import pytest as _pytest
+
+    _os.makedirs(land)
+    with open(_os.path.join(land, "w1.csv"), "w") as f:
+        f.write("A,a,b\n9,1,x\n")
+    with _pytest.raises(ValueError, match="case-colliding"):
+        engine.write.ingest_directory("dbo.csvcc", land, file_format="csv")
+    assert engine.read.table("dbo.csvcc").count() == 0
+    assert not (engine.store.meta("dbo.csvcc").properties.get("ingested_files"))
+
+
 def test_ingest_ledger_commits_atomically_with_data(engine, spark, tmp_path):
     """The ingested-files ledger rides the SAME commit as the data:
     a failed insert leaves no ledger entry (so retry re-reads the
