@@ -75,10 +75,18 @@ def _run_to_memory(
 def tumbling_window_counts(
     spark: SparkSession, sf_dir: str, window: str = "1 hour",
     progress_out: list | None = None,
+    source_factory=None, mode: str = "complete",
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event_type (streaming)."""
+    """Watermarked tumbling-window counts per event_type (streaming).
+
+    ``source_factory``/``mode`` let callers replay a multi-batch staged
+    source in append mode so watermark eviction is observable in the
+    ``stateOperators`` metrics (see ``windowed_eviction_drain``); the
+    default single-file complete-mode drain holds all window state
+    until the final watermark (complete mode cannot evict by contract).
+    """
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
-    ev = _stream_events(spark, sf_dir)
+    ev = source_factory() if source_factory else _stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -93,23 +101,24 @@ def tumbling_window_counts(
             F.col("__sum").cast("double").alias("sum_value"),
         )
     )
-    return _run_to_memory(agg, name, progress_out=progress_out)
+    return _run_to_memory(agg, name, mode=mode, progress_out=progress_out)
 
 
 def sliding_window_rates(
     spark: SparkSession, sf_dir: str,
     window: str = "2 hours", slide: str = "1 hour",
     progress_out: list | None = None,
+    source_factory=None, mode: str = "complete",
 ) -> DataFrame:
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    ev = _stream_events(spark, sf_dir)
+    ev = source_factory() if source_factory else _stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
-    return _run_to_memory(agg, name, progress_out=progress_out)
+    return _run_to_memory(agg, name, mode=mode, progress_out=progress_out)
 
 
 def append_mode_out_of_order_replay(
@@ -175,6 +184,7 @@ def append_mode_out_of_order_replay(
 def stateful_user_stats(
     spark: SparkSession, sf_dir: str,
     progress_out: list | None = None,
+    source_factory=None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running event count and max value, carried in explicit
@@ -187,7 +197,7 @@ def stateful_user_stats(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     name = f"stateful_{uuid.uuid4().hex[:8]}"
-    ev = _stream_events(spark, sf_dir)
+    ev = source_factory() if source_factory else _stream_events(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         n, vmax = state.get if state.exists else (0, float("-inf"))
@@ -323,10 +333,11 @@ def foreach_batch_upsert(
 def session_window_stats(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes",
     progress_out: list | None = None,
+    source_factory=None, mode: str = "complete",
 ) -> DataFrame:
     """Session windows per user (gap-based), built-in session_window."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    ev = _stream_events(spark, sf_dir)
+    ev = source_factory() if source_factory else _stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -337,7 +348,58 @@ def session_window_stats(
             "n_events",
         )
     )
-    return _run_to_memory(agg, name, progress_out=progress_out)
+    return _run_to_memory(agg, name, mode=mode, progress_out=progress_out)
+
+
+def windowed_eviction_drain(
+    spark: SparkSession, sf_dir: str, which: str,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Drain one of the windowed-agg streaming entries against the
+    4-batch staged source plus far-future sentinel batches, in APPEND
+    output mode — the configuration under which watermark eviction is
+    OBSERVABLE (``stateOperators[].numRowsRemoved`` > 0): the watermark
+    advances between micro-batches, finalized windows emit, and their
+    state rows are removed, so peak state stays below the full window
+    set. Complete-mode drains cannot show this (complete output must
+    retain every window by contract), which is why the gate entries'
+    default drains report evicted=0 — this drain is the bounded-state
+    evidence for THROUGHPUT.md and the eviction regression test.
+
+    The sentinel batches sweep the watermark past every real window so
+    the append-mode output, after stripping sentinel-era rows, is
+    exactly the complete-mode (= batch = oracle) result — eviction and
+    correctness are asserted on the SAME drain.
+    """
+    import shutil as _shutil
+
+    factory, stage = staged_event_source_factory(spark, sf_dir)
+    add_sentinel_batch(spark, sf_dir, stage)
+    cutoff = load_events(spark, sf_dir).agg(F.max("ts").alias("t")).first()["t"]
+    try:
+        if which == "tumbling":
+            out = tumbling_window_counts(
+                spark, sf_dir, source_factory=factory, mode="append",
+                progress_out=progress_out,
+            )
+            return out.filter(F.col("window_start") <= F.lit(cutoff))
+        if which == "sliding":
+            out = sliding_window_rates(
+                spark, sf_dir, source_factory=factory, mode="append",
+                progress_out=progress_out,
+            )
+            return out.filter(F.col("window_start") <= F.lit(cutoff))
+        if which == "session":
+            out = session_window_stats(
+                spark, sf_dir, source_factory=factory, mode="append",
+                progress_out=progress_out,
+            )
+            return out.filter(F.col("user_id") >= 0)
+        raise ValueError(f"unknown windowed entry {which!r}")
+    finally:
+        # the memory sink holds the drained rows; the staged files are
+        # no longer needed once the query terminated
+        _shutil.rmtree(stage, ignore_errors=True)
 
 
 def staged_event_source_factory(spark: SparkSession, sf_dir: str,

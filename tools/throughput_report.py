@@ -212,10 +212,17 @@ def main() -> None:
         "## Streaming state bounds (stateOperators metrics per drain)",
         "",
         "Peak state = max numRowsTotal across micro-batches; evicted = "
-        "sum numRowsRemoved. The stream-stream join replays a 4-batch "
-        "staged source so the watermark advances mid-drain and eviction "
-        "is observable; the other entries drain the single events file "
-        "(state peaks at the full window set, evicted on finalization).",
+        "sum numRowsRemoved. Every watermarked entry replays a 4-batch "
+        "staged source (+ far-future sentinel batches for the windowed "
+        "aggs, drained in append mode) so the watermark advances "
+        "mid-drain and eviction is OBSERVED, not just configured — "
+        "evicted > 0 on every watermarked row is the bounded-state "
+        "regression gate (tests/test_streaming_eviction.py pins it and "
+        "the append-mode output's equality to the complete-mode/batch "
+        "result). stateful_user_stats has no watermark by design "
+        "(running per-user totals never expire): its bound is KEY "
+        "CARDINALITY — peak state equals distinct users and stays flat "
+        "across the staged batches while input grows.",
         "",
         "| entry | output rows | peak state rows | rows evicted |",
         "|---|---|---|---|",
@@ -230,27 +237,35 @@ def main() -> None:
         lines.append(f"| {label} | {out_rows:,} | {peak:,} | {evicted:,} |")
 
     state_row(
-        "streaming_tumbling_counts",
-        lambda pr: STR.tumbling_window_counts(spark, sf_dir, progress_out=pr),
+        "streaming_tumbling_counts (staged append)",
+        lambda pr: STR.windowed_eviction_drain(
+            spark, sf_dir, "tumbling", progress_out=pr
+        ),
     )
     state_row(
-        "streaming_sliding_counts",
-        lambda pr: STR.sliding_window_rates(spark, sf_dir, progress_out=pr),
+        "streaming_sliding_counts (staged append)",
+        lambda pr: STR.windowed_eviction_drain(
+            spark, sf_dir, "sliding", progress_out=pr
+        ),
     )
     state_row(
-        "streaming_session_windows",
-        lambda pr: STR.session_window_stats(spark, sf_dir, progress_out=pr),
+        "streaming_session_windows (staged append)",
+        lambda pr: STR.windowed_eviction_drain(
+            spark, sf_dir, "session", progress_out=pr
+        ),
     )
     state_row(
         "streaming_dedup_exact",
         lambda pr: STR.streaming_dedup(spark, sf_dir, progress_out=pr),
     )
-    state_row(
-        "streaming_stateful_user_stats",
-        lambda pr: STR.stateful_user_stats(spark, sf_dir, progress_out=pr),
-    )
     factory, stage = STR.staged_event_source_factory(spark, sf_dir)
     try:
+        state_row(
+            "streaming_stateful_user_stats (4-batch staged; state ∝ keys, no TTL)",
+            lambda pr: STR.stateful_user_stats(
+                spark, sf_dir, progress_out=pr, source_factory=factory
+            ),
+        )
         state_row(
             "streaming_stream_stream_join (4-batch staged)",
             lambda pr: STR.stream_stream_interval_join(
