@@ -26,6 +26,7 @@ def pagerank_quantized(
     d_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, integer-exact.
 
@@ -50,10 +51,18 @@ def pagerank_quantized(
     operator). At 100 TB you would additionally pre-partition edges by
     ``src`` at write time so the per-iteration join is shuffle-free on
     the edge side.
+
+    ``assume_distinct=True`` skips the defensive edge dedup — a full
+    shuffle of the LARGEST frame in the job — for callers that already
+    guarantee unique (src, dst) pairs (e.g. built via ``distinct()`` or
+    a group-by). The update rule counts parallel edges twice, so the
+    flag is a correctness contract, not a hint.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        e = e.distinct()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_w = e.join(outdeg, "src").persist()
     nodes = (

@@ -8212,7 +8212,11 @@ def pagerank_customer_supplier(spark, sf_dir):
     iterations reproduce bit-for-bit on any engine; the oracle unrolls
     the identical update rule into one CTE per iteration. One shuffle
     per iteration (contribution agg by dst) — the irreducible
-    PageRank cost; lineage is checkpoint-truncated per iteration."""
+    PageRank cost; lineage is checkpoint-truncated per iteration.
+    The edge list is distinct by construction (``bp`` is a distinct
+    projection and the two union branches have disjoint node parity),
+    so the operator's defensive edge dedup — a full shuffle of the
+    largest frame — is skipped via ``assume_distinct=True``."""
     from mssql_dataframe_spark.operators import graph as G
 
     l = _t(spark, sf_dir, "lineitem")
@@ -8230,7 +8234,7 @@ def pagerank_customer_supplier(spark, sf_dir):
     ).unionAll(
         bp.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    return G.pagerank_quantized(edges, iters=5)
+    return G.pagerank_quantized(edges, iters=5, assume_distinct=True)
 
 
 @register("kmeans_codebook_train", sql=_kmeans_oracle_sql())

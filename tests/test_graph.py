@@ -39,3 +39,26 @@ def test_hub_outranks_leaves(spark):
     r = _ranks(pagerank_quantized(_edges(spark, pairs), iters=5))
     assert all(r[1] > r[i] for i in (2, 3, 4, 5))
     assert len({r[i] for i in (2, 3, 4, 5)}) == 1  # symmetric leaves agree
+
+
+def test_assume_distinct_contract(spark):
+    """assume_distinct=True skips the defensive edge dedup (a full
+    shuffle of the largest frame): on a unique edge list the results
+    are identical; with parallel edges the default dedups them while
+    the flag (per contract) counts them twice."""
+    unique = _edges(spark, [(1, 2), (2, 1)])
+    assert _ranks(pagerank_quantized(unique, iters=3)) == _ranks(
+        pagerank_quantized(unique, iters=3, assume_distinct=True)
+    )
+    # asymmetric graph where a parallel edge does NOT cancel: with the
+    # dup admitted, outdeg(1)=3 and node 2 receives a double share
+    dup = _edges(spark, [(1, 2), (1, 2), (1, 3), (2, 1), (3, 1)])
+    deduped = _ranks(pagerank_quantized(dup, iters=3))
+    assert deduped == _ranks(
+        pagerank_quantized(
+            _edges(spark, [(1, 2), (1, 3), (2, 1), (3, 1)]), iters=3
+        )
+    )
+    admitted = _ranks(pagerank_quantized(dup, iters=3, assume_distinct=True))
+    assert admitted[2] > deduped[2]  # double edge -> double share
+    assert admitted != deduped
