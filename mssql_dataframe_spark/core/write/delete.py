@@ -99,8 +99,33 @@ def _check_restrict_references(
                     _chain=_chain + (table_name,),
                 )
             elif action == "set_null":
-                child = store.read(t)
                 key_cols = set(fk["columns"])
+                # file-pruned rewrite (the delete_where shape): one
+                # slim scan — FK columns + _metadata.file_path — finds
+                # the files holding a matching row; every other file
+                # carries into the next manifest BY REFERENCE. Cost ∝
+                # referencing files, not child-table size.
+                matched_files = {
+                    os.path.basename(r["f"])
+                    for r in store.read(t)
+                    .select(
+                        *fk["columns"],
+                        F.col("_metadata.file_path").alias("f"),
+                    )
+                    .na.drop(how="any", subset=list(fk["columns"]))
+                    .join(parent_keys, list(fk["columns"]), "left_semi")
+                    .select("f")
+                    .distinct()
+                    .collect()
+                }
+                entries = store.manifest(t, store.meta(t).version)
+                touched = [
+                    e["path"] for e in entries if e["path"] in matched_files
+                ]
+                keep_entries = [
+                    e for e in entries if e["path"] not in matched_files
+                ]
+                child = store.read_files(t, touched)
                 # null the FK columns on matching rows; a left-semi
                 # flag via join would lose non-matching rows, so flag
                 # with a left join on the slim key set instead
@@ -121,7 +146,7 @@ def _check_restrict_references(
                         for f in store.meta(t).spark_schema.fields
                     ]
                 )
-                store.overwrite(t, new_child, op="fk_set_null")
+                store.replace_files(t, new_child, keep_entries, op="fk_set_null")
             else:
                 raise SQLForeignKeyViolation(
                     f"cannot delete from {table_name!r}: rows are still "

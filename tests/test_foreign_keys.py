@@ -148,6 +148,51 @@ def test_on_delete_set_null(engine, spark):
     assert got == {10: None, 11: 2}
 
 
+def test_on_delete_set_null_rewrites_only_touched_files(engine, spark):
+    """SET NULL is file-pruned like delete_where: child files with no
+    matching row carry into the next manifest BY REFERENCE, so the
+    rewrite cost is ∝ referencing files, not child-table size."""
+    engine.create.table("dbo.parp", {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        "dbo.parp",
+        spark.createDataFrame([Row(pk=i) for i in range(4)], "pk long"),
+    )
+    engine.create.table(
+        "dbo.chip", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    # three separate inserts -> three files; only the first references pk=0
+    for lo, ref in ((0, 0), (100, 3), (200, 3)):
+        engine.write.insert(
+            "dbo.chip",
+            spark.createDataFrame(
+                [Row(id=lo + i, ref=ref) for i in range(5)], "id long, ref long"
+            ),
+        )
+    engine.modify.foreign_key(
+        "dbo.chip", "add", "fk_p",
+        columns="ref", ref_table="dbo.parp", ref_columns="pk",
+        on_delete="set_null",
+    )
+    n_files_before = len(
+        engine.store.manifest("dbo.chip", engine.store.meta("dbo.chip").version)
+    )
+    assert n_files_before >= 3
+    engine.write.delete(
+        "dbo.parp", spark.createDataFrame([Row(pk=0)], "pk long")
+    )
+    meta = engine.store.meta("dbo.chip")
+    commits = [
+        c for c in engine.store.history("dbo.chip")
+        if c.get("operation") == "fk_set_null"
+    ]
+    assert commits, "set_null must commit with its own op label"
+    last = commits[-1]
+    assert last["n_files_kept"] >= 2, f"untouched files must carry by reference: {last}"
+    got = {r["id"]: r["ref"] for r in engine.read.table("dbo.chip").collect()}
+    assert all(v is None for k, v in got.items() if k < 100)
+    assert all(v == 3 for k, v in got.items() if k >= 100)
+
+
 def test_on_delete_set_null_requires_nullable_fk_columns(engine, spark):
     engine.create.table(
         "dbo.parn2", {"pk": "bigint"}, primary_key_column="pk"
