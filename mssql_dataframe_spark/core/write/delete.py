@@ -166,7 +166,15 @@ def delete_op(
 ) -> int:
     """Delete rows whose match-column values appear in ``dataframe``
     (keys only — extra columns are rejected by the schema check).
-    Returns the number of rows deleted."""
+    Returns the number of rows deleted.
+
+    Two pruning tiers keep the rewrite ∝ matching files at any table
+    size: a single-column-PK match uses zero-scan manifest min/max
+    stats (``split_by_key_range``); any other match key (e.g. an
+    ON DELETE CASCADE child delete matching on FK columns) falls back
+    to content-discovered pruning — one slim scan of the match columns
+    plus ``_metadata.file_path`` finds the touched files and a
+    no-match delete returns 0 without committing."""
     meta = store.meta(table_name)
     match = resolve_match_columns(meta, dataframe, match_columns)
     extra = [c for c in dataframe.columns if c not in match]
@@ -183,12 +191,39 @@ def delete_op(
 
     keep_entries = None
     if can_prune and bounds is not None and bounds[0] is not None:
+        # stats pruning: zero-scan manifest min/max split on the PK
         touched, kept = store.split_by_key_range(
             table_name, match[0], bounds[0], bounds[1]
         )
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
+    if keep_entries is None:
+        # content pruning fallback (the delete_where shape) for
+        # non-PK match keys — e.g. an ON DELETE CASCADE child delete
+        # matching on FK columns: one slim scan (match columns +
+        # _metadata.file_path) finds the files holding a matching
+        # row; the rest carry by reference instead of rewriting the
+        # whole table.
+        matched_files = {
+            os.path.basename(r["f"])
+            for r in store.read(table_name)
+            .select(*match, F.col("_metadata.file_path").alias("f"))
+            .join(keys, on=match, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        }
+        if not matched_files:
+            return 0  # nothing matches: no rewrite, no commit
+        entries = store.manifest(table_name, meta.version)
+        kept = [e for e in entries if e["path"] not in matched_files]
+        if kept:
+            keep_entries = kept
+            target = store.read_files(
+                table_name,
+                [e["path"] for e in entries if e["path"] in matched_files],
+            )
     if keep_entries is None:
         target = store.read(table_name)
 

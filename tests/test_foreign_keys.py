@@ -193,6 +193,43 @@ def test_on_delete_set_null_rewrites_only_touched_files(engine, spark):
     assert all(v == 3 for k, v in got.items() if k >= 100)
 
 
+def test_on_delete_cascade_rewrites_only_touched_files(engine, spark):
+    """The cascade child delete matches on FK columns (not the child
+    PK), so stats pruning can't apply — content-discovered pruning
+    must still carry untouched child files by reference."""
+    engine.create.table("dbo.parc", {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        "dbo.parc",
+        spark.createDataFrame([Row(pk=i) for i in range(4)], "pk long"),
+    )
+    engine.create.table(
+        "dbo.chic", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    for lo, ref in ((0, 0), (100, 3), (200, 3)):
+        engine.write.insert(
+            "dbo.chic",
+            spark.createDataFrame(
+                [Row(id=lo + i, ref=ref) for i in range(5)], "id long, ref long"
+            ),
+        )
+    engine.modify.foreign_key(
+        "dbo.chic", "add", "fk_c",
+        columns="ref", ref_table="dbo.parc", ref_columns="pk",
+        on_delete="cascade",
+    )
+    engine.write.delete(
+        "dbo.parc", spark.createDataFrame([Row(pk=0)], "pk long")
+    )
+    deletes = [
+        c for c in engine.store.history("dbo.chic")
+        if c.get("operation") == "delete"
+    ]
+    assert deletes and deletes[-1]["n_files_kept"] >= 2, deletes
+    assert sorted(r["id"] for r in engine.read.table("dbo.chic").collect()) == [
+        100 + i for i in range(5)
+    ] + [200 + i for i in range(5)]
+
+
 def test_on_delete_set_null_requires_nullable_fk_columns(engine, spark):
     engine.create.table(
         "dbo.parn2", {"pk": "bigint"}, primary_key_column="pk"
