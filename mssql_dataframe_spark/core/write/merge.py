@@ -120,8 +120,11 @@ def merge_op(
     # keeps footer stats for, rewrite ONLY the files whose key range
     # intersects the source — untouched files carry over by reference.
     # At 100 TB this turns merge cost from O(table) into O(touched).
+    # structurally prunable: no clause can touch a target row whose
+    # match key is absent from the source
+    structurally_prunable = upsert and not delete_requires and not nmbs_set
     can_prune = (
-        upsert and not delete_requires and not nmbs_set
+        structurally_prunable
         and match == list(meta.primary_key) and len(match) == 1
     )
 
@@ -168,12 +171,39 @@ def merge_op(
 
     keep_entries = None
     if can_prune and bounds is not None and bounds[0] is not None:
+        # stats pruning: zero-scan manifest min/max split on the PK
         touched, kept = store.split_by_key_range(
             table_name, match[0], bounds[0], bounds[1]
         )
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
+    if keep_entries is None and structurally_prunable:
+        # content pruning fallback (mirrors delete/update): an upsert
+        # on a composite PK or non-PK match key can't use footer
+        # stats, but files with no matching row are still
+        # bit-identical — one slim scan (match columns +
+        # _metadata.file_path) finds the touched files; unmatched
+        # SOURCE rows insert via the rewritten portion regardless.
+        import os as _os
+
+        matched_files = {
+            _os.path.basename(r["f"])
+            for r in store.read(table_name)
+            .select(*match, F.col("_metadata.file_path").alias("f"))
+            .join(src.select(*match).distinct(), on=match, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        }
+        entries = store.manifest(table_name, meta.version)
+        kept = [e for e in entries if e["path"] not in matched_files]
+        if kept:
+            keep_entries = kept
+            target = store.read_files(
+                table_name,
+                [e["path"] for e in entries if e["path"] in matched_files],
+            )
     if keep_entries is None:
         target = store.read(table_name)
     if evolved_meta_changes:

@@ -94,12 +94,39 @@ def update_op(
     # (see store.replace_files; the Delta MERGE INTO commit shape)
     keep_entries = None
     if can_prune and bounds is not None and bounds[0] is not None:
+        # stats pruning: zero-scan manifest min/max split on the PK
         touched, kept = store.split_by_key_range(
             table_name, match[0], bounds[0], bounds[1]
         )
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
+    if keep_entries is None:
+        # content pruning fallback for non-PK match keys (mirrors
+        # delete_op): UPDATE only changes rows whose match key appears
+        # in the source, so files with no matching row are
+        # bit-identical — one slim scan (match columns +
+        # _metadata.file_path) finds the touched files and the rest
+        # carry into the next manifest by reference.
+        import os as _os
+
+        matched_files = {
+            _os.path.basename(r["f"])
+            for r in store.read(table_name)
+            .select(*match, F.col("_metadata.file_path").alias("f"))
+            .join(src.select(*match).distinct(), on=match, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        }
+        entries = store.manifest(table_name, meta.version)
+        kept = [e for e in entries if e["path"] not in matched_files]
+        if matched_files and kept:
+            keep_entries = kept
+            target = store.read_files(
+                table_name,
+                [e["path"] for e in entries if e["path"] in matched_files],
+            )
     if keep_entries is None:
         target = store.read(table_name)
     renamed = src.select(

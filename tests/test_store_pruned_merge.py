@@ -74,6 +74,85 @@ def test_pruned_update_matches_full_semantics(engine, spark):
     assert out.filter("k = 0 AND v = 0.0").count() == 1  # untouched row intact
 
 
+def test_update_on_non_pk_match_content_prunes(engine, spark):
+    """Matching on a non-PK column defeats stats pruning; the
+    content-pruning fallback must still carry untouched files by
+    reference (one slim match-column + file-path scan)."""
+    eng = engine
+    _make_keyed_table(eng, spark, "pnp", n=1000, parts=8)
+    eng.modify.column("dbo.pnp", "add", "v2", "float")
+    before = _manifest_paths(eng, "dbo.pnp")
+    assert len(before) >= 4
+
+    # v = 2*k, so v in [1800, 1898] lives in the top key-range file(s)
+    src = spark.createDataFrame(
+        [(float(v), float(-v)) for v in range(1800, 1900, 2)],
+        "v double, v2 double",
+    )
+    eng.write.update("dbo.pnp", src, match_columns=["v"])
+
+    after = _manifest_paths(eng, "dbo.pnp")
+    assert before & after, "no files carried by reference on non-PK match"
+    out = eng.read.table("dbo.pnp")
+    assert out.count() == 1000
+    assert out.filter("v2 = -1800.0 AND k = 900").count() == 1
+    assert out.filter("v2 IS NULL AND k < 900").count() == 900
+
+
+def test_upsert_on_composite_pk_content_prunes(engine, spark):
+    """A composite-PK upsert has no single stats column, but the
+    content-pruning fallback must still carry untouched files by
+    reference, and unmatched source rows must still insert."""
+    eng = engine
+    df = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 10).alias("k1"),
+            F.col("id").alias("k2"),
+            F.lit(0.0).cast("double").alias("v"),
+        )
+        .repartitionByRange(8, "k2")
+        .sortWithinPartitions("k2")
+    )
+    eng.create.table(
+        "dbo.cpk", {"k1": "bigint", "k2": "bigint", "v": "float"},
+        primary_key_column=["k1", "k2"],
+    )
+    eng.write.insert("dbo.cpk", df)
+    before = _manifest_paths(eng, "dbo.cpk")
+    assert len(before) >= 4
+
+    src = spark.createDataFrame(
+        [(900 % 10, 900, 9.5), (901 % 10, 901, 9.5), (7, 9001, 1.5)],
+        "k1 long, k2 long, v double",
+    )
+    eng.write.merge("dbo.cpk", src, upsert=True)
+
+    after = _manifest_paths(eng, "dbo.cpk")
+    reused = before & after
+    assert reused, "no files carried by reference on composite-PK upsert"
+    assert len(reused) >= len(before) - 2
+    out = eng.read.table("dbo.cpk")
+    assert out.count() == 1001  # 2 updates + 1 insert
+    assert out.filter("v = 9.5").count() == 2
+    assert out.filter("k2 = 9001 AND v = 1.5").count() == 1
+
+
+def test_pure_insert_merge_keeps_every_file(engine, spark):
+    """An upsert whose source keys are all new must carry EVERY
+    existing file by reference — the commit adds only the new rows."""
+    eng = engine
+    _make_keyed_table(eng, spark, "pin", n=1000, parts=8)
+    before = _manifest_paths(eng, "dbo.pin")
+    src = spark.range(5000, 5050).select(
+        F.col("id").alias("k"), F.lit(1.0).cast("double").alias("v")
+    )
+    eng.write.merge("dbo.pin", src, upsert=True)
+    after = _manifest_paths(eng, "dbo.pin")
+    assert before <= after, "existing files must all carry by reference"
+    assert eng.read.table("dbo.pin").count() == 1050
+
+
 def test_full_rewrite_when_delete_possible(engine, spark):
     """A non-upsert merge can delete anywhere — pruning must NOT kick
     in, and unmatched rows outside the source range must be deleted."""
