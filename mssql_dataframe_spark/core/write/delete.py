@@ -198,13 +198,16 @@ def delete_op(
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
-    if keep_entries is None:
+    entries = store.manifest(table_name, meta.version)
+    if keep_entries is None and entries:
         # content pruning fallback (the delete_where shape) for
         # non-PK match keys — e.g. an ON DELETE CASCADE child delete
         # matching on FK columns: one slim scan (match columns +
         # _metadata.file_path) finds the files holding a matching
         # row; the rest carry by reference instead of rewriting the
-        # whole table.
+        # whole table. (empty-manifest tables skip this: their read
+        # is not a parquet scan, so _metadata does not resolve — and
+        # a delete from an empty table is a no-op anyway.)
         matched_files = {
             os.path.basename(r["f"])
             for r in store.read(table_name)
@@ -216,7 +219,6 @@ def delete_op(
         }
         if not matched_files:
             return 0  # nothing matches: no rewrite, no commit
-        entries = store.manifest(table_name, meta.version)
         kept = [e for e in entries if e["path"] not in matched_files]
         if kept:
             keep_entries = kept

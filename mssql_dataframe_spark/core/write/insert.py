@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ...errors import DataframeColumnInvalidValue
+from ...errors import DataframeColumnInvalidValue, SQLUniqueConstraintViolation
 from ...store import TableStore
 from .. import generated
 from ...validation import (
@@ -121,11 +121,31 @@ def insert(
             f"NOT NULL column(s) {absent} missing from the insert dataframe"
         )
     dataframe = dto.derive(dataframe, meta)
-    df = precheck_dataframe(
-        dataframe,
-        {c: meta.column_types[c] for c in dataframe.columns},
-        not_nullable=required,
-    )
+    # PRIMARY KEY enforcement (SQL Server raises "Violation of PRIMARY
+    # KEY constraint" on every INSERT; the reference surfaces that
+    # server error — create.py:148). The batch-internal duplicate
+    # check rides the SAME single validation agg as the NULL/range
+    # checks (unique_key), and the single-column-PK bounds ride it too
+    # so the existing-table collision check below can stats-prune. An
+    # engine-assigned identity PK is unique by construction (atomic
+    # counter, reseed refuses collisions) and skips both checks.
+    pk = [c for c in meta.primary_key if c in dataframe.columns]
+    pk_bounds_col = pk[0] if len(pk) == 1 else None
+    try:
+        df, pk_bounds = precheck_dataframe(
+            dataframe,
+            {c: meta.column_types[c] for c in dataframe.columns},
+            not_nullable=required,
+            unique_key=pk or None,
+            bounds_col=pk_bounds_col,
+        )
+    except ValueError as e:
+        if "duplicate match-key" in str(e):
+            raise SQLUniqueConstraintViolation(
+                f"Violation of PRIMARY KEY constraint on {pk}: the "
+                "insert batch contains duplicate key values"
+            ) from None
+        raise
 
     if include_metadata_timestamps:
         df = df.withColumn("_time_insert", F.current_timestamp().cast("timestamp_ntz"))
@@ -150,6 +170,38 @@ def insert(
         store, out, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
+    if pk:
+        # PK collision vs the standing snapshot: keys-only semi join,
+        # stats-PRUNED on a single-column PK to just the files whose
+        # key range intersects the batch — an append beyond the
+        # current range (the identity/ordered-ingest shape) reads
+        # ZERO existing files; an empty table skips the join.
+        entries = store.manifest(table_name, meta.version)
+        existing_keys = None
+        if entries:
+            if pk_bounds_col and pk_bounds and pk_bounds[0] is not None:
+                touched, _ = store.split_by_key_range(
+                    table_name, pk_bounds_col, pk_bounds[0], pk_bounds[1]
+                )
+                if touched:
+                    existing_keys = store.read_files(
+                        table_name, touched
+                    ).select(*pk)
+            else:
+                existing_keys = store.read(table_name).select(*pk)
+        if existing_keys is not None:
+            hit = (
+                out.select(*pk)
+                .join(existing_keys, pk, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise SQLUniqueConstraintViolation(
+                    f"Violation of PRIMARY KEY constraint on {pk}: the "
+                    "insert batch repeats key values already in "
+                    f"{table_name!r}"
+                )
     uniques = meta.properties.get("unique_constraints") or {}
     if uniques:
         from ...validation import enforce_unique_constraints

@@ -178,13 +178,17 @@ def merge_op(
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
-    if keep_entries is None and structurally_prunable:
+    entries = store.manifest(table_name, meta.version)
+    if keep_entries is None and structurally_prunable and entries:
         # content pruning fallback (mirrors delete/update): an upsert
         # on a composite PK or non-PK match key can't use footer
         # stats, but files with no matching row are still
         # bit-identical — one slim scan (match columns +
         # _metadata.file_path) finds the touched files; unmatched
         # SOURCE rows insert via the rewritten portion regardless.
+        # (empty-manifest tables skip this: their read is not a
+        # parquet scan, so _metadata does not resolve — and there is
+        # nothing to prune.)
         import os as _os
 
         matched_files = {
@@ -196,7 +200,6 @@ def merge_op(
             .distinct()
             .collect()
         }
-        entries = store.manifest(table_name, meta.version)
         kept = [e for e in entries if e["path"] not in matched_files]
         if kept:
             keep_entries = kept
@@ -314,7 +317,14 @@ def merge_op(
         store, result, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
-    uniques = meta.properties.get("unique_constraints") or {}
+    uniques = dict(meta.properties.get("unique_constraints") or {})
+    if meta.primary_key and set(update_cols) & set(meta.primary_key):
+        # a merge matching on non-PK columns can rewrite PK columns —
+        # SQL Server still enforces the PK there; ride the same
+        # keys-only dup-agg/semi-join hook (the common match==PK case
+        # never enters: PK columns are then match columns, not
+        # update columns, so no extra jobs run)
+        uniques["PRIMARY KEY"] = list(meta.primary_key)
     if uniques:
         from ...validation import enforce_unique_constraints
 

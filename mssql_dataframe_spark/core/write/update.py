@@ -101,13 +101,16 @@ def update_op(
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
-    if keep_entries is None:
+    entries = store.manifest(table_name, meta.version)
+    if keep_entries is None and entries:
         # content pruning fallback for non-PK match keys (mirrors
         # delete_op): UPDATE only changes rows whose match key appears
         # in the source, so files with no matching row are
         # bit-identical — one slim scan (match columns +
         # _metadata.file_path) finds the touched files and the rest
-        # carry into the next manifest by reference.
+        # carry into the next manifest by reference. (empty-manifest
+        # tables skip this: their read is not a parquet scan, so
+        # _metadata does not resolve.)
         import os as _os
 
         matched_files = {
@@ -119,7 +122,6 @@ def update_op(
             .distinct()
             .collect()
         }
-        entries = store.manifest(table_name, meta.version)
         kept = [e for e in entries if e["path"] not in matched_files]
         if matched_files and kept:
             keep_entries = kept
@@ -159,7 +161,12 @@ def update_op(
         store, result, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
-    uniques = meta.properties.get("unique_constraints") or {}
+    uniques = dict(meta.properties.get("unique_constraints") or {})
+    if meta.primary_key and set(update_cols) & set(meta.primary_key):
+        # an update matching on non-PK columns can rewrite PK columns —
+        # SQL Server still enforces the PK there (match==PK never
+        # enters: PK columns are then match columns, no extra jobs)
+        uniques["PRIMARY KEY"] = list(meta.primary_key)
     if uniques:
         from ...validation import enforce_unique_constraints
 

@@ -6935,8 +6935,12 @@ def verb_foreign_key_audit(spark, sf_dir):
         "dbo.orders_fkp", orders, primary_key="o_orderkey"
     )
     eng.write.insert("dbo.orders_fkp", orders)
+    # the synthetic lineitem repeats (orderkey, linenumber) pairs, so
+    # the fact rows get the auto identity _pk (PK uniqueness is
+    # enforced on every insert, as SQL Server does); the FK on
+    # l_orderkey is what this entry exercises
     eng.create.table_from_dataframe(
-        "dbo.lines_fkc", lines, primary_key=["l_orderkey", "l_linenumber"]
+        "dbo.lines_fkc", lines, sql_primary_key=True
     )
     eng.write.insert("dbo.lines_fkc", lines)
     eng.modify.foreign_key(
@@ -6967,9 +6971,10 @@ def verb_foreign_key_audit(spark, sf_dir):
     sql="""
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
            CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           CAST(l_quantity AS DOUBLE) AS l_quantity
+           CAST(SUM(l_quantity) AS DOUBLE) AS l_quantity
     FROM lineitem
     WHERE l_orderkey <= 1000 AND l_orderkey > 100
+    GROUP BY 1, 2
     """,
 )
 def verb_fk_delete_cascade(spark, sf_dir):
@@ -6991,11 +6996,14 @@ def verb_fk_delete_cascade(spark, sf_dir):
     lines = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 1000)
-        .select(
+        # the synthetic lineitem repeats (orderkey, linenumber) pairs;
+        # aggregate to a PK-clean child relation (the engine enforces
+        # PK uniqueness on insert, as SQL Server does)
+        .groupBy(
             F.col("l_orderkey").cast("long").alias("l_orderkey"),
             F.col("l_linenumber").cast("long").alias("l_linenumber"),
-            F.col("l_quantity").cast("double").alias("l_quantity"),
         )
+        .agg(F.sum("l_quantity").cast("double").alias("l_quantity"))
     )
     eng.create.table_from_dataframe(
         "dbo.orders_cas", orders, primary_key="o_orderkey"
@@ -7017,6 +7025,66 @@ def verb_fk_delete_cascade(spark, sf_dir):
     )
     return eng.read.table("dbo.lines_cas").select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "verb_merge_composite_key",
+    sql="""
+    WITH base AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             CAST(SUM(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_orderkey <= 2000
+      GROUP BY 1, 2
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey <= 100 THEN qty + 1 ELSE qty END AS qty
+    FROM base
+    UNION ALL
+    SELECT 999991, 1, 5.0
+    """,
+)
+def verb_merge_composite_key(spark, sf_dir):
+    """Upsert MERGE on a COMPOSITE primary key (l_orderkey,
+    l_linenumber) — the reference supports composite PKs
+    (create.py:120-141) but its merge always stages to a temp table;
+    here the composite key exercises the CONTENT-pruning fallback
+    (core/write/merge.py): no single stats column can split the
+    manifest, so one slim scan of the match columns +
+    _metadata.file_path discovers the touched files and the rest of
+    the table carries by reference — upsert cost ∝ touched files at
+    any scale. The oracle is the post-merge table: low keys updated
+    (+1 qty), one brand-new composite key inserted, everything else
+    byte-identical."""
+    eng = _scratch_engine(spark)
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        # PK-clean composite-key relation (see verb_fk_delete_cascade)
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    eng.create.table_from_dataframe(
+        "dbo.lines_ck", lines, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    eng.write.insert("dbo.lines_ck", lines)
+    source = (
+        lines.filter(F.col("l_orderkey") <= 100)
+        .withColumn("qty", F.col("qty") + F.lit(1.0))
+        .unionByName(
+            spark.createDataFrame(
+                [(999991, 1, 5.0)],
+                "l_orderkey long, l_linenumber long, qty double",
+            )
+        )
+    )
+    eng.write.merge("dbo.lines_ck", source, upsert=True)
+    return eng.read.table("dbo.lines_ck").select(
+        "l_orderkey", "l_linenumber", "qty"
     )
 
 
@@ -7493,15 +7561,17 @@ def verb_delete_where(spark, sf_dir):
         .filter(F.col("l_orderkey") <= 8000)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
     )
-    eng.create.table_from_dataframe(
-        "dbo.li_dw", li, primary_key=["l_orderkey", "l_linenumber"]
-    )
+    # auto identity _pk: the synthetic lineitem repeats (orderkey,
+    # linenumber) pairs and insert enforces PK uniqueness
+    eng.create.table_from_dataframe("dbo.li_dw", li, sql_primary_key=True)
     eng.write.insert("dbo.li_dw", li)
     n = eng.write.delete_where(
         "dbo.li_dw", "l_quantity >= 45 AND l_discount > 0.05"
     )
     assert n > 0, "the predicate matches rows at every sf"
-    return eng.read.table("dbo.li_dw")
+    return eng.read.table("dbo.li_dw").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
 
 
 @register(
