@@ -190,8 +190,11 @@ def delete_op(
     )
 
     keep_entries = None
+    stats_decided = False
     if can_prune and bounds is not None and bounds[0] is not None:
-        # stats pruning: zero-scan manifest min/max split on the PK
+        # stats pruning: zero-scan manifest min/max split on the PK;
+        # when it runs, its verdict stands (see merge_op)
+        stats_decided = True
         touched, kept = store.split_by_key_range(
             table_name, match[0], bounds[0], bounds[1]
         )
@@ -199,7 +202,7 @@ def delete_op(
             keep_entries = kept
             target = store.read_files(table_name, touched)
     entries = store.manifest(table_name, meta.version)
-    if keep_entries is None and entries:
+    if keep_entries is None and not stats_decided and entries:
         # content pruning fallback (the delete_where shape) for
         # non-PK match keys — e.g. an ON DELETE CASCADE child delete
         # matching on FK columns: one slim scan (match columns +

@@ -129,7 +129,13 @@ def insert(
     # so the existing-table collision check below can stats-prune. An
     # engine-assigned identity PK is unique by construction (atomic
     # counter, reseed refuses collisions) and skips both checks.
+    # Cost at 150k rows: ~0.6 s (countDistinct Expand + pruned semi
+    # join) — tables that prefer Delta/Synapse-style informational
+    # PRIMARY KEY NOT ENFORCED semantics opt out with the
+    # ``pk_not_enforced`` table property and pay nothing.
     pk = [c for c in meta.primary_key if c in dataframe.columns]
+    if meta.properties.get("pk_not_enforced"):
+        pk = []
     pk_bounds_col = pk[0] if len(pk) == 1 else None
     try:
         df, pk_bounds = precheck_dataframe(

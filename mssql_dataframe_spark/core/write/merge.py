@@ -170,8 +170,14 @@ def merge_op(
     update_cols = [c for c in src.columns if c not in match]
 
     keep_entries = None
+    stats_decided = False
     if can_prune and bounds is not None and bounds[0] is not None:
-        # stats pruning: zero-scan manifest min/max split on the PK
+        # stats pruning: zero-scan manifest min/max split on the PK.
+        # When it runs, its verdict stands even if it keeps nothing —
+        # a full-range source touches every file, and the content scan
+        # below would only re-discover that at the cost of an extra
+        # job.
+        stats_decided = True
         touched, kept = store.split_by_key_range(
             table_name, match[0], bounds[0], bounds[1]
         )
@@ -179,7 +185,10 @@ def merge_op(
             keep_entries = kept
             target = store.read_files(table_name, touched)
     entries = store.manifest(table_name, meta.version)
-    if keep_entries is None and structurally_prunable and entries:
+    if (
+        keep_entries is None and structurally_prunable
+        and not stats_decided and entries
+    ):
         # content pruning fallback (mirrors delete/update): an upsert
         # on a composite PK or non-PK match key can't use footer
         # stats, but files with no matching row are still
@@ -318,7 +327,11 @@ def merge_op(
         table_name=table_name,
     )
     uniques = dict(meta.properties.get("unique_constraints") or {})
-    if meta.primary_key and set(update_cols) & set(meta.primary_key):
+    if (
+        meta.primary_key
+        and set(update_cols) & set(meta.primary_key)
+        and not meta.properties.get("pk_not_enforced")
+    ):
         # a merge matching on non-PK columns can rewrite PK columns —
         # SQL Server still enforces the PK there; ride the same
         # keys-only dup-agg/semi-join hook (the common match==PK case

@@ -93,8 +93,11 @@ def update_op(
     # over by manifest reference and rewrite only touched files
     # (see store.replace_files; the Delta MERGE INTO commit shape)
     keep_entries = None
+    stats_decided = False
     if can_prune and bounds is not None and bounds[0] is not None:
-        # stats pruning: zero-scan manifest min/max split on the PK
+        # stats pruning: zero-scan manifest min/max split on the PK;
+        # when it runs, its verdict stands (see merge_op)
+        stats_decided = True
         touched, kept = store.split_by_key_range(
             table_name, match[0], bounds[0], bounds[1]
         )
@@ -102,7 +105,7 @@ def update_op(
             keep_entries = kept
             target = store.read_files(table_name, touched)
     entries = store.manifest(table_name, meta.version)
-    if keep_entries is None and entries:
+    if keep_entries is None and not stats_decided and entries:
         # content pruning fallback for non-PK match keys (mirrors
         # delete_op): UPDATE only changes rows whose match key appears
         # in the source, so files with no matching row are
@@ -162,7 +165,11 @@ def update_op(
         table_name=table_name,
     )
     uniques = dict(meta.properties.get("unique_constraints") or {})
-    if meta.primary_key and set(update_cols) & set(meta.primary_key):
+    if (
+        meta.primary_key
+        and set(update_cols) & set(meta.primary_key)
+        and not meta.properties.get("pk_not_enforced")
+    ):
         # an update matching on non-PK columns can rewrite PK columns —
         # SQL Server still enforces the PK there (match==PK never
         # enters: PK columns are then match columns, no extra jobs)

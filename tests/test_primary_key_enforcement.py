@@ -132,3 +132,20 @@ def test_update_via_non_pk_match_cannot_duplicate_pk(engine, spark):
     assert sorted(
         r["k"] for r in engine.read.table("dbo.pk6").collect()
     ) == [2, 7]
+
+
+def test_pk_not_enforced_property_opts_out(engine, spark):
+    """Delta/Synapse-style PRIMARY KEY NOT ENFORCED: the
+    ``pk_not_enforced`` table property turns the PK informational —
+    duplicate inserts pass and cost nothing extra."""
+    engine.create.table(
+        "dbo.pkn", {"k": "bigint", "v": "bigint"},
+        primary_key_column="k", properties={"pk_not_enforced": True},
+    )
+    engine.write.insert(
+        "dbo.pkn",
+        spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=1, v=11)], "k long, v long"
+        ),
+    )
+    assert engine.read.table("dbo.pkn").count() == 2

@@ -50,7 +50,9 @@ def main() -> None:
         f"p50 of {RUNS} runs on local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]. "
         "The reference publishes no numbers to compare against "
         "(BASELINE.md); these are the engine's own bookkeeping, tracked "
-        "round-over-round.",
+        "round-over-round. Write verbs pay for PRIMARY KEY enforcement "
+        "since it landed (~0.6 s/150k-row insert in a controlled A/B — "
+        "SCALE.md); tables can opt out via `pk_not_enforced`.",
         "",
         "| verb | wall p50 (s) | rows/s |",
         "|---|---|---|",
