@@ -74,19 +74,47 @@ class SparkEngine:
     ):
         self.spark = spark or connect()
         self.store = TableStore(self.spark, store_root or DEFAULT_STORE)
+        # reference parity: SQLServer exposes the error taxonomy as an
+        # attribute so callers catch ``sql.exceptions.X``
+        # (package.py:75 ``self.exceptions = custom_errors``)
+        from . import errors as exceptions
+
+        self.exceptions = exceptions
         self.create = create(self.store)
         self.modify = modify(self.store)
         self.read = read(self.store)
         self.write = write(self.store, include_metadata_timestamps)
-        logger.info(
-            "SparkEngine %s on Spark %s", __version__, self.spark.version
-        )
+        self.log_init()
         if include_metadata_timestamps:
             # warning contract: reference package.py:67-83
             logger.warning(
                 "SQL write operations will include metadata "
                 "_time_insert & _time_update columns."
             )
+
+    def log_init(self) -> None:
+        """Log engine/runtime versions for debugging (reference:
+        package.py:87-104 ``log_init`` collecting ``version_spec`` for
+        Python, the server, and required packages — here the "server"
+        is the Spark runtime)."""
+        import sys
+
+        self.version_spec = {
+            "python": sys.version_info,
+            "spark": self.spark.version,
+            "mssql_dataframe_spark": __version__,
+        }
+        for name in ("pyspark", "pandas", "pyarrow"):
+            try:
+                from importlib.metadata import version as _v
+
+                self.version_spec[name] = _v(name)
+            except Exception:  # pragma: no cover - metadata absent
+                self.version_spec[name] = None
+        logger.info(
+            "SparkEngine %s on Spark %s", __version__, self.spark.version
+        )
+        logger.debug("Version Numbers: %s", self.version_spec)
 
     def __enter__(self) -> "SparkEngine":
         return self

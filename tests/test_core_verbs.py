@@ -588,3 +588,16 @@ def test_merge_auto_evolve_failed_validation_has_no_side_effect(engine, spark):
     rows = {r["id"]: (r["v"], r["tag"])
             for r in engine.read.table("dbo.aefail").collect()}
     assert rows == {1: (10, None), 2: (5, "x")}
+
+
+def test_facade_exceptions_and_version_spec(engine):
+    """Reference-parity facade surface (package.py:75, 87-104):
+    ``engine.exceptions`` exposes the error taxonomy and
+    ``version_spec`` records runtime versions."""
+    from mssql_dataframe_spark import errors
+
+    assert engine.exceptions is errors
+    assert engine.exceptions.SQLTableDoesNotExist is errors.SQLTableDoesNotExist
+    vs = engine.version_spec
+    assert vs["spark"] == engine.spark.version
+    assert vs["pyspark"] and vs["pandas"]
