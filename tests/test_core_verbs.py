@@ -601,3 +601,22 @@ def test_facade_exceptions_and_version_spec(engine):
     vs = engine.version_spec
     assert vs["spark"] == engine.spark.version
     assert vs["pyspark"] and vs["pandas"]
+
+
+def test_compare_dfs_utility(engine, spark):
+    """equality.compare_dfs (reference __equality__.py): True on equal
+    multisets, descriptive AssertionError naming the unequal column."""
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.equality import compare_dfs
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "k long, v string")
+    assert compare_dfs(a, b) is True  # unordered relations
+    c = spark.createDataFrame([(1, "x"), (2, "z")], "k long, v string")
+    with _pytest.raises(AssertionError, match=r"\['v'\]"):
+        compare_dfs(a, c)
+    with _pytest.raises(AssertionError, match="row counts"):
+        compare_dfs(a, a.limit(1))
+    with _pytest.raises(AssertionError, match="columns differ"):
+        compare_dfs(a, a.select("v", "k"))
