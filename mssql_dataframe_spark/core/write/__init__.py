@@ -21,9 +21,19 @@ class write:
         self._store = store
         self.include_metadata_timestamps = include_metadata_timestamps
 
-    def insert(self, table_name, dataframe):
+    def insert(self, table_name, dataframe, include_metadata_timestamps=None):
+        # per-call override of the engine-level default (reference:
+        # insert/update/merge accept include_metadata_timestamps
+        # per call — tests/test_core/test_write/*_override_timestamps)
         return insert(
-            self._store, table_name, dataframe, self.include_metadata_timestamps
+            self._store, table_name, dataframe,
+            self._imt(include_metadata_timestamps),
+        )
+
+    def _imt(self, override):
+        return (
+            self.include_metadata_timestamps if override is None
+            else bool(override)
         )
 
     def delete(self, table_name, dataframe, match_columns=None):
@@ -41,13 +51,14 @@ class write:
             self.include_metadata_timestamps,
         )
 
-    def update(self, table_name, dataframe, match_columns=None):
+    def update(self, table_name, dataframe, match_columns=None,
+               include_metadata_timestamps=None):
         return update_op(
             self._store,
             table_name,
             dataframe,
             match_columns,
-            self.include_metadata_timestamps,
+            self._imt(include_metadata_timestamps),
         )
 
     def merge(
@@ -59,6 +70,7 @@ class write:
         delete_requires=None,
         auto_evolve=False,
         not_matched_by_source_set=None,
+        include_metadata_timestamps=None,
     ):
         return merge_op(
             self._store,
@@ -67,7 +79,7 @@ class write:
             match_columns,
             upsert,
             delete_requires,
-            self.include_metadata_timestamps,
+            self._imt(include_metadata_timestamps),
             auto_evolve,
             not_matched_by_source_set,
         )

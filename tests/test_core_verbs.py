@@ -620,3 +620,30 @@ def test_compare_dfs_utility(engine, spark):
         compare_dfs(a, a.limit(1))
     with _pytest.raises(AssertionError, match="columns differ"):
         compare_dfs(a, a.select("v", "k"))
+
+
+def test_per_call_metadata_timestamp_override(engine, spark):
+    """Reference parity (test_update_override_timestamps /
+    test_merge_override_timestamps): include_metadata_timestamps=True
+    per call overrides an engine default of False — the _time_* column
+    is auto-created with the warning contract and stamped for that
+    write only."""
+    engine.create.table("dbo.t_ovr", COLS, primary_key_column="id")
+    engine.write.insert("dbo.t_ovr", _mini_df(spark))  # default: no stamps
+    assert "_time_insert" not in engine.read.table("dbo.t_ovr").columns
+    upd = spark.createDataFrame([Row(id=1, amount=0.0)])
+    engine.write.update(
+        "dbo.t_ovr", upd, include_metadata_timestamps=True
+    )
+    df = engine.read.table("dbo.t_ovr")
+    assert "_time_update" in df.columns
+    assert [r.id for r in df.filter(F.col("_time_update").isNotNull()).collect()] == [1]
+    engine.write.merge(
+        "dbo.t_ovr",
+        spark.createDataFrame([Row(id=9, amount=9.0)]),
+        upsert=True,
+        include_metadata_timestamps=True,
+    )
+    df = engine.read.table("dbo.t_ovr")
+    assert "_time_insert" in df.columns
+    assert df.filter("id = 9 AND _time_insert IS NOT NULL").count() == 1
