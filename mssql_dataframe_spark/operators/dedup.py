@@ -20,6 +20,32 @@ from pyspark.sql import functions as F
 
 from .text import shingles
 
+# persisted intermediates (signature bases, shingle rows) registered
+# here so long-lived sessions can release them — same discipline as
+# operators/distributed_window. Short-lived harnesses instead call
+# ``spark.catalog.clearCache()`` between queries (bench.py, gate_sim).
+_SESSION_PINS: list = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist + eagerly materialize + register for release_pins()."""
+    df = df.persist()
+    df.count()
+    _SESSION_PINS.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every intermediate this module cached; returns how
+    many were held. Safe anytime — consumers that already collected
+    are unaffected; lazy plans recompute."""
+    n = 0
+    for p in _SESSION_PINS:
+        p.unpersist(blocking=False)
+        n += 1
+    _SESSION_PINS.clear()
+    return n
+
 
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
@@ -168,14 +194,12 @@ def _signature_base(
             for b in range(n_bands)
         ],
     )
-    base = base.persist()
-    # materialize NOW: the LSH self-join and the estimate join consume
-    # this 3+ times concurrently in one action; without an eager
-    # barrier each consumer races to recompute the signature scan
-    # before the cache fills (the cluster-scale analog is writing the
-    # signatures to an interim table before the join stage)
-    base.count()
-    return base
+    # materialize NOW (via _pin): the LSH self-join and the estimate
+    # join consume this 3+ times concurrently in one action; without
+    # an eager barrier each consumer races to recompute the signature
+    # scan before the cache fills (the cluster-scale analog is writing
+    # the signatures to an interim table before the join stage)
+    return _pin(base)
 
 
 def minhash_signatures(
@@ -279,8 +303,7 @@ def minhash_dedup_pairs(
     n_hashes = n_bands * rows_per_band
     # ONE shingle-explode scan feeds both the signatures and the exact
     # verifier (it used to run twice)
-    rows = shingle_rows(df, id_col, text_col, k).persist()
-    rows.count()
+    rows = _pin(shingle_rows(df, id_col, text_col, k))
     base = _signature_base(
         df, id_col, text_col, n_bands, k, rows_per_band, rows=rows
     )
@@ -357,10 +380,8 @@ def minhash_dedup_incremental(
     """
     margin = 0.2
     n_hashes = n_bands * rows_per_band
-    new_rows = shingle_rows(new_df, id_col, text_col, k).persist()
-    new_rows.count()
-    cor_rows = shingle_rows(corpus_df, id_col, text_col, k).persist()
-    cor_rows.count()
+    new_rows = _pin(shingle_rows(new_df, id_col, text_col, k))
+    cor_rows = _pin(shingle_rows(corpus_df, id_col, text_col, k))
     nb = _signature_base(
         new_df, id_col, text_col, n_bands, k, rows_per_band, rows=new_rows
     )
@@ -520,8 +541,8 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
         )
-        .persist()
     )
+    rows = _pin(rows)
     sizes = rows.groupBy(id_col).agg(F.count("*").alias("ng"))
     inter = (
         cands.join(rows.select(F.col(id_col).alias("id1"), "g"), "id1")

@@ -201,3 +201,27 @@ class TestExactSubstringPairs:
         rows = [(1, shared + " a"), (2, shared + " b")]
         pairs = self._run(spark, rows, window=24, kgram=4, mod=2)
         assert pairs == [(1, 2)]
+
+
+def test_release_pins_drains_dedup_caches(spark):
+    """The MinHash pipeline pins its signature/shingle intermediates;
+    release_pins() must unpersist every one (long-session hygiene —
+    same contract as distributed_window.release_all)."""
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} lorem ipsum dolor")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    D.release_pins()  # start clean
+    D.minhash_dedup_pairs(df, threshold=0.5).count()
+    held = list(D._SESSION_PINS)
+    assert held, "pipeline must register its persisted intermediates"
+    assert all(p.storageLevel.useMemory for p in held)
+    n = D.release_pins()
+    assert n == len(held)
+    assert all(not p.storageLevel.useMemory for p in held)
+    assert D.release_pins() == 0

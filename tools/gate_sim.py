@@ -82,6 +82,10 @@ def run(sf_dir: str, names: list[str]) -> int:
     n_fail = 0
     for name in names:
         t0 = time.time()
+        # entries may persist intermediates (LSH signatures, shingle
+        # rows); drop them between entries so a long sweep doesn't
+        # accumulate cache pressure (bench.py does the same per run)
+        spark.catalog.clearCache()
         try:
             sdf = queries[name](spark, sf_dir)
             spd = sdf.toPandas()
