@@ -135,6 +135,24 @@ class read:
                         "optimize the table to refresh stats"
                     )
                 bounds.append(b)
+            # truncation guard: long string bounds are stored
+            # truncated (MIN to a prefix, MAX truncate+increment, see
+            # store._truncate_string_bounds) — valid OUTER bounds for
+            # pruning, but NOT exact values. A bound at the truncation
+            # length may be widened, so refuse rather than serve a
+            # value that might not exist in the data (the same
+            # refuses-not-estimates contract as stale stats).
+            maybe_truncated = [
+                b for b in bounds
+                if (isinstance(b[0], str) and len(b[0]) >= 64)
+                or (isinstance(b[1], str) and len(b[1]) >= 64)
+            ]
+            if maybe_truncated:
+                raise ValueError(
+                    f"column {c!r} bounds are stored truncated (string "
+                    ">= 64 chars): min/max cannot be answered exactly "
+                    "from metadata — scan the column instead"
+                )
             lo = min(b[0] for b in bounds) if bounds else None
             hi = max(b[1] for b in bounds) if bounds else None
             out.append(

@@ -109,8 +109,32 @@ def _footer_stats(path: str, cols: list[str]):
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
         if ok and lo is not None:
-            bounds[col] = (lo, hi)
+            bounds[col] = _truncate_string_bounds(lo, hi)
     return rows, bounds
+
+
+def _truncate_string_bounds(lo, hi, limit: int = 64):
+    """Cap string bounds at ``limit`` chars before they enter the
+    manifest (the Delta stats-truncation shape): a long-text stats
+    column would otherwise store full values per file entry — O(files
+    × value length) manifest bloat at scale. The MIN truncates to a
+    prefix (prefix <= value: still a valid lower bound); the MAX
+    truncates and INCREMENTS its last character so it stays an upper
+    bound of every value sharing the prefix. Pruning built on the
+    widened bounds is conservative — keeps more files, never wrong."""
+    if isinstance(lo, str) and len(lo) > limit:
+        lo = lo[:limit]
+    if isinstance(hi, str) and len(hi) > limit:
+        p = hi[:limit]
+        for i in range(len(p) - 1, -1, -1):
+            c = ord(p[i])
+            if c < 0x10FFFF:
+                p = p[:i] + chr(c + 1)
+                break
+        else:  # every char already at the max code point: keep full
+            p = hi
+        hi = p
+    return (lo, hi)
 
 
 def _plain_scalar(v):

@@ -77,3 +77,83 @@ def test_many_file_commit_harvests_stats_distributed(engine, spark):
     lo = min(e["min"] for e in ents)
     hi = max(e["max"] for e in ents)
     assert (lo, hi) == (0, 399)
+
+
+def test_string_stats_bounds_truncated_but_valid(engine, spark):
+    """Long string stats truncate to 64 chars in the manifest (MIN to a
+    prefix, MAX truncate+increment), so manifests stay O(files) small
+    — and range pruning on the widened bounds stays CORRECT: a file is
+    never pruned for a key it contains."""
+    from pyspark.sql import Row
+
+    long_a = "a" * 200
+    long_z = "z" * 200
+    engine.create.table(
+        "dbo.strst", {"k": "varchar(300)", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.strst",
+        spark.createDataFrame(
+            [Row(k=long_a, v=1), Row(k=long_z, v=2)], "k string, v long"
+        ),
+    )
+    meta = engine.store.meta("dbo.strst")
+    ents = engine.store.manifest("dbo.strst", meta.version)
+    bs = [
+        (e.get("stats") or {}).get("k") or (e.get("min"), e.get("max"))
+        for e in ents
+    ]
+    for b in bs:
+        assert b[0] is not None and len(b[0]) <= 64
+        assert len(b[1]) <= 65  # 64 + possible increment carry char
+    # table-wide bounds stay OUTER bounds of the actual values
+    assert min(b[0] for b in bs) <= long_a
+    assert max(b[1] for b in bs) >= long_z
+    # pruning with the widened bounds keeps the containing file
+    touched, kept = engine.store.split_by_key_range(
+        "dbo.strst", "k", long_z, long_z
+    )
+    assert touched, "file holding the key must stay touched"
+    # and a provably-disjoint range still prunes
+    touched2, kept2 = engine.store.split_by_key_range(
+        "dbo.strst", "k", "~~~", "~~~~"
+    )
+    assert kept2 and not touched2
+
+
+def test_table_stats_refuses_truncated_string_bounds(engine, spark):
+    """Metadata MIN/MAX must refuse when a string bound may be
+    truncated (>= 64 chars) — a widened bound is valid for pruning but
+    is not a value guaranteed to exist in the data."""
+    from pyspark.sql import Row
+
+    engine.create.table(
+        "dbo.strtr", {"k": "varchar(300)", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.strtr",
+        spark.createDataFrame(
+            [Row(k="b" * 200, v=1), Row(k="c" * 200, v=2)],
+            "k string, v long",
+        ),
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        engine.read.table_stats("dbo.strtr", columns=["k"]).collect()
+    # short string keys still answer exactly
+    engine.create.table(
+        "dbo.strok", {"k": "varchar(10)", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.strok",
+        spark.createDataFrame(
+            [Row(k="aa", v=1), Row(k="zz", v=2)], "k string, v long"
+        ),
+    )
+    row = {
+        r["column"]: (r["min"], r["max"])
+        for r in engine.read.table_stats("dbo.strok", columns=["k"]).collect()
+    }
+    assert row["k"] == ("aa", "zz")
