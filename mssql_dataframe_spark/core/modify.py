@@ -172,6 +172,11 @@ class modify:
                     "constraint names starting with 'uq__fk__' are "
                     "reserved for FK-implied uniques"
                 )
+            if name == "PRIMARY KEY":
+                raise ValueError(
+                    "'PRIMARY KEY' is reserved (used by the write-path "
+                    "PK-uniqueness hook)"
+                )
             for c in cols:
                 if c not in meta.spark_schema.fieldNames():
                     raise SQLColumnDoesNotExist(c)

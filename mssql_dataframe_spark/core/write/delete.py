@@ -198,6 +198,11 @@ def delete_op(
         touched, kept = store.split_by_key_range(
             table_name, match[0], bounds[0], bounds[1]
         )
+        if not touched:
+            # no file's key range intersects the source: nothing can
+            # match — no rewrite, no commit (same contract as the
+            # content path's no-match short-circuit)
+            return 0
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
