@@ -203,6 +203,62 @@ def main() -> None:
             f"| {n * mult:,} | {n_files} | {statistics.median(samples):.3f} |"
         )
 
+    # content-pruned scaling: the same fixed-size upsert against a
+    # COMPOSITE-PK table, where no single stats column can split the
+    # manifest — the content-pruning fallback (one slim match-cols +
+    # file-path scan) must keep wall-clock flat across doublings too
+    lines += [
+        "",
+        "## Content-pruned scaling (composite-PK 1k-key upsert vs table size)",
+        "",
+        "No stats column covers a composite key, so pruning comes from "
+        "the content-discovery scan (match columns + _metadata.file_path). "
+        "Flat wall-clock across doublings = the fallback also keeps "
+        "mutation cost ∝ touched data.",
+        "",
+        "| table rows | files | upsert wall p50 (s) |",
+        "|---|---|---|",
+    ]
+    cbase = orders.select(
+        (F.col("o_orderkey") % 1000).alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    for mult in (1, 2, 4):
+        eng = fresh_engine()
+        tbl = "dbo.scale_c"
+        eng.create.table(
+            tbl, {"k1": "bigint", "k2": "bigint", "v": "float"},
+            primary_key_column=["k1", "k2"],
+        )
+        big = cbase
+        for i in range(1, mult):
+            big = big.unionByName(
+                cbase.select(
+                    "k1",
+                    (F.col("k2") + F.lit(i * 10_000_000)).alias("k2"),
+                    "v",
+                )
+            )
+        # range-lay out by k2 so content discovery has distinct files
+        eng.write.insert(tbl, big.repartitionByRange(8 * mult, "k2"))
+        src = spark.range(1000).select(
+            (F.col("id") % 1000).alias("k1"),
+            F.col("id").alias("k2"),
+            F.lit(1.5).cast("double").alias("v"),
+        )
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            eng.write.merge(tbl, src, upsert=True)
+            samples.append(time.perf_counter() - t0)
+        n_files = len(
+            eng.store.manifest(tbl, eng.store.meta(tbl).version)
+        )
+        lines.append(
+            f"| {n * mult:,} | {n_files} | {statistics.median(samples):.3f} |"
+        )
+
     # streaming state bounds: peak state rows + watermark eviction per
     # entry, from the query-progress stateOperators metrics — a
     # regression in eviction (state growing with the stream) shows up
