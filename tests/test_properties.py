@@ -328,3 +328,84 @@ def test_ewma_fold_matches_python_reference(spark, vals):
         q = int(v * 100 + 0.5)
         ref = q if ref is None else (13 * q + 87 * ref) // 100
     assert got == ref
+
+
+@st.composite
+def referential_case(draw):
+    parent_keys = sorted(draw(st.sets(st.integers(0, 5), min_size=1, max_size=6)))
+    child = draw(
+        st.lists(
+            st.tuples(
+                st.integers(100, 120),
+                st.one_of(st.none(), st.sampled_from(parent_keys)),
+            ),
+            min_size=0,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        )
+    )
+    doomed = sorted(draw(st.sets(st.sampled_from(parent_keys), min_size=1)))
+    action = draw(st.sampled_from(["cascade", "set_null", "no_action"]))
+    return parent_keys, child, doomed, action
+
+
+_ref_case_n = [0]
+
+
+@given(referential_case())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_referential_actions_match_model(engine, spark, case):
+    """ON DELETE semantics vs a pure-Python model: cascade removes the
+    referencing child rows, set_null nulls their FK columns, no_action
+    refuses while referenced — for ANY parent/child/delete shape."""
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark.errors import SQLForeignKeyViolation
+
+    parent_keys, child, doomed, action = case
+    _ref_case_n[0] += 1
+    p, c = f"dbo.prop_par{_ref_case_n[0]}", f"dbo.prop_chi{_ref_case_n[0]}"
+    engine.create.table(p, {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        p, spark.createDataFrame([Row(pk=k) for k in parent_keys], "pk long")
+    )
+    engine.create.table(
+        c, {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    if child:
+        engine.write.insert(
+            c,
+            spark.createDataFrame(
+                [Row(id=i, ref=r) for i, r in child], "id long, ref long"
+            ),
+        )
+    engine.modify.foreign_key(
+        c, "add", "fk", columns="ref", ref_table=p, ref_columns="pk",
+        on_delete=action,
+    )
+    keys_df = spark.createDataFrame([Row(pk=k) for k in doomed], "pk long")
+    referenced = {r for _, r in child if r is not None} & set(doomed)
+    if action == "no_action" and referenced:
+        with pytest.raises(SQLForeignKeyViolation):
+            engine.write.delete(p, keys_df)
+        return
+    n = engine.write.delete(p, keys_df)
+    assert n == len(doomed)
+    if action == "cascade":
+        expect = {(i, r) for i, r in child if r not in set(doomed)}
+    elif action == "set_null":
+        expect = {
+            (i, None if r in set(doomed) else r) for i, r in child
+        }
+    else:  # no_action with nothing referenced
+        expect = set(child)
+    got = {(r["id"], r["ref"]) for r in engine.read.table(c).collect()}
+    assert got == expect
+    surviving = {
+        r["pk"] for r in engine.read.table(p).collect()
+    }
+    assert surviving == set(parent_keys) - set(doomed)
