@@ -7029,6 +7029,41 @@ def verb_fk_delete_cascade(spark, sf_dir):
 
 
 @register(
+    "verb_pk_informational",
+    sql="""
+    SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(2 AS BIGINT) AS n
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def verb_pk_informational(spark, sf_dir):
+    """PRIMARY KEY NOT ENFORCED (the ``pk_not_enforced`` table
+    property — Delta/Synapse-style informational PKs): the engine
+    enforces PK uniqueness on every write by default, but bulk-append
+    pipelines can opt out and pay zero check cost. The entry inserts
+    the same keys TWICE into an opted-out table; the oracle asserts
+    every key landed with multiplicity 2 — impossible under the
+    default enforcement (tests/test_primary_key_enforcement.py pins
+    the enforced side)."""
+    eng = _scratch_engine(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+    )
+    eng.create.table(
+        "dbo.pk_info", {"k": "bigint"}, primary_key_column="k",
+        properties={"pk_not_enforced": True},
+    )
+    eng.write.insert("dbo.pk_info", src)
+    eng.write.insert("dbo.pk_info", src)
+    return (
+        eng.read.table("dbo.pk_info")
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@register(
     "verb_merge_composite_key",
     sql="""
     WITH base AS (
