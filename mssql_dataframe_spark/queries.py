@@ -7029,6 +7029,67 @@ def verb_fk_delete_cascade(spark, sf_dir):
 
 
 @register(
+    "verb_fk_delete_set_null",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey <= 100 THEN NULL
+                ELSE l_orderkey END AS order_ref
+    FROM (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber
+      FROM lineitem WHERE l_orderkey <= 1000
+    )
+    """,
+)
+def verb_fk_delete_set_null(spark, sf_dir):
+    """ON DELETE SET NULL (modify.foreign_key on_delete='set_null'):
+    deleting parent orders nulls the children's FK column instead of
+    deleting them. Scale shape: the child rewrite is FILE-PRUNED via
+    one slim scan (FK columns + _metadata.file_path) — untouched
+    child files carry by manifest reference, cost ∝ referencing
+    files. The child keeps its own (l_orderkey, l_linenumber) PK;
+    a SEPARATE nullable order_ref column carries the FK (SET NULL
+    requires nullable FK columns, checked at declaration). The oracle
+    is the child relation with refs <= 100 nulled."""
+    eng = _scratch_engine(spark)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(F.col("o_orderkey").cast("long").alias("o_orderkey"))
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        )
+        .agg(F.first(F.col("l_orderkey").cast("long")).alias("order_ref"))
+    )
+    eng.create.table_from_dataframe(
+        "dbo.orders_sn", orders, primary_key="o_orderkey"
+    )
+    eng.write.insert("dbo.orders_sn", orders)
+    eng.create.table_from_dataframe(
+        "dbo.lines_sn", lines, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    eng.write.insert("dbo.lines_sn", lines)
+    eng.modify.foreign_key(
+        "dbo.lines_sn", "add", "fk_sn",
+        columns="order_ref",
+        ref_table="dbo.orders_sn", ref_columns="o_orderkey",
+        on_delete="set_null",
+    )
+    eng.write.delete(
+        "dbo.orders_sn",
+        orders.filter(F.col("o_orderkey") <= 100).select("o_orderkey"),
+    )
+    return eng.read.table("dbo.lines_sn").select(
+        "l_orderkey", "l_linenumber", "order_ref"
+    )
+
+
+@register(
     "verb_pk_informational",
     sql="""
     SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(2 AS BIGINT) AS n
