@@ -9127,69 +9127,71 @@ def source_orc_roundtrip(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r7 rotation (VERDICT r6 "What's missing" #1 and #3): the window
-    # carries the final 38 entries that have NEVER had a driver
-    # CORRECTNESS row, completing full-registry driver coverage, plus
-    # a 12-entry staleness re-grade slice of rows last graded in r01
-    # (the oldest evidence in the ledger). COVERAGE.md "Grading
-    # manifest" documents the cycle.
-    # -- never-graded: events analytics suite --
-    "events_mad_outliers",
-    "events_time_to_convert",
-    "events_error_budget",
-    "events_hourly_seasonality",
-    "events_dau_wau_stickiness",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "events_activity_streaks",
-    # -- never-graded: timeseries / window shapes --
-    "timeseries_ewma_quantized",
-    "timeseries_gap_fill",
-    "window_time_range_frames",
-    "date_spine_calendar",
-    "global_topn_orders",
-    "interval_overlap_join",
-    # -- never-graded: relational extensions --
-    "lateral_topk_per_nation",
-    "recursive_cte_supplier_tree",
-    "bloom_filter_join_prune",
-    "null_safe_join_semantics",
-    "argmax_aggregates",
-    "histogram_equi_width",
-    "string_split_rows",
-    "variant_json_extraction",
-    "try_cast_tolerant_ingest",
-    # -- never-graded: sources / scan shapes --
-    "source_parquet_agg_pushdown",
-    "source_nested_struct_pruning",
-    "source_token_drift",
-    # -- never-graded: business analytics --
-    "basket_brand_lift",
-    "orders_cohort_ltv",
-    "orders_priority_mix_shift",
-    "supplier_otif_rate",
-    "customer_order_gaps",
-    # -- never-graded: LLM-pipeline / text --
-    "lang_id_confusion",
-    "decontamination_fuzzy",
-    "heavy_hitters_tokens",
-    "embedding_health_check",
-    "bigram_logprob_quality",
-    "bigram_pmi_collocations",
-    # -- staleness re-grade: rows whose only driver evidence is r01 --
-    "q10_returned_items",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q19_disjunctive_filter",
-    "distinct_aggregates",
-    "window_moving_avg_frames",
-    "bucketed_join_no_shuffle",
-    "stats_aggregates",
-    "unpivot_lineitem_measures",
-    "source_partitioned_pruning",
-    "pandas_udf_embedding_norm",
+    # r8 rotation (VERDICT r7 "Next round" #1): (a) the 5 entries
+    # added after the r7 window froze — the only registry rows with
+    # no driver CORRECTNESS row; (b) the full write-verb suite whose
+    # insert/update/merge/delete code paths were rewired by round 7's
+    # PK enforcement, UNIQUE/FK referential actions, and
+    # content-discovery pruning (last driver-graded r5, pre-rewrite);
+    # (c) the 4 rows whose only driver evidence is r01; (d) a
+    # staleness re-grade slice of the oldest remaining rows (r03).
+    # COVERAGE.md "Grading manifest" documents the cycle.
+    # -- (a) never-graded: round-7 constraint additions --
+    "verb_fk_delete_cascade",
+    "verb_fk_delete_set_null",
+    "verb_pk_informational",
+    "verb_merge_composite_key",
+    "verb_unique_constraint",
+    # -- (b) write-verb re-grades on post-constraint code paths --
+    "verb_insert_read",
+    "verb_update",
+    "verb_merge_upsert",
+    "verb_merge_delete",
+    "verb_merge_delete_requires",
+    "verb_merge_scd2",
+    "verb_merge_auto_evolve",
+    "verb_merge_stale_flagging",
+    "verb_delete_keys",
+    "verb_delete_where",
+    "verb_truncate_reload",
+    "verb_foreign_key_audit",
+    "verb_check_constraints",
+    "verb_identity_pk",
+    # -- (c) rows whose only driver evidence is r01 --
+    "apply_in_pandas_zscore",
+    "map_in_pandas_tokens",
+    "posexplode_tokens",
+    "semi_anti_join",
+    # -- (d) staleness re-grade: oldest remaining evidence (r03) --
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "approx_percentile_sketch",
+    "array_agg_functions",
+    "date_functions",
+    "dedup_cluster_survivors",
+    "dedup_exact_prefix",
+    "dedup_exact_text",
+    "doc_fingerprint",
+    "doc_rolling_hash",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "math_conditional_functions",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "ngram_jaccard_pairs",
+    "pandas_udaf_median",
+    "range_join_price_bands",
+    "simhash_near_dup_pairs",
+    "string_functions",
+    "text_bpe_token_count",
+    "text_lang_id",
+    "text_quality_features",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    # (multimodal_resize, the 28th r03 row, overflows this 50-entry
+    # window; it leads the r9 slice together with the r04 rows.)
 ]
 
 
