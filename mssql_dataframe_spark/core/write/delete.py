@@ -76,8 +76,39 @@ def _check_restrict_references(
                 .na.drop(how="any")
                 .distinct()
             )
+            # stats-prune the child BEFORE probing it: the deleted
+            # keys' per-column min/max (one small agg over the
+            # persisted key set) intersect the child manifest's
+            # per-file FK-column stats, so a delete on a key range no
+            # child file covers reads ZERO child files — the probe
+            # cost is ∝ files that could reference the keys, not
+            # child-table size. Empty child manifests short-circuit
+            # the same way (and never hit the empty-table
+            # no-_metadata read shape).
+            brow = parent_keys.agg(
+                *[
+                    f
+                    for i, c in enumerate(fk["columns"])
+                    for f in (
+                        F.min(c).alias(f"__lo_{i}"),
+                        F.max(c).alias(f"__hi_{i}"),
+                    )
+                ]
+            ).collect()[0]
+            key_bounds = {
+                c: (brow[f"__lo_{i}"], brow[f"__hi_{i}"])
+                for i, c in enumerate(fk["columns"])
+                if brow[f"__lo_{i}"] is not None
+            }
+            if key_bounds:
+                touched, _ = store.split_by_key_ranges(t, key_bounds)
+            else:  # no non-NULL deleted keys: nothing can reference them
+                touched = []
+            if not touched:
+                continue
+            child_scan = store.read_files(t, touched)
             hit = (
-                store.read(t)
+                child_scan
                 .select(*fk["columns"])
                 .na.drop(how="any")
                 .join(parent_keys, fk["columns"], "left_semi")
@@ -103,11 +134,12 @@ def _check_restrict_references(
                 # file-pruned rewrite (the delete_where shape): one
                 # slim scan — FK columns + _metadata.file_path — finds
                 # the files holding a matching row; every other file
-                # carries into the next manifest BY REFERENCE. Cost ∝
-                # referencing files, not child-table size.
+                # carries into the next manifest BY REFERENCE. The
+                # scan itself runs over the stats-pruned child_scan,
+                # so discovery cost is ∝ candidate files too.
                 matched_files = {
                     os.path.basename(r["f"])
-                    for r in store.read(t)
+                    for r in child_scan
                     .select(
                         *fk["columns"],
                         F.col("_metadata.file_path").alias("f"),

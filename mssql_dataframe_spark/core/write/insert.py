@@ -125,8 +125,8 @@ def insert(
     # KEY constraint" on every INSERT; the reference surfaces that
     # server error — create.py:148). The batch-internal duplicate
     # check rides the SAME single validation agg as the NULL/range
-    # checks (unique_key), and the single-column-PK bounds ride it too
-    # so the existing-table collision check below can stats-prune. An
+    # checks (unique_key), and per-PK-column bounds ride it too so the
+    # existing-table collision check below can stats-prune. An
     # engine-assigned identity PK is unique by construction (atomic
     # counter, reseed refuses collisions) and skips both checks.
     # Cost at 150k rows: ~0.6 s (countDistinct Expand + pruned semi
@@ -136,14 +136,13 @@ def insert(
     pk = [c for c in meta.primary_key if c in dataframe.columns]
     if meta.properties.get("pk_not_enforced"):
         pk = []
-    pk_bounds_col = pk[0] if len(pk) == 1 else None
     try:
         df, pk_bounds = precheck_dataframe(
             dataframe,
             {c: meta.column_types[c] for c in dataframe.columns},
             not_nullable=required,
             unique_key=pk or None,
-            bounds_col=pk_bounds_col,
+            bounds_col=pk or None,
         )
     except ValueError as e:
         if "duplicate match-key" in str(e):
@@ -178,23 +177,30 @@ def insert(
     )
     if pk:
         # PK collision vs the standing snapshot: keys-only semi join,
-        # stats-PRUNED on a single-column PK to just the files whose
-        # key range intersects the batch — an append beyond the
+        # stats-PRUNED to just the files whose key range intersects
+        # the batch. Single AND composite PKs prune: every PK column's
+        # per-file min/max is in the manifest (store._stats_cols), and
+        # a file is skipped when ANY key column's range excludes every
+        # batch value (split_by_key_ranges). An append beyond the
         # current range (the identity/ordered-ingest shape) reads
-        # ZERO existing files; an empty table skips the join.
+        # ZERO existing files; an empty table — or an empty batch,
+        # whose bounds are all NULL — skips the join. Files written
+        # before composite stats were recorded lack the per-column
+        # entries and count as touched (safe fallback, self-heals as
+        # they are rewritten).
         entries = store.manifest(table_name, meta.version)
         existing_keys = None
-        if entries:
-            if pk_bounds_col and pk_bounds and pk_bounds[0] is not None:
-                touched, _ = store.split_by_key_range(
-                    table_name, pk_bounds_col, pk_bounds[0], pk_bounds[1]
-                )
-                if touched:
-                    existing_keys = store.read_files(
-                        table_name, touched
-                    ).select(*pk)
-            else:
-                existing_keys = store.read(table_name).select(*pk)
+        usable = {
+            c: b
+            for c, b in (pk_bounds or {}).items()
+            if b[0] is not None and b[1] is not None
+        }
+        if entries and usable:
+            touched, _ = store.split_by_key_ranges(table_name, usable)
+            if touched:
+                existing_keys = store.read_files(
+                    table_name, touched
+                ).select(*pk)
         if existing_keys is not None:
             hit = (
                 out.select(*pk)

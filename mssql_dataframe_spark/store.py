@@ -466,6 +466,21 @@ class TableStore:
         primary = self._stats_col(meta)
         out = [primary] if primary else []
         out.extend(c for c in extra if c and c not in out)
+        # a composite primary key harvests bounds for EVERY key column
+        # (footer reads only — no scan), so multi-column mutations and
+        # the insert collision check can prune files by intersecting
+        # per-column ranges (split_by_key_ranges) instead of falling
+        # back to a full keys-only read of the table.
+        out.extend(c for c in meta.primary_key if c not in out)
+        # FOREIGN KEY columns are harvested too: a parent delete's
+        # referential-action probe (cascade / no_action existence
+        # check, set_null discovery) intersects the child manifest's
+        # FK-column stats, so a delete on a key range no child file
+        # covers reads zero child files. Files written before the FK
+        # was declared lack the bounds and count as touched (safe;
+        # self-heals on optimize/rewrite).
+        for fk in (meta.properties.get("foreign_keys") or {}).values():
+            out.extend(c for c in fk.get("columns", []) if c not in out)
         return out
 
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
@@ -647,26 +662,50 @@ class TableStore:
         any recorded column can prune) with the legacy single
         stats_col/min/max triple as fallback. Files without usable
         stats for ``col`` are always touched (safe)."""
+        return self.split_by_key_ranges(name, {col: (lo, hi)})
+
+    def split_by_key_ranges(
+        self, name: str, bounds: dict
+    ) -> tuple[list[str], list[dict]]:
+        """Multi-column generalization of ``split_by_key_range``:
+        ``bounds`` maps column -> (lo, hi) of the source batch. An
+        entry is kept (provably untouched) when ANY bounded column has
+        usable recorded stats whose range is disjoint from the batch's
+        — a file can be skipped if even one key column's range excludes
+        every batch value (per-column min/max intersection, the Delta
+        data-skipping rule). Columns whose bounds are not plain
+        int/str, or files without usable stats for every still-
+        undecided column, count as touched (safe). An all-unusable
+        ``bounds`` touches everything."""
         meta = self.meta(name)
-        lo, hi = _plain_scalar(lo), _plain_scalar(hi)
-        if lo is None or hi is None:
-            ents = self.manifest(name, meta.version)
+        clean = {}
+        for col, (lo, hi) in bounds.items():
+            lo, hi = _plain_scalar(lo), _plain_scalar(hi)
+            if lo is not None and hi is not None:
+                clean[col] = (lo, hi)
+        ents = self.manifest(name, meta.version)
+        if not clean:
             return [e["path"] for e in ents], []
         touched, kept = [], []
-        for e in self.manifest(name, meta.version):
-            b = (e.get("stats") or {}).get(col)
-            if b is None and e.get("stats_col") == col:
-                b = (e.get("min"), e.get("max"))
-            if (
-                b is None
-                or b[0] is None
-                or b[1] is None
-                or type(b[0]) is not type(lo)
-                or not (b[1] < lo or b[0] > hi)
-            ):
-                touched.append(e["path"])
-            else:
+        for e in ents:
+            disjoint = False
+            for col, (lo, hi) in clean.items():
+                b = (e.get("stats") or {}).get(col)
+                if b is None and e.get("stats_col") == col:
+                    b = (e.get("min"), e.get("max"))
+                if (
+                    b is not None
+                    and b[0] is not None
+                    and b[1] is not None
+                    and type(b[0]) is type(lo)
+                    and (b[1] < lo or b[0] > hi)
+                ):
+                    disjoint = True
+                    break
+            if disjoint:
                 kept.append(e)
+            else:
+                touched.append(e["path"])
         return touched, kept
 
     def version_file_sets(

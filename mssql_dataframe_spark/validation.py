@@ -74,12 +74,15 @@ def precheck_dataframe(
     ``bounds_col``: when set, the min/max of that column ride the SAME
     validation agg job and the return value becomes ``(df, (lo, hi))``
     — the file-pruning bounds for merge/update/SCD2 without a second
-    pass over the source. Only int/str key columns matter here (the
-    manifest keeps stats for nothing else), and for those the later
-    cast steps are value-preserving, so bounds taken pre-cast are
-    exact. (Like Delta's MERGE, pruned writes assume a deterministic
-    source — a source that yields different rows when recomputed can
-    sidestep any bounds collected beforehand.)
+    pass over the source. A LIST of columns collects per-column bounds
+    in that one agg and returns ``(df, {col: (lo, hi)})`` — the shape
+    ``store.split_by_key_ranges`` consumes for composite-key pruning.
+    Only int/str key columns matter here (the manifest keeps stats for
+    nothing else), and for those the later cast steps are
+    value-preserving, so bounds taken pre-cast are exact. (Like
+    Delta's MERGE, pruned writes assume a deterministic source — a
+    source that yields different rows when recomputed can sidestep any
+    bounds collected beforehand.)
     """
     specs: dict[str, ColumnSpec] = {}
     for col in df.columns:
@@ -390,10 +393,15 @@ def _validate_single_pass(
             )
         )
 
-    if bounds_col is not None:
+    bound_cols = (
+        [bounds_col] if isinstance(bounds_col, str)
+        else list(bounds_col) if bounds_col is not None
+        else []
+    )
+    for i, c in enumerate(bound_cols):
         aggs += [
-            F.min(bounds_col).alias("__bounds_lo"),
-            F.max(bounds_col).alias("__bounds_hi"),
+            F.min(c).alias(f"__bounds_lo_{i}"),
+            F.max(c).alias(f"__bounds_hi_{i}"),
         ]
 
     if not aggs:
@@ -461,7 +469,12 @@ def _validate_single_pass(
             )
 
     if bounds_col is not None:
-        return (row["__bounds_lo"], row["__bounds_hi"])
+        if isinstance(bounds_col, str):
+            return (row["__bounds_lo_0"], row["__bounds_hi_0"])
+        return {
+            c: (row[f"__bounds_lo_{i}"], row[f"__bounds_hi_{i}"])
+            for i, c in enumerate(bound_cols)
+        }
     return None
 
 

@@ -1,0 +1,172 @@
+"""Composite-key stats pruning: per-column min/max intersection.
+
+Round-7 left two full-scan fallbacks: the composite-PK insert
+collision check read every file's key columns, and the FK
+existence probes (cascade / no_action) scanned each child unpruned.
+Both now intersect per-column manifest stats first — a file is
+skipped when ANY key column's recorded range excludes every batch
+value — so the checks read ZERO files when the key ranges miss.
+These tests pin that with call-counting wrappers around the store's
+only two scan entry points (``read`` / ``read_files``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mssql_dataframe_spark import errors
+
+
+def _tap_scans(store):
+    """Wrap store.read / store.read_files to record which tables get
+    scanned (the only two paths that open table data)."""
+    calls = {"read": [], "read_files": []}
+    orig_read, orig_rf = store.read, store.read_files
+
+    def read(name, *a, **k):
+        calls["read"].append(name)
+        return orig_read(name, *a, **k)
+
+    def read_files(name, paths, *a, **k):
+        calls["read_files"].append((name, list(paths)))
+        return orig_rf(name, paths, *a, **k)
+
+    store.read, store.read_files = read, read_files
+    return calls
+
+
+def _mk_composite(engine, spark):
+    engine.create.table(
+        "dbo.cpk", {"a": "bigint", "b": "bigint", "v": "bigint"},
+        primary_key_column=["a", "b"],
+    )
+    engine.write.insert(
+        "dbo.cpk",
+        spark.createDataFrame(
+            [Row(a=i, b=i % 10, v=i) for i in range(100)],
+            "a long, b long, v long",
+        ),
+    )
+
+
+def test_composite_pk_manifest_records_all_key_columns(engine, spark):
+    """Every manifest entry of a composite-PK table carries bounds for
+    EVERY key column (footer harvest, no scan)."""
+    _mk_composite(engine, spark)
+    meta = engine.store.meta("dbo.cpk")
+    ents = engine.store.manifest("dbo.cpk", meta.version)
+    assert ents
+    for e in ents:
+        stats = e.get("stats") or {}
+        assert "a" in stats and "b" in stats
+        assert stats["a"][0] is not None and stats["b"][0] is not None
+
+
+def test_composite_pk_insert_disjoint_first_column_reads_zero_files(
+    engine, spark
+):
+    """An insert whose FIRST key column's range misses every file must
+    not read any existing file for the collision check."""
+    _mk_composite(engine, spark)  # a in [0, 99]
+    calls = _tap_scans(engine.store)
+    engine.write.insert(
+        "dbo.cpk",
+        spark.createDataFrame(
+            [Row(a=1000 + i, b=i, v=0) for i in range(5)],
+            "a long, b long, v long",
+        ),
+    )
+    assert calls["read"] == [] and calls["read_files"] == []
+
+
+def test_composite_pk_insert_disjoint_second_column_reads_zero_files(
+    engine, spark
+):
+    """Per-column INTERSECTION: overlapping first column but a disjoint
+    SECOND column still proves every file collision-free."""
+    _mk_composite(engine, spark)  # b in [0, 9]
+    calls = _tap_scans(engine.store)
+    engine.write.insert(
+        "dbo.cpk",
+        spark.createDataFrame(
+            [Row(a=5, b=500, v=0), Row(a=7, b=501, v=0)],
+            "a long, b long, v long",
+        ),
+    )
+    assert calls["read"] == [] and calls["read_files"] == []
+
+
+def test_composite_pk_insert_overlap_still_raises(engine, spark):
+    """Pruning must stay conservative: a genuinely colliding batch
+    (both columns inside recorded ranges) is probed and rejected."""
+    _mk_composite(engine, spark)
+    calls = _tap_scans(engine.store)
+    with pytest.raises(
+        errors.SQLUniqueConstraintViolation, match="PRIMARY KEY"
+    ):
+        engine.write.insert(
+            "dbo.cpk",
+            spark.createDataFrame(
+                [Row(a=5, b=5, v=9)], "a long, b long, v long"
+            ),
+        )
+    assert calls["read_files"]  # the probe really ran, pruned not full
+    assert calls["read"] == []  # and never fell back to a full scan
+
+
+def _mk_fk_pair(engine, spark, on_delete):
+    engine.create.table("dbo.fpar", {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        "dbo.fpar",
+        spark.createDataFrame(
+            [Row(pk=i) for i in range(10)]
+            + [Row(pk=1000 + i) for i in range(10)],
+            "pk long",
+        ),
+    )
+    engine.create.table(
+        "dbo.fchi", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    # FK declared BEFORE the child data lands, so every child file's
+    # manifest entry carries ref-column bounds (files written before
+    # an FK add lack them and stay conservatively touched).
+    engine.modify.foreign_key(
+        "dbo.fchi", "add", "fk_fpar",
+        columns="ref", ref_table="dbo.fpar", ref_columns="pk",
+        on_delete=on_delete,
+    )
+    engine.write.insert(
+        "dbo.fchi",
+        spark.createDataFrame(
+            [Row(id=100 + i, ref=i) for i in range(10)], "id long, ref long"
+        ),
+    )
+
+
+@pytest.mark.parametrize("on_delete", ["no_action", "cascade", "set_null"])
+def test_fk_probe_prunes_child_scan_to_zero_files(engine, spark, on_delete):
+    """Deleting a parent key no child file's FK range covers must not
+    read the child at all — the existence probe intersects the child
+    manifest's per-column FK stats before any scan."""
+    _mk_fk_pair(engine, spark, on_delete)  # child ref range [0, 9]
+    calls = _tap_scans(engine.store)
+    assert engine.write.delete(
+        "dbo.fpar", spark.createDataFrame([Row(pk=1005)], "pk long")
+    ) == 1
+    child_reads = [n for n in calls["read"] if n == "dbo.fchi"]
+    child_file_reads = [
+        nf for nf in calls["read_files"] if nf[0] == "dbo.fchi"
+    ]
+    assert child_reads == [] and child_file_reads == []
+    assert engine.read.table("dbo.fchi").count() == 10  # untouched
+
+
+def test_fk_probe_still_blocks_referenced_delete(engine, spark):
+    """Conservative side: a referenced key inside the child's range is
+    probed for real and NO ACTION still blocks the delete."""
+    _mk_fk_pair(engine, spark, "no_action")
+    with pytest.raises(errors.SQLForeignKeyViolation, match="fk_fpar"):
+        engine.write.delete(
+            "dbo.fpar", spark.createDataFrame([Row(pk=5)], "pk long")
+        )
