@@ -27,6 +27,20 @@ from ...validation import precheck_dataframe
 from .update import resolve_match_columns
 
 
+def fk_references(store, table_name) -> list[tuple]:
+    """``(child_table, fk_name, fk)`` for every FOREIGN KEY in the
+    catalog that references ``table_name`` — metadata reads only."""
+    refs = []
+    for t in store.list_tables():
+        if t == table_name:
+            continue
+        fks = store.meta(t).properties.get("foreign_keys") or {}
+        for nm, fk in fks.items():
+            if fk["ref_table"] == table_name:
+                refs.append((t, nm, fk))
+    return refs
+
+
 def _check_restrict_references(
     store, table_name, deleted_rows, _chain: tuple = ()
 ) -> None:
@@ -49,17 +63,23 @@ def _check_restrict_references(
 
     Child writes are checked in validation.enforce_foreign_keys;
     merge's not-matched-by-source delete clause is intentionally
-    unguarded (its contract predates FKs) and documented so."""
+    unguarded (its contract predates FKs) — merge_op emits a loud
+    warning when its delete clause targets an FK-referenced table.
+
+    Partial-failure contract (pinned by
+    test_cascade_partial_failure_contract): cascade chains are NOT
+    cross-table atomic — each child table commits its own version
+    before the parent commits (child-before-parent order). A failure
+    mid-chain leaves already-committed child deletes in place with
+    the parent intact; the FK invariant (no child row references a
+    missing parent) holds at EVERY commit boundary, which is the
+    invariant this engine guarantees. SQL Server's cascade is atomic
+    — a documented divergence (README / SCALE.md); recover a
+    partial chain with time travel (restore to the pre-delete
+    version) or by re-issuing the parent delete."""
     from ...errors import SQLForeignKeyViolation
 
-    refs = []
-    for t in store.list_tables():
-        if t == table_name:
-            continue
-        fks = store.meta(t).properties.get("foreign_keys") or {}
-        for nm, fk in fks.items():
-            if fk["ref_table"] == table_name:
-                refs.append((t, nm, fk))
+    refs = fk_references(store, table_name)
     if not refs:
         return
     deleted_rows = deleted_rows.persist()
@@ -365,17 +385,11 @@ def truncate_op(store: TableStore, table_name: str) -> int:
     from ...errors import SQLForeignKeyViolation
 
     meta = store.meta(table_name)
-    for t in store.list_tables():
-        if t == table_name:
-            continue
-        for nm, fk in (
-            store.meta(t).properties.get("foreign_keys") or {}
-        ).items():
-            if fk["ref_table"] == table_name:
-                raise SQLForeignKeyViolation(
-                    f"cannot truncate {table_name!r}: referenced by "
-                    f"foreign key {nm!r} on {t!r}"
-                )
+    for t, nm, _fk in fk_references(store, table_name):
+        raise SQLForeignKeyViolation(
+            f"cannot truncate {table_name!r}: referenced by "
+            f"foreign key {nm!r} on {t!r}"
+        )
     n = sum(
         e.get("rows") or 0 for e in store.manifest(table_name, meta.version)
     )

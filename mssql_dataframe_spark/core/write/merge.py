@@ -22,6 +22,8 @@ distinct source key values (the scale-safe version of the reference's
 
 from __future__ import annotations
 
+import logging
+
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -38,6 +40,8 @@ from ...validation import (
 from .. import datetimeoffset as dto
 from .insert import assign_identity, ensure_time_columns
 from .update import resolve_match_columns
+
+logger = logging.getLogger("mssql_dataframe_spark")
 
 
 def merge_op(
@@ -63,6 +67,27 @@ def merge_op(
             "not_matched_by_source_set and delete_requires both claim "
             "the WHEN NOT MATCHED BY SOURCE clause — T-SQL allows one"
         )
+    if not upsert and not nmbs_set:
+        # the WHEN NOT MATCHED BY SOURCE THEN DELETE clause is active:
+        # it deletes target rows WITHOUT running ON DELETE referential
+        # actions (its contract predates FKs and mirrors T-SQL MERGE,
+        # which also fails rather than cascades — documented
+        # divergence). Make the bypass loud when the target is
+        # FK-referenced; write.delete is the action-aware path.
+        # Metadata reads only — no scan.
+        from .delete import fk_references
+
+        refs = fk_references(store, table_name)
+        if refs:
+            logger.warning(
+                "merge into %s may delete rows via WHEN NOT MATCHED BY "
+                "SOURCE, but the table is referenced by foreign key(s) "
+                "%s; this clause bypasses ON DELETE referential actions "
+                "(children are neither checked nor cascaded). Use "
+                "write.delete for action-aware deletes.",
+                table_name,
+                ", ".join(f"{nm!r} on {t!r}" for t, nm, _ in refs),
+            )
 
     meta = store.meta(table_name)
     if include_metadata_timestamps:

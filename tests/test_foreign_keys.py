@@ -446,3 +446,119 @@ def test_self_referencing_fk_parent_and_child_in_one_batch(engine, spark):
             "dbo.emp",
             spark.createDataFrame([Row(id=9, mgr=99)], "id long, mgr long"),
         )
+
+
+def test_cascade_partial_failure_contract(engine, spark):
+    """Pin the documented partial-failure contract: cascade chains are
+    NOT cross-table atomic — children commit before the parent, so a
+    failure between the child commit and the parent commit leaves
+    children deleted and the parent intact. The FK invariant (no child
+    row references a missing parent) holds at that boundary, and time
+    travel can restore the child. SQL Server's cascade is atomic — a
+    documented divergence (README / delete.py docstring)."""
+    engine.create.table("dbo.cpar", {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        "dbo.cpar",
+        spark.createDataFrame([Row(pk=i) for i in range(3)], "pk long"),
+    )
+    engine.create.table(
+        "dbo.cchi", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    engine.modify.foreign_key(
+        "dbo.cchi", "add", "fk_cpar",
+        columns="ref", ref_table="dbo.cpar", ref_columns="pk",
+        on_delete="cascade",
+    )
+    engine.write.insert(
+        "dbo.cchi",
+        spark.createDataFrame(
+            [Row(id=10, ref=0), Row(id=11, ref=1)], "id long, ref long"
+        ),
+    )
+    chi_version_before = engine.store.meta("dbo.cchi").version
+
+    # kill the chain between the child's commit and the parent's: fail
+    # every commit against the PARENT table only
+    store = engine.store
+    orig_replace, orig_over = store.replace_files, store.overwrite
+
+    def _fail_parent(name, *a, **k):
+        raise RuntimeError("injected parent-commit failure")
+
+    def replace_files(name, *a, **k):
+        if name == "dbo.cpar":
+            return _fail_parent(name)
+        return orig_replace(name, *a, **k)
+
+    def overwrite(name, *a, **k):
+        if name == "dbo.cpar":
+            return _fail_parent(name)
+        return orig_over(name, *a, **k)
+
+    store.replace_files, store.overwrite = replace_files, overwrite
+    try:
+        with pytest.raises(RuntimeError, match="injected parent-commit"):
+            engine.write.delete(
+                "dbo.cpar", spark.createDataFrame([Row(pk=0)], "pk long")
+            )
+    finally:
+        store.replace_files, store.overwrite = orig_replace, orig_over
+
+    # the documented state: child delete committed, parent intact
+    parents = sorted(r["pk"] for r in engine.read.table("dbo.cpar").collect())
+    children = {
+        r["id"]: r["ref"] for r in engine.read.table("dbo.cchi").collect()
+    }
+    assert parents == [0, 1, 2]          # parent commit never happened
+    assert children == {11: 1}           # cascade child delete DID commit
+    # FK invariant holds at the failure boundary
+    assert set(children.values()) <= set(parents)
+    # and the child commit is an ordinary version: time travel recovers it
+    prior = engine.read.table("dbo.cchi", version=chi_version_before)
+    assert sorted(r["id"] for r in prior.collect()) == [10, 11]
+
+
+def test_merge_delete_clause_warns_when_target_fk_referenced(
+    engine, spark, caplog
+):
+    """The WHEN NOT MATCHED BY SOURCE delete clause bypasses ON DELETE
+    referential actions (documented divergence) — the bypass must be
+    LOUD when the merge target is FK-referenced, and silent when the
+    merge cannot delete (upsert=True) or nothing references the
+    target."""
+    import logging
+
+    engine.create.table("dbo.mpar", {"pk": "bigint", "v": "bigint"},
+                        primary_key_column="pk")
+    engine.write.insert(
+        "dbo.mpar",
+        spark.createDataFrame(
+            [Row(pk=i, v=i) for i in range(3)], "pk long, v long"
+        ),
+    )
+    engine.create.table(
+        "dbo.mchi", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    engine.modify.foreign_key(
+        "dbo.mchi", "add", "fk_mpar",
+        columns="ref", ref_table="dbo.mpar", ref_columns="pk",
+    )
+
+    src = spark.createDataFrame([Row(pk=0, v=100)], "pk long, v long")
+    with caplog.at_level(logging.WARNING, logger="mssql_dataframe_spark"):
+        engine.write.merge("dbo.mpar", src)  # delete clause active
+    assert any(
+        "bypasses ON DELETE" in r.getMessage() and "fk_mpar" in r.getMessage()
+        for r in caplog.records
+    )
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="mssql_dataframe_spark"):
+        engine.write.merge(
+            "dbo.mpar",
+            spark.createDataFrame([Row(pk=5, v=5)], "pk long, v long"),
+            upsert=True,  # cannot delete: no warning
+        )
+    assert not any(
+        "bypasses ON DELETE" in r.getMessage() for r in caplog.records
+    )
