@@ -81,7 +81,7 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
-def brute_force_topk(
+def brute_force_topk_oracle(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
@@ -89,7 +89,12 @@ def brute_force_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for every query vector.
+    """Exact top-k cosine neighbors for every query vector — the
+    RECALL ORACLE, not a production path (hence the ``_oracle``
+    suffix): the crossJoin is O(queries x corpus) and exists solely
+    to ground-truth ANN recall (ann_recall_at10). At scale use
+    :func:`exact_topk_scalable` (broadcast queries, per-partition
+    running top-k) or the LSH/IVF approximate indexes.
 
     Returns (query_id, neighbor_id, cosine_sim, rank). Excludes
     self-matches. Ties break on neighbor id (deterministic).
@@ -710,7 +715,7 @@ def exact_topk_scalable(
 ) -> DataFrame:
     """Exact top-k cosine neighbors, LINEAR in the corpus size.
 
-    :func:`brute_force_topk` is the recall oracle but materializes
+    :func:`brute_force_topk_oracle` is the recall oracle but materializes
     |Q|x|N| scored rows through a window shuffle — quadratic traffic
     that dies at 100 TB. Here the (small) query set is collected once,
     broadcast to executors, and a ``mapInPandas`` kernel streams each

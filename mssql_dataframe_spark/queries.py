@@ -4742,7 +4742,7 @@ def _cosine_sql(a: str, b: str) -> str:
 def embedding_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    out = S.brute_force_topk(e, q, k=10)
+    out = S.brute_force_topk_oracle(e, q, k=10)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -4919,7 +4919,7 @@ def ann_recall_at10(spark, sf_dir):
     threshold ties between engines)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    brute = S.brute_force_topk(e, q, k=10).select("query_id", "neighbor_id")
+    brute = S.brute_force_topk_oracle(e, q, k=10).select("query_id", "neighbor_id")
     lsh = S.lsh_ann_topk(
         e, q, dim=_DIM, k=10, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES
     ).select("query_id", "neighbor_id")
@@ -4983,7 +4983,7 @@ def embedding_topk_exact_scal(spark, sf_dir):
     query matrix, per-partition int64-matmul running top-k, only
     partitions x Q x k rows ever shuffle). The quantized-cosine order
     is the module's engine-exact contract; the DuckDB twin ranks by
-    the same integer dots. brute_force_topk stays registered as the
+    the same integer dots. brute_force_topk_oracle stays registered as the
     float recall oracle; this entry is the one you run at 100 TB."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)

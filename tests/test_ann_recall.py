@@ -56,7 +56,7 @@ def test_lsh_finds_planted_near_duplicates(spark):
 def test_ivf_recall_at_10_real_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter("vec_id < 20")
-    exact = _topk_sets(S.brute_force_topk(e, q, dim=64, k=10))
+    exact = _topk_sets(S.brute_force_topk_oracle(e, q, dim=64, k=10))
     approx = _topk_sets(
         S.ivf_topk(e, q, k=10, dim=64, centroid_mod=53, nprobe=8)
     )
@@ -139,6 +139,6 @@ def test_exact_topk_scalable_agrees_with_brute_force_neighbors(spark):
     e = _t(spark, "/root/testdata/sf0.001", "embeddings")
     q = e.filter("vec_id < 5")
     fast = _topk_sets(S.exact_topk_scalable(e, q, dim=64, k=10))
-    brute = _topk_sets(S.brute_force_topk(e, q, k=10, dim=64))
+    brute = _topk_sets(S.brute_force_topk_oracle(e, q, k=10, dim=64))
     hits = sum(len(fast[qi] & brute[qi]) for qi in brute)
     assert hits >= 0.8 * sum(len(v) for v in brute.values())
