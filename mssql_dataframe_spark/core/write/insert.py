@@ -219,7 +219,18 @@ def insert(
         from ...validation import enforce_unique_constraints
 
         # appended rows must not collide among themselves or with the
-        # current snapshot (keys-only scan of the existing table)
-        enforce_unique_constraints(out, uniques, existing=store.read(table_name))
+        # current snapshot; the snapshot probe is stats-pruned per
+        # constraint — unique-constraint columns are harvested into
+        # the manifest (store._stats_cols), so an append outside every
+        # file's recorded range reads zero existing files
+        def _existing_for(cols, bounds):
+            if not store.manifest(table_name, meta.version):
+                return None
+            touched, _ = store.split_by_key_ranges(table_name, bounds)
+            if not touched:
+                return None
+            return store.read_files(table_name, touched)
+
+        enforce_unique_constraints(out, uniques, existing_for=_existing_for)
     store.append(table_name, out, extra_properties=extra_properties)
     return df

@@ -481,6 +481,13 @@ class TableStore:
         # self-heals on optimize/rewrite).
         for fk in (meta.properties.get("foreign_keys") or {}).values():
             out.extend(c for c in fk.get("columns", []) if c not in out)
+        # UNIQUE-constraint columns likewise: the insert-time
+        # existing-key probe intersects their per-file bounds so an
+        # append outside every file's range reads zero files.
+        for cols in (
+            meta.properties.get("unique_constraints") or {}
+        ).values():
+            out.extend(c for c in cols if c not in out)
         return out
 
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,

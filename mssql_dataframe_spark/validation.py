@@ -209,7 +209,10 @@ def enforce_foreign_keys(
 
 
 def enforce_unique_constraints(
-    df: DataFrame, uniques: dict, existing: DataFrame | None = None
+    df: DataFrame,
+    uniques: dict,
+    existing: DataFrame | None = None,
+    existing_for=None,
 ) -> None:
     """Enforce recorded UNIQUE constraints on rows about to be written
     (beyond-reference; recorded by ``modify.foreign_key`` when an FK
@@ -217,10 +220,14 @@ def enforce_unique_constraints(
     durable PK/UNIQUE constraint there, so the invariant must survive
     later parent writes, not just the add-time scan).
 
-    Shape: per constraint, one keys-only duplicate agg over the
-    written rows, plus — when ``existing`` carries the rows this
-    commit does NOT rewrite (append target / pruned-away files) — one
-    keys-only semi join against them. Both sides project only the
+    Shape: per constraint, one keys-only agg over the written rows
+    (duplicate flag + per-column min/max in the same job), plus one
+    keys-only semi join against the rows this commit does NOT rewrite
+    — either the ``existing`` frame the caller passes (append target /
+    pruned-away files) or whatever ``existing_for(cols, bounds)``
+    returns, letting the caller stats-prune the probe to the files
+    whose recorded key ranges intersect the batch (``None`` = nothing
+    can collide, probe skipped). Both sides project only the
     constrained columns, so at 100 TB this is a slim shuffle and cost
     stays ∝ touched rows + key width. SQL-Server-flavored NULL
     handling is simplified the same way the FK checker is (MATCH
@@ -234,23 +241,38 @@ def enforce_unique_constraints(
     for name in sorted(uniques):
         cols = list(uniques[name])
         keys = df.select(*cols).na.drop(how="any")
-        dup = (
-            keys.groupBy(*cols)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if not dup and existing is not None:
-            dup = (
-                keys.join(
-                    existing.select(*cols).na.drop(how="any"),
-                    cols,
-                    "left_semi",
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.struct(*[F.col(c) for c in cols])).alias(
+                "__d"
+            ),
+        ]
+        for i, c in enumerate(cols):
+            aggs += [
+                F.min(c).alias(f"__lo_{i}"),
+                F.max(c).alias(f"__hi_{i}"),
+            ]
+        row = keys.agg(*aggs).collect()[0]
+        dup = row["__n"] != row["__d"]
+        if not dup and row["__n"]:
+            ex = existing
+            if ex is None and existing_for is not None:
+                bounds = {
+                    c: (row[f"__lo_{i}"], row[f"__hi_{i}"])
+                    for i, c in enumerate(cols)
+                    if row[f"__lo_{i}"] is not None
+                }
+                ex = existing_for(cols, bounds)
+            if ex is not None:
+                dup = (
+                    keys.join(
+                        ex.select(*cols).na.drop(how="any"),
+                        cols,
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
                 )
-                .limit(1)
-                .count()
-            )
         if dup:
             raise SQLUniqueConstraintViolation(
                 f"unique constraint {name!r} on {cols} violated: the "

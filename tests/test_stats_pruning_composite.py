@@ -170,3 +170,40 @@ def test_fk_probe_still_blocks_referenced_delete(engine, spark):
         engine.write.delete(
             "dbo.fpar", spark.createDataFrame([Row(pk=5)], "pk long")
         )
+
+
+def test_unique_constraint_probe_prunes_to_zero_files(engine, spark):
+    """The insert-time UNIQUE existing-key probe intersects the
+    manifest's per-file bounds for the constrained columns: an append
+    outside every file's recorded range reads zero existing files,
+    while a colliding value in-range is still caught."""
+    engine.create.table(
+        "dbo.uqp", {"id": "bigint", "code": "bigint"},
+        primary_key_column="id",
+    )
+    engine.modify.unique_constraint("dbo.uqp", "add", "uq_code", "code")
+    engine.write.insert(
+        "dbo.uqp",
+        spark.createDataFrame(
+            [Row(id=i, code=100 + i) for i in range(50)],
+            "id long, code long",
+        ),
+    )  # code range [100, 149]
+    calls = _tap_scans(engine.store)
+    engine.write.insert(
+        "dbo.uqp",
+        spark.createDataFrame(
+            [Row(id=1000, code=9000)], "id long, code long"
+        ),
+    )  # id and code both beyond every file's range
+    assert calls["read"] == [] and calls["read_files"] == []
+    # conservative side: an in-range duplicate code still raises
+    with pytest.raises(
+        errors.SQLUniqueConstraintViolation, match="uq_code"
+    ):
+        engine.write.insert(
+            "dbo.uqp",
+            spark.createDataFrame(
+                [Row(id=2000, code=105)], "id long, code long"
+            ),
+        )
