@@ -234,21 +234,23 @@ def delete_op(
         raise ValueError(
             f"delete takes match-key columns only; unexpected {extra}"
         )
-    can_prune = match == list(meta.primary_key) and len(match) == 1
+    pk_match = match == list(meta.primary_key)
+    can_prune = pk_match and len(match) == 1
     keys, bounds = precheck_dataframe(
         dataframe.select(*match).distinct(),
         {c: meta.column_types[c] for c in match},
-        bounds_col=match[0] if can_prune else None,
+        bounds_col=match,
     )
 
     keep_entries = None
     stats_decided = False
-    if can_prune and bounds is not None and bounds[0] is not None:
+    single_bounds = (bounds or {}).get(match[0]) if can_prune else None
+    if single_bounds is not None and single_bounds[0] is not None:
         # stats pruning: zero-scan manifest min/max split on the PK;
         # when it runs, its verdict stands (see merge_op)
         stats_decided = True
         touched, kept = store.split_by_key_range(
-            table_name, match[0], bounds[0], bounds[1]
+            table_name, match[0], single_bounds[0], single_bounds[1]
         )
         if not touched:
             # no file's key range intersects the source: nothing can
@@ -261,22 +263,36 @@ def delete_op(
     entries = store.manifest(table_name, meta.version)
     if keep_entries is None and not stats_decided and entries:
         # content pruning fallback (the delete_where shape) for
-        # non-PK match keys — e.g. an ON DELETE CASCADE child delete
-        # matching on FK columns: one slim scan (match columns +
-        # _metadata.file_path) finds the files holding a matching
-        # row; the rest carry by reference instead of rewriting the
-        # whole table. (empty-manifest tables skip this: their read
-        # is not a parquet scan, so _metadata does not resolve — and
-        # a delete from an empty table is a no-op anyway.)
-        matched_files = {
-            os.path.basename(r["f"])
-            for r in store.read(table_name)
-            .select(*match, F.col("_metadata.file_path").alias("f"))
-            .join(keys, on=match, how="left_semi")
-            .select("f")
-            .distinct()
-            .collect()
-        }
+        # composite-PK / non-PK match keys — e.g. an ON DELETE
+        # CASCADE child delete matching on FK columns: one slim scan
+        # (match columns + _metadata.file_path) finds the files
+        # holding a matching row; the rest carry by reference instead
+        # of rewriting the whole table. A composite-PK match first
+        # stats-narrows the scan to candidate files via per-column
+        # bounds intersection. (empty-manifest tables skip this:
+        # their read is not a parquet scan, so _metadata does not
+        # resolve — and a delete from an empty table is a no-op
+        # anyway.)
+        from .update import stats_candidates
+
+        candidates = stats_candidates(store, table_name, bounds)
+        if candidates is not None and not candidates:
+            matched_files = set()
+        else:
+            scan = (
+                store.read(table_name)
+                if candidates is None
+                else store.read_files(table_name, candidates)
+            )
+            matched_files = {
+                os.path.basename(r["f"])
+                for r in scan
+                .select(*match, F.col("_metadata.file_path").alias("f"))
+                .join(keys, on=match, how="left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            }
         if not matched_files:
             return 0  # nothing matches: no rewrite, no commit
         kept = [e for e in entries if e["path"] not in matched_files]

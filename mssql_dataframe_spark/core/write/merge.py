@@ -148,10 +148,8 @@ def merge_op(
     # structurally prunable: no clause can touch a target row whose
     # match key is absent from the source
     structurally_prunable = upsert and not delete_requires and not nmbs_set
-    can_prune = (
-        structurally_prunable
-        and match == list(meta.primary_key) and len(match) == 1
-    )
+    pk_match = match == list(meta.primary_key)
+    can_prune = structurally_prunable and pk_match and len(match) == 1
 
     if nmbs_set:
         # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... (T-SQL MERGE's
@@ -190,13 +188,14 @@ def merge_op(
             if c != meta.identity_column and c in dataframe.columns
         ],
         unique_key=match,
-        bounds_col=match[0] if can_prune else None,
+        bounds_col=match if structurally_prunable else None,
     )
     update_cols = [c for c in src.columns if c not in match]
 
     keep_entries = None
     stats_decided = False
-    if can_prune and bounds is not None and bounds[0] is not None:
+    single_bounds = (bounds or {}).get(match[0]) if can_prune else None
+    if single_bounds is not None and single_bounds[0] is not None:
         # stats pruning: zero-scan manifest min/max split on the PK.
         # When it runs, its verdict stands even if it keeps nothing —
         # a full-range source touches every file, and the content scan
@@ -204,7 +203,7 @@ def merge_op(
         # job.
         stats_decided = True
         touched, kept = store.split_by_key_range(
-            table_name, match[0], bounds[0], bounds[1]
+            table_name, match[0], single_bounds[0], single_bounds[1]
         )
         if kept:
             keep_entries = kept
@@ -215,25 +214,40 @@ def merge_op(
         and not stats_decided and entries
     ):
         # content pruning fallback (mirrors delete/update): an upsert
-        # on a composite PK or non-PK match key can't use footer
-        # stats, but files with no matching row are still
-        # bit-identical — one slim scan (match columns +
+        # on a composite PK or non-PK match key can't take the
+        # single-column stats verdict, but files with no matching row
+        # are still bit-identical — one slim scan (match columns +
         # _metadata.file_path) finds the touched files; unmatched
-        # SOURCE rows insert via the rewritten portion regardless.
+        # SOURCE rows insert via the rewritten portion regardless. A
+        # composite-PK match first stats-narrows the scan to the
+        # files whose per-column key ranges intersect the source.
         # (empty-manifest tables skip this: their read is not a
         # parquet scan, so _metadata does not resolve — and there is
         # nothing to prune.)
         import os as _os
 
-        matched_files = {
-            _os.path.basename(r["f"])
-            for r in store.read(table_name)
-            .select(*match, F.col("_metadata.file_path").alias("f"))
-            .join(src.select(*match).distinct(), on=match, how="left_semi")
-            .select("f")
-            .distinct()
-            .collect()
-        }
+        from .update import stats_candidates
+
+        candidates = stats_candidates(store, table_name, bounds)
+        if candidates is not None and not candidates:
+            matched_files = set()
+        else:
+            scan = (
+                store.read(table_name)
+                if candidates is None
+                else store.read_files(table_name, candidates)
+            )
+            matched_files = {
+                _os.path.basename(r["f"])
+                for r in scan
+                .select(*match, F.col("_metadata.file_path").alias("f"))
+                .join(
+                    src.select(*match).distinct(), on=match, how="left_semi"
+                )
+                .select("f")
+                .distinct()
+                .collect()
+            }
         kept = [e for e in entries if e["path"] not in matched_files]
         if kept:
             keep_entries = kept

@@ -55,6 +55,30 @@ def resolve_match_columns(meta, dataframe, match_columns) -> list[str]:
     return cols
 
 
+def stats_candidates(store, table_name, bounds):
+    """Stats pre-narrowing for the content-discovery fallback:
+    per-column manifest bounds (composite PKs, FK columns, UNIQUE /
+    declared stats columns are all footer-harvested) can prove files
+    untouched BEFORE the slim discovery scan runs — the scan then
+    reads only candidate files, so discovery cost is ∝ files the
+    match-key ranges intersect, not table size. Match columns without
+    recorded stats degrade gracefully: nothing prunes and the caller
+    scans the whole table as before. Returns the candidate path list
+    when stats pruned anything (possibly empty = nothing can match),
+    else None."""
+    if not isinstance(bounds, dict):
+        return None
+    usable = {
+        c: b
+        for c, b in bounds.items()
+        if b[0] is not None and b[1] is not None
+    }
+    if not usable:
+        return None
+    touched, kept = store.split_by_key_ranges(table_name, usable)
+    return touched if kept else None
+
+
 def update_op(
     store: TableStore,
     table_name: str,
@@ -74,15 +98,18 @@ def update_op(
     # target rows through the join; T-SQL raises "attempted to UPDATE
     # the same row more than once" — so do we (inside the same
     # single-job validation pass).
-    can_prune = match == list(meta.primary_key) and len(match) == 1
+    pk_match = match == list(meta.primary_key)
+    can_prune = pk_match and len(match) == 1
     dataframe = dto.derive(dataframe, meta)
-    # the pruning bounds ride the same single validation agg job
+    # per-match-column pruning bounds ({col: (lo, hi)}) ride the same
+    # single validation agg job; any stats-tracked match column can
+    # then narrow the content-discovery scan
     src, bounds = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},
         not_nullable=[c for c in meta.not_nullable if c not in match],
         unique_key=match,
-        bounds_col=match[0] if can_prune else None,
+        bounds_col=match,
     )
     update_cols = [c for c in src.columns if c not in match]
     if not update_cols:
@@ -94,37 +121,51 @@ def update_op(
     # (see store.replace_files; the Delta MERGE INTO commit shape)
     keep_entries = None
     stats_decided = False
-    if can_prune and bounds is not None and bounds[0] is not None:
+    single_bounds = (bounds or {}).get(match[0]) if can_prune else None
+    if single_bounds is not None and single_bounds[0] is not None:
         # stats pruning: zero-scan manifest min/max split on the PK;
         # when it runs, its verdict stands (see merge_op)
         stats_decided = True
         touched, kept = store.split_by_key_range(
-            table_name, match[0], bounds[0], bounds[1]
+            table_name, match[0], single_bounds[0], single_bounds[1]
         )
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
     entries = store.manifest(table_name, meta.version)
     if keep_entries is None and not stats_decided and entries:
-        # content pruning fallback for non-PK match keys (mirrors
-        # delete_op): UPDATE only changes rows whose match key appears
-        # in the source, so files with no matching row are
-        # bit-identical — one slim scan (match columns +
+        # content pruning fallback for composite-PK / non-PK match
+        # keys (mirrors delete_op): UPDATE only changes rows whose
+        # match key appears in the source, so files with no matching
+        # row are bit-identical — one slim scan (match columns +
         # _metadata.file_path) finds the touched files and the rest
-        # carry into the next manifest by reference. (empty-manifest
-        # tables skip this: their read is not a parquet scan, so
-        # _metadata does not resolve.)
+        # carry into the next manifest by reference. A composite-PK
+        # match first stats-narrows the scan to candidate files via
+        # per-column bounds intersection. (empty-manifest tables skip
+        # this: their read is not a parquet scan, so _metadata does
+        # not resolve.)
         import os as _os
 
-        matched_files = {
-            _os.path.basename(r["f"])
-            for r in store.read(table_name)
-            .select(*match, F.col("_metadata.file_path").alias("f"))
-            .join(src.select(*match).distinct(), on=match, how="left_semi")
-            .select("f")
-            .distinct()
-            .collect()
-        }
+        candidates = stats_candidates(store, table_name, bounds)
+        if candidates is not None and not candidates:
+            matched_files = set()
+        else:
+            scan = (
+                store.read(table_name)
+                if candidates is None
+                else store.read_files(table_name, candidates)
+            )
+            matched_files = {
+                _os.path.basename(r["f"])
+                for r in scan
+                .select(*match, F.col("_metadata.file_path").alias("f"))
+                .join(
+                    src.select(*match).distinct(), on=match, how="left_semi"
+                )
+                .select("f")
+                .distinct()
+                .collect()
+            }
         kept = [e for e in entries if e["path"] not in matched_files]
         if matched_files and kept:
             keep_entries = kept

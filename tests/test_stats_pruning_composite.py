@@ -207,3 +207,39 @@ def test_unique_constraint_probe_prunes_to_zero_files(engine, spark):
                 [Row(id=2000, code=105)], "id long, code long"
             ),
         )
+
+
+def test_composite_pk_upsert_disjoint_keys_scans_zero_file_content(
+    engine, spark
+):
+    """An upsert whose composite keys miss every file's recorded
+    ranges skips the content-discovery scan entirely (stats narrow
+    the candidates to nothing): every existing file carries by
+    reference and no non-empty file read happens."""
+    _mk_composite(engine, spark)  # a in [0,99], b in [0,9]
+    files_before = {
+        e["path"]
+        for e in engine.store.manifest(
+            "dbo.cpk", engine.store.meta("dbo.cpk").version
+        )
+    }
+    calls = _tap_scans(engine.store)
+    engine.write.merge(
+        "dbo.cpk",
+        spark.createDataFrame(
+            [Row(a=5000 + i, b=i, v=1) for i in range(5)],
+            "a long, b long, v long",
+        ),
+        upsert=True,
+    )
+    assert calls["read"] == []
+    assert all(not paths for _, paths in calls["read_files"])
+    meta = engine.store.meta("dbo.cpk")
+    ents = engine.store.manifest("dbo.cpk", meta.version)
+    # all prior files carried by reference, new rows appended
+    assert files_before <= {e["path"] for e in ents}
+    assert sum(e["rows"] for e in ents) == 105
+    # and the merged-in rows actually landed
+    assert (
+        engine.read.table("dbo.cpk", where="a >= 5000").count() == 5
+    )
