@@ -75,12 +75,12 @@ def merge_scd2(
     if not tracked:
         raise ValueError("SCD2 merge needs at least one tracked attribute")
 
-    # the pruning bounds ride the same single validation agg job
+    # per-match-column pruning bounds ride the same validation agg job
     src, bounds = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},
         unique_key=match,
-        bounds_col=match[0] if len(match) == 1 else None,
+        bounds_col=match,
     )
     if as_of is None:
         as_of = F.current_timestamp()
@@ -92,14 +92,19 @@ def merge_scd2(
     ).withColumn("__s", F.lit(True))
 
     # file pruning: SCD2 never deletes, and it only mutates rows whose
-    # business key appears in the source — files whose stats range
-    # (declare ``stats_column`` = business key on history tables) misses
-    # the source carry over by manifest reference (see store.py)
+    # business key appears in the source — files whose stats ranges
+    # (declare ``stats_column`` / ``stats_columns`` = business key on
+    # history tables) miss the source carry over by manifest
+    # reference; composite business keys prune by per-column
+    # intersection (see store.split_by_key_ranges)
     keep_entries = None
-    if len(match) == 1 and bounds is not None and bounds[0] is not None:
-        touched, kept = store.split_by_key_range(
-            table_name, match[0], bounds[0], bounds[1]
-        )
+    usable = {
+        c: b
+        for c, b in (bounds or {}).items()
+        if b[0] is not None and b[1] is not None
+    }
+    if usable:
+        touched, kept = store.split_by_key_ranges(table_name, usable)
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
