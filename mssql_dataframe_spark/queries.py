@@ -7185,6 +7185,145 @@ def verb_merge_composite_key(spark, sf_dir):
 
 
 @register(
+    "verb_composite_pk_pruned_ingest",
+    sql="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_orderkey <= 3000
+    GROUP BY 1, 2
+    """,
+)
+def verb_composite_pk_pruned_ingest(spark, sf_dir):
+    """Ordered ingest into a COMPOSITE primary key in disjoint
+    key-range batches — the shape the stats-pruned collision check
+    optimizes (core/write/insert.py + store.split_by_key_ranges):
+    every PK column's per-file min/max is footer-harvested, so each
+    append beyond the standing key ranges proves itself collision-free
+    from the manifest alone and reads ZERO existing files
+    (tests/test_stats_pruning_composite.py pins the zero-read
+    property; this entry pins end-to-end correctness). A re-insert of
+    an already-loaded key range must still raise — the reference
+    surfaces SQL Server's PK violation on INSERT (create.py:148).
+    The oracle is the fully-loaded table."""
+    from mssql_dataframe_spark.errors import SQLUniqueConstraintViolation
+
+    eng = _scratch_engine(spark)
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 3000)
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    eng.create.table_from_dataframe(
+        "dbo.lines_cpi", lines, primary_key=["l_orderkey", "l_linenumber"]
+    )
+    k = F.col("l_orderkey")
+    # the synthetic lineitem's orderkeys start at 0 — the first band
+    # is inclusive below so every key <= 3000 loads
+    for lo, hi in ((-1, 1000), (1000, 2000), (2000, 3000)):
+        eng.write.insert(
+            "dbo.lines_cpi", lines.filter((k > lo) & (k <= hi))
+        )
+    try:
+        eng.write.insert(
+            "dbo.lines_cpi",
+            lines.orderBy("l_orderkey", "l_linenumber").limit(1),
+        )
+        raise AssertionError(
+            "re-inserting a loaded composite key must raise"
+        )
+    except SQLUniqueConstraintViolation:
+        pass
+    return eng.read.table("dbo.lines_cpi").select(
+        "l_orderkey", "l_linenumber", "qty"
+    )
+
+
+@register(
+    "verb_scd2_composite_key",
+    sql="""
+    WITH base AS (
+      SELECT CAST(c_custkey % 50 AS BIGINT) AS k1,
+             CAST(c_custkey // 50 AS BIGINT) AS k2,
+             c_acctbal
+      FROM customer WHERE c_custkey <= 300
+    )
+    SELECT k1, k2, c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS _valid_from,
+           CASE WHEN (k1 + k2) % 3 = 0
+                THEN TIMESTAMP '2024-06-01 00:00:00' END AS _valid_to,
+           ((k1 + k2) % 3 <> 0) AS _is_current
+    FROM base
+    UNION ALL
+    SELECT k1, k2, c_acctbal + 50.0,
+           TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+    FROM base WHERE (k1 + k2) % 3 = 0
+    UNION ALL
+    SELECT k1 + 1000, k2, 0.0,
+           TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE
+    FROM base WHERE k2 = 0 AND k1 <= 20
+    """,
+)
+def verb_scd2_composite_key(spark, sf_dir):
+    """SCD2 merge on a COMPOSITE business key (k1, k2) — the history
+    table's file pruning now intersects per-column bounds
+    (core/write/scd2.py + store.split_by_key_ranges), so
+    multi-column-keyed dimensions get the same touched-files-only
+    rewrite single keys always had. Load 1 at T1 versions everything;
+    load 2 at T2 mixes changed rows (closed + re-versioned), no-op
+    rows, and brand-new composite keys. The oracle reconstructs the
+    exact history in pure SQL."""
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            (F.col("c_custkey") % 50).cast("long").alias("k1"),
+            F.floor(F.col("c_custkey") / 50).cast("long").alias("k2"),
+            "c_acctbal",
+        )
+    )
+    eng.create.table(
+        "dbo.dim_ck",
+        {
+            "k1": "bigint",
+            "k2": "bigint",
+            "c_acctbal": "float",
+            "_valid_from": "datetime2",
+            "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    eng.write.merge_scd2(
+        "dbo.dim_ck", base, match_columns=["k1", "k2"], as_of=t1
+    )
+    ksum = F.col("k1") + F.col("k2")
+    changed = base.filter(ksum % 3 == 0).select(
+        "k1", "k2", (F.col("c_acctbal") + F.lit(50.0)).alias("c_acctbal")
+    )
+    noop = base.filter((ksum % 3 != 0) & (F.col("k1") % 5 == 1))
+    fresh = base.filter((F.col("k2") == 0) & (F.col("k1") <= 20)).select(
+        (F.col("k1") + 1000).alias("k1"), "k2",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    eng.write.merge_scd2(
+        "dbo.dim_ck",
+        changed.unionByName(noop).unionByName(fresh),
+        match_columns=["k1", "k2"],
+        as_of=t2,
+    )
+    return eng.read.table("dbo.dim_ck").select(
+        "k1", "k2", "c_acctbal", "_valid_from", "_valid_to", "_is_current"
+    )
+
+
+@register(
     "verb_unique_constraint",
     sql="""
     SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
