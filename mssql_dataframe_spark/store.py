@@ -490,29 +490,48 @@ class TableStore:
             out.extend(c for c in cols if c not in out)
         return out
 
+    def _cluster_cols(self, meta: TableMeta) -> list[str]:
+        """Columns cluster-on-write / optimize lay files out by: the
+        single stats column when one exists, else the full COMPOSITE
+        primary key — lexicographic range partitioning + within-file
+        sort keeps every key column's per-file range tight, which is
+        exactly what ``split_by_key_ranges``' per-column intersection
+        prunes on. Without this, composite-PK tables never clustered
+        and their stats pruning degraded on random layouts."""
+        c = self._stats_col(meta)
+        if c:
+            return [c]
+        return list(meta.primary_key) if len(meta.primary_key) > 1 else []
+
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
                   stats_col: Optional[str],
                   cluster: bool = False,
-                  extra_stats_cols: Optional[list[str]] = None) -> list[dict]:
+                  extra_stats_cols: Optional[list[str]] = None,
+                  cluster_cols: Optional[list[str]] = None) -> list[dict]:
         """Materialize ``df`` as new immutable pool files; return their
         manifest entries (footer row counts + key bounds).
 
-        ``cluster`` range-partitions + sorts the batch by the stats
-        column before writing, so each new file covers a disjoint key
-        range — the layout that keeps ``split_by_key_range`` pruning
-        sharp without a separate ``optimize`` pass. One extra shuffle
-        of the NEW data only (never the table), opt-in per table via
-        the ``cluster_on_write`` property.
+        ``cluster`` range-partitions + sorts the batch by the cluster
+        columns (the stats column, or the composite PK — see
+        ``_cluster_cols``) before writing, so each new file covers a
+        disjoint key range — the layout that keeps stats pruning sharp
+        without a separate ``optimize`` pass. One extra shuffle of the
+        NEW data only (never the table), opt-in per table via the
+        ``cluster_on_write`` property.
         """
         tdir = self._table_dir(name)
         pool = self._pool_dir(name)
         os.makedirs(pool, exist_ok=True)
         stage = os.path.join(tdir, f".stage_{uuid.uuid4().hex}")
         out = df.select(*schema.fieldNames())
-        if cluster and stats_col:
+        ccols = cluster_cols if cluster_cols is not None else (
+            [stats_col] if stats_col else []
+        )
+        ccols = [c for c in ccols if c in schema.fieldNames()]
+        if cluster and ccols:
             n = out.rdd.getNumPartitions()
-            out = out.repartitionByRange(max(n, 1), stats_col)
-            out = out.sortWithinPartitions(stats_col)
+            out = out.repartitionByRange(max(n, 1), *ccols)
+            out = out.sortWithinPartitions(*ccols)
         out.write.mode("overwrite").parquet(stage)
         moved = []
         for fn in sorted(os.listdir(stage)):
@@ -761,6 +780,7 @@ class TableStore:
             name, df, meta.spark_schema, self._stats_col(meta),
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
+            cluster_cols=self._cluster_cols(meta),
         )
         self._check_no_concurrent_commit(name, meta.version, entries)
         next_v = meta.version + 1
@@ -978,6 +998,7 @@ class TableStore:
             name, df, schema, stats_col,
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
+            cluster_cols=self._cluster_cols(meta),
         )
         self._check_no_concurrent_commit(name, meta.version, staged)
         entries = keep_entries + staged
@@ -1093,9 +1114,11 @@ class TableStore:
         df = self.read_files(name, [e["path"] for e in small])
         total = sum(e.get("rows") or 0 for e in small)
         n_out = max(1, (total + small_file_rows - 1) // small_file_rows)
-        key = self._stats_col(meta)
-        if key:
-            df = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+        keys = self._cluster_cols(meta)
+        if keys:
+            df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(
+                *keys
+            )
         else:
             df = df.coalesce(n_out)
         self.replace_files(name, df, keep, op="optimize")

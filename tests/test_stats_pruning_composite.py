@@ -243,3 +243,36 @@ def test_composite_pk_upsert_disjoint_keys_scans_zero_file_content(
     assert (
         engine.read.table("dbo.cpk", where="a >= 5000").count() == 5
     )
+
+
+def test_optimize_clusters_composite_pk_for_pruning(engine, spark):
+    """optimize() on a composite-PK table lays files out by the FULL
+    key (lexicographic range partitioning + within-file sort), so the
+    per-column stats intersection actually prunes afterward — before
+    this, composite-PK tables fell back to coalesce and every file
+    spanned the whole key range."""
+    engine.create.table(
+        "dbo.copt", {"a": "bigint", "b": "bigint", "v": "bigint"},
+        primary_key_column=["a", "b"],
+    )
+    # scattered layout: every inserted file spans most of the key range
+    engine.write.insert(
+        "dbo.copt",
+        spark.createDataFrame(
+            [Row(a=i % 100, b=i, v=i) for i in range(1000)],
+            "a long, b long, v long",
+        ).repartition(8),
+    )
+    # pre-optimize: a narrow first-column probe touches everything
+    t0, k0 = engine.store.split_by_key_ranges("dbo.copt", {"a": (0, 4)})
+    assert not k0
+    engine.store.optimize("dbo.copt", small_file_rows=200)
+    ents = engine.store.manifest(
+        "dbo.copt", engine.store.meta("dbo.copt").version
+    )
+    assert len(ents) > 1  # really split into multiple clustered files
+    t1, k1 = engine.store.split_by_key_ranges("dbo.copt", {"a": (0, 4)})
+    assert k1  # pruning engages on the clustered layout
+    assert len(t1) < len(ents)
+    # data survives the rewrite intact
+    assert engine.read.table("dbo.copt").count() == 1000
