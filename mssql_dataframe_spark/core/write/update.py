@@ -166,8 +166,14 @@ def update_op(
                 .distinct()
                 .collect()
             }
+        if not matched_files:
+            # no target row matches the source: UPDATE changes nothing
+            # — commit nothing (the delete/no-match contract). Without
+            # this, an empty match rewrote the ENTIRE table
+            # byte-identically: a catastrophic no-op at 100 TB.
+            return src
         kept = [e for e in entries if e["path"] not in matched_files]
-        if matched_files and kept:
+        if kept:
             keep_entries = kept
             target = store.read_files(
                 table_name,

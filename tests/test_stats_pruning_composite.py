@@ -276,3 +276,37 @@ def test_optimize_clusters_composite_pk_for_pruning(engine, spark):
     assert len(t1) < len(ents)
     # data survives the rewrite intact
     assert engine.read.table("dbo.copt").count() == 1000
+
+
+def test_no_match_update_commits_nothing(engine, spark):
+    """An UPDATE whose source matches no target row must not rewrite
+    anything: no version bump, no file reads beyond the discovery
+    scan, table bytes untouched (previously this rewrote the whole
+    table byte-identically)."""
+    engine.create.table(
+        "dbo.upnm", {"a": "bigint", "b": "bigint", "v": "bigint"},
+        primary_key_column=["a", "b"],
+    )
+    engine.write.insert(
+        "dbo.upnm",
+        spark.createDataFrame(
+            [Row(a=i, b=i, v=i) for i in range(20)],
+            "a long, b long, v long",
+        ),
+    )
+    v_before = engine.store.meta("dbo.upnm").version
+    files_before = {
+        e["path"] for e in engine.store.manifest("dbo.upnm", v_before)
+    }
+    engine.write.update(
+        "dbo.upnm",
+        spark.createDataFrame(
+            [Row(a=900, b=900, v=0)], "a long, b long, v long"
+        ),
+    )
+    meta = engine.store.meta("dbo.upnm")
+    assert meta.version == v_before
+    assert {
+        e["path"] for e in engine.store.manifest("dbo.upnm", meta.version)
+    } == files_before
+    assert engine.read.table("dbo.upnm").count() == 20
