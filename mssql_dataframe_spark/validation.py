@@ -169,10 +169,44 @@ def enforce_foreign_keys(
     """
     if not fks:
         return
+    # ONE keys-only agg over the outgoing rows collects per-column
+    # min/max for every FK column, so each parent probe below can
+    # stats-prune its parent scan: a parent file whose recorded range
+    # for ANY referenced column excludes every batch value cannot
+    # contain any batch tuple, so skipping it keeps the anti join
+    # EXACT (a tuple present in the parent is present in a candidate
+    # file). Referenced columns are PK/UNIQUE and therefore
+    # footer-harvested; files without stats stay candidates.
+    all_cols = sorted({c for s in fks.values() for c in s["columns"]})
+    aggs = []
+    for i, c in enumerate(all_cols):
+        aggs += [
+            F.min(c).alias(f"__fk_lo_{i}"),
+            F.max(c).alias(f"__fk_hi_{i}"),
+        ]
+    brow = df.agg(*aggs).collect()[0]
+    cbounds = {
+        c: (brow[f"__fk_lo_{i}"], brow[f"__fk_hi_{i}"])
+        for i, c in enumerate(all_cols)
+    }
     for name in sorted(fks):
         spec = fks[name]
         cols = list(spec["columns"])
-        parent = store.read(spec["ref_table"]).select(
+        ref_bounds = {
+            rc: cbounds[c]
+            for c, rc in zip(cols, spec["ref_columns"])
+            if cbounds[c][0] is not None and cbounds[c][1] is not None
+        }
+        parent_scan = None
+        if ref_bounds:
+            touched, kept = store.split_by_key_ranges(
+                spec["ref_table"], ref_bounds
+            )
+            if kept:
+                parent_scan = store.read_files(spec["ref_table"], touched)
+        if parent_scan is None:
+            parent_scan = store.read(spec["ref_table"])
+        parent = parent_scan.select(
             *[
                 F.col(rc).alias(c)
                 for c, rc in zip(cols, spec["ref_columns"])

@@ -310,3 +310,60 @@ def test_no_match_update_commits_nothing(engine, spark):
         e["path"] for e in engine.store.manifest("dbo.upnm", meta.version)
     } == files_before
     assert engine.read.table("dbo.upnm").count() == 20
+
+
+def test_fk_write_enforcement_prunes_parent_probe(engine, spark):
+    """Child-write FK enforcement stats-prunes the PARENT scan: refs
+    inside one key band read only that band's files, and an orphan
+    beyond every parent file's range is rejected with ZERO parent
+    file reads (no candidate file could contain it)."""
+    engine.create.table("dbo.ppar", {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        "dbo.ppar",
+        spark.createDataFrame([Row(pk=i) for i in range(100)], "pk long"),
+    )
+    engine.write.insert(
+        "dbo.ppar",
+        spark.createDataFrame(
+            [Row(pk=10_000 + i) for i in range(100)], "pk long"
+        ),
+    )
+    n_parent_files = len(
+        engine.store.manifest("dbo.ppar", engine.store.meta("dbo.ppar").version)
+    )
+    assert n_parent_files >= 2
+    engine.create.table(
+        "dbo.pchi", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    engine.modify.foreign_key(
+        "dbo.pchi", "add", "fk_ppar",
+        columns="ref", ref_table="dbo.ppar", ref_columns="pk",
+    )
+    calls = _tap_scans(engine.store)
+    engine.write.insert(
+        "dbo.pchi",
+        spark.createDataFrame(
+            [Row(id=1, ref=5), Row(id=2, ref=50)], "id long, ref long"
+        ),
+    )
+    parent_full = [n for n in calls["read"] if n == "dbo.ppar"]
+    parent_files = [
+        paths for n, paths in calls["read_files"] if n == "dbo.ppar"
+    ]
+    assert parent_full == []
+    assert parent_files and all(
+        0 < len(p) < n_parent_files for p in parent_files
+    )
+    # orphan BEYOND every parent range: rejected with zero parent reads
+    calls2 = _tap_scans(engine.store)
+    with pytest.raises(errors.SQLForeignKeyViolation, match="fk_ppar"):
+        engine.write.insert(
+            "dbo.pchi",
+            spark.createDataFrame(
+                [Row(id=3, ref=999_999)], "id long, ref long"
+            ),
+        )
+    assert [n for n in calls2["read"] if n == "dbo.ppar"] == []
+    assert all(
+        not paths for n, paths in calls2["read_files"] if n == "dbo.ppar"
+    )
