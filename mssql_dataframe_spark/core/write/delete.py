@@ -305,9 +305,12 @@ def delete_op(
     if keep_entries is None:
         target = store.read(table_name)
 
+    # deleted rows live only in the touched files (pruned files are
+    # provably match-free), so the referential-action probes read the
+    # pruned target, never the full table
     _check_restrict_references(
         store, table_name,
-        store.read(table_name).join(keys, on=match, how="left_semi"),
+        target.join(keys, on=match, how="left_semi"),
         _chain=_chain,
     )
     survivors = target.join(keys, on=match, how="left_anti")

@@ -285,8 +285,11 @@ def merge_op(
     identity = meta.identity_column
     pre_assigned_identity = False
     if identity and identity not in src.columns:
+        # keys absent from the pruned target are absent from the whole
+        # table (pruned-away files are provably match-free), so the
+        # new-row detection anti-joins the pruned scan, not a full read
         new_rows = src.join(
-            store.read(table_name).select(*match), on=match, how="left_anti"
+            target.select(*match), on=match, how="left_anti"
         )
         n_new = new_rows.count()
         if n_new:
