@@ -255,6 +255,59 @@ def merge_op(
                 table_name,
                 [e["path"] for e in entries if e["path"] in matched_files],
             )
+
+    # distinct source value sets per delete_requires column — shared by
+    # the file-discovery probe below and the keep-rule flags later
+    dr_val_sets = {
+        c: (
+            src.select(F.col(c).alias(f"__drv_{c}"))
+            .distinct()
+            .withColumn(f"__in_{c}", F.lit(True))
+        )
+        for c in delete_requires
+    }
+    if keep_entries is None and delete_requires and entries:
+        # content pruning for the delete_requires shape (the
+        # incremental / partition-scoped reload): the delete clause is
+        # BOUNDED — a target-only row deletes only when EVERY
+        # delete_requires column's value appears in the source. A file
+        # with no source-matched row AND no row whose delete_requires
+        # values are all present is therefore bit-identical and
+        # carries by reference. One slim scan (match + delete_requires
+        # columns + _metadata.file_path) discovers the touched files —
+        # this turns the reference's partition-scoped-delete merge
+        # from a full rewrite into cost ∝ the reloaded partition.
+        import os as _os
+
+        extra_dr = [c for c in delete_requires if c not in match]
+        probe = store.read(table_name).select(
+            *match, *extra_dr, F.col("_metadata.file_path").alias("f")
+        )
+        keys = (
+            src.select(*match).distinct().withColumn("__m", F.lit(True))
+        )
+        probe = probe.join(keys, on=match, how="left")
+        all_in = F.lit(True)
+        for c in delete_requires:
+            vals = dr_val_sets[c]
+            probe = probe.join(
+                F.broadcast(vals), probe[c] == vals[f"__drv_{c}"], "left"
+            ).drop(f"__drv_{c}")
+            all_in = all_in & F.col(f"__in_{c}").isNotNull()
+        matched_files = {
+            _os.path.basename(r["f"])
+            for r in probe.filter(F.col("__m").isNotNull() | all_in)
+            .select("f")
+            .distinct()
+            .collect()
+        }
+        kept = [e for e in entries if e["path"] not in matched_files]
+        if kept:
+            keep_entries = kept
+            target = store.read_files(
+                table_name,
+                [e["path"] for e in entries if e["path"] in matched_files],
+            )
     if keep_entries is None:
         target = store.read(table_name)
     if evolved_meta_changes:
@@ -270,11 +323,7 @@ def merge_op(
     # values per column (scale-safe lowering of `IN (SELECT c FROM src)`)
     dr_flags = []
     for c in delete_requires:
-        vals = (
-            src.select(F.col(c).alias(f"__drv_{c}"))
-            .distinct()
-            .withColumn(f"__in_{c}", F.lit(True))
-        )
+        vals = dr_val_sets[c]
         target = target.join(
             F.broadcast(vals), target[c] == vals[f"__drv_{c}"], "left"
         ).drop(f"__drv_{c}")

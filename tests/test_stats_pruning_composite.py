@@ -367,3 +367,47 @@ def test_fk_write_enforcement_prunes_parent_probe(engine, spark):
     assert all(
         not paths for n, paths in calls2["read_files"] if n == "dbo.ppar"
     )
+
+
+def test_delete_requires_merge_prunes_to_reloaded_partition(engine, spark):
+    """A delete_requires merge (the incremental / partition-scoped
+    reload) rewrites only the files of the reloaded partition: files
+    with no source-matched row and no row whose delete_requires
+    values all appear in the source carry by reference — previously
+    this shape full-rewrote the table."""
+    engine.create.table(
+        "dbo.drm", {"id": "bigint", "part": "bigint", "v": "bigint"},
+        primary_key_column="id",
+    )
+    # two partitions land as separate files (separate inserts)
+    for p in (1, 2):
+        engine.write.insert(
+            "dbo.drm",
+            spark.createDataFrame(
+                [Row(id=p * 1000 + i, part=p, v=i) for i in range(50)],
+                "id long, part long, v long",
+            ),
+        )
+    v = engine.store.meta("dbo.drm").version
+    files_before = {e["path"] for e in engine.store.manifest("dbo.drm", v)}
+    # reload partition 2: drop one row, change one, keep the rest
+    reload_p2 = spark.createDataFrame(
+        [Row(id=2000 + i, part=2, v=i * 10) for i in range(49)],
+        "id long, part long, v long",
+    )
+    engine.write.merge("dbo.drm", reload_p2, delete_requires=["part"])
+    meta = engine.store.meta("dbo.drm")
+    ents = engine.store.manifest("dbo.drm", meta.version)
+    carried = files_before & {e["path"] for e in ents}
+    assert carried  # partition 1's files survived BY REFERENCE
+    got = {
+        r["id"]: (r["part"], r["v"])
+        for r in engine.read.table("dbo.drm").collect()
+    }
+    # partition 1 untouched (50 rows), partition 2 reloaded (49 rows,
+    # id 2049 deleted via the bounded delete clause, values updated)
+    assert sum(1 for p, _ in got.values() if p == 1) == 50
+    assert sum(1 for p, _ in got.values() if p == 2) == 49
+    assert 2049 not in got
+    assert got[2005] == (2, 50)
+    assert got[1005] == (1, 5)
