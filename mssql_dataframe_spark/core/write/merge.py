@@ -237,17 +237,25 @@ def merge_op(
                 if candidates is None
                 else store.read_files(table_name, candidates)
             )
-            matched_files = {
-                _os.path.basename(r["f"])
-                for r in scan
-                .select(*match, F.col("_metadata.file_path").alias("f"))
-                .join(
-                    src.select(*match).distinct(), on=match, how="left_semi"
-                )
-                .select("f")
-                .distinct()
-                .collect()
-            }
+            if not all(c in scan.columns for c in match):
+                # a just-auto-evolved match column exists in no stored
+                # file: every stored value reads NULL and NULL never
+                # equals — nothing can match, all files carry
+                matched_files = set()
+            else:
+                matched_files = {
+                    _os.path.basename(r["f"])
+                    for r in scan
+                    .select(*match, F.col("_metadata.file_path").alias("f"))
+                    .join(
+                        src.select(*match).distinct(),
+                        on=match,
+                        how="left_semi",
+                    )
+                    .select("f")
+                    .distinct()
+                    .collect()
+                }
         kept = [e for e in entries if e["path"] not in matched_files]
         if kept:
             keep_entries = kept
@@ -279,28 +287,43 @@ def merge_op(
         # from a full rewrite into cost ∝ the reloaded partition.
         import os as _os
 
-        extra_dr = [c for c in delete_requires if c not in match]
-        probe = store.read(table_name).select(
-            *match, *extra_dr, F.col("_metadata.file_path").alias("f")
-        )
-        keys = (
-            src.select(*match).distinct().withColumn("__m", F.lit(True))
-        )
-        probe = probe.join(keys, on=match, how="left")
-        all_in = F.lit(True)
-        for c in delete_requires:
-            vals = dr_val_sets[c]
-            probe = probe.join(
-                F.broadcast(vals), probe[c] == vals[f"__drv_{c}"], "left"
-            ).drop(f"__drv_{c}")
-            all_in = all_in & F.col(f"__in_{c}").isNotNull()
-        matched_files = {
-            _os.path.basename(r["f"])
-            for r in probe.filter(F.col("__m").isNotNull() | all_in)
-            .select("f")
-            .distinct()
-            .collect()
-        }
+        probe_src = store.read(table_name)
+        if not all(c in probe_src.columns for c in match):
+            # auto-evolved match column: no stored row can match (see
+            # the upsert content block) and a membership over an
+            # absent (all-NULL) column never holds, so nothing is
+            # deletable either — every file carries
+            matched_files = set()
+        else:
+            # delete_requires columns absent from the stored schema
+            # (just auto-evolved) read NULL everywhere: no row can
+            # satisfy ALL memberships, so only source matches touch
+            avail_dr = [
+                c for c in delete_requires if c in probe_src.columns
+            ]
+            deletable = len(avail_dr) == len(delete_requires)
+            extra_dr = [c for c in avail_dr if c not in match]
+            probe = probe_src.select(
+                *match, *extra_dr, F.col("_metadata.file_path").alias("f")
+            )
+            keys = (
+                src.select(*match).distinct().withColumn("__m", F.lit(True))
+            )
+            probe = probe.join(keys, on=match, how="left")
+            all_in = F.lit(True) if deletable else F.lit(False)
+            for c in avail_dr if deletable else []:
+                vals = dr_val_sets[c]
+                probe = probe.join(
+                    F.broadcast(vals), probe[c] == vals[f"__drv_{c}"], "left"
+                ).drop(f"__drv_{c}")
+                all_in = all_in & F.col(f"__in_{c}").isNotNull()
+            matched_files = {
+                _os.path.basename(r["f"])
+                for r in probe.filter(F.col("__m").isNotNull() | all_in)
+                .select("f")
+                .distinct()
+                .collect()
+            }
         kept = [e for e in entries if e["path"] not in matched_files]
         if kept:
             keep_entries = kept
