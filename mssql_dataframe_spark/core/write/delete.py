@@ -220,13 +220,15 @@ def delete_op(
     (keys only — extra columns are rejected by the schema check).
     Returns the number of rows deleted.
 
-    Two pruning tiers keep the rewrite ∝ matching files at any table
-    size: a single-column-PK match uses zero-scan manifest min/max
-    stats (``split_by_key_range``); any other match key (e.g. an
-    ON DELETE CASCADE child delete matching on FK columns) falls back
-    to content-discovered pruning — one slim scan of the match columns
-    plus ``_metadata.file_path`` finds the touched files and a
-    no-match delete returns 0 without committing."""
+    Three pruning tiers keep the rewrite ∝ matching files at any
+    table size: a single-column-PK match uses zero-scan manifest
+    min/max stats (``split_by_key_range``); any other match key (a
+    composite PK, or an ON DELETE CASCADE child delete matching on FK
+    columns) first stats-NARROWS candidates by per-column bounds
+    intersection (``split_by_key_ranges``), then content-discovers
+    within them — one slim scan of the match columns plus
+    ``_metadata.file_path`` finds the touched files and a no-match
+    delete returns 0 without committing."""
     meta = store.meta(table_name)
     match = resolve_match_columns(meta, dataframe, match_columns)
     extra = [c for c in dataframe.columns if c not in match]

@@ -312,6 +312,59 @@ def main() -> None:
             f"| {n * mult:,} | {n_files} | {statistics.median(samples):.3f} |"
         )
 
+    # delete_requires partition reload: the incremental-load merge —
+    # its bounded delete clause lets content pruning rewrite only the
+    # reloaded partition's files; a fixed one-partition reload should
+    # stay flat as the table grows by adding MORE partitions.
+    lines += [
+        "",
+        "## Partition-reload merge (fixed 1-partition delete_requires reload vs table size)",
+        "",
+        "merge(delete_requires=['part']) reloading partition 0 only; "
+        "other partitions' files carry by reference. Flat wall-clock "
+        "across partition-count doublings = reload cost ∝ reloaded "
+        "partition, not table.",
+        "",
+        "| table rows | partitions | files | reload wall p50 (s) |",
+        "|---|---|---|---|",
+    ]
+    pbase = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    n_part_rows = pbase.count()
+    for nparts in (2, 4, 8):
+        eng = fresh_engine()
+        tbl = "dbo.scale_p"
+        eng.create.table(
+            tbl,
+            {"k": "bigint", "part": "bigint", "v": "float"},
+            primary_key_column="k",
+        )
+        big = None
+        for p in range(nparts):
+            chunk = pbase.select(
+                (F.col("k") + F.lit(p * 10_000_000)).alias("k"),
+                F.lit(p).cast("long").alias("part"),
+                "v",
+            )
+            big = chunk if big is None else big.unionByName(chunk)
+        eng.write.insert(tbl, big.repartitionByRange(4 * nparts, "k"))
+        samples = []
+        for _ in range(RUNS):
+            reload0 = pbase.select(
+                "k", F.lit(0).cast("long").alias("part"),
+                (F.col("v") + F.lit(1.0)).alias("v"),
+            )
+            t0 = time.perf_counter()
+            eng.write.merge(tbl, reload0, delete_requires=["part"])
+            samples.append(time.perf_counter() - t0)
+        n_files = len(eng.store.manifest(tbl, eng.store.meta(tbl).version))
+        lines.append(
+            f"| {n_part_rows * nparts:,} | {nparts} | {n_files} | "
+            f"{statistics.median(samples):.3f} |"
+        )
+
     # streaming state bounds: peak state rows + watermark eviction per
     # entry, from the query-progress stateOperators metrics — a
     # regression in eviction (state growing with the stream) shows up
