@@ -211,10 +211,10 @@ def main() -> None:
         "",
         "## Content-pruned scaling (composite-PK 1k-key upsert vs table size)",
         "",
-        "No stats column covers a composite key, so pruning comes from "
-        "the content-discovery scan (match columns + _metadata.file_path). "
-        "Flat wall-clock across doublings = the fallback also keeps "
-        "mutation cost ∝ touched data.",
+        "No single stats column covers a composite key; per-column "
+        "stats narrow the candidates and the content-discovery scan "
+        "(match columns + _metadata.file_path) decides. Flat wall-clock "
+        "across doublings keeps mutation cost ∝ touched data.",
         "",
         "| table rows | files | upsert wall p50 (s) |",
         "|---|---|---|",
