@@ -411,3 +411,36 @@ def test_delete_requires_merge_prunes_to_reloaded_partition(engine, spark):
     assert 2049 not in got
     assert got[2005] == (2, 50)
     assert got[1005] == (1, 5)
+
+
+def test_delete_requires_on_auto_evolved_column_deletes_nothing(
+    engine, spark
+):
+    """delete_requires over a column that auto_evolve adds in the same
+    merge: every stored row reads NULL for it, NULL satisfies no
+    membership, so nothing is deletable — the merge degrades to
+    update+insert and the discovery probe must not crash on the
+    not-yet-stored column."""
+    engine.create.table(
+        "dbo.drae", {"id": "bigint", "v": "bigint"},
+        primary_key_column="id",
+    )
+    engine.write.insert(
+        "dbo.drae",
+        spark.createDataFrame(
+            [Row(id=i, v=i) for i in range(10)], "id long, v long"
+        ),
+    )
+    src = spark.createDataFrame(
+        [Row(id=5, v=500, part=1), Row(id=100, v=100, part=1)],
+        "id long, v long, part long",
+    )
+    engine.write.merge(
+        "dbo.drae", src, delete_requires=["part"], auto_evolve=True
+    )
+    got = {r["id"]: (r["v"], r["part"])
+           for r in engine.read.table("dbo.drae").collect()}
+    assert len(got) == 11            # nothing deleted, one insert
+    assert got[5] == (500, 1)        # matched row updated
+    assert got[100] == (100, 1)      # new row inserted
+    assert got[3] == (3, None)       # untouched row, evolved col NULL
