@@ -108,6 +108,49 @@ def merge_scd2(
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
+    entries = store.manifest(table_name, meta.version)
+    if keep_entries is None and entries:
+        # content pruning fallback (mirrors update/merge): SCD2 only
+        # CLOSES current rows whose business key appears in the source
+        # (historical rows never change, and brand-new keys append),
+        # so a file with no CURRENT matching row is bit-identical —
+        # one slim scan (match columns + current flag +
+        # _metadata.file_path), stats-narrowed to candidate files
+        # first, discovers the touched files. Sound because each key
+        # has at most one current row: if it exists, its file is
+        # discovered and the close happens there; pruned files hold
+        # only non-matching or historical rows.
+        import os as _os
+
+        from .update import stats_candidates
+
+        candidates = stats_candidates(store, table_name, bounds)
+        if candidates is not None and not candidates:
+            matched_files = set()
+        else:
+            scan = (
+                store.read(table_name)
+                if candidates is None
+                else store.read_files(table_name, candidates)
+            )
+            matched_files = {
+                _os.path.basename(r["f"])
+                for r in scan.filter(F.col(current_col) == F.lit(True))
+                .select(*match, F.col("_metadata.file_path").alias("f"))
+                .join(
+                    src.select(*match).distinct(), on=match, how="left_semi"
+                )
+                .select("f")
+                .distinct()
+                .collect()
+            }
+        kept = [e for e in entries if e["path"] not in matched_files]
+        if kept:
+            keep_entries = kept
+            target = store.read_files(
+                table_name,
+                [e["path"] for e in entries if e["path"] in matched_files],
+            )
     if keep_entries is None:
         target = store.read(table_name)
     tgt = target.withColumn("__t", F.lit(True))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mssql_dataframe_spark import errors
 
@@ -444,3 +445,54 @@ def test_delete_requires_on_auto_evolved_column_deletes_nothing(
     assert got[5] == (500, 1)        # matched row updated
     assert got[100] == (100, 1)      # new row inserted
     assert got[3] == (3, None)       # untouched row, evolved col NULL
+
+
+def test_scd2_content_pruning_carries_untouched_files(engine, spark):
+    """SCD2 on an un-stats-tracked business key content-prunes: files
+    holding only other keys' (or only historical) rows carry by
+    reference, the matched key closes + re-versions correctly."""
+    engine.create.table(
+        "dbo.scdp",
+        {
+            "bk": "nvarchar(40)", "val": "bigint",
+            "_valid_from": "datetime2", "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    # two separate loads -> separate files per key band
+    engine.write.merge_scd2(
+        "dbo.scdp",
+        spark.createDataFrame(
+            [Row(bk=f"A{i}", val=i) for i in range(20)],
+            "bk string, val long",
+        ),
+        match_columns=["bk"], as_of=t1,
+    )
+    engine.write.merge_scd2(
+        "dbo.scdp",
+        spark.createDataFrame(
+            [Row(bk=f"B{i}", val=i) for i in range(20)],
+            "bk string, val long",
+        ),
+        match_columns=["bk"], as_of=t1,
+    )
+    v = engine.store.meta("dbo.scdp").version
+    files_before = {e["path"] for e in engine.store.manifest("dbo.scdp", v)}
+    # revise one A key only: B files must carry by reference
+    engine.write.merge_scd2(
+        "dbo.scdp",
+        spark.createDataFrame([Row(bk="A5", val=500)], "bk string, val long"),
+        match_columns=["bk"], as_of=t2,
+    )
+    meta = engine.store.meta("dbo.scdp")
+    ents = engine.store.manifest("dbo.scdp", meta.version)
+    assert files_before & {e["path"] for e in ents}  # carried files
+    rows = engine.read.table("dbo.scdp").collect()
+    a5 = sorted(
+        ((r["val"], r["_is_current"]) for r in rows if r["bk"] == "A5")
+    )
+    assert a5 == [(5, False), (500, True)]
+    assert sum(1 for r in rows if r["bk"] == "B7") == 1
+    assert len(rows) == 41
