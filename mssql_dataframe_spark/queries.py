@@ -7244,6 +7244,52 @@ def verb_composite_pk_pruned_ingest(spark, sf_dir):
 
 
 @register(
+    "verb_merge_partition_reload",
+    sql="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_orderkey % 4 AS BIGINT) AS part,
+             CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_orderkey <= 8000
+    )
+    SELECT k, part, v FROM base WHERE part <> 2
+    UNION ALL
+    SELECT k, part, v + 1.0 FROM base
+    WHERE part = 2 AND k % 10 <> 3
+    """,
+)
+def verb_merge_partition_reload(spark, sf_dir):
+    """Partition-scoped incremental reload via ``delete_requires``
+    (the reference's merge.py:180-197 ``AND target.c IN (SELECT c
+    FROM source)`` delete guard): re-sending one partition updates
+    its surviving rows, deletes the rows it omits, and CANNOT touch
+    other partitions — and the engine content-prunes the rewrite to
+    the reloaded partition's files (core/write/merge.py: files with
+    no source match and no full delete_requires membership carry by
+    reference; THROUGHPUT.md shows the fixed reload flat across
+    table-size doublings). Oracle: partitions 0/1/3 untouched,
+    partition 2 reloaded with +1.0 values minus every k%10==3 row."""
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 8000)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_orderkey") % 4).cast("long").alias("part"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+    )
+    eng.create.table_from_dataframe("dbo.part_rl", base, primary_key="k")
+    eng.write.insert("dbo.part_rl", base)
+    reload2 = (
+        base.filter((F.col("part") == 2) & (F.col("k") % 10 != 3))
+        .withColumn("v", F.col("v") + F.lit(1.0))
+    )
+    eng.write.merge("dbo.part_rl", reload2, delete_requires=["part"])
+    return eng.read.table("dbo.part_rl").select("k", "part", "v")
+
+
+@register(
     "verb_scd2_composite_key",
     sql="""
     WITH base AS (
