@@ -139,14 +139,19 @@ def merge_op(
                 f"delete_requires column {c!r} not in dataframe"
             )
 
-    # file pruning (Delta MERGE INTO shape): when the merge cannot
-    # delete rows outside the source's key range (upsert, no delete
-    # clause) and the match key is the single-column PK the manifest
-    # keeps footer stats for, rewrite ONLY the files whose key range
-    # intersects the source — untouched files carry over by reference.
-    # At 100 TB this turns merge cost from O(table) into O(touched).
-    # structurally prunable: no clause can touch a target row whose
-    # match key is absent from the source
+    # file pruning (Delta MERGE INTO shape): rewrite ONLY the files
+    # the merge can touch; untouched files carry over by reference.
+    # Three tiers: (1) single-column-PK match -> zero-scan manifest
+    # min/max split, verdict stands; (2) structurally prunable
+    # composite/non-PK match -> per-column stats narrowing + one slim
+    # content-discovery scan; (3) delete_requires merges -> the delete
+    # clause is BOUNDED by source membership, so a dedicated content
+    # probe (match + delete_requires columns) finds the reloaded
+    # partition. Only a merge with an UNBOUNDED delete clause
+    # (non-upsert, no delete_requires, no nmbs UPDATE) keeps the full
+    # rewrite. At 100 TB this turns merge cost from O(table) into
+    # O(touched). structurally prunable: no clause can touch a target
+    # row whose match key is absent from the source
     structurally_prunable = upsert and not delete_requires and not nmbs_set
     pk_match = match == list(meta.primary_key)
     can_prune = structurally_prunable and pk_match and len(match) == 1
