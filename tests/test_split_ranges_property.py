@@ -13,7 +13,7 @@ from types import SimpleNamespace
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from mssql_dataframe_spark.store import TableStore
+from mssql_dataframe_spark.store import TableStore, _truncate_string_bounds
 
 COLS = ("a", "b")
 
@@ -35,7 +35,7 @@ class _StubStore:
 # guard (int stats vs str bounds and vice versa) is exercised
 _value = st.one_of(
     st.integers(-5, 5),
-    st.sampled_from(["a", "b", "m", "z"]),
+    st.sampled_from(["a", "apple", "mango", "zebra", "zz"]),
 )
 _row = st.tuples(_value, _value)
 
@@ -67,10 +67,18 @@ def pruning_case(draw):
             if mode == "missing":
                 continue
             lo, hi = min(pool), max(pool)
-            if mode == "widened" and isinstance(lo, int):
-                lo, hi = lo - draw(st.integers(0, 3)), hi + draw(
-                    st.integers(0, 3)
-                )
+            if mode == "widened":
+                if isinstance(lo, int):
+                    lo, hi = lo - draw(st.integers(0, 3)), hi + draw(
+                        st.integers(0, 3)
+                    )
+                else:
+                    # the real harvester's stats-truncation (prefix
+                    # MIN, truncate+increment MAX) — a widening that
+                    # must stay prune-safe
+                    lo, hi = _truncate_string_bounds(
+                        lo, hi, limit=draw(st.integers(1, 3))
+                    )
             stats[col] = [lo, hi]
         entries.append(
             {"path": f"f{i}.parquet", "rows": len(rows), "stats": stats,
