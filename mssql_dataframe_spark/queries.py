@@ -9300,6 +9300,166 @@ def source_orc_roundtrip(spark, sf_dir):
     )
 
 
+_ML_LINES_SQL = """
+    d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    ml AS (
+      SELECT doc_id, list_filter([
+        array_to_string(list_slice(w, 1, 8), ' '),
+        array_to_string(list_slice(w, 9, 16), ' '),
+        array_to_string(list_slice(w, 17, 24), ' ')
+      ], x -> x <> '') AS chunks
+      FROM d
+    )
+"""
+
+
+@register(
+    "doc_line_dedup",
+    sql=f"""
+    WITH {_ML_LINES_SQL},
+    docs AS (
+      SELECT doc_id,
+             list_concat(chunks, [chunks[1], chunks[2]]) AS lines
+      FROM ml WHERE len(chunks) >= 2
+    ),
+    dd AS (
+      SELECT doc_id, lines,
+             list_filter(lines, (x, i) -> list_position(lines, x) = i)
+               AS uniq
+      FROM docs
+    )
+    SELECT doc_id,
+           array_to_string(uniq, chr(10)) AS text_clean,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(uniq) AS BIGINT) AS n_removed
+    FROM dd
+    """,
+)
+def doc_line_dedup(spark, sf_dir):
+    """WITHIN-document duplicated-line removal (C4/Gopher repeated-
+    span cleaning; operators/curation.py dedup_lines): lines are
+    8-word chunks of the document with the first and second chunk
+    re-appended (deterministic duplication so the rule provably
+    fires), and the operator keeps each line's first occurrence in
+    order. Pure expression — split -> aggregate fold -> array_join —
+    NO shuffle, no UDF: a map-only pass at 100 TB. The oracle
+    replays the same fold with DuckDB's indexed list_filter."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.filter(
+        F.array(
+            F.array_join(F.slice(w, 1, 8), " "),
+            F.array_join(F.slice(w, 9, 8), " "),
+            F.array_join(F.slice(w, 17, 8), " "),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    docs = (
+        d.select("doc_id", chunks.alias("chunks"))
+        .filter(F.size("chunks") >= 2)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("chunks"),
+                F.array(F.col("chunks")[0], F.col("chunks")[1]),
+            ).alias("lines"),
+        )
+        .withColumn("text_ml", F.array_join(F.col("lines"), "\n"))
+    )
+    out = docs.select(
+        "doc_id",
+        C.dedup_lines("text_ml").alias("text_clean"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+    )
+    return out.withColumn(
+        "n_removed",
+        (
+            F.col("n_lines")
+            - F.size(F.split(F.col("text_clean"), "\n"))
+        ).cast("bigint"),
+    )
+
+
+@register(
+    "corpus_boilerplate_line_removal",
+    sql=f"""
+    WITH {_ML_LINES_SQL},
+    ex AS (
+      SELECT doc_id, unnest(list_distinct(chunks)) AS ln FROM ml
+    ),
+    freq AS (
+      SELECT ln FROM ex GROUP BY ln HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    lined AS (
+      SELECT doc_id, unnest(chunks) AS ln,
+             unnest(generate_series(1, len(chunks))) AS ord
+      FROM ml
+    ),
+    kept AS (
+      SELECT doc_id, ln, ord FROM lined
+      WHERE ln NOT IN (SELECT ln FROM freq)
+    )
+    SELECT m.doc_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(m.chunks) - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM ml m LEFT JOIN (
+      SELECT doc_id,
+             string_agg(ln, chr(10) ORDER BY ord) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ) k ON m.doc_id = k.doc_id
+    """,
+)
+def corpus_boilerplate_line_removal(spark, sf_dir):
+    """CORPUS-level duplicated-line removal (the RefinedWeb line-dedup
+    rule; operators/curation.py remove_frequent_lines): an 8-word
+    chunk appearing in >= 2 distinct documents is boilerplate and is
+    removed from every document. Pass 1 counts distinct docs per line
+    (map-side partial agg, ONE shuffle on the line value); the small
+    heavy-hitter set is inlined into a pass-2 expression filter, so
+    the corpus never shuffles in pass 2. The oracle recomputes the
+    frequency threshold and rebuild in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.filter(
+        F.array(
+            F.array_join(F.slice(w, 1, 8), " "),
+            F.array_join(F.slice(w, 9, 8), " "),
+            F.array_join(F.slice(w, 17, 8), " "),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    ml = d.select(
+        "doc_id",
+        chunks.alias("chunks"),
+        F.array_join(chunks, "\n").alias("text"),
+    )
+    cleaned, _freq = C.remove_frequent_lines(
+        ml.select("doc_id", "text"), text_col="text", min_docs=2
+    )
+    out = ml.select("doc_id", F.size("chunks").alias("__n")).join(
+        cleaned.select(
+            "doc_id",
+            F.col("text").alias("text_clean"),
+            F.when(F.col("text") == "", F.lit(0))
+            .otherwise(F.size(F.split(F.col("text"), "\n")))
+            .cast("bigint")
+            .alias("n_kept"),
+        ),
+        "doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "text_clean",
+        "n_kept",
+        (F.col("__n") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------
