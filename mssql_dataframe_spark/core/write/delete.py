@@ -43,7 +43,7 @@ def fk_references(store, table_name) -> list[tuple]:
 
 def _check_restrict_references(
     store, table_name, deleted_rows, _chain: tuple = ()
-) -> None:
+) -> list[tuple]:
     """SQL Server ON DELETE referential actions for the explicit
     delete verbs. Per FOREIGN KEY referencing the deleted table, by
     the FK's declared ``on_delete``:
@@ -81,7 +81,17 @@ def _check_restrict_references(
 
     refs = fk_references(store, table_name)
     if not refs:
-        return
+        return []
+    deps: list[tuple] = []
+
+    def _note(t):
+        # capture the child's version AFTER its referential action
+        # finished (cascade/set_null bump it themselves) — the
+        # parent's commit is then preconditioned on no OTHER writer
+        # touching the child in between (store._check_preconditions)
+        deps[:] = [d for d in deps if d[0] != t]
+        deps.append((t, store.meta(t).version))
+
     deleted_rows = deleted_rows.persist()
     try:
         for t, nm, fk in refs:
@@ -125,6 +135,7 @@ def _check_restrict_references(
             else:  # no non-NULL deleted keys: nothing can reference them
                 touched = []
             if not touched:
+                _note(t)
                 continue
             child_scan = store.read_files(t, touched)
             hit = (
@@ -136,6 +147,7 @@ def _check_restrict_references(
                 .count()
             )
             if not hit:
+                _note(t)
                 continue
             if action == "cascade":
                 if t in _chain or t == table_name:
@@ -149,6 +161,7 @@ def _check_restrict_references(
                     match_columns=list(fk["columns"]),
                     _chain=_chain + (table_name,),
                 )
+                _note(t)
             elif action == "set_null":
                 key_cols = set(fk["columns"])
                 # file-pruned rewrite (the delete_where shape): one
@@ -198,7 +211,10 @@ def _check_restrict_references(
                         for f in store.meta(t).spark_schema.fields
                     ]
                 )
-                store.replace_files(t, new_child, keep_entries, op="fk_set_null")
+                store.replace_files(
+                    t, new_child, keep_entries, op="fk_set_null"
+                )
+                _note(t)
             else:
                 raise SQLForeignKeyViolation(
                     f"cannot delete from {table_name!r}: rows are still "
@@ -207,6 +223,7 @@ def _check_restrict_references(
                 )
     finally:
         deleted_rows.unpersist()
+    return deps
 
 
 def delete_op(
@@ -310,7 +327,7 @@ def delete_op(
     # deleted rows live only in the touched files (pruned files are
     # provably match-free), so the referential-action probes read the
     # pruned target, never the full table
-    _check_restrict_references(
+    child_deps = _check_restrict_references(
         store, table_name,
         target.join(keys, on=match, how="left_semi"),
         _chain=_chain,
@@ -322,9 +339,14 @@ def delete_op(
     # CHECK constraints cannot be newly violated by row removal; no
     # enforcement pass is needed on a pure delete.
     if keep_entries is not None:
-        store.replace_files(table_name, survivors, keep_entries, op="delete")
+        store.replace_files(
+            table_name, survivors, keep_entries, op="delete",
+            preconditions=child_deps,
+        )
     else:
-        store.overwrite(table_name, survivors, op="delete")
+        store.overwrite(
+            table_name, survivors, op="delete", preconditions=child_deps
+        )
     # deleted count from manifest row totals — no extra scan or job
     total_after = sum(
         e.get("rows") or 0
@@ -377,14 +399,17 @@ def delete_where_op(
     touched = [e["path"] for e in entries if e["path"] in matched]
     keep_entries = [e for e in entries if e["path"] not in matched]
 
-    _check_restrict_references(
+    child_deps = _check_restrict_references(
         store, table_name, target_all.filter(cond)
     )
     survivors = store.read_files(table_name, touched).filter(
         ~F.coalesce(cond, F.lit(False))
     )
     total_before = sum(e.get("rows") or 0 for e in entries)
-    store.replace_files(table_name, survivors, keep_entries, op="delete_where")
+    store.replace_files(
+        table_name, survivors, keep_entries, op="delete_where",
+        preconditions=child_deps,
+    )
     total_after = sum(
         e.get("rows") or 0
         for e in store.manifest(table_name, store.meta(table_name).version)

@@ -171,7 +171,7 @@ def insert(
     enforce_check_constraints(
         out, meta.properties.get("check_constraints") or {}
     )
-    enforce_foreign_keys(
+    fk_deps = enforce_foreign_keys(
         store, out, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
@@ -232,5 +232,10 @@ def insert(
             return store.read_files(table_name, touched)
 
         enforce_unique_constraints(out, uniques, existing_for=_existing_for)
-    store.append(table_name, out, extra_properties=extra_properties)
+    # cross-table OCC: the commit fails cleanly if any probed FK
+    # parent changed between the existence probe and this publish
+    store.append(
+        table_name, out, extra_properties=extra_properties,
+        preconditions=fk_deps,
+    )
     return df

@@ -441,7 +441,7 @@ def merge_op(
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}
     )
-    enforce_foreign_keys(
+    fk_deps = enforce_foreign_keys(
         store, result, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
@@ -475,7 +475,12 @@ def merge_op(
         # schema matches the files being written)
         store.update_meta(table_name, **evolved_meta_changes)
     if keep_entries is not None:
-        store.replace_files(table_name, result, keep_entries, op="merge")
+        store.replace_files(
+            table_name, result, keep_entries, op="merge",
+            preconditions=fk_deps,
+        )
     else:
-        store.overwrite(table_name, result, op="merge")
+        store.overwrite(
+            table_name, result, op="merge", preconditions=fk_deps
+        )
     return src

@@ -203,12 +203,17 @@ def merge_scd2(
     enforce_check_constraints(
         out, meta.properties.get("check_constraints") or {}
     )
-    enforce_foreign_keys(
+    fk_deps = enforce_foreign_keys(
         store, out, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
     if keep_entries is not None:
-        store.replace_files(table_name, out, keep_entries, op="merge_scd2")
+        store.replace_files(
+            table_name, out, keep_entries, op="merge_scd2",
+            preconditions=fk_deps,
+        )
     else:
-        store.overwrite(table_name, out, op="merge_scd2")
+        store.overwrite(
+            table_name, out, op="merge_scd2", preconditions=fk_deps
+        )
     return src

@@ -207,7 +207,7 @@ def update_op(
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}
     )
-    enforce_foreign_keys(
+    fk_deps = enforce_foreign_keys(
         store, result, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
@@ -236,7 +236,12 @@ def update_op(
             ),
         )
     if keep_entries is not None:
-        store.replace_files(table_name, result, keep_entries, op="update")
+        store.replace_files(
+            table_name, result, keep_entries, op="update",
+            preconditions=fk_deps,
+        )
     else:
-        store.overwrite(table_name, result, op="update")
+        store.overwrite(
+            table_name, result, op="update", preconditions=fk_deps
+        )
     return src

@@ -760,6 +760,7 @@ class TableStore:
     def append(
         self, name: str, df: DataFrame,
         extra_properties: Optional[dict] = None,
+        preconditions: Optional[list[tuple]] = None,
     ) -> None:
         """Commit the next snapshot as the current manifest's entries
         (carried by reference — manifest-only cost) plus the new files
@@ -783,6 +784,7 @@ class TableStore:
             cluster_cols=self._cluster_cols(meta),
         )
         self._check_no_concurrent_commit(name, meta.version, entries)
+        self._check_preconditions(name, entries, preconditions)
         next_v = meta.version + 1
         carried = self.manifest(name, meta.version)
         self._write_manifest(
@@ -963,7 +965,8 @@ class TableStore:
     def overwrite(self, name: str, df: DataFrame,
                   new_schema: Optional[T.StructType] = None,
                   new_column_types: Optional[dict[str, str]] = None,
-                  op: str = "overwrite") -> None:
+                  op: str = "overwrite",
+                  preconditions: Optional[list[tuple]] = None) -> None:
         """Materialize ``df`` as the next snapshot, then atomically move
         the table pointer. Readers of the old version are unaffected —
         old snapshots are vacuumed only once they fall
@@ -971,23 +974,27 @@ class TableStore:
         recent snapshot can still be consumed after later writes. A
         crash before the meta replace leaves the table unchanged."""
         self._commit(name, df, keep_entries=[], new_schema=new_schema,
-                     new_column_types=new_column_types, op=op)
+                     new_column_types=new_column_types, op=op,
+                     preconditions=preconditions)
 
     def replace_files(
         self, name: str, df: DataFrame, keep_entries: list[dict],
         op: str = "replace_files",
+        preconditions: Optional[list[tuple]] = None,
     ) -> None:
         """Commit the next snapshot as ``keep_entries`` (untouched files
         carried over BY REFERENCE — no rewrite, no copy) plus the
         materialized ``df`` (the rewritten touched files). This is the
         Delta ``MERGE INTO`` commit shape: write cost ∝ touched data.
         ``op`` labels the commit in ``history()`` (merge/update/...)."""
-        self._commit(name, df, keep_entries=list(keep_entries), op=op)
+        self._commit(name, df, keep_entries=list(keep_entries), op=op,
+                     preconditions=preconditions)
 
     def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
                 new_schema: Optional[T.StructType] = None,
                 new_column_types: Optional[dict[str, str]] = None,
-                op: str = "commit") -> None:
+                op: str = "commit",
+                preconditions: Optional[list[tuple]] = None) -> None:
         meta = self.meta(name)
         next_v = meta.version + 1
         schema = new_schema or meta.spark_schema
@@ -1001,6 +1008,7 @@ class TableStore:
             cluster_cols=self._cluster_cols(meta),
         )
         self._check_no_concurrent_commit(name, meta.version, staged)
+        self._check_preconditions(name, staged, preconditions)
         entries = keep_entries + staged
         self._write_manifest(name, next_v, entries, commit={
             "op": op, "ts": self._now(),
@@ -1041,6 +1049,38 @@ class TableStore:
                 f"table {name!r}: version advanced "
                 f"{expected_version} -> {current.version} during the "
                 "write; staged files discarded — re-read and retry"
+            )
+
+    def _check_preconditions(
+        self, name: str, staged: list[dict],
+        preconditions: Optional[list[tuple]],
+    ) -> None:
+        """Cross-table OCC for referential integrity: the write verbs
+        probe OTHER tables (FK parents on child writes, FK children on
+        parent deletes) and pass ``[(table, version_at_probe), ...]``
+        here, so a commit whose probes are stale fails cleanly instead
+        of publishing an orphan — e.g. a child insert whose referenced
+        parent key was concurrently deleted between the existence
+        probe and this commit. Same contract as the per-table check:
+        staged files are discarded, the winner's commit is untouched,
+        the loser re-reads and retries. Single-writer pipelines never
+        pay more than the metadata reads."""
+        for t, v in preconditions or []:
+            if self.meta(t).version == v:
+                continue
+            pool = self._pool_dir(name)
+            for e in staged:
+                try:
+                    os.remove(os.path.join(pool, e["path"]))
+                except FileNotFoundError:
+                    pass
+            from .errors import SQLConcurrentWriteConflict
+
+            raise SQLConcurrentWriteConflict(
+                f"table {t!r} (a referential-integrity dependency of "
+                f"the write to {name!r}) advanced {v} -> "
+                f"{self.meta(t).version} after it was probed; staged "
+                "files discarded — re-read and retry"
             )
 
     def vacuum(self, name: str, keep_versions: Optional[int] = None) -> int:

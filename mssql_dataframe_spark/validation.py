@@ -147,7 +147,7 @@ def enforce_check_constraints(df: DataFrame, checks: dict) -> None:
 
 def enforce_foreign_keys(
     store, df: DataFrame, fks: dict, table_name: str | None = None
-) -> None:
+) -> list[tuple]:
     """Enforce declared FOREIGN KEY constraints on rows about to be
     written (beyond-reference; most warehouses declare FKs NOT
     ENFORCED — here the write fails fast like SQL Server would).
@@ -166,9 +166,15 @@ def enforce_foreign_keys(
     child row referencing it is valid. The parent key set is therefore
     the stored snapshot UNIONed with the outgoing rows' referenced-key
     projection — still a keys-only plan.
+
+    Returns the ``[(parent_table, version_at_probe), ...]`` dependency
+    list — the caller passes it to the store commit as cross-table OCC
+    ``preconditions``, so a parent that changed between this probe and
+    the commit fails the write cleanly instead of publishing rows that
+    reference concurrently-deleted keys (store._check_preconditions).
     """
     if not fks:
-        return
+        return []
     # ONE keys-only agg over the outgoing rows collects per-column
     # min/max for every FK column, so each parent probe below can
     # stats-prune its parent scan: a parent file whose recorded range
@@ -189,9 +195,14 @@ def enforce_foreign_keys(
         c: (brow[f"__fk_lo_{i}"], brow[f"__fk_hi_{i}"])
         for i, c in enumerate(all_cols)
     }
+    deps: list[tuple] = []
     for name in sorted(fks):
         spec = fks[name]
         cols = list(spec["columns"])
+        if spec["ref_table"] != table_name:  # self-refs ride table OCC
+            dep = (spec["ref_table"], store.meta(spec["ref_table"]).version)
+            if dep not in deps:
+                deps.append(dep)
         ref_bounds = {
             rc: cbounds[c]
             for c, rc in zip(cols, spec["ref_columns"])
@@ -240,6 +251,7 @@ def enforce_foreign_keys(
                 f"foreign key {name!r} violated: written rows reference "
                 f"{cols} values absent from {spec['ref_table']}"
             )
+    return deps
 
 
 def enforce_unique_constraints(

@@ -1,0 +1,116 @@
+"""Cross-table optimistic concurrency for referential integrity:
+write verbs probe OTHER tables (FK parents on child writes, FK
+children on parent deletes) and precondition their commit on those
+tables' versions — a probe made stale by a concurrent writer fails
+the commit cleanly instead of publishing an orphan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mssql_dataframe_spark import errors
+
+
+def _mk(engine, spark):
+    engine.create.table("dbo.xp", {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        "dbo.xp", spark.createDataFrame([Row(pk=i) for i in range(5)], "pk long")
+    )
+    engine.create.table(
+        "dbo.xc", {"id": "bigint", "ref": "bigint"}, primary_key_column="id"
+    )
+    engine.modify.foreign_key(
+        "dbo.xc", "add", "fk_xp",
+        columns="ref", ref_table="dbo.xp", ref_columns="pk",
+    )
+
+
+def test_store_precondition_rejects_stale_dependency(engine, spark):
+    _mk(engine, spark)
+    store = engine.store
+    v = store.meta("dbo.xp").version
+    df = spark.createDataFrame([Row(id=1, ref=0)], "id long, ref long")
+    # stale precondition (as if the parent advanced after a probe)
+    with pytest.raises(
+        errors.SQLConcurrentWriteConflict, match="referential-integrity"
+    ):
+        store.append("dbo.xc", df, preconditions=[("dbo.xp", v - 1)])
+    # nothing was published and no staged file leaked
+    assert engine.read.table("dbo.xc").count() == 0
+    meta = store.meta("dbo.xc")
+    assert store.manifest("dbo.xc", meta.version) == []
+    # the true version passes
+    store.append("dbo.xc", df, preconditions=[("dbo.xp", v)])
+    assert engine.read.table("dbo.xc").count() == 1
+
+
+def test_child_insert_fails_if_parent_changes_after_probe(engine, spark):
+    """Simulated race: the parent is deleted between the child's FK
+    probe and its commit — the commit must fail (previously the child
+    would publish rows referencing the deleted key)."""
+    _mk(engine, spark)
+    store = engine.store
+    orig_append = store.append
+    raced = {"done": False}
+
+    def racing_append(name, df, **kw):
+        # fire the concurrent parent delete at the last pre-commit
+        # moment — after every probe ran, before the publish
+        if name == "dbo.xc" and not raced["done"]:
+            raced["done"] = True
+            store.append = orig_append  # the delete itself commits freely
+            engine.write.delete(
+                "dbo.xp", spark.createDataFrame([Row(pk=4)], "pk long")
+            )
+        return orig_append(name, df, **kw)
+
+    store.append = racing_append
+    try:
+        with pytest.raises(errors.SQLConcurrentWriteConflict):
+            engine.write.insert(
+                "dbo.xc",
+                spark.createDataFrame([Row(id=1, ref=4)], "id long, ref long"),
+            )
+    finally:
+        store.append = orig_append
+    # the losing write left nothing behind; retry now fails the FK
+    # check itself (the key is really gone)
+    assert engine.read.table("dbo.xc").count() == 0
+    with pytest.raises(errors.SQLForeignKeyViolation):
+        engine.write.insert(
+            "dbo.xc",
+            spark.createDataFrame([Row(id=1, ref=4)], "id long, ref long"),
+        )
+
+
+def test_parent_delete_fails_if_child_changes_after_probe(engine, spark):
+    """The mirror race: a child row referencing the key lands between
+    the parent delete's child probe and its commit — the delete must
+    fail instead of orphaning the new child row."""
+    _mk(engine, spark)
+    store = engine.store
+    orig_commit = store._commit
+    raced = {"done": False}
+
+    def racing_commit(name, *a, **kw):
+        if name == "dbo.xp" and not raced["done"]:
+            raced["done"] = True
+            engine.write.insert(
+                "dbo.xc",
+                spark.createDataFrame([Row(id=9, ref=3)], "id long, ref long"),
+            )
+        return orig_commit(name, *a, **kw)
+
+    store._commit = racing_commit
+    try:
+        with pytest.raises(errors.SQLConcurrentWriteConflict):
+            engine.write.delete(
+                "dbo.xp", spark.createDataFrame([Row(pk=3)], "pk long")
+            )
+    finally:
+        store._commit = orig_commit
+    # parent intact, child row present, FK invariant holds
+    assert engine.read.table("dbo.xp").count() == 5
+    got = {r["id"]: r["ref"] for r in engine.read.table("dbo.xc").collect()}
+    assert got == {9: 3}
