@@ -9472,71 +9472,70 @@ def corpus_boilerplate_line_removal(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r8 rotation (VERDICT r7 "Next round" #1): (a) the 5 entries
-    # added after the r7 window froze — the only registry rows with
-    # no driver CORRECTNESS row; (b) the full write-verb suite whose
-    # insert/update/merge/delete code paths were rewired by round 7's
-    # PK enforcement, UNIQUE/FK referential actions, and
-    # content-discovery pruning (last driver-graded r5, pre-rewrite);
-    # (c) the 4 rows whose only driver evidence is r01; (d) a
-    # staleness re-grade slice of the oldest remaining rows (r03).
+    # r9 rotation (VERDICT r8 "Next round" #1): (a) the 5 entries
+    # added after the r8 window froze — the only registry rows with
+    # no driver CORRECTNESS row; (b) multimodal_resize, the single
+    # r03-vintage row left in the ledger; (c) the 40 rows whose
+    # latest driver evidence is r04 (TPC-H headliners, the streaming
+    # r4 suite, json/map/window functions, sources, curation r4
+    # rows); (d) the 4 earliest-positioned r05-vintage rows. After
+    # this window every one of the 232 registry entries has a driver
+    # CORRECTNESS row and none is older than r05.
     # COVERAGE.md "Grading manifest" documents the cycle.
-    # -- (a) never-graded: round-7 constraint additions --
-    "verb_fk_delete_cascade",
-    "verb_fk_delete_set_null",
-    "verb_pk_informational",
-    "verb_merge_composite_key",
-    "verb_unique_constraint",
-    # -- (b) write-verb re-grades on post-constraint code paths --
-    "verb_insert_read",
-    "verb_update",
-    "verb_merge_upsert",
-    "verb_merge_delete",
-    "verb_merge_delete_requires",
-    "verb_merge_scd2",
-    "verb_merge_auto_evolve",
-    "verb_merge_stale_flagging",
-    "verb_delete_keys",
-    "verb_delete_where",
-    "verb_truncate_reload",
-    "verb_foreign_key_audit",
-    "verb_check_constraints",
-    "verb_identity_pk",
-    # -- (c) rows whose only driver evidence is r01 --
-    "apply_in_pandas_zscore",
-    "map_in_pandas_tokens",
-    "posexplode_tokens",
-    "semi_anti_join",
-    # -- (d) staleness re-grade: oldest remaining evidence (r03) --
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "approx_percentile_sketch",
-    "array_agg_functions",
-    "date_functions",
-    "dedup_cluster_survivors",
-    "dedup_exact_prefix",
-    "dedup_exact_text",
-    "doc_fingerprint",
-    "doc_rolling_hash",
-    "embedding_cosine_topk",
-    "embedding_near_dup_pairs",
-    "math_conditional_functions",
-    "minhash_dedup_pairs",
-    "minhash_signatures",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "ngram_jaccard_pairs",
-    "pandas_udaf_median",
-    "range_join_price_bands",
-    "simhash_near_dup_pairs",
-    "string_functions",
-    "text_bpe_token_count",
-    "text_lang_id",
-    "text_quality_features",
-    "text_tfidf_top_terms",
-    "text_token_counts",
-    # (multimodal_resize, the 28th r03 row, overflows this 50-entry
-    # window; it leads the r9 slice together with the r04 rows.)
+    # -- (a) never-graded: round-8 additions --
+    "verb_composite_pk_pruned_ingest",
+    "verb_scd2_composite_key",
+    "verb_merge_partition_reload",
+    "doc_line_dedup",
+    "corpus_boilerplate_line_removal",
+    # -- (b) the only r03-vintage row --
+    "multimodal_resize",
+    # -- (c) the 40 r04-vintage rows --
+    "approx_count_distinct",
+    "broadcast_join_brand_volume",
+    "char_entropy_quality",
+    "corpus_mixture_audit",
+    "corpus_quality_filter",
+    "decontamination_overlap",
+    "doc_chunking",
+    "embedding_int8_quantize",
+    "json_extraction",
+    "json_object_extraction",
+    "map_functions",
+    "multimodal_audio_features",
+    "multimodal_resize_stub_contract",
+    "pack_sequences_budget",
+    "per_source_cap",
+    "pii_redaction",
+    "python_udtf_char_ngrams",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q12_late_shipments",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "salted_join_user_events",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "streaming_append_out_of_order",
+    "streaming_dedup_exact",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_stateful_user_stats",
+    "streaming_stream_stream_join",
+    "text_repetition_features",
+    "verb_primary_key_audit",
+    "verb_read_values_sql",
+    "window_top3_orders_per_customer",
+    "window_value_functions",
+    # -- (d) the 4 earliest r05-vintage rows --
+    "verb_merge_identity",
+    "verb_modify_schema",
+    "verb_schema_validate_convert",
+    "verb_read_where_grammar",
 ]
 
 
