@@ -76,23 +76,93 @@ def _check_restrict_references(
     invariant this engine guarantees. SQL Server's cascade is atomic
     — a documented divergence (README / SCALE.md); recover a
     partial chain with time travel (restore to the pre-delete
-    version) or by re-issuing the parent delete."""
-    from ...errors import SQLForeignKeyViolation
+    version) or by re-issuing the parent delete.
+
+    Concurrency contract: each child's version is captured BEFORE
+    its probe reads anything (manifest or data), so a child commit
+    landing after the probe's read is detected — either by the
+    fail-fast movement check, the final revalidation pass below, or
+    the parent commit's cross-table precondition
+    (store._check_preconditions). cascade/set_null bump the child's
+    version themselves, so those capture AFTER their own commit and
+    pair it with a RE-PROBE of the post-action snapshot (a foreign
+    row landing mid-action is caught by the re-probe; anything
+    after the re-probe's capture trips the precondition). Residual
+    window — documented, not closed: _check_preconditions is
+    check-then-publish with no commit-time lock, so a child commit
+    racing between the parent commit's precondition read and its
+    manifest publish is still unguarded; the capture-before-probe
+    ordering narrows the window to that single metadata read."""
+    from ...errors import (
+        SQLConcurrentWriteConflict,
+        SQLForeignKeyViolation,
+    )
 
     refs = fk_references(store, table_name)
     if not refs:
         return []
-    deps: list[tuple] = []
+    # expected[t]: the version every probe verdict on t is valid
+    # against. Our OWN action commits advance it immediately; any
+    # other movement means a foreign writer and the verdicts must be
+    # re-established or the delete must fail cleanly.
+    expected: dict[str, int] = {}
 
-    def _note(t):
-        # capture the child's version AFTER its referential action
-        # finished (cascade/set_null bump it themselves) — the
-        # parent's commit is then preconditioned on no OTHER writer
-        # touching the child in between (store._check_preconditions)
-        deps[:] = [d for d in deps if d[0] != t]
-        deps.append((t, store.meta(t).version))
+    def _conflict(t):
+        raise SQLConcurrentWriteConflict(
+            f"table {t!r} (a referential-integrity dependency of the "
+            f"delete from {table_name!r}) was written concurrently "
+            "while its foreign keys were being checked — re-read and "
+            "retry"
+        )
+
+    def _candidates(t, fk, parent_keys):
+        """Stats-pruned candidate files of ``t`` that could hold a
+        row referencing the deleted keys: the keys' per-column
+        min/max (one small agg over the persisted key set) intersect
+        the child manifest's per-file FK-column stats, so a delete on
+        a key range no child file covers reads ZERO child files —
+        probe cost ∝ files that could reference the keys, not
+        child-table size. Empty child manifests short-circuit the
+        same way (and never hit the empty-table no-_metadata read
+        shape)."""
+        brow = parent_keys.agg(
+            *[
+                f
+                for i, c in enumerate(fk["columns"])
+                for f in (
+                    F.min(c).alias(f"__lo_{i}"),
+                    F.max(c).alias(f"__hi_{i}"),
+                )
+            ]
+        ).collect()[0]
+        key_bounds = {
+            c: (brow[f"__lo_{i}"], brow[f"__hi_{i}"])
+            for i, c in enumerate(fk["columns"])
+            if brow[f"__lo_{i}"] is not None
+        }
+        if not key_bounds:  # no non-NULL deleted keys: nothing can
+            return []       # reference them
+        touched, _ = store.split_by_key_ranges(t, key_bounds)
+        return touched
+
+    def _probe_hit(t, fk, parent_keys) -> bool:
+        """True iff a row of ``t`` references a deleted key via
+        ``fk`` at the CURRENT snapshot — stats-narrow, then one
+        keys-only semi join over the candidate files."""
+        touched = _candidates(t, fk, parent_keys)
+        if not touched:
+            return False
+        return bool(
+            store.read_files(t, touched)
+            .select(*fk["columns"])
+            .na.drop(how="any")
+            .join(parent_keys, fk["columns"], "left_semi")
+            .limit(1)
+            .count()
+        )
 
     deleted_rows = deleted_rows.persist()
+    probed: list[tuple] = []  # (t, fk, parent_keys) for revalidation
     try:
         for t, nm, fk in refs:
             action = fk.get("on_delete", "no_action")
@@ -106,48 +176,14 @@ def _check_restrict_references(
                 .na.drop(how="any")
                 .distinct()
             )
-            # stats-prune the child BEFORE probing it: the deleted
-            # keys' per-column min/max (one small agg over the
-            # persisted key set) intersect the child manifest's
-            # per-file FK-column stats, so a delete on a key range no
-            # child file covers reads ZERO child files — the probe
-            # cost is ∝ files that could reference the keys, not
-            # child-table size. Empty child manifests short-circuit
-            # the same way (and never hit the empty-table
-            # no-_metadata read shape).
-            brow = parent_keys.agg(
-                *[
-                    f
-                    for i, c in enumerate(fk["columns"])
-                    for f in (
-                        F.min(c).alias(f"__lo_{i}"),
-                        F.max(c).alias(f"__hi_{i}"),
-                    )
-                ]
-            ).collect()[0]
-            key_bounds = {
-                c: (brow[f"__lo_{i}"], brow[f"__hi_{i}"])
-                for i, c in enumerate(fk["columns"])
-                if brow[f"__lo_{i}"] is not None
-            }
-            if key_bounds:
-                touched, _ = store.split_by_key_ranges(t, key_bounds)
-            else:  # no non-NULL deleted keys: nothing can reference them
-                touched = []
-            if not touched:
-                _note(t)
-                continue
-            child_scan = store.read_files(t, touched)
-            hit = (
-                child_scan
-                .select(*fk["columns"])
-                .na.drop(how="any")
-                .join(parent_keys, fk["columns"], "left_semi")
-                .limit(1)
-                .count()
-            )
-            if not hit:
-                _note(t)
+            probed.append((t, fk, parent_keys))
+            # capture BEFORE the probe reads anything; fail fast if
+            # the table moved since an earlier probe this call (our
+            # own commits update expected[], so a mismatch is foreign)
+            v_pre = store.meta(t).version
+            if expected.setdefault(t, v_pre) != v_pre:
+                _conflict(t)
+            if not _probe_hit(t, fk, parent_keys):
                 continue
             if action == "cascade":
                 if t in _chain or t == table_name:
@@ -161,15 +197,24 @@ def _check_restrict_references(
                     match_columns=list(fk["columns"]),
                     _chain=_chain + (table_name,),
                 )
-                _note(t)
+                # own commit(s): capture AFTER, then re-probe the
+                # post-action snapshot — a foreign referencing row
+                # that landed mid-action shows up here and fails
+                # cleanly instead of being orphaned
+                expected[t] = store.meta(t).version
+                if _probe_hit(t, fk, parent_keys):
+                    _conflict(t)
             elif action == "set_null":
                 key_cols = set(fk["columns"])
                 # file-pruned rewrite (the delete_where shape): one
                 # slim scan — FK columns + _metadata.file_path — finds
                 # the files holding a matching row; every other file
                 # carries into the next manifest BY REFERENCE. The
-                # scan itself runs over the stats-pruned child_scan,
+                # scan itself runs over the stats-pruned candidates,
                 # so discovery cost is ∝ candidate files too.
+                child_scan = store.read_files(
+                    t, _candidates(t, fk, parent_keys)
+                )
                 matched_files = {
                     os.path.basename(r["f"])
                     for r in child_scan
@@ -214,16 +259,34 @@ def _check_restrict_references(
                 store.replace_files(
                     t, new_child, keep_entries, op="fk_set_null"
                 )
-                _note(t)
+                # own commit: capture AFTER + re-probe (see cascade)
+                expected[t] = store.meta(t).version
+                if _probe_hit(t, fk, parent_keys):
+                    _conflict(t)
             else:
                 raise SQLForeignKeyViolation(
                     f"cannot delete from {table_name!r}: rows are still "
                     f"referenced by foreign key {nm!r} on {t!r} "
                     "(ON DELETE NO ACTION)"
                 )
+        # final revalidation: a table whose version moved outside the
+        # windows accounted above (a foreign commit after a zero-touch
+        # probe, or a diamond cascade chain where the recursive
+        # delete_op committed to a SIBLING table we probed earlier)
+        # gets every FK re-probed at the current snapshot — clean
+        # re-probes re-establish the verdicts at the new version, a
+        # hit fails cleanly. Metadata reads only on the no-race path.
+        for t in expected:
+            v_now = store.meta(t).version
+            if v_now == expected[t]:
+                continue
+            for t2, fk, parent_keys in probed:
+                if t2 == t and _probe_hit(t, fk, parent_keys):
+                    _conflict(t)
+            expected[t] = v_now
     finally:
         deleted_rows.unpersist()
-    return deps
+    return list(expected.items())
 
 
 def delete_op(

@@ -114,3 +114,76 @@ def test_parent_delete_fails_if_child_changes_after_probe(engine, spark):
     assert engine.read.table("dbo.xp").count() == 5
     got = {r["id"]: r["ref"] for r in engine.read.table("dbo.xc").collect()}
     assert got == {9: 3}
+
+
+def _racing_split(engine, spark, store, ref):
+    """Patch split_by_key_ranges so a child insert commits AFTER the
+    parent delete's probe computed its (now stale) zero-touch verdict
+    from the old manifest — the window between the probe's read and
+    the version capture that the capture-before-probe ordering must
+    cover."""
+    orig_split = store.split_by_key_ranges
+    raced = {"done": False}
+
+    def racing_split(name, bounds, **kw):
+        res = orig_split(name, bounds, **kw)
+        if name == "dbo.xc" and not raced["done"]:
+            raced["done"] = True
+            store.split_by_key_ranges = orig_split
+            engine.write.insert(
+                "dbo.xc",
+                spark.createDataFrame(
+                    [Row(id=9, ref=ref)], "id long, ref long"
+                ),
+            )
+        return res
+
+    store.split_by_key_ranges = racing_split
+    return orig_split
+
+
+def test_parent_delete_fails_if_child_insert_lands_after_probe_read(
+    engine, spark
+):
+    """The narrower race the capture-AFTER-probe ordering missed: the
+    child is EMPTY so the probe zero-touches off the manifest, and a
+    referencing child row commits between that manifest read and the
+    version capture. Capturing before the probe makes the movement
+    visible; the revalidation re-probe sees the new row and fails
+    cleanly instead of orphaning it."""
+    _mk(engine, spark)
+    store = engine.store
+    orig = _racing_split(engine, spark, store, ref=3)
+    try:
+        with pytest.raises(errors.SQLConcurrentWriteConflict):
+            engine.write.delete(
+                "dbo.xp", spark.createDataFrame([Row(pk=3)], "pk long")
+            )
+    finally:
+        store.split_by_key_ranges = orig
+    # parent intact, racing child row present, FK invariant holds
+    assert engine.read.table("dbo.xp").count() == 5
+    got = {r["id"]: r["ref"] for r in engine.read.table("dbo.xc").collect()}
+    assert got == {9: 3}
+
+
+def test_parent_delete_survives_unrelated_child_insert_after_probe(
+    engine, spark
+):
+    """No false conflicts: the same race window, but the racing child
+    row references a DIFFERENT key — revalidation re-probes the moved
+    table, finds nothing referencing the deleted key, re-captures the
+    new version, and the delete commits."""
+    _mk(engine, spark)
+    store = engine.store
+    orig = _racing_split(engine, spark, store, ref=0)
+    try:
+        n = engine.write.delete(
+            "dbo.xp", spark.createDataFrame([Row(pk=3)], "pk long")
+        )
+    finally:
+        store.split_by_key_ranges = orig
+    assert n == 1
+    assert engine.read.table("dbo.xp").count() == 4
+    got = {r["id"]: r["ref"] for r in engine.read.table("dbo.xc").collect()}
+    assert got == {9: 0}
