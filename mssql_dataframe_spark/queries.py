@@ -9460,6 +9460,156 @@ def corpus_boilerplate_line_removal(spark, sf_dir):
     )
 
 
+@register(
+    "doc_line_dedup_windowed",
+    sql=f"""
+    WITH {_ML_LINES_SQL},
+    docs AS (
+      SELECT doc_id,
+             list_concat(chunks, [chunks[1], chunks[2]]) AS lines
+      FROM ml WHERE len(chunks) >= 2
+    ),
+    dd AS (
+      SELECT doc_id, lines,
+             list_filter(lines, (x, i) -> list_position(lines, x) = i)
+               AS uniq
+      FROM docs
+    )
+    SELECT doc_id,
+           array_to_string(uniq, chr(10)) AS text_clean,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(uniq) AS BIGINT) AS n_removed
+    FROM dd
+    """,
+)
+def doc_line_dedup_windowed(spark, sf_dir):
+    """doc_line_dedup's giant-document path, driver-verified against
+    the SAME oracle (operators/curation.py dedup_lines_df): every
+    document is forced through the posexplode -> first-occurrence
+    window -> ordered rebuild fallback (giant_line_threshold=0)
+    instead of the codegen fold. This is the shape that bounds a
+    100k-line pathological document to one shuffle rather than an
+    O(lines^2) hot task; grading it against doc_line_dedup's oracle
+    pins fold/window output equality at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.filter(
+        F.array(
+            F.array_join(F.slice(w, 1, 8), " "),
+            F.array_join(F.slice(w, 9, 8), " "),
+            F.array_join(F.slice(w, 17, 8), " "),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    docs = (
+        d.select("doc_id", chunks.alias("chunks"))
+        .filter(F.size("chunks") >= 2)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("chunks"),
+                F.array(F.col("chunks")[0], F.col("chunks")[1]),
+            ).alias("lines"),
+        )
+        .withColumn("text_ml", F.array_join(F.col("lines"), "\n"))
+    )
+    deduped = C.dedup_lines_df(
+        docs, text_col="text_ml", giant_line_threshold=0
+    )
+    out = deduped.select(
+        "doc_id",
+        F.col("text_ml").alias("text_clean"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+    )
+    return out.withColumn(
+        "n_removed",
+        (
+            F.col("n_lines")
+            - F.size(F.split(F.col("text_clean"), "\n"))
+        ).cast("bigint"),
+    )
+
+
+@register(
+    "corpus_boilerplate_antijoin",
+    sql=f"""
+    WITH {_ML_LINES_SQL},
+    ex AS (
+      SELECT doc_id, unnest(list_distinct(chunks)) AS ln FROM ml
+    ),
+    freq AS (
+      SELECT ln FROM ex GROUP BY ln HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    lined AS (
+      SELECT doc_id, unnest(chunks) AS ln,
+             unnest(generate_series(1, len(chunks))) AS ord
+      FROM ml
+    ),
+    kept AS (
+      SELECT doc_id, ln, ord FROM lined
+      WHERE ln NOT IN (SELECT ln FROM freq)
+    )
+    SELECT m.doc_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(m.chunks) - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM ml m LEFT JOIN (
+      SELECT doc_id,
+             string_agg(ln, chr(10) ORDER BY ord) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ) k ON m.doc_id = k.doc_id
+    """,
+)
+def corpus_boilerplate_antijoin(spark, sf_dir):
+    """corpus_boilerplate_line_removal's large-set pass 2,
+    driver-verified against the SAME oracle (operators/curation.py
+    remove_frequent_lines, inline_threshold=0): the frequent set goes
+    through posexplode -> broadcast ANTI-join -> ordered rebuild
+    instead of literal-array inlining, the shape that holds when the
+    boilerplate set is too large for a Catalyst expression tree
+    (literal inlining degrades well below 10^4 nodes). One broadcast
+    of the >= min_docs heavy-hitter set, one bounded line-granularity
+    shuffle for the rebuild — no literal blowup at any set size."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.filter(
+        F.array(
+            F.array_join(F.slice(w, 1, 8), " "),
+            F.array_join(F.slice(w, 9, 8), " "),
+            F.array_join(F.slice(w, 17, 8), " "),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    ml = d.select(
+        "doc_id",
+        chunks.alias("chunks"),
+        F.array_join(chunks, "\n").alias("text"),
+    )
+    cleaned, _freq = C.remove_frequent_lines(
+        ml.select("doc_id", "text"), text_col="text", min_docs=2,
+        inline_threshold=0,
+    )
+    out = ml.select("doc_id", F.size("chunks").alias("__n")).join(
+        cleaned.select(
+            "doc_id",
+            F.col("text").alias("text_clean"),
+            F.when(F.col("text") == "", F.lit(0))
+            .otherwise(F.size(F.split(F.col("text"), "\n")))
+            .cast("bigint")
+            .alias("n_kept"),
+        ),
+        "doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "text_clean",
+        "n_kept",
+        (F.col("__n") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -94,6 +94,104 @@ def test_remove_frequent_lines_can_empty_a_document(spark):
     assert got == {0: "", 1: "", 2: "keep"}
 
 
+def test_dedup_lines_literal_delimiter_with_regex_metachar(spark):
+    # '.' split as a literal, not as match-any-char — and '|' too
+    df = _df(spark, ["a.b.a.c"])
+    got = df.select(
+        C.dedup_lines("text", delimiter=".").alias("clean")
+    ).collect()[0]["clean"]
+    assert got == "a.b.c"
+    df2 = _df(spark, ["x|y|x"])
+    got2 = df2.select(
+        C.dedup_lines("text", delimiter="|").alias("clean")
+    ).collect()[0]["clean"]
+    assert got2 == "x|y"
+
+
+def test_dedup_lines_regex_opt_in(spark):
+    # regex=True restores raw Java-regex split semantics
+    df = _df(spark, ["a--b---a--c"])
+    got = df.select(
+        C.dedup_lines("text", delimiter="-+", regex=True).alias("clean")
+    ).collect()[0]["clean"]
+    assert got == "a-+b-+c"
+
+
+def test_dedup_lines_df_fold_and_window_paths_agree(spark):
+    docs = [
+        "a\nb\na\nc\nb\na",
+        "x",
+        "",
+        "Hello\n hello \nHELLO\nworld",
+        "\n".join(str(i % 7) for i in range(50)),
+        None,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    for normalize in (False, True):
+        fold = {
+            r["doc_id"]: r["text"]
+            for r in C.dedup_lines_df(
+                df, normalize=normalize, giant_line_threshold=10**6
+            ).collect()
+        }
+        window = {
+            r["doc_id"]: r["text"]
+            for r in C.dedup_lines_df(
+                df, normalize=normalize, giant_line_threshold=0
+            ).collect()
+        }
+        # null text is never "giant": it stays on the fold path and
+        # survives as null in both runs
+        assert fold == window, f"normalize={normalize}"
+        assert fold[5] is None
+        assert fold[0] == "a\nb\nc"
+
+
+def test_dedup_lines_df_routes_giants_only(spark):
+    small = "a\na\nb"
+    giant = "\n".join(["dup"] * 20 + ["tail"])
+    df = _df(spark, [small, giant])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in C.dedup_lines_df(df, giant_line_threshold=5).collect()
+    }
+    assert got == {0: "a\nb", 1: "dup\ntail"}
+
+
+def test_remove_frequent_lines_anti_join_path_matches_literal(spark):
+    rows = [
+        "boiler\nunique one",
+        "boiler\nunique two",
+        "boiler\nunique three",
+        "only here\nboiler",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    lit_clean, _ = C.remove_frequent_lines(df, min_docs=3)
+    aj_clean, _ = C.remove_frequent_lines(df, min_docs=3, inline_threshold=0)
+    lit = {r["doc_id"]: r["text"] for r in lit_clean.collect()}
+    aj = {r["doc_id"]: r["text"] for r in aj_clean.collect()}
+    assert lit == aj
+    assert aj[0] == "unique one" and aj[4] is None
+
+
+def test_remove_frequent_lines_large_set_uses_broadcast_anti_join(spark):
+    df = _df(spark, ["b\nkeep", "b", "b"])
+    cleaned, _ = C.remove_frequent_lines(df, min_docs=3, inline_threshold=0)
+    plan = cleaned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    got = {
+        r["doc_id"]: r["text"] for r in cleaned.orderBy("doc_id").collect()
+    }
+    assert got == {0: "keep", 1: "", 2: ""}
+
+
 def test_remove_frequent_lines_cap_warns(spark, caplog):
     import logging
 
