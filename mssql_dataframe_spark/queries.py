@@ -9531,6 +9531,90 @@ def doc_line_dedup_windowed(spark, sf_dir):
 
 
 @register(
+    "corpus_line_dedup_global",
+    sql=f"""
+    WITH {_ML_LINES_SQL},
+    nz AS (
+      SELECT doc_id, chunks FROM ml WHERE len(chunks) >= 1
+    ),
+    lined AS (
+      SELECT doc_id, unnest(chunks) AS ln,
+             unnest(generate_series(1, len(chunks))) AS ord
+      FROM nz
+    ),
+    firsts AS (
+      SELECT ln, MIN(doc_id * 1000000 + ord) AS fkey
+      FROM lined GROUP BY ln
+    ),
+    kept AS (
+      SELECT l.doc_id, l.ln, l.ord
+      FROM lined l JOIN firsts f USING (ln)
+      WHERE l.doc_id * 1000000 + l.ord = f.fkey
+    )
+    SELECT m.doc_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(m.chunks) - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM nz m LEFT JOIN (
+      SELECT doc_id,
+             string_agg(ln, chr(10) ORDER BY ord) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ) k ON m.doc_id = k.doc_id
+    """,
+)
+def corpus_line_dedup_global(spark, sf_dir):
+    """CORPUS-GLOBAL first-occurrence line dedup (C4's "remove
+    duplicate spans across the corpus" rule at line granularity;
+    operators/curation.py dedup_lines_global — distinct from the
+    within-document doc_line_dedup and from the document-frequency-
+    thresholded corpus_boilerplate_line_removal): every occurrence of
+    an 8-word chunk after its first (ordered by doc_id, position) is
+    removed; the first survives in place. Scale shape: posexplode ->
+    ONE partial-aggregated min-occurrence per line (map-side combine
+    absorbs hot boilerplate lines) -> exchange-reusing join back ->
+    one rebuild shuffle — no window over the line value, so a
+    million-copy line never pins a sort to one task. The oracle
+    replays first-occurrence survivorship with an encoded min key."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.filter(
+        F.array(
+            F.array_join(F.slice(w, 1, 8), " "),
+            F.array_join(F.slice(w, 9, 8), " "),
+            F.array_join(F.slice(w, 17, 8), " "),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    ml = d.select(
+        "doc_id",
+        chunks.alias("chunks"),
+        F.array_join(chunks, "\n").alias("text"),
+    ).filter(F.size("chunks") >= 1)
+    cleaned = C.dedup_lines_global(
+        ml.select("doc_id", "text"), id_col="doc_id", text_col="text"
+    )
+    out = ml.select("doc_id", F.size("chunks").alias("__n")).join(
+        cleaned.select(
+            "doc_id",
+            F.col("text").alias("text_clean"),
+            F.when(F.col("text") == "", F.lit(0))
+            .otherwise(F.size(F.split(F.col("text"), "\n")))
+            .cast("bigint")
+            .alias("n_kept"),
+        ),
+        "doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "text_clean",
+        "n_kept",
+        (F.col("__n") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+    )
+
+
+@register(
     "corpus_boilerplate_antijoin",
     sql=f"""
     WITH {_ML_LINES_SQL},

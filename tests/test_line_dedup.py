@@ -161,6 +161,27 @@ def test_dedup_lines_df_routes_giants_only(spark):
     assert got == {0: "a\nb", 1: "dup\ntail"}
 
 
+def test_dedup_lines_global_keeps_corpus_first_occurrence(spark):
+    df = _df(spark, ["a\nb", "b\nc", "a\nc\nc"])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in C.dedup_lines_global(df, id_col="doc_id").collect()
+    }
+    # a,b first in doc 0; c first in doc 1; every later copy (across
+    # docs AND the within-doc repeat in doc 2) is removed
+    assert got == {0: "a\nb", 1: "c", 2: ""}
+
+
+def test_dedup_lines_global_preserves_null_and_other_columns(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="x", lang="en"), Row(doc_id=1, text=None, lang="fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in C.dedup_lines_global(df).collect()}
+    assert rows[0]["text"] == "x" and rows[0]["lang"] == "en"
+    assert rows[1]["text"] is None and rows[1]["lang"] == "fr"
+
+
 def test_remove_frequent_lines_anti_join_path_matches_literal(spark):
     rows = [
         "boiler\nunique one",
