@@ -365,6 +365,37 @@ def main() -> None:
             f"{statistics.median(samples):.3f} |"
         )
 
+    # static record of the r9 probe short-circuit A/B so it survives
+    # regeneration (measured once; the verdict is design evidence, not
+    # a per-round metric)
+    lines += [
+        "",
+        "## SCD2 probe short-circuit A/B (measured and REJECTED, r9)",
+        "",
+        "Candidate: skip the SCD2/merge content-discovery probe when the",
+        "manifest (or the stats-narrowed candidate set) is a single file, to",
+        "reclaim verb_merge_scd2's r8 probe overhead (+0.43 s at toy scale).",
+        "Back-to-back A/B at sf0.1, same machine window, 5 runs each:",
+        "",
+        "| variant | verb_merge_scd2 p50 (s) |",
+        "|---|---|",
+        "| probe always (shipped) | 3.10 |",
+        "| single-file skip (candidate) | 2.02 |",
+        "",
+        "The 1.1 s toy-scale win is real but the skip is WRONG at scale:",
+        "on a 1-file table the probe's \"untouched\" verdict is what lets a",
+        "disjoint-key merge carry the file and commit append-only",
+        "(test_scd2_content_pruning_carries_untouched_files fails under the",
+        "skip — the carried-file assertion). Skipping trades a slim 2-column",
+        "probe scan of one file for rewriting that file in full; at 1 GB file",
+        "granularity the rewrite is strictly worse. The stats-narrowed",
+        "\"≤1 candidate\" variant never fires in this entry (its source key",
+        "range spans the file, so stats prune nothing and candidates is",
+        "None). Verdict: probe retained everywhere; the 0.4 s is accepted",
+        "toy-scale cost that buys append-only commits and flat reload scaling",
+        "(tables above).",
+    ]
+
     # streaming state bounds: peak state rows + watermark eviction per
     # entry, from the query-progress stateOperators metrics — a
     # regression in eviction (state growing with the stream) shows up
