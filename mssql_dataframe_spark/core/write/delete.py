@@ -80,9 +80,10 @@ def _check_restrict_references(
 
     Concurrency contract: each child's version is captured BEFORE
     its probe reads anything (manifest or data), so a child commit
-    landing after the probe's read is detected — either by the
-    fail-fast movement check, the final revalidation pass below, or
-    the parent commit's cross-table precondition
+    landing after the probe's read is detected — by the final
+    revalidation pass below (which re-probes moved tables, so an
+    unrelated commit never raises a false conflict) or by the parent
+    commit's cross-table precondition
     (store._check_preconditions). cascade/set_null bump the child's
     version themselves, so those capture AFTER their own commit and
     pair it with a RE-PROBE of the post-action snapshot (a foreign
@@ -115,16 +116,11 @@ def _check_restrict_references(
             "retry"
         )
 
-    def _candidates(t, fk, parent_keys):
-        """Stats-pruned candidate files of ``t`` that could hold a
-        row referencing the deleted keys: the keys' per-column
-        min/max (one small agg over the persisted key set) intersect
-        the child manifest's per-file FK-column stats, so a delete on
-        a key range no child file covers reads ZERO child files —
-        probe cost ∝ files that could reference the keys, not
-        child-table size. Empty child manifests short-circuit the
-        same way (and never hit the empty-table no-_metadata read
-        shape)."""
+    def _key_bounds(fk, parent_keys):
+        """Per-column min/max of the deleted keys — one small agg over
+        the persisted key set, computed ONCE per FK and reused by the
+        initial probe, the set_null discovery scan, and any re-probe
+        (the key set never changes within this call)."""
         brow = parent_keys.agg(
             *[
                 f
@@ -135,21 +131,31 @@ def _check_restrict_references(
                 )
             ]
         ).collect()[0]
-        key_bounds = {
+        return {
             c: (brow[f"__lo_{i}"], brow[f"__hi_{i}"])
             for i, c in enumerate(fk["columns"])
             if brow[f"__lo_{i}"] is not None
         }
+
+    def _candidates(t, key_bounds):
+        """Stats-pruned candidate files of ``t`` that could hold a
+        row referencing the deleted keys: the key bounds intersect
+        the child manifest's per-file FK-column stats, so a delete on
+        a key range no child file covers reads ZERO child files —
+        probe cost ∝ files that could reference the keys, not
+        child-table size. Empty child manifests short-circuit the
+        same way (and never hit the empty-table no-_metadata read
+        shape). Re-evaluated against the CURRENT manifest on each
+        call (re-probes after an action see the post-action files)."""
         if not key_bounds:  # no non-NULL deleted keys: nothing can
             return []       # reference them
         touched, _ = store.split_by_key_ranges(t, key_bounds)
         return touched
 
-    def _probe_hit(t, fk, parent_keys) -> bool:
-        """True iff a row of ``t`` references a deleted key via
-        ``fk`` at the CURRENT snapshot — stats-narrow, then one
-        keys-only semi join over the candidate files."""
-        touched = _candidates(t, fk, parent_keys)
+    def _probe_hit(t, fk, parent_keys, touched) -> bool:
+        """True iff a row of ``t``'s ``touched`` candidate files
+        references a deleted key via ``fk`` — one keys-only semi
+        join."""
         if not touched:
             return False
         return bool(
@@ -162,7 +168,8 @@ def _check_restrict_references(
         )
 
     deleted_rows = deleted_rows.persist()
-    probed: list[tuple] = []  # (t, fk, parent_keys) for revalidation
+    # (t, fk, parent_keys, bounds) per FK, for the final revalidation
+    probed: list[tuple] = []
     try:
         for t, nm, fk in refs:
             action = fk.get("on_delete", "no_action")
@@ -176,14 +183,15 @@ def _check_restrict_references(
                 .na.drop(how="any")
                 .distinct()
             )
-            probed.append((t, fk, parent_keys))
-            # capture BEFORE the probe reads anything; fail fast if
-            # the table moved since an earlier probe this call (our
-            # own commits update expected[], so a mismatch is foreign)
-            v_pre = store.meta(t).version
-            if expected.setdefault(t, v_pre) != v_pre:
-                _conflict(t)
-            if not _probe_hit(t, fk, parent_keys):
+            bounds = _key_bounds(fk, parent_keys)
+            probed.append((t, fk, parent_keys, bounds))
+            # capture BEFORE the probe reads anything — a foreign
+            # commit after this point is caught by the final
+            # revalidation pass below or by the parent commit's
+            # precondition, never silently absorbed
+            expected.setdefault(t, store.meta(t).version)
+            touched = _candidates(t, bounds)
+            if not _probe_hit(t, fk, parent_keys, touched):
                 continue
             if action == "cascade":
                 if t in _chain or t == table_name:
@@ -202,7 +210,7 @@ def _check_restrict_references(
                 # that landed mid-action shows up here and fails
                 # cleanly instead of being orphaned
                 expected[t] = store.meta(t).version
-                if _probe_hit(t, fk, parent_keys):
+                if _probe_hit(t, fk, parent_keys, _candidates(t, bounds)):
                     _conflict(t)
             elif action == "set_null":
                 key_cols = set(fk["columns"])
@@ -210,11 +218,10 @@ def _check_restrict_references(
                 # slim scan — FK columns + _metadata.file_path — finds
                 # the files holding a matching row; every other file
                 # carries into the next manifest BY REFERENCE. The
-                # scan itself runs over the stats-pruned candidates,
-                # so discovery cost is ∝ candidate files too.
-                child_scan = store.read_files(
-                    t, _candidates(t, fk, parent_keys)
-                )
+                # scan itself runs over the stats-pruned candidates
+                # the probe already computed, so discovery cost is
+                # ∝ candidate files too.
+                child_scan = store.read_files(t, touched)
                 matched_files = {
                     os.path.basename(r["f"])
                     for r in child_scan
@@ -261,7 +268,7 @@ def _check_restrict_references(
                 )
                 # own commit: capture AFTER + re-probe (see cascade)
                 expected[t] = store.meta(t).version
-                if _probe_hit(t, fk, parent_keys):
+                if _probe_hit(t, fk, parent_keys, _candidates(t, bounds)):
                     _conflict(t)
             else:
                 raise SQLForeignKeyViolation(
@@ -270,18 +277,22 @@ def _check_restrict_references(
                     "(ON DELETE NO ACTION)"
                 )
         # final revalidation: a table whose version moved outside the
-        # windows accounted above (a foreign commit after a zero-touch
-        # probe, or a diamond cascade chain where the recursive
-        # delete_op committed to a SIBLING table we probed earlier)
-        # gets every FK re-probed at the current snapshot — clean
-        # re-probes re-establish the verdicts at the new version, a
-        # hit fails cleanly. Metadata reads only on the no-race path.
+        # windows accounted above (a foreign commit after a probe —
+        # including between two probes of the same table — or a
+        # diamond cascade chain where the recursive delete_op
+        # committed to a SIBLING table we probed earlier) gets every
+        # FK re-probed at the current snapshot — clean re-probes
+        # re-establish the verdicts at the new version (no false
+        # conflicts on unrelated commits), a hit fails cleanly.
+        # Metadata reads only on the no-race path.
         for t in expected:
             v_now = store.meta(t).version
             if v_now == expected[t]:
                 continue
-            for t2, fk, parent_keys in probed:
-                if t2 == t and _probe_hit(t, fk, parent_keys):
+            for t2, fk, parent_keys, bounds in probed:
+                if t2 == t and _probe_hit(
+                    t, fk, parent_keys, _candidates(t, bounds)
+                ):
                     _conflict(t)
             expected[t] = v_now
     finally:

@@ -9514,7 +9514,7 @@ def doc_line_dedup_windowed(spark, sf_dir):
         .withColumn("text_ml", F.array_join(F.col("lines"), "\n"))
     )
     deduped = C.dedup_lines_df(
-        docs, text_col="text_ml", giant_line_threshold=0
+        docs, text_col="text_ml", giant_line_threshold=0, id_col="doc_id"
     )
     out = deduped.select(
         "doc_id",
@@ -9673,7 +9673,7 @@ def corpus_boilerplate_antijoin(spark, sf_dir):
     )
     cleaned, _freq = C.remove_frequent_lines(
         ml.select("doc_id", "text"), text_col="text", min_docs=2,
-        inline_threshold=0,
+        inline_threshold=0, id_col="doc_id",
     )
     out = ml.select("doc_id", F.size("chunks").alias("__n")).join(
         cleaned.select(

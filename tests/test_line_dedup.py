@@ -182,6 +182,36 @@ def test_dedup_lines_global_preserves_null_and_other_columns(spark):
     assert rows[1]["text"] is None and rows[1]["lang"] == "fr"
 
 
+def test_df_operators_reject_reserved_column_names(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a", __did=9)],
+        "doc_id long, text string, __did long",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        C.dedup_lines_df(df)
+    with pytest.raises(ValueError, match="reserved"):
+        C.dedup_lines_global(df)
+    with pytest.raises(ValueError, match="reserved"):
+        # the literal path never builds work columns; force the
+        # anti-join path to hit the guard
+        C.remove_frequent_lines(df, min_docs=1, inline_threshold=0)
+
+
+def test_remove_frequent_lines_anti_join_deterministic_id_col(spark):
+    rows = ["b\nkeep", "b", "b"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    cleaned, _ = C.remove_frequent_lines(
+        df, min_docs=3, inline_threshold=0, id_col="doc_id"
+    )
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert got == {0: "keep", 1: "", 2: ""}
+
+
 def test_remove_frequent_lines_anti_join_path_matches_literal(spark):
     rows = [
         "boiler\nunique one",
