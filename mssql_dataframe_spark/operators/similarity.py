@@ -703,6 +703,136 @@ def kmeans_quantized(
     return out.select("cid", "n_members", "inertia_q")
 
 
+def pq_train_encode(
+    embeddings: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    quant: int = 1024,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (the IVF-PQ compression standard for
+    billion-vector ANN): the vector is split into ``m`` contiguous
+    subspaces of ``dim/m`` coordinates, an integer-exact Lloyd
+    codebook of ``k`` centroids is trained PER SUBSPACE (the
+    :func:`kmeans_quantized` arithmetic — quantized grid, lowest-cid
+    tie-break, round-half-up integer means, empty clusters keep their
+    centroid — so training is bit-reproducible on any engine), and
+    each vector is encoded as ``m`` small code ids. Memory per vector
+    drops from ``dim`` floats to ``m`` bytes (k <= 256); search-time
+    asymmetric distance is ``m`` table lookups.
+
+    Returns one row per vector: ``(vec_id, code_0..code_{m-1},
+    recon_err_q)`` — the codes and the exact int64 squared
+    reconstruction error (sum over subspaces of ||sub - centroid||²
+    in grid units), the quantity PQ training minimizes.
+
+    Scale shape: the quantized corpus is computed once and persisted;
+    per subspace each Lloyd round is one map-side cross join against
+    k broadcast centroids + one combiner argmin + one (cid, pos)
+    combiner mean whose k*dim/m ints are collected for the next
+    broadcast — vectors never shuffle. The m per-subspace code frames
+    join back on the vector id; at scale that id join is the only
+    shuffle, and m is a constant (8-16 in production).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    spark = embeddings.sparkSession
+
+    def sqsum(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+
+    def dotc(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a_, x: a_ + x,
+        )
+
+    qcol = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+    qe = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            F.slice(qcol, s * sub + 1, sub).alias(f"q{s}")
+            for s in range(m)
+        ],
+    ).persist()
+    init = qe.orderBy("vec_id").limit(k).collect()
+
+    def assign_for(s, cents_rows):
+        cdf = spark.createDataFrame(
+            [(cid, cq) for cid, cq in cents_rows],
+            "cid int, cq array<bigint>",
+        ).withColumn("nc", sqsum(F.col("cq")))
+        e = qe.select("vec_id", F.col(f"q{s}").alias("q")).withColumn(
+            "nv", sqsum(F.col("q"))
+        )
+        fan = e.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "q", "cid",
+            (F.col("nv") + F.col("nc") - 2 * dotc(F.col("q"), F.col("cq")))
+            .alias("dist"),
+        )
+        return (
+            fan.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "q")).alias("mn"))
+            .select(
+                "vec_id",
+                F.col("mn.dist").alias("dist"),
+                F.col("mn.cid").alias("cid"),
+                F.col("mn.q").alias("q"),
+            )
+        )
+
+    out = None
+    for s in range(m):
+        cents = [(i, list(r[f"q{s}"])) for i, r in enumerate(init)]
+        for _ in range(iters - 1):
+            assign = assign_for(s, cents)
+            means = (
+                assign.select("cid", F.posexplode("q").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("sm"), F.count("*").alias("n"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "sm", "n"))
+                        ),
+                        lambda t: F.floor(
+                            (2 * t["sm"] + t["n"]) / (2.0 * t["n"])
+                        ).cast("long"),
+                    ).alias("cq")
+                )
+                .collect()
+            )
+            got = {r["cid"]: list(r["cq"]) for r in means}
+            cents = [(cid, got.get(cid, cq)) for cid, cq in cents]
+        final = assign_for(s, cents).select(
+            "vec_id",
+            F.col("cid").alias(f"code_{s}"),
+            F.col("dist").alias(f"__d{s}"),
+        )
+        out = final if out is None else out.join(final, "vec_id")
+    err = sum(
+        (F.col(f"__d{s}") for s in range(1, m)), F.col("__d0")
+    )
+    res = out.select(
+        "vec_id",
+        *[F.col(f"code_{s}") for s in range(m)],
+        err.cast("long").alias("recon_err_q"),
+    )
+    qe.unpersist()
+    return res
+
+
 def exact_topk_scalable(
     corpus: DataFrame,
     queries: DataFrame,

@@ -8601,6 +8601,100 @@ def kmeans_codebook_train(spark, sf_dir):
     return S.kmeans_quantized(emb, k=8, iters=3, quant=1024)
 
 
+def _pq_oracle_sql(m: int = 2, k: int = 4, iters: int = 2,
+                   quant: int = 1024, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of pq_train_encode: the per-subspace
+    Lloyd chains are the _kmeans_oracle_sql shape applied to a
+    ``q[lo:hi]`` slice, then the m final assignments join on the
+    vector id for codes + exact reconstruction error."""
+    sub = dim // m
+    parts = [f"""
+    qn AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    )"""]
+    zipdot = ("CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
+              "p -> p[1] * p[2])) AS BIGINT)")
+    dist = f"e.nv + c.nc - 2 * {zipdot}"
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f""",
+    e{s} AS (
+      SELECT vec_id, q[{lo}:{hi}] AS q,
+             CAST(list_sum(list_transform(q[{lo}:{hi}], x -> x * x))
+                  AS BIGINT) AS nv
+      FROM qn
+    ),
+    c{s}x0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             q AS cq,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nc
+      FROM (SELECT vec_id, q FROM e{s} ORDER BY vec_id LIMIT {k})
+    )""")
+        for i in range(iters):
+            parts.append(f""",
+    a{s}x{i} AS (
+      SELECT vec_id, q, cid, dist FROM (
+        SELECT e.vec_id, e.q, c.cid, {dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e{s} e CROSS JOIN c{s}x{i} c) WHERE rn = 1
+    )""")
+            if i < iters - 1:
+                parts.append(f""",
+    m{s}x{i} AS (
+      SELECT cid, i AS pos,
+             CAST(SUM(q[CAST(i AS INT)]) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a{s}x{i}, range(1, {sub} + 1) r(i)
+      GROUP BY cid, i
+    ),
+    cm{s}x{i} AS (
+      SELECT cid,
+             list(CAST(FLOOR((2 * s + n) / (2.0 * n)) AS BIGINT)
+                  ORDER BY pos) AS cq
+      FROM m{s}x{i} GROUP BY cid
+    ),
+    c{s}x{i + 1} AS (
+      SELECT p.cid, COALESCE(mm.cq, p.cq) AS cq,
+             CAST(list_sum(list_transform(COALESCE(mm.cq, p.cq),
+                                          x -> x * x)) AS BIGINT) AS nc
+      FROM c{s}x{i} p LEFT JOIN cm{s}x{i} mm ON p.cid = mm.cid
+    )""")
+    joins = " ".join(
+        f"JOIN a{s}x{iters - 1} s{s} USING (vec_id)" for s in range(1, m)
+    )
+    codes = ", ".join(
+        [f"s0.cid AS code_0"]
+        + [f"s{s}.cid AS code_{s}" for s in range(1, m)]
+    )
+    errs = " + ".join(
+        ["s0.dist"] + [f"s{s}.dist" for s in range(1, m)]
+    )
+    parts.append(f"""
+    SELECT vec_id, {codes}, CAST({errs} AS BIGINT) AS recon_err_q
+    FROM a0x{iters - 1} s0 {joins}
+    """)
+    return "WITH" + "".join(parts[:-1])[1:] + parts[-1]
+
+
+@register("pq_codebook_encode", sql=_pq_oracle_sql())
+def pq_codebook_encode(spark, sf_dir):
+    """Product quantization (operators/similarity.py pq_train_encode):
+    the IVF-PQ compression standard — per-subspace integer-exact
+    Lloyd codebooks, each vector encoded as m code ids with an exact
+    int64 squared reconstruction error. Training reuses the
+    kmeans_quantized arithmetic so the whole train+encode pipeline is
+    bit-reproducible, and the oracle is the SAME per-subspace Lloyd
+    unrolled into flat SQL CTEs joined on the vector id. Per-vector
+    codes + reconstruction error are the graded output — the exact
+    quantities a PQ index stores and minimizes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_train_encode(emb, m=2, k=4, iters=2, quant=1024, dim=64)
+
+
 @register(
     "embedding_int8_quantize",
     sql="""

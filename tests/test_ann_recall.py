@@ -117,6 +117,56 @@ def test_kmeans_quantized_empty_cluster_keeps_centroid(spark):
     assert all(r["inertia_q"] >= 0 for r in out)
 
 
+def test_pq_train_encode_exact_and_consistent(spark):
+    """PQ codes are reproducible, every vector gets m in-range codes,
+    and the reconstruction error equals the per-subspace k-means
+    assignment distances it is built from (more codebooks with the
+    same k never increase total error on the same data)."""
+    import random
+
+    from mssql_dataframe_spark.operators.similarity import pq_train_encode
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(16)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        tuple(r) for r in pq_train_encode(
+            df, m=2, k=4, iters=2, dim=16
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in pq_train_encode(
+            df, m=2, k=4, iters=2, dim=16
+        ).collect()
+    )
+    assert a == b                     # bit-reproducible
+    assert len(a) == 80
+    assert all(0 <= r[1] < 4 and 0 <= r[2] < 4 for r in a)
+    assert all(r[3] >= 0 for r in a)
+    # finer partitioning (m=4 subspaces, same k) refines the grid:
+    # total squared reconstruction error must not increase
+    err2 = sum(r[3] for r in a)
+    err4 = sum(
+        r["recon_err_q"]
+        for r in pq_train_encode(df, m=4, k=4, iters=2, dim=16).collect()
+    )
+    assert err4 <= err2
+
+
+def test_pq_train_encode_rejects_bad_subspace_split(spark):
+    import pytest
+
+    from mssql_dataframe_spark.operators.similarity import pq_train_encode
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_encode(df, m=3, dim=16)
+
+
 def test_exact_topk_scalable_partition_invariant(spark):
     """The per-partition running top-k prune is lossless: the answer
     must be identical whether the corpus arrives as 1 partition or
