@@ -712,6 +712,7 @@ def pq_train_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _return_codebooks: bool = False,
 ) -> DataFrame:
     """Product quantization (the IVF-PQ compression standard for
     billion-vector ANN): the vector is split into ``m`` contiguous
@@ -792,6 +793,7 @@ def pq_train_encode(
         )
 
     out = None
+    codebooks = []
     for s in range(m):
         cents = [(i, list(r[f"q{s}"])) for i, r in enumerate(init)]
         for _ in range(iters - 1):
@@ -815,6 +817,7 @@ def pq_train_encode(
             )
             got = {r["cid"]: list(r["cq"]) for r in means}
             cents = [(cid, got.get(cid, cq)) for cid, cq in cents]
+        codebooks.append(cents)
         final = assign_for(s, cents).select(
             "vec_id",
             F.col("cid").alias(f"code_{s}"),
@@ -830,7 +833,95 @@ def pq_train_encode(
         err.cast("long").alias("recon_err_q"),
     )
     qe.unpersist()
+    if _return_codebooks:
+        return res, codebooks
     return res
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    topk: int = 5,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    quant: int = 1024,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: train + encode via
+    :func:`pq_train_encode`, then answer each query with ``m`` table
+    lookups per corpus vector — the IVF-PQ scan stage. Per query and
+    subspace, the exact int64 distances from the query's subvector to
+    the k centroids form a k-entry table; a vector's ADC score is the
+    sum of its codes' table entries. Deterministic end-to-end (the
+    quantized-grid contract), ties broken on ascending vector id.
+
+    Returns ``(query_id, rank, vec_id, adc_score_q)`` rows, ``topk``
+    per query.
+
+    Scale shape: the per-query tables are m*k integers — broadcast
+    joined onto the encoded corpus (one narrow scan of the m code
+    columns; the original vectors are never touched at search time,
+    which is the entire point of PQ). The top-k window partitions by
+    query over score-ranked candidates; at production scale an IVF
+    coarse quantizer prunes the corpus to nprobe inverted lists
+    before this scan (see ivf_topk) — ADC is the within-list scorer.
+    """
+    encoded, codebooks = pq_train_encode(
+        embeddings, m=m, k=k, iters=iters, quant=quant, dim=dim,
+        id_col=id_col, vec_col=vec_col, _return_codebooks=True,
+    )
+    sub = dim // m
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                _as_double(vec_col),
+                lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+            ).alias("q"),
+        )
+        .collect()
+    )
+    # per-(query, subspace, centroid) exact distance table — m*k ints
+    # per query, computed driver-side on the quantized grid
+    table_rows = []
+    for r in qrows:
+        qv = list(r["q"])
+        for s in range(m):
+            u = qv[s * sub:(s + 1) * sub]
+            for cid, cq in codebooks[s]:
+                d = sum((a - b) * (a - b) for a, b in zip(u, cq))
+                table_rows.append((r["query_id"], s, cid, d))
+    tables = spark.createDataFrame(
+        table_rows, "query_id long, s int, cid int, d long"
+    )
+    scored = encoded.select("vec_id", *[f"code_{s}" for s in range(m)])
+    for s in range(m):
+        t_s = tables.filter(F.col("s") == s).select(
+            "query_id",
+            F.col("cid").alias(f"code_{s}"),
+            F.col("d").alias(f"__t{s}"),
+        )
+        on = ["query_id", f"code_{s}"] if s else [f"code_{s}"]
+        scored = scored.join(F.broadcast(t_s), on)
+    score = sum(
+        (F.col(f"__t{s}") for s in range(1, m)), F.col("__t0")
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        score.asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("adc_score_q", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "vec_id", "adc_score_q")
+    )
 
 
 def exact_topk_scalable(

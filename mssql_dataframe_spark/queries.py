@@ -8601,12 +8601,11 @@ def kmeans_codebook_train(spark, sf_dir):
     return S.kmeans_quantized(emb, k=8, iters=3, quant=1024)
 
 
-def _pq_oracle_sql(m: int = 2, k: int = 4, iters: int = 2,
-                   quant: int = 1024, dim: int = 64) -> str:
-    """Unrolled-CTE DuckDB twin of pq_train_encode: the per-subspace
-    Lloyd chains are the _kmeans_oracle_sql shape applied to a
-    ``q[lo:hi]`` slice, then the m final assignments join on the
-    vector id for codes + exact reconstruction error."""
+def _pq_chain_parts(m: int, k: int, iters: int,
+                    quant: int, dim: int) -> list:
+    """Shared unrolled per-subspace Lloyd CTE chains for the PQ
+    oracles (the _kmeans_oracle_sql shape applied to a ``q[lo:hi]``
+    slice per subspace)."""
     sub = dim // m
     parts = [f"""
     qn AS (
@@ -8663,6 +8662,15 @@ def _pq_oracle_sql(m: int = 2, k: int = 4, iters: int = 2,
                                           x -> x * x)) AS BIGINT) AS nc
       FROM c{s}x{i} p LEFT JOIN cm{s}x{i} mm ON p.cid = mm.cid
     )""")
+    return parts
+
+
+def _pq_oracle_sql(m: int = 2, k: int = 4, iters: int = 2,
+                   quant: int = 1024, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of pq_train_encode: the per-subspace
+    Lloyd chains, then the m final assignments join on the vector id
+    for codes + exact reconstruction error."""
+    parts = _pq_chain_parts(m, k, iters, quant, dim)
     joins = " ".join(
         f"JOIN a{s}x{iters - 1} s{s} USING (vec_id)" for s in range(1, m)
     )
@@ -8678,6 +8686,73 @@ def _pq_oracle_sql(m: int = 2, k: int = 4, iters: int = 2,
     FROM a0x{iters - 1} s0 {joins}
     """)
     return "WITH" + "".join(parts[:-1])[1:] + parts[-1]
+
+
+def _pq_adc_oracle_sql(query_ids: tuple = (0, 1, 2), topk: int = 5,
+                       m: int = 2, k: int = 4, iters: int = 2,
+                       quant: int = 1024, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of pq_adc_topk: the shared per-
+    subspace Lloyd chains, per-(query, centroid) exact distance
+    tables, code-joined ADC scores, ROW_NUMBER top-k."""
+    sub = dim // m
+    parts = _pq_chain_parts(m, k, iters, quant, dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    last = iters - 1
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f""",
+    qs{s} AS (
+      SELECT vec_id AS query_id, q[{lo}:{hi}] AS u
+      FROM qn WHERE vec_id IN ({ids})
+    ),
+    qd{s} AS (
+      SELECT u.query_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(u.u, c.cq),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM qs{s} u CROSS JOIN c{s}x{last} c
+    )""")
+    joins = " ".join(
+        f"JOIN a{s}x{last} s{s} USING (vec_id)" for s in range(1, m)
+    )
+    qjoins = " ".join(
+        [f"JOIN qd0 q0 ON q0.cid = s0.cid"]
+        + [
+            f"JOIN qd{s} q{s} ON q{s}.cid = s{s}.cid "
+            f"AND q{s}.query_id = q0.query_id"
+            for s in range(1, m)
+        ]
+    )
+    score = " + ".join(f"q{s}.d" for s in range(m))
+    parts.append(f""",
+    sc AS (
+      SELECT q0.query_id, s0.vec_id,
+             CAST({score} AS BIGINT) AS adc_score_q
+      FROM a0x{last} s0 {joins} {qjoins}
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, vec_id, adc_score_q
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score_q, vec_id) AS rn
+      FROM sc) WHERE rn <= {topk}
+    """)
+    return "WITH" + "".join(parts[:-1])[1:] + parts[-1]
+
+
+@register("pq_adc_search", sql=_pq_adc_oracle_sql())
+def pq_adc_search(spark, sf_dir):
+    """Asymmetric-distance PQ search (operators/similarity.py
+    pq_adc_topk): after per-subspace codebook training + encoding,
+    each query is answered with m table lookups per corpus vector —
+    the IVF-PQ scan stage, touching only the m code columns, never
+    the original vectors. Per-query distance tables are m*k exact
+    ints broadcast onto the encoded corpus; top-5 per query with
+    (score, vec_id) tie-breaks. The oracle replays training, the
+    tables, the code-joined scores, and the ranking in flat SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(
+        emb, query_ids=[0, 1, 2], topk=5, m=2, k=4, iters=2,
+        quant=1024, dim=64,
+    )
 
 
 @register("pq_codebook_encode", sql=_pq_oracle_sql())

@@ -155,6 +155,36 @@ def test_pq_train_encode_exact_and_consistent(spark):
     assert err4 <= err2
 
 
+def test_pq_adc_topk_shape_and_order(spark):
+    """ADC search returns exactly topk ranked rows per query, scores
+    non-decreasing with rank, reproducible across runs."""
+    import random
+
+    from mssql_dataframe_spark.operators.similarity import pq_adc_topk
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(
+        df, query_ids=[0, 5], topk=4, m=2, k=4, iters=2, dim=16
+    ).collect()
+    again = pq_adc_topk(
+        df, query_ids=[0, 5], topk=4, m=2, k=4, iters=2, dim=16
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 5}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4]
+        scores = [r["adc_score_q"] for r in rs]
+        assert scores == sorted(scores)
+
+
 def test_pq_train_encode_rejects_bad_subspace_split(spark):
     import pytest
 
