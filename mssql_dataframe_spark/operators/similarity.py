@@ -589,6 +589,77 @@ def semantic_dedup(
     )
 
 
+def _q_sqsum(c: Column) -> Column:
+    """Exact int64 squared norm of a quantized vector column."""
+    return F.aggregate(
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+
+
+def _q_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vector columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a_, x: a_ + x,
+    )
+
+
+def _lloyd_assign(spark, e: DataFrame, cents_rows: list) -> DataFrame:
+    """One integer-exact Lloyd assignment pass: ``e`` carries
+    (vec_id, q, nv); the centroids broadcast and each vector takes
+    its integer-squared-L2 argmin with lowest-cid tie-break. Shared
+    by kmeans_quantized and the per-subspace PQ loop so the
+    bit-reproducible arithmetic has exactly one implementation."""
+    cdf = spark.createDataFrame(
+        [(cid, cq) for cid, cq in cents_rows],
+        "cid int, cq array<bigint>",
+    ).withColumn("nc", _q_sqsum(F.col("cq")))
+    fan = e.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "q", "cid",
+        (F.col("nv") + F.col("nc") - 2 * _q_dot(F.col("q"), F.col("cq")))
+        .alias("dist"),
+    )
+    return (
+        fan.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "q")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.dist").alias("dist"),
+            F.col("m.cid").alias("cid"),
+            F.col("m.q").alias("q"),
+        )
+    )
+
+
+def _lloyd_train(spark, e: DataFrame, cents: list, iters: int) -> list:
+    """``iters - 1`` Lloyd update rounds (the final assignment is the
+    caller's): round-half-up integer centroid means, empty clusters
+    keep their previous centroid. Collects only k*dim ints per round."""
+    for _ in range(iters - 1):
+        assign = _lloyd_assign(spark, e, cents)
+        means = (
+            assign.select("cid", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "s", "n"))
+                    ),
+                    lambda t: F.floor(
+                        (2 * t["s"] + t["n"]) / (2.0 * t["n"])
+                    ).cast("long"),
+                ).alias("cq")
+            )
+            .collect()
+        )
+        got = {r["cid"]: list(r["cq"]) for r in means}
+        cents = [(cid, got.get(cid, cq)) for cid, cq in cents]
+    return cents
+
+
 def kmeans_quantized(
     embeddings: DataFrame,
     k: int = 8,
@@ -629,77 +700,24 @@ def kmeans_quantized(
         _as_double(vec_col),
         lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
     )
-
-    def sqsum(c):
-        return F.aggregate(
-            F.transform(c, lambda x: x * x),
-            F.lit(0).cast("long"), lambda a, x: a + x,
-        )
-
-    def dotc(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"), lambda a_, x: a_ + x,
-        )
-
     spark = embeddings.sparkSession
+    # persisted for the training collects AND the returned plan —
+    # unpersisting before return would force the final assignment to
+    # re-scan and re-quantize the corpus; Spark evicts LRU, so the
+    # cache's lifetime needs no manual management in normal use
     qe = (
         embeddings.select(F.col(id_col).alias("vec_id"), qcol.alias("q"))
-        .withColumn("nv", sqsum(F.col("q")))
+        .withColumn("nv", _q_sqsum(F.col("q")))
         .persist()
     )
     init = qe.orderBy("vec_id").limit(k).collect()
     cents = [(i, list(r["q"])) for i, r in enumerate(init)]
-
-    def assign_for(cents_rows):
-        cdf = spark.createDataFrame(
-            [(cid, cq) for cid, cq in cents_rows],
-            "cid int, cq array<bigint>",
-        ).withColumn("nc", sqsum(F.col("cq")))
-        fan = qe.crossJoin(F.broadcast(cdf)).select(
-            "vec_id", "q", "nv", "cid",
-            (F.col("nv") + F.col("nc") - 2 * dotc(F.col("q"), F.col("cq")))
-            .alias("dist"),
-        )
-        return (
-            fan.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid", "q")).alias("m"))
-            .select(
-                "vec_id",
-                F.col("m.dist").alias("dist"),
-                F.col("m.cid").alias("cid"),
-                F.col("m.q").alias("q"),
-            )
-        )
-
-    for _ in range(iters - 1):
-        assign = assign_for(cents)
-        means = (
-            assign.select("cid", F.posexplode("q").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "s", "n"))
-                    ),
-                    lambda t: F.floor(
-                        (2 * t["s"] + t["n"]) / (2.0 * t["n"])
-                    ).cast("long"),
-                ).alias("cq")
-            )
-            .collect()
-        )
-        got = {r["cid"]: list(r["cq"]) for r in means}
-        cents = [(cid, got.get(cid, cq)) for cid, cq in cents]
-
-    final = assign_for(cents)
+    cents = _lloyd_train(spark, qe, cents, iters)
+    final = _lloyd_assign(spark, qe, cents)
     out = final.groupBy("cid").agg(
         F.count("*").alias("n_members"),
         F.sum("dist").alias("inertia_q"),
     )
-    qe.unpersist()
     return out.select("cid", "n_members", "inertia_q")
 
 
@@ -713,7 +731,7 @@ def pq_train_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     _return_codebooks: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple:
     """Product quantization (the IVF-PQ compression standard for
     billion-vector ANN): the vector is split into ``m`` contiguous
     subspaces of ``dim/m`` coordinates, an integer-exact Lloyd
@@ -742,23 +760,14 @@ def pq_train_encode(
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     spark = embeddings.sparkSession
-
-    def sqsum(c):
-        return F.aggregate(
-            F.transform(c, lambda x: x * x),
-            F.lit(0).cast("long"), lambda a, x: a + x,
-        )
-
-    def dotc(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"), lambda a_, x: a_ + x,
-        )
-
     qcol = F.transform(
         _as_double(vec_col),
         lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
     )
+    # persisted for the m training loops AND the returned plan's m
+    # assignment branches (unpersisting before return would re-scan
+    # and re-quantize the corpus once per subspace at action time);
+    # Spark evicts LRU, so no manual lifetime management is needed
     qe = embeddings.select(
         F.col(id_col).alias("vec_id"),
         *[
@@ -768,57 +777,16 @@ def pq_train_encode(
     ).persist()
     init = qe.orderBy("vec_id").limit(k).collect()
 
-    def assign_for(s, cents_rows):
-        cdf = spark.createDataFrame(
-            [(cid, cq) for cid, cq in cents_rows],
-            "cid int, cq array<bigint>",
-        ).withColumn("nc", sqsum(F.col("cq")))
-        e = qe.select("vec_id", F.col(f"q{s}").alias("q")).withColumn(
-            "nv", sqsum(F.col("q"))
-        )
-        fan = e.crossJoin(F.broadcast(cdf)).select(
-            "vec_id", "q", "cid",
-            (F.col("nv") + F.col("nc") - 2 * dotc(F.col("q"), F.col("cq")))
-            .alias("dist"),
-        )
-        return (
-            fan.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid", "q")).alias("mn"))
-            .select(
-                "vec_id",
-                F.col("mn.dist").alias("dist"),
-                F.col("mn.cid").alias("cid"),
-                F.col("mn.q").alias("q"),
-            )
-        )
-
     out = None
     codebooks = []
     for s in range(m):
+        e = qe.select("vec_id", F.col(f"q{s}").alias("q")).withColumn(
+            "nv", _q_sqsum(F.col("q"))
+        )
         cents = [(i, list(r[f"q{s}"])) for i, r in enumerate(init)]
-        for _ in range(iters - 1):
-            assign = assign_for(s, cents)
-            means = (
-                assign.select("cid", F.posexplode("q").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.sum("x").alias("sm"), F.count("*").alias("n"))
-                .groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "sm", "n"))
-                        ),
-                        lambda t: F.floor(
-                            (2 * t["sm"] + t["n"]) / (2.0 * t["n"])
-                        ).cast("long"),
-                    ).alias("cq")
-                )
-                .collect()
-            )
-            got = {r["cid"]: list(r["cq"]) for r in means}
-            cents = [(cid, got.get(cid, cq)) for cid, cq in cents]
+        cents = _lloyd_train(spark, e, cents, iters)
         codebooks.append(cents)
-        final = assign_for(s, cents).select(
+        final = _lloyd_assign(spark, e, cents).select(
             "vec_id",
             F.col("cid").alias(f"code_{s}"),
             F.col("dist").alias(f"__d{s}"),
@@ -832,7 +800,6 @@ def pq_train_encode(
         *[F.col(f"code_{s}") for s in range(m)],
         err.cast("long").alias("recon_err_q"),
     )
-    qe.unpersist()
     if _return_codebooks:
         return res, codebooks
     return res
@@ -887,7 +854,11 @@ def pq_adc_topk(
         .collect()
     )
     # per-(query, subspace, centroid) exact distance table — m*k ints
-    # per query, computed driver-side on the quantized grid
+    # per query, computed driver-side on the quantized grid. The
+    # query_id column keeps the id column's own type so non-integer
+    # document keys work too.
+    from pyspark.sql import types as T
+
     table_rows = []
     for r in qrows:
         qv = list(r["q"])
@@ -897,7 +868,15 @@ def pq_adc_topk(
                 d = sum((a - b) * (a - b) for a, b in zip(u, cq))
                 table_rows.append((r["query_id"], s, cid, d))
     tables = spark.createDataFrame(
-        table_rows, "query_id long, s int, cid int, d long"
+        table_rows,
+        T.StructType([
+            T.StructField(
+                "query_id", embeddings.schema[id_col].dataType
+            ),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("d", T.LongType()),
+        ]),
     )
     scored = encoded.select("vec_id", *[f"code_{s}" for s in range(m)])
     for s in range(m):
@@ -911,8 +890,6 @@ def pq_adc_topk(
     score = sum(
         (F.col(f"__t{s}") for s in range(1, m)), F.col("__t0")
     ).cast("long")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         score.asc(), F.col("vec_id").asc()
     )

@@ -145,14 +145,14 @@ def test_pq_train_encode_exact_and_consistent(spark):
     assert len(a) == 80
     assert all(0 <= r[1] < 4 and 0 <= r[2] < 4 for r in a)
     assert all(r[3] >= 0 for r in a)
-    # finer partitioning (m=4 subspaces, same k) refines the grid:
-    # total squared reconstruction error must not increase
+    # more Lloyd rounds never increase total reconstruction error
+    # (same convention as the kmeans_quantized inertia test)
     err2 = sum(r[3] for r in a)
-    err4 = sum(
+    err1 = sum(
         r["recon_err_q"]
-        for r in pq_train_encode(df, m=4, k=4, iters=2, dim=16).collect()
+        for r in pq_train_encode(df, m=2, k=4, iters=1, dim=16).collect()
     )
-    assert err4 <= err2
+    assert err2 <= err1
 
 
 def test_pq_adc_topk_shape_and_order(spark):
