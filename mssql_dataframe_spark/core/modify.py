@@ -80,7 +80,7 @@ class modify:
             types[column_name] = data_type
             self._store.overwrite(
                 table_name, df, T.StructType(fields), types,
-                op="alter_column",
+                op="alter_column", expected_version=meta.version,
             )
         elif modify == "drop":
             if column_name not in schema.fieldNames():
@@ -94,7 +94,8 @@ class modify:
                 k: v for k, v in meta.column_types.items() if k != column_name
             }
             self._store.overwrite(table_name, df, T.StructType(fields), types,
-                                  op="drop_column")
+                                  op="drop_column",
+                                  expected_version=meta.version)
         else:
             raise ValueError("modify must be one of add|alter|drop")
 
@@ -332,7 +333,8 @@ class modify:
             properties=props,
         )
         self._store.overwrite(
-            table_name, df, T.StructType(fields), types, op="rename_column"
+            table_name, df, T.StructType(fields), types, op="rename_column",
+            expected_version=meta.version,
         )
 
     def rename_table(self, table_name: str, new_name: str) -> None:
@@ -412,6 +414,7 @@ class modify:
             self._store.overwrite(
                 table_name, df.select(*new_schema.fieldNames()),
                 new_schema, types, op="add_computed_column",
+                expected_version=meta.version,
             )
             self._store.update_meta(table_name, properties=props)
         elif modify == "drop":

@@ -235,7 +235,8 @@ def _check_restrict_references(
                     .distinct()
                     .collect()
                 }
-                entries = store.manifest(t, store.meta(t).version)
+                v_child = store.meta(t).version
+                entries = store.manifest(t, v_child)
                 touched = [
                     e["path"] for e in entries if e["path"] in matched_files
                 ]
@@ -264,7 +265,8 @@ def _check_restrict_references(
                     ]
                 )
                 store.replace_files(
-                    t, new_child, keep_entries, op="fk_set_null"
+                    t, new_child, keep_entries, op="fk_set_null",
+                    expected_version=v_child,
                 )
                 # own commit: capture AFTER + re-probe (see cascade)
                 expected[t] = store.meta(t).version
@@ -415,11 +417,12 @@ def delete_op(
     if keep_entries is not None:
         store.replace_files(
             table_name, survivors, keep_entries, op="delete",
-            preconditions=child_deps,
+            preconditions=child_deps, expected_version=meta.version,
         )
     else:
         store.overwrite(
-            table_name, survivors, op="delete", preconditions=child_deps
+            table_name, survivors, op="delete", preconditions=child_deps,
+            expected_version=meta.version,
         )
     # deleted count from manifest row totals — no extra scan or job
     total_after = sum(
@@ -482,7 +485,7 @@ def delete_where_op(
     total_before = sum(e.get("rows") or 0 for e in entries)
     store.replace_files(
         table_name, survivors, keep_entries, op="delete_where",
-        preconditions=child_deps,
+        preconditions=child_deps, expected_version=meta.version,
     )
     total_after = sum(
         e.get("rows") or 0
@@ -514,5 +517,7 @@ def truncate_op(store: TableStore, table_name: str) -> int:
         e.get("rows") or 0 for e in store.manifest(table_name, meta.version)
     )
     empty = store.spark.createDataFrame([], meta.spark_schema)
-    store.overwrite(table_name, empty, op="truncate")
+    store.overwrite(
+        table_name, empty, op="truncate", expected_version=meta.version
+    )
     return n

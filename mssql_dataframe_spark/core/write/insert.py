@@ -236,6 +236,6 @@ def insert(
     # parent changed between the existence probe and this publish
     store.append(
         table_name, out, extra_properties=extra_properties,
-        preconditions=fk_deps,
+        preconditions=fk_deps, expected_version=meta.version,
     )
     return df

@@ -477,10 +477,11 @@ def merge_op(
     if keep_entries is not None:
         store.replace_files(
             table_name, result, keep_entries, op="merge",
-            preconditions=fk_deps,
+            preconditions=fk_deps, expected_version=meta.version,
         )
     else:
         store.overwrite(
-            table_name, result, op="merge", preconditions=fk_deps
+            table_name, result, op="merge", preconditions=fk_deps,
+            expected_version=meta.version,
         )
     return src

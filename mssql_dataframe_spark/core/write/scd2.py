@@ -210,10 +210,11 @@ def merge_scd2(
     if keep_entries is not None:
         store.replace_files(
             table_name, out, keep_entries, op="merge_scd2",
-            preconditions=fk_deps,
+            preconditions=fk_deps, expected_version=meta.version,
         )
     else:
         store.overwrite(
-            table_name, out, op="merge_scd2", preconditions=fk_deps
+            table_name, out, op="merge_scd2", preconditions=fk_deps,
+            expected_version=meta.version,
         )
     return src

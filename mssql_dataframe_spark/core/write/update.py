@@ -238,10 +238,11 @@ def update_op(
     if keep_entries is not None:
         store.replace_files(
             table_name, result, keep_entries, op="update",
-            preconditions=fk_deps,
+            preconditions=fk_deps, expected_version=meta.version,
         )
     else:
         store.overwrite(
-            table_name, result, op="update", preconditions=fk_deps
+            table_name, result, op="update", preconditions=fk_deps,
+            expected_version=meta.version,
         )
     return src

@@ -146,16 +146,26 @@ def _plain_scalar(v):
     so pruning correctly stays off)."""
     if isinstance(v, bool):
         return None
-    if isinstance(v, (int, str)):
-        return v
+    # canonicalize through the constructor: numpy scalar SUBCLASSES
+    # (np.str_ is a str subclass, np.int64 via .item()) must not leak
+    # out, or the exact-type guard below compares str vs np.str_ and
+    # silently disables pruning for string keys
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, str):
+        return str(v)
     item = getattr(v, "item", None)
     if callable(item):
         try:
             v = item()
         except (ValueError, TypeError):
             return None
-        if isinstance(v, int) and not isinstance(v, bool):
-            return v
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return int(v)
+        if isinstance(v, str):
+            return str(v)
     return None
 
 
@@ -237,6 +247,12 @@ class TableStore:
         if count < 1:
             raise ValueError("count must be >= 1")
         path = self._seq_path(name)
+        if not os.path.exists(path):
+            # check before taking the lock: on a fresh store the
+            # _sequences directory may not exist yet, and os.open of
+            # the lock would raise FileNotFoundError instead of the
+            # documented SQLTableDoesNotExist
+            raise SQLTableDoesNotExist(f"sequence {name!r} does not exist")
         lock = path + ".lock"
         import time as _time
 
@@ -410,12 +426,44 @@ class TableStore:
     def _write_manifest(
         self, name: str, version: int, entries: list[dict],
         commit: Optional[dict] = None,
+        exclusive: bool = False,
     ) -> None:
+        """Write the manifest for ``version``. ``exclusive=True`` is
+        the put-if-absent claim every version-advancing commit uses
+        (``os.link`` fails if the manifest already exists): two
+        writers that both passed the version check can NOT both
+        publish the same version — the second link loses and the
+        commit fails cleanly, instead of ``os.replace`` silently
+        clobbering the winner (the Delta log's
+        put-if-absent-commit-file contract). A writer that crashes
+        between claiming the manifest and moving the meta pointer
+        leaves an orphan manifest; the next writer of that version
+        surfaces it as a conflict naming the orphan path (remove it
+        to recover) rather than silently losing either commit."""
         tdir = self._table_dir(name)
         tmp = os.path.join(tdir, f"._manifest.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump({"files": entries, "commit": commit or {}}, f)
-        os.replace(tmp, self._manifest_path(name, version))
+        dst = self._manifest_path(name, version)
+        if not exclusive:
+            os.replace(tmp, dst)
+            return
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            from .errors import SQLConcurrentWriteConflict
+
+            raise SQLConcurrentWriteConflict(
+                f"table {name!r}: version {version} was committed by "
+                "a concurrent writer while this write was publishing "
+                f"(or {dst} is an orphan of a crashed writer — remove "
+                "it to recover); re-read and retry"
+            )
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
 
     def history(self, name: str) -> list[dict]:
         """Retained commit history, newest first (the ``DESCRIBE
@@ -507,9 +555,14 @@ class TableStore:
                   stats_col: Optional[str],
                   cluster: bool = False,
                   extra_stats_cols: Optional[list[str]] = None,
-                  cluster_cols: Optional[list[str]] = None) -> list[dict]:
-        """Materialize ``df`` as new immutable pool files; return their
-        manifest entries (footer row counts + key bounds).
+                  cluster_cols: Optional[list[str]] = None) -> tuple:
+        """Materialize ``df`` as new immutable files in a PRIVATE
+        staging directory; return ``(manifest entries, stage_dir)``.
+        The files enter the shared pool only via ``_publish_staged``,
+        AFTER the commit's version claim succeeds — so a concurrent
+        writer's vacuum can never reap another writer's staged-but-
+        uncommitted files (they are invisible to it), and a losing
+        commit discards one directory.
 
         ``cluster`` range-partitions + sorts the batch by the cluster
         columns (the stats column, or the composite PK — see
@@ -520,8 +573,7 @@ class TableStore:
         ``cluster_on_write`` property.
         """
         tdir = self._table_dir(name)
-        pool = self._pool_dir(name)
-        os.makedirs(pool, exist_ok=True)
+        os.makedirs(tdir, exist_ok=True)
         stage = os.path.join(tdir, f".stage_{uuid.uuid4().hex}")
         out = df.select(*schema.fieldNames())
         ccols = cluster_cols if cluster_cols is not None else (
@@ -538,7 +590,7 @@ class TableStore:
             if not fn.endswith(".parquet"):
                 continue
             dst_name = f"f_{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(pool, dst_name)
+            dst = os.path.join(stage, dst_name)
             os.replace(os.path.join(stage, fn), dst)
             moved.append((dst_name, dst))
         # footer-stat harvest (the Delta stats-collection step). Small
@@ -593,8 +645,35 @@ class TableStore:
                 # across a column drop/rename instead of misreading
                 "schema_cols": list(schema.fieldNames()),
             })
-        shutil.rmtree(stage, ignore_errors=True)
-        return entries
+        for fn in os.listdir(stage):  # writer-metadata leftovers
+            if not fn.endswith(".parquet"):
+                try:
+                    os.remove(os.path.join(stage, fn))
+                except OSError:
+                    pass
+        return entries, stage
+
+    def _publish_staged(
+        self, name: str, stage_dir: str, entries: list[dict]
+    ) -> None:
+        """Move a commit's staged files into the shared pool — called
+        only after the version claim succeeded, so every published
+        file is already referenced by a live manifest and therefore
+        safe from any concurrent vacuum."""
+        pool = self._pool_dir(name)
+        os.makedirs(pool, exist_ok=True)
+        for e in entries:
+            os.replace(
+                os.path.join(stage_dir, e["path"]),
+                os.path.join(pool, e["path"]),
+            )
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    @staticmethod
+    def _discard_staged(stage_dir: str) -> None:
+        """Drop a losing commit's staging directory — the single
+        cleanup path every OCC failure shares."""
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
     # -- data ---------------------------------------------------------
     def create(
@@ -607,6 +686,11 @@ class TableStore:
         not_nullable: Optional[list[str]] = None,
         properties: Optional[dict] = None,
     ) -> TableMeta:
+        if self.exists(name) or self.is_view(name):
+            # CREATE TABLE on an existing object errors (SQL Server
+            # semantics); silently resetting to version 0 would erase
+            # the table's data with no conflict surfaced anywhere
+            raise ValueError(f"table or view {name!r} already exists")
         meta = TableMeta(
             name=str(name),
             version=0,
@@ -646,7 +730,7 @@ class TableStore:
                 raise ValueError(
                     f"version {v} of table {name!r} is not available "
                     f"(current {meta.version}, retention keeps "
-                    f"{self.keep_versions} prior snapshots)"
+                    f"{self._retention(meta)} prior snapshots)"
                 )
         paths = [
             os.path.join(self._pool_dir(name), e["path"])
@@ -750,7 +834,7 @@ class TableStore:
                 raise ValueError(
                     f"version {v} of table {name!r} is not available "
                     f"(current {meta.version}, retention keeps "
-                    f"{self.keep_versions} prior snapshots)"
+                    f"{self._retention(meta)} prior snapshots)"
                 )
         return (
             {e["path"] for e in self.manifest(name, int(v_old))},
@@ -761,6 +845,7 @@ class TableStore:
         self, name: str, df: DataFrame,
         extra_properties: Optional[dict] = None,
         preconditions: Optional[list[tuple]] = None,
+        expected_version: Optional[int] = None,
     ) -> None:
         """Commit the next snapshot as the current manifest's entries
         (carried by reference — manifest-only cost) plus the new files
@@ -775,25 +860,43 @@ class TableStore:
         must update bookkeeping atomically with the data commit (e.g.
         ingest_directory's ingested-files ledger) pass it here instead
         of issuing a separate post-commit update_meta, so a crash can
-        never land data without its ledger entry."""
+        never land data without its ledger entry.
+
+        ``expected_version`` is the version the caller planned this
+        write against (defaults to the version read here): the commit
+        fails cleanly if any other writer advanced the table since,
+        so a plan built on stale state can never erase a concurrent
+        commit. Claim order — stage privately, validate, claim the
+        version's manifest exclusively, publish files, move the meta
+        pointer — keeps readers and concurrent vacuums safe at every
+        step (the manifest claim makes the files referenced BEFORE
+        they enter the shared pool)."""
         meta = self.meta(name)
-        entries = self._stage_in(
+        base = meta.version if expected_version is None else int(
+            expected_version
+        )
+        entries, stage_dir = self._stage_in(
             name, df, meta.spark_schema, self._stats_col(meta),
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
             cluster_cols=self._cluster_cols(meta),
         )
-        self._check_no_concurrent_commit(name, meta.version, entries)
-        self._check_preconditions(name, entries, preconditions)
-        next_v = meta.version + 1
-        carried = self.manifest(name, meta.version)
-        self._write_manifest(
-            name, next_v, carried + entries, commit={
-                "op": "append", "ts": self._now(),
-                "n_added": len(entries), "n_kept": len(carried),
-                "schema": meta.spark_schema.jsonValue(),
-            }
-        )
+        next_v = base + 1
+        carried = self.manifest(name, base)
+        try:
+            self._check_no_concurrent_commit(name, base)
+            self._check_preconditions(name, preconditions)
+            self._write_manifest(
+                name, next_v, carried + entries, commit={
+                    "op": "append", "ts": self._now(),
+                    "n_added": len(entries), "n_kept": len(carried),
+                    "schema": meta.spark_schema.jsonValue(),
+                }, exclusive=True,
+            )
+        except BaseException:
+            self._discard_staged(stage_dir)
+            raise
+        self._publish_staged(name, stage_dir, entries)
         meta.version = next_v
         if extra_properties:
             meta.properties = {**meta.properties, **extra_properties}
@@ -942,7 +1045,7 @@ class TableStore:
             "op": f"restore(v{v})", "ts": self._now(),
             "n_added": 0, "n_kept": len(carried),
             "schema": meta.spark_schema.jsonValue(),
-        })
+        }, exclusive=True)
         meta.version = next_v
         self._write_meta(name, meta)
         self._vacuum(name, keep_before=next_v - self._retention(meta))
@@ -966,7 +1069,8 @@ class TableStore:
                   new_schema: Optional[T.StructType] = None,
                   new_column_types: Optional[dict[str, str]] = None,
                   op: str = "overwrite",
-                  preconditions: Optional[list[tuple]] = None) -> None:
+                  preconditions: Optional[list[tuple]] = None,
+                  expected_version: Optional[int] = None) -> None:
         """Materialize ``df`` as the next snapshot, then atomically move
         the table pointer. Readers of the old version are unaffected —
         old snapshots are vacuumed only once they fall
@@ -975,48 +1079,69 @@ class TableStore:
         crash before the meta replace leaves the table unchanged."""
         self._commit(name, df, keep_entries=[], new_schema=new_schema,
                      new_column_types=new_column_types, op=op,
-                     preconditions=preconditions)
+                     preconditions=preconditions,
+                     expected_version=expected_version)
 
     def replace_files(
         self, name: str, df: DataFrame, keep_entries: list[dict],
         op: str = "replace_files",
         preconditions: Optional[list[tuple]] = None,
+        expected_version: Optional[int] = None,
     ) -> None:
         """Commit the next snapshot as ``keep_entries`` (untouched files
         carried over BY REFERENCE — no rewrite, no copy) plus the
         materialized ``df`` (the rewritten touched files). This is the
         Delta ``MERGE INTO`` commit shape: write cost ∝ touched data.
-        ``op`` labels the commit in ``history()`` (merge/update/...)."""
+        ``op`` labels the commit in ``history()`` (merge/update/...).
+
+        Callers computed ``keep_entries`` against a specific snapshot;
+        pass that snapshot's version as ``expected_version`` so a
+        concurrent commit landing in between fails this write cleanly
+        instead of being silently dropped from the new manifest."""
         self._commit(name, df, keep_entries=list(keep_entries), op=op,
-                     preconditions=preconditions)
+                     preconditions=preconditions,
+                     expected_version=expected_version)
 
     def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
                 new_schema: Optional[T.StructType] = None,
                 new_column_types: Optional[dict[str, str]] = None,
                 op: str = "commit",
-                preconditions: Optional[list[tuple]] = None) -> None:
+                preconditions: Optional[list[tuple]] = None,
+                expected_version: Optional[int] = None) -> None:
         meta = self.meta(name)
-        next_v = meta.version + 1
+        base = meta.version if expected_version is None else int(
+            expected_version
+        )
+        next_v = base + 1
         schema = new_schema or meta.spark_schema
         stats_col = self._stats_col(meta)
         if new_schema is not None and stats_col not in schema.fieldNames():
             stats_col = None
-        staged = self._stage_in(
+        staged, stage_dir = self._stage_in(
             name, df, schema, stats_col,
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
             cluster_cols=self._cluster_cols(meta),
         )
-        self._check_no_concurrent_commit(name, meta.version, staged)
-        self._check_preconditions(name, staged, preconditions)
         entries = keep_entries + staged
-        self._write_manifest(name, next_v, entries, commit={
-            "op": op, "ts": self._now(),
-            "n_added": len(staged), "n_kept": len(keep_entries),
-            # per-version schema: read(version=N) stays faithful
-            # across later MODIFY COLUMN commits
-            "schema": schema.jsonValue(),
-        })
+        try:
+            self._check_no_concurrent_commit(name, base)
+            self._check_preconditions(name, preconditions)
+            # exclusive claim of next_v: the authoritative OCC point —
+            # after it, the staged files are referenced by a live
+            # manifest and immune to concurrent vacuum even before
+            # they reach the pool
+            self._write_manifest(name, next_v, entries, commit={
+                "op": op, "ts": self._now(),
+                "n_added": len(staged), "n_kept": len(keep_entries),
+                # per-version schema: read(version=N) stays faithful
+                # across later MODIFY COLUMN commits
+                "schema": schema.jsonValue(),
+            }, exclusive=True)
+        except BaseException:
+            self._discard_staged(stage_dir)
+            raise
+        self._publish_staged(name, stage_dir, staged)
         meta.version = next_v
         if new_schema is not None:
             meta.spark_schema_json = new_schema.jsonValue()
@@ -1026,23 +1151,21 @@ class TableStore:
         self._vacuum(name, keep_before=next_v - self._retention(meta))
 
     def _check_no_concurrent_commit(
-        self, name: str, expected_version: int, staged: list[dict]
+        self, name: str, expected_version: int
     ) -> None:
         """Optimistic concurrency control (the Delta
         ``ConcurrentModificationException`` shape): a commit is valid
-        only against the snapshot it read. If another writer advanced
-        the table while this write staged its files, the staged files
-        are discarded and the write fails CLEANLY — the winner's commit
+        only against the snapshot it read — the version its carried
+        manifest entries were computed against, threaded through as
+        ``expected_version`` by every caller. If another writer
+        advanced the table in between, the write fails CLEANLY (the
+        caller discards its staging directory) — the winner's commit
         is untouched, the loser re-reads and retries. Single-writer
-        pipelines never hit this; two engines sharing a store root do."""
+        pipelines never hit this; two engines sharing a store root do.
+        The check is advisory (fail fast); the authoritative guard is
+        the exclusive manifest claim in ``_write_manifest``."""
         current = self.meta(name)
         if current.version != expected_version:
-            pool = self._pool_dir(name)
-            for e in staged:
-                try:
-                    os.remove(os.path.join(pool, e["path"]))
-                except FileNotFoundError:
-                    pass
             from .errors import SQLConcurrentWriteConflict
 
             raise SQLConcurrentWriteConflict(
@@ -1052,8 +1175,7 @@ class TableStore:
             )
 
     def _check_preconditions(
-        self, name: str, staged: list[dict],
-        preconditions: Optional[list[tuple]],
+        self, name: str, preconditions: Optional[list[tuple]]
     ) -> None:
         """Cross-table OCC for referential integrity: the write verbs
         probe OTHER tables (FK parents on child writes, FK children on
@@ -1062,24 +1184,19 @@ class TableStore:
         of publishing an orphan — e.g. a child insert whose referenced
         parent key was concurrently deleted between the existence
         probe and this commit. Same contract as the per-table check:
-        staged files are discarded, the winner's commit is untouched,
-        the loser re-reads and retries. Single-writer pipelines never
-        pay more than the metadata reads."""
+        the caller discards its staging directory, the winner's commit
+        is untouched, the loser re-reads and retries. Single-writer
+        pipelines never pay more than the metadata reads."""
         for t, v in preconditions or []:
-            if self.meta(t).version == v:
+            current = self.meta(t).version
+            if current == v:
                 continue
-            pool = self._pool_dir(name)
-            for e in staged:
-                try:
-                    os.remove(os.path.join(pool, e["path"]))
-                except FileNotFoundError:
-                    pass
             from .errors import SQLConcurrentWriteConflict
 
             raise SQLConcurrentWriteConflict(
                 f"table {t!r} (a referential-integrity dependency of "
                 f"the write to {name!r}) advanced {v} -> "
-                f"{self.meta(t).version} after it was probed; staged "
+                f"{current} after it was probed; staged "
                 "files discarded — re-read and retry"
             )
 
@@ -1161,7 +1278,9 @@ class TableStore:
             )
         else:
             df = df.coalesce(n_out)
-        self.replace_files(name, df, keep, op="optimize")
+        self.replace_files(
+            name, df, keep, op="optimize", expected_version=meta.version
+        )
         return len(entries), len(self.manifest(name, self.meta(name).version))
 
     def optimize_zorder(
@@ -1175,13 +1294,18 @@ class TableStore:
         of the keys a mutation or scan filters by (1-D clustering
         sharpens one key and scrambles the others).
 
-        Each column is min-max normalized to 16 bits with ONE
-        aggregation over the table, then bits interleave into the
-        Morton key — a pure codegen'd integer expression, no UDF. The
+        Each column is min-max normalized to ``63 // n_cols`` bits
+        (16 max) with ONE aggregation over the table, then bits
+        interleave into the Morton key — a pure codegen'd integer
+        expression, no UDF, and every shift stays inside the non-sign
+        bits of a long at any column count (a fixed 16 bits/column
+        would push 4 columns onto the sign bit and wrap the shifts
+        mod 64 at 5+, silently scrambling the clustering). The
         rewrite range-partitions + sorts by that key: one shuffle of
         the table, the same cost class as any clustering rewrite.
         Returns (files_before, files_after)."""
         meta = self.meta(name)
+        v_planned = meta.version
         for c in cols:
             if c not in meta.spark_schema.fieldNames():
                 raise ValueError(f"zorder column {c!r} not in table schema")
@@ -1191,6 +1315,8 @@ class TableStore:
             *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
             *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
         ).first()
+        bits = min(16, 63 // max(1, len(cols)))
+        top = (1 << bits) - 1
         norms = []
         for c in cols:
             lo = bounds[f"__lo_{c}"]
@@ -1199,15 +1325,15 @@ class TableStore:
                                  and hi > lo) else 1.0
             norms.append(
                 F.least(
-                    F.lit(65535),
+                    F.lit(top),
                     F.floor(
                         (F.col(c).cast("double") - F.lit(lo or 0.0))
-                        * 65535.0 / F.lit(span)
+                        * float(top) / F.lit(span)
                     ).cast("long"),
                 )
             )
         z = F.lit(0).cast("long")
-        for bit in range(16):
+        for bit in range(bits):
             for ci, nc in enumerate(norms):
                 z = z + (
                     F.shiftleft(
@@ -1215,7 +1341,6 @@ class TableStore:
                         bit * len(norms) + ci,
                     )
                 )
-        total = sum(e.get("rows") or 0 for e in entries) or 1
         n_out = n_files or max(1, len(entries))
         ordered = (
             df.withColumn("__z", z)
@@ -1224,16 +1349,23 @@ class TableStore:
             .drop("__z")
         )
         # record stats for every z-order column so pruning engages on
-        # each of them against the rewritten files
-        extra = [c for c in cols if c != self._stats_col(meta)]
-        prior = meta.properties.get("stats_columns") or []
+        # each of them against the rewritten files. Re-read meta right
+        # before the property write: the aggregation above is a long
+        # job, and writing back the meta object read before it would
+        # roll the version pointer back over any concurrent commit.
+        fresh = self.meta(name)
+        extra = [c for c in cols if c != self._stats_col(fresh)]
+        prior = fresh.properties.get("stats_columns") or []
         if isinstance(prior, str):
             prior = [s.strip() for s in prior.split(",") if s.strip()]
         merged = list(dict.fromkeys([*prior, *extra]))
         if merged != prior:
-            meta.properties["stats_columns"] = merged
-            self._write_meta(name, meta)
-        self.replace_files(name, ordered, [], op=f"zorder({','.join(cols)})")
+            fresh.properties["stats_columns"] = merged
+            self._write_meta(name, fresh)
+        self.replace_files(
+            name, ordered, [], op=f"zorder({','.join(cols)})",
+            expected_version=v_planned,
+        )
         return len(entries), len(self.manifest(name, self.meta(name).version))
 
     def update_meta(self, name: str, **changes) -> TableMeta:

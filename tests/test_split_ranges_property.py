@@ -124,3 +124,35 @@ def test_split_by_key_ranges_empty_bounds_touch_everything(case):
     store = _StubStore(entries)
     touched, kept = TableStore.split_by_key_ranges(store, "t", {})
     assert kept == [] and len(touched) == len(entries)
+
+
+def test_plain_scalar_normalizes_numpy_string_subclass():
+    """np.str_ subclasses str and used to slip through _plain_scalar
+    unnormalized; the exact-type guard then compared str vs np.str_
+    and silently disabled pruning for every string key."""
+    import numpy as np
+
+    from mssql_dataframe_spark.store import _plain_scalar
+
+    out = _plain_scalar(np.str_("abc"))
+    assert out == "abc" and type(out) is str
+    out = _plain_scalar(np.int64(7))
+    assert out == 7 and type(out) is int
+    assert _plain_scalar(np.bool_(True)) is None
+    assert _plain_scalar(1.5) is None
+
+
+def test_split_by_key_ranges_prunes_numpy_string_bounds():
+    """End-to-end: numpy-string batch bounds (the Arrow collect shape)
+    must still prune a disjoint string-keyed file."""
+    import numpy as np
+
+    store = _StubStore([
+        {"path": "f0.parquet", "stats": {"k": ["a", "f"]}},
+        {"path": "f1.parquet", "stats": {"k": ["m", "z"]}},
+    ])
+    touched, kept = TableStore.split_by_key_ranges(
+        store, "t", {"k": (np.str_("p"), np.str_("q"))}
+    )
+    assert [e["path"] for e in kept] == ["f0.parquet"]
+    assert touched == ["f1.parquet"]

@@ -230,9 +230,11 @@ def test_version_read_uses_its_own_schema(engine, spark):
 
 
 def test_concurrent_writer_conflict_detected(engine, spark):
-    """Optimistic concurrency: a commit against a stale snapshot
-    version fails cleanly, discards its staged files, and leaves the
-    winner's commit untouched."""
+    """Optimistic concurrency: a commit planned against a stale
+    snapshot version fails cleanly, discards its staging directory,
+    and leaves the winner's commit untouched — the lost-update
+    scenario where a writer's keep-list predates a concurrent
+    append."""
     import os as _os
 
     import pytest as _pytest
@@ -242,30 +244,64 @@ def test_concurrent_writer_conflict_detected(engine, spark):
 
     _mk(engine, spark)
     store = engine.store
+    # the loser plans a rewrite against the CURRENT snapshot...
     stale_v = store.meta("dbo.tt").version
+    kept = store.manifest("dbo.tt", stale_v)
 
-    # another writer advances the table while the loser stages
+    # ...then another writer advances the table
     eng2 = SparkEngine(spark=spark, store_root=store.root)
     eng2.write.insert(
         "dbo.tt", spark.createDataFrame([(9, "z")], "id long, val string")
     )
 
-    pool = store._pool_dir("dbo.tt")
-    fake = _os.path.join(pool, "f_staged_loser.parquet")
-    open(fake, "wb").close()
+    loser_df = spark.createDataFrame([(8, "y")], "id long, val string")
     with _pytest.raises(SQLConcurrentWriteConflict, match="re-read and retry"):
-        store._check_no_concurrent_commit(
-            "dbo.tt", stale_v, [{"path": "f_staged_loser.parquet"}]
+        store.replace_files(
+            "dbo.tt", loser_df, kept, op="update",
+            expected_version=stale_v,
         )
-    assert not _os.path.exists(fake)  # loser's staged file discarded
+    # the winner's row survives and the loser left no staging debris
     rows = {
         (r["id"], r["val"]) for r in engine.read.table("dbo.tt").collect()
     }
     assert rows == {(1, "a"), (2, "b"), (9, "z")}
-    # a current-version commit still passes the guard
-    store._check_no_concurrent_commit(
-        "dbo.tt", store.meta("dbo.tt").version, []
+    tdir = store._table_dir("dbo.tt")
+    assert not [d for d in _os.listdir(tdir) if d.startswith(".stage_")]
+    # a commit planned against the true current version still passes
+    v_now = store.meta("dbo.tt").version
+    store.replace_files(
+        "dbo.tt", loser_df, store.manifest("dbo.tt", v_now), op="update",
+        expected_version=v_now,
     )
+    assert engine.read.table("dbo.tt").count() == 4
+
+
+def test_exclusive_manifest_claim_blocks_double_publish(engine, spark):
+    """The authoritative OCC point: two writers that both passed the
+    version check cannot both publish the same version — the second
+    manifest claim fails instead of silently clobbering the first."""
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.errors import SQLConcurrentWriteConflict
+
+    _mk(engine, spark)
+    store = engine.store
+    v = store.meta("dbo.tt").version
+    store._write_manifest("dbo.tt", v + 1, [], commit={}, exclusive=True)
+    with _pytest.raises(SQLConcurrentWriteConflict, match="orphan|concurrent"):
+        store._write_manifest("dbo.tt", v + 1, [], commit={}, exclusive=True)
+
+
+def test_create_existing_table_raises(engine, spark):
+    """CREATE TABLE on an existing table errors instead of silently
+    resetting it to an empty version 0."""
+    import pytest as _pytest
+
+    _mk(engine, spark)
+    before = engine.read.table("dbo.tt").count()
+    with _pytest.raises(ValueError, match="already exists"):
+        engine.create.table("dbo.tt", {"id": "bigint"})
+    assert engine.read.table("dbo.tt").count() == before
 
 
 def test_explicit_vacuum_drops_history(engine, spark):
@@ -350,3 +386,54 @@ def test_timestamp_as_of_with_injected_commit_clock(engine, spark):
     assert engine.read.table("dbo.tsi", timestamp_as_of=2500.0).count() == 1
     assert engine.read.table("dbo.tsi", timestamp_as_of=3000.0).count() == 2
     assert engine.store.commit_info("dbo.tsi", 1)["ts"] == 2000.0
+
+
+def test_vacuum_ignores_other_writers_staged_files(engine, spark):
+    """A writer's staged-but-uncommitted files live in a private
+    staging directory, not the shared pool — a concurrent writer's
+    vacuum can never reap them (previously staged files sat
+    unreferenced in the pool and an interleaved vacuum deleted them,
+    corrupting the staging writer's subsequently committed
+    snapshot)."""
+    import os as _os
+
+    from mssql_dataframe_spark.session import SparkEngine
+
+    _mk(engine, spark)
+    store = engine.store
+    meta = store.meta("dbo.tt")
+    base = meta.version
+    # writer A stages (the slow Spark job) but has not committed yet
+    entries, stage_dir = store._stage_in(
+        "dbo.tt",
+        spark.createDataFrame([(7, "s")], "id long, val string"),
+        meta.spark_schema, store._stats_col(meta),
+    )
+    # writer B commits twice and vacuums aggressively in between
+    eng2 = SparkEngine(spark=spark, store_root=store.root)
+    for i in (8, 9):
+        eng2.write.insert(
+            "dbo.tt",
+            spark.createDataFrame([(i, "z")], "id long, val string"),
+        )
+    store.vacuum("dbo.tt", keep_versions=0)
+    # A's staged files are untouched...
+    for e in entries:
+        assert _os.path.exists(_os.path.join(stage_dir, e["path"]))
+    # ...and A's commit now fails CLEANLY on the stale version (the
+    # lost-update guard), discarding the staging dir — instead of
+    # publishing a snapshot whose files a vacuum already deleted
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.errors import SQLConcurrentWriteConflict
+
+    with _pytest.raises(SQLConcurrentWriteConflict):
+        store._check_no_concurrent_commit("dbo.tt", base)
+    store._discard_staged(stage_dir)
+    assert not _os.path.exists(stage_dir)
+    # retried at the current version, the same rows land fine
+    engine.write.insert(
+        "dbo.tt", spark.createDataFrame([(7, "s")], "id long, val string")
+    )
+    got = {r["id"] for r in engine.read.table("dbo.tt").collect()}
+    assert got == {1, 2, 7, 8, 9}
