@@ -14,10 +14,17 @@ so the engine implements the same transaction design those formats use:
   (no extra scan) — the stats that make file-skipping and partial
   rewrites possible,
 - table metadata (``_meta.json``) records the current version, the
-  declared SQL-type schema, primary-key columns, and properties; writers
-  prepare the next manifest fully, then commit by atomically replacing
-  ``_meta.json`` (``os.replace``) — readers always see a complete
-  version; a failed writer leaves the table unchanged.
+  declared SQL-type schema, primary-key columns, and properties; a
+  writer stages its files in a PRIVATE directory, claims the next
+  version's manifest PUT-IF-ABSENT (``os.link`` — the Delta log's
+  commit-file contract, so two writers can never both publish the
+  same version), publishes the files into the pool, then moves the
+  ``_meta.json`` pointer atomically (``os.replace``) — readers always
+  see a complete version; a failed or losing writer discards its
+  staging directory and leaves the table unchanged. Write verbs
+  thread the version their plan was computed against into the commit
+  (``expected_version``), so a concurrent commit landing mid-plan
+  fails the write cleanly instead of being dropped from the manifest.
 
 Scale notes (100 TB design):
 - ``append`` moves new files into the pool — no rewrite, O(new data).
