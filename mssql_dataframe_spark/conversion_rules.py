@@ -63,6 +63,10 @@ _MIN_DATE = datetime.date(1, 1, 2)
 _MAX_DATE = datetime.date(9999, 12, 31)
 _MIN_DATETIME = datetime.datetime(1753, 1, 1)
 _MAX_TS = datetime.datetime(9999, 12, 31, 23, 59, 59, 999999)
+# legacy DATETIME tops out at .997 — its ms grid has no .998/.999
+# slot, and admitting .9985+ would round past year 9999 (SQL Server
+# raises a conversion overflow there; so do we, at the range check)
+_MAX_DATETIME = datetime.datetime(9999, 12, 31, 23, 59, 59, 997000)
 _MIN_TS = datetime.datetime(1, 1, 1)
 
 RULES: dict[str, Rule] = {
@@ -102,8 +106,8 @@ RULES: dict[str, Rule] = {
     "date": Rule("date", "date_time", _MIN_DATE, _MAX_DATE, "datetime64[ns]",
                  _fixed(T.DateType())),
     "datetime": Rule(
-        "datetime", "date_time", _MIN_DATETIME, _MAX_TS, "datetime64[ns]",
-        _fixed(T.TimestampNTZType()),
+        "datetime", "date_time", _MIN_DATETIME, _MAX_DATETIME,
+        "datetime64[ns]", _fixed(T.TimestampNTZType()),
     ),
     "datetime2": Rule(
         "datetime2", "date_time", _MIN_TS, _MAX_TS, "datetime64[ns]",

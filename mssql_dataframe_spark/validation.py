@@ -329,15 +329,21 @@ def enforce_unique_constraints(
 
 def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     """Upcast numeric columns to their category's widest type before
-    range checks (reference: conversion.py:214-253)."""
-    out = df
+    range checks (reference: conversion.py:214-253). Exact decimals
+    are exempt: their probes try_cast to the DECLARED precision/scale
+    directly, and an intermediate Decimal(38,18) widening would
+    overflow legal high-precision values (10^21 into NUMERIC(38,0))
+    and abort the validation job under ANSI mode."""
+    casts = {}
     for col, spec in specs.items():
+        if spec.rule.sql_category == "exact_decimal_numeric":
+            continue
         widest = WIDEST_SPARK_TYPE.get(spec.rule.sql_category)
         if widest is not None and not isinstance(
             df.schema[col].dataType, (T.StringType,)
         ):
-            out = out.withColumn(col, F.col(col).cast(widest))
-    return out
+            casts[col] = F.col(col).cast(widest)
+    return df.withColumns(casts) if casts else df
 
 
 _GUID_RE = (
@@ -388,7 +394,22 @@ def _validate_single_pass(
             "approximate_decimal_numeric",
             "date_time",
         ) and rule.min_value is not None:
-            aggs += [F.min(c).alias(f"{col}__min"), F.max(c).alias(f"{col}__max")]
+            probe = c
+            if isinstance(dt, T.StringType):
+                # a string source's raw min/max are lexicographic and
+                # incomparable with the rule bounds — the comparison
+                # below would TypeError and silently skip the range
+                # check ('10000' into tinyint stored unchecked).
+                # Probe the parsed value instead; unparseable strings
+                # are flagged by the __bad try_cast probe.
+                probe = c.try_cast(
+                    WIDEST_SPARK_TYPE.get(rule.sql_category)
+                    or spec.spark_type
+                )
+            aggs += [
+                F.min(probe).alias(f"{col}__min"),
+                F.max(probe).alias(f"{col}__max"),
+            ]
             range_checks.append((col, "range", rule.min_value, rule.max_value))
         elif rule.sql_category == "character string" and spec.size:
             aggs.append(F.max(F.length(c)).alias(f"{col}__len"))
@@ -418,14 +439,19 @@ def _validate_single_pass(
 
         if spec.sql_type in _DECIMAL_SQL_TYPES:
             target = _decimal_target(spec)
-            # rounding-changed flag (warning gate): NULL-safe — an
-            # overflowing cast yields NULL which the inequality maps to
-            # NULL, ignored by max(); overflow is caught by __bad below.
+            # rounding-changed flag (warning gate): try_cast keeps it
+            # NULL-safe under ANSI mode too — a plain cast of an
+            # overflowing or malformed value would ABORT the whole
+            # validation job instead of deferring to the __bad probe
+            # below, which owns the error contract.
             aggs.append(
                 F.max(
                     (
                         c.isNotNull()
-                        & (c.cast("double") != c.cast(target).cast("double"))
+                        & (
+                            c.try_cast("double")
+                            != c.try_cast(target).try_cast("double")
+                        )
                     ).cast("int")
                 ).alias(f"{col}__dchg")
             )
@@ -454,11 +480,20 @@ def _validate_single_pass(
         aggs.append(F.max(F.col(col).isNull().cast("int")).alias(f"{col}__nul"))
 
     if unique_key:
-        aggs.append(F.count(F.lit(1)).alias("__n_rows"))
+        # only fully-non-NULL keys can match (and therefore double-
+        # apply) a target row — T-SQL MERGE treats a NULL key as
+        # matching nothing, so two NULL-keyed source rows are two
+        # inserts, not duplicates. Count keyed rows and distinct keys
+        # over the same non-NULL predicate.
+        keyed = F.lit(True)
+        for k in unique_key:
+            keyed = keyed & F.col(k).isNotNull()
+        key_struct = F.struct(*[F.col(k) for k in unique_key])
         aggs.append(
-            F.count_distinct(F.struct(*[F.col(k) for k in unique_key])).alias(
-                "__n_keys"
-            )
+            F.count(F.when(keyed, F.lit(1))).alias("__n_rows")
+        )
+        aggs.append(
+            F.count_distinct(F.when(keyed, key_struct)).alias("__n_keys")
         )
 
     bound_cols = (
@@ -467,9 +502,18 @@ def _validate_single_pass(
         else []
     )
     for i, c in enumerate(bound_cols):
+        bc = F.col(c)
+        if c in specs and specs[c].sql_type == "uniqueidentifier":
+            # bounds must describe the STORED form: GUIDs are
+            # canonicalized to uppercase by _prepare_values AFTER this
+            # agg, and lowercase bounds vs uppercase manifest stats
+            # would declare every file disjoint — pruning away files
+            # that DO hold matching keys (silently dropped updates,
+            # duplicate primary keys)
+            bc = F.upper(bc.cast("string"))
         aggs += [
-            F.min(c).alias(f"__bounds_lo_{i}"),
-            F.max(c).alias(f"__bounds_hi_{i}"),
+            F.min(bc).alias(f"__bounds_lo_{i}"),
+            F.max(bc).alias(f"__bounds_hi_{i}"),
         ]
 
     if not aggs:
@@ -548,41 +592,49 @@ def _validate_single_pass(
 
 def _prepare_values(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     """Precision adjustments (pure transformations — the warning probes
-    ran inside the single validation agg)."""
-    out = df
+    ran inside the single validation agg). String-typed temporal
+    sources are parsed BEFORE the grid rounding so the same logical
+    value stores identically whether it arrived as a timestamp or a
+    string (unparseable strings were already rejected by the __bad
+    probe). One projection total (withColumns), not one per column."""
+    _TS = (T.TimestampType, T.TimestampNTZType)
+    casts = {}
     for col, spec in specs.items():
         dt = df.schema[col].dataType
         if spec.sql_type in _DECIMAL_SQL_TYPES:
-            out = out.withColumn(col, F.col(col).cast(_decimal_target(spec)))
+            casts[col] = F.col(col).cast(_decimal_target(spec))
         elif spec.sql_type == "uniqueidentifier":
             # canonical upper-case GUID rendering (SQL Server compares
             # case-insensitively and renders upper)
-            out = out.withColumn(col, F.upper(F.col(col).cast("string")))
+            casts[col] = F.upper(F.col(col).cast("string"))
         elif spec.sql_type == "smalldatetime" and isinstance(
-            dt, (T.TimestampType, T.TimestampNTZType)
+            dt, (*_TS, T.StringType)
         ):
-            out = out.withColumn(col, _smalldatetime_grid(F.col(col)))
+            src = F.col(col)
+            if isinstance(dt, T.StringType):
+                src = src.try_cast("timestamp_ntz")
+            casts[col] = _smalldatetime_grid(src)
         elif spec.sql_type == "datetime" and isinstance(
-            dt, (T.TimestampType, T.TimestampNTZType)
+            dt, (*_TS, T.StringType)
         ):
             # round ms to SQL Server DATETIME's .000/.003/.007 grid
             # (reference: conversion.py:448-483, increments at 460-471)
-            out = out.withColumn(col, _datetime_grid(F.col(col)))
+            src = F.col(col)
+            if isinstance(dt, T.StringType):
+                src = src.try_cast("timestamp_ntz")
+            casts[col] = _datetime_grid(src)
         elif spec.sql_type == "binary" and spec.size:
             # right-pad binary(n) with 0x00 (reference: conversion.py:611-620)
-            out = out.withColumn(
-                col,
-                F.when(
-                    F.col(col).isNotNull(),
-                    F.concat(
-                        F.col(col),
-                        F.expr(
-                            f"repeat(X'00', {spec.size} - octet_length(`{col}`))"
-                        ).cast("binary"),
-                    ),
+            casts[col] = F.when(
+                F.col(col).isNotNull(),
+                F.concat(
+                    F.col(col),
+                    F.expr(
+                        f"repeat(X'00', {spec.size} - octet_length(`{col}`))"
+                    ).cast("binary"),
                 ),
             )
-    return out
+    return df.withColumns(casts) if casts else df
 
 
 def _datetime_grid(c: F.Column) -> F.Column:
@@ -623,7 +675,8 @@ def _smalldatetime_grid(c: F.Column) -> F.Column:
 
 
 def _cast_to_rules(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
-    out = df
-    for col, spec in specs.items():
-        out = out.withColumn(col, F.col(col).cast(spec.spark_type))
-    return out
+    # one projection for every column — a withColumn loop builds one
+    # nested Project per column: O(n²) analyzer work on wide tables
+    return df.withColumns(
+        {col: F.col(col).cast(spec.spark_type) for col, spec in specs.items()}
+    )
