@@ -55,6 +55,11 @@ def merge_op(
     auto_evolve: bool = False,
     not_matched_by_source_set: Optional[dict] = None,
 ) -> DataFrame:
+    if isinstance(delete_requires, str):
+        # mirror match_columns' bare-string convention — list('part')
+        # would explode into characters and raise a baffling
+        # per-character column error
+        delete_requires = [delete_requires]
     delete_requires = list(delete_requires or [])
     if upsert and delete_requires:
         raise ValueError(
@@ -416,6 +421,29 @@ def merge_op(
 
     joined = joined.filter(is_matched | is_insert | (is_tgt_only & keep_tgt_only))
 
+    # inserted rows take tgt[c] (= NULL on the null-extended side) for
+    # every column absent from the source — a NOT NULL or PRIMARY KEY
+    # column missing from the dataframe therefore makes ANY insert a
+    # constraint violation (SQL Server MERGE raises error 515 there).
+    # One limit(1) probe, and only on the rare missing-column path;
+    # identity and computed columns are engine-filled, not NULL.
+    computed_cols = meta.properties.get("computed_columns") or {}
+    missing_nn = [
+        c
+        for c in dict.fromkeys((*meta.not_nullable, *meta.primary_key))
+        if c != meta.identity_column
+        and c not in src.columns
+        and c not in computed_cols
+    ]
+    if missing_nn and joined.filter(is_insert).limit(1).count():
+        from ...errors import DataframeColumnInvalidValue
+
+        raise DataframeColumnInvalidValue(
+            f"MERGE cannot insert rows: NOT NULL / PRIMARY KEY "
+            f"column(s) {missing_nn} are absent from the source "
+            "dataframe, so inserted rows would store NULL there"
+        )
+
     now = F.current_timestamp().cast("timestamp_ntz")
     out_cols = []
     for f in meta.spark_schema.fields:
@@ -446,17 +474,28 @@ def merge_op(
         table_name=table_name,
     )
     uniques = dict(meta.properties.get("unique_constraints") or {})
-    if (
-        meta.primary_key
-        and set(update_cols) & set(meta.primary_key)
-        and not meta.properties.get("pk_not_enforced")
-    ):
-        # a merge matching on non-PK columns can rewrite PK columns —
-        # SQL Server still enforces the PK there; ride the same
-        # keys-only dup-agg/semi-join hook (the common match==PK case
-        # never enters: PK columns are then match columns, not
-        # update columns, so no extra jobs run)
-        uniques["PRIMARY KEY"] = list(meta.primary_key)
+    pk = list(meta.primary_key)
+    pk_at_risk = bool(pk) and not meta.properties.get(
+        "pk_not_enforced"
+    ) and (
+        # a merge matching on non-PK columns can rewrite PK columns
+        bool(set(update_cols) & set(pk))
+        # match strictly wider than the PK: a source row whose full
+        # match tuple is absent INSERTS even when its PK value
+        # already exists — without this, two rows with the same PK
+        # commit silently
+        or (set(pk) < set(match))
+        # a NMBS SET expression can rewrite a non-match PK column on
+        # every target-only row
+        or bool(set(nmbs_set) & set(pk))
+    )
+    if pk_at_risk:
+        # SQL Server still enforces the PK in all three shapes; ride
+        # the same keys-only dup-agg/semi-join hook (the common
+        # match==PK case never enters: PK columns are then match
+        # columns, not update columns, and a matched key can only
+        # update its own row)
+        uniques["PRIMARY KEY"] = pk
     if uniques:
         from ...validation import enforce_unique_constraints
 

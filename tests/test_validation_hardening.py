@@ -179,3 +179,124 @@ def test_guid_key_bounds_match_stored_canonical_form(engine, spark):
                 [Row(gid=g2.lower(), v=9)], "gid string, v long"
             ),
         )
+
+
+def test_merge_rejects_insert_with_missing_not_null_column(engine, spark):
+    """A NOT NULL column absent from the merge source makes any
+    inserted row a violation (SQL Server error 515 shape) — previously
+    NULL was silently committed."""
+    engine.create.table(
+        "dbo.vh8",
+        {"k": "bigint", "name": "nvarchar(20)", "v": "bigint"},
+        primary_key_column="k",
+        not_nullable=["name"],
+    )
+    engine.write.insert(
+        "dbo.vh8",
+        spark.createDataFrame(
+            [Row(k=1, name="a", v=1)], "k long, name string, v long"
+        ),
+    )
+    # update-only merge without 'name' is fine (no inserts happen)
+    engine.write.merge(
+        "dbo.vh8",
+        spark.createDataFrame([Row(k=1, v=10)], "k long, v long"),
+        upsert=True,
+    )
+    assert engine.read.table("dbo.vh8").collect()[0]["v"] == 10
+    # a NEW key without 'name' must raise, not insert NULL
+    with pytest.raises(errors.DataframeColumnInvalidValue, match="name"):
+        engine.write.merge(
+            "dbo.vh8",
+            spark.createDataFrame([Row(k=2, v=2)], "k long, v long"),
+            upsert=True,
+        )
+    assert engine.read.table("dbo.vh8").count() == 1
+
+
+def test_merge_superset_match_enforces_pk(engine, spark):
+    """match_columns strictly wider than the PK: a source row whose
+    full match tuple is absent inserts — but a PK value that already
+    exists must still raise, not silently duplicate."""
+    engine.create.table(
+        "dbo.vh9",
+        {"k": "bigint", "part": "nvarchar(5)", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.vh9",
+        spark.createDataFrame(
+            [Row(k=1, part="A", v=1)], "k long, part string, v long"
+        ),
+    )
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.merge(
+            "dbo.vh9",
+            spark.createDataFrame(
+                [Row(k=1, part="B", v=9)], "k long, part string, v long"
+            ),
+            match_columns=["k", "part"],
+            upsert=True,
+        )
+    # disjoint PK values through the same shape still insert fine
+    engine.write.merge(
+        "dbo.vh9",
+        spark.createDataFrame(
+            [Row(k=2, part="B", v=2)], "k long, part string, v long"
+        ),
+        match_columns=["k", "part"],
+        upsert=True,
+    )
+    assert engine.read.table("dbo.vh9").count() == 2
+
+
+def test_merge_nmbs_set_cannot_duplicate_pk(engine, spark):
+    """A WHEN NOT MATCHED BY SOURCE SET expression rewriting a non-
+    match PK column must hit the PK uniqueness check."""
+    engine.create.table(
+        "dbo.vh10",
+        {"k": "bigint", "tag": "nvarchar(5)", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.vh10",
+        spark.createDataFrame(
+            [Row(k=1, tag="x", v=1), Row(k=2, tag="y", v=2)],
+            "k long, tag string, v long",
+        ),
+    )
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.merge(
+            "dbo.vh10",
+            spark.createDataFrame(
+                [Row(k=1, tag="x", v=10)], "k long, tag string, v long"
+            ),
+            match_columns=["tag"],
+            not_matched_by_source_set={"k": "1"},
+        )
+
+
+def test_merge_delete_requires_accepts_bare_string(engine, spark):
+    """delete_requires='part' mirrors match_columns' string form
+    instead of exploding into per-character column errors."""
+    engine.create.table(
+        "dbo.vh11",
+        {"k": "bigint", "part": "bigint", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.vh11",
+        spark.createDataFrame(
+            [Row(k=1, part=0, v=1), Row(k=2, part=1, v=2)],
+            "k long, part long, v long",
+        ),
+    )
+    engine.write.merge(
+        "dbo.vh11",
+        spark.createDataFrame(
+            [Row(k=3, part=0, v=3)], "k long, part long, v long"
+        ),
+        delete_requires="part",
+    )
+    got = {r["k"] for r in engine.read.table("dbo.vh11").collect()}
+    assert got == {2, 3}  # k=1 (part 0, not in source) deleted
