@@ -9875,70 +9875,69 @@ def corpus_boilerplate_antijoin(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r9 rotation (VERDICT r8 "Next round" #1): (a) the 5 entries
-    # added after the r8 window froze — the only registry rows with
-    # no driver CORRECTNESS row; (b) multimodal_resize, the single
-    # r03-vintage row left in the ledger; (c) the 40 rows whose
-    # latest driver evidence is r04 (TPC-H headliners, the streaming
-    # r4 suite, json/map/window functions, sources, curation r4
-    # rows); (d) the 4 earliest-positioned r05-vintage rows. After
-    # this window every one of the 232 registry entries has a driver
-    # CORRECTNESS row and none is older than r05.
+    # r10 rotation (VERDICT r9 "Next round: do this" #2): (a) the 5
+    # entries added after the r9 window froze — the only registry rows
+    # with no driver CORRECTNESS row (all gate_sim-green at build
+    # time); (b) the 38 rows whose latest driver evidence is r05
+    # (TPC-H tail, window/rollup/set-op suite, the streaming r5 pair,
+    # temporal contracts, curation r5 rows); (c) the 7
+    # earliest-positioned r06-vintage rows. After this window every
+    # one of the 237 registry entries has a driver CORRECTNESS row and
+    # none is older than r06.
     # COVERAGE.md "Grading manifest" documents the cycle.
-    # -- (a) never-graded: round-8 additions --
-    "verb_composite_pk_pruned_ingest",
-    "verb_scd2_composite_key",
-    "verb_merge_partition_reload",
-    "doc_line_dedup",
-    "corpus_boilerplate_line_removal",
-    # -- (b) the only r03-vintage row --
-    "multimodal_resize",
-    # -- (c) the 40 r04-vintage rows --
-    "approx_count_distinct",
-    "broadcast_join_brand_volume",
-    "char_entropy_quality",
-    "corpus_mixture_audit",
-    "corpus_quality_filter",
-    "decontamination_overlap",
-    "doc_chunking",
-    "embedding_int8_quantize",
-    "json_extraction",
-    "json_object_extraction",
-    "map_functions",
-    "multimodal_audio_features",
-    "multimodal_resize_stub_contract",
-    "pack_sequences_budget",
-    "per_source_cap",
-    "pii_redaction",
-    "python_udtf_char_ngrams",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q12_late_shipments",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "salted_join_user_events",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "streaming_append_out_of_order",
-    "streaming_dedup_exact",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_stateful_user_stats",
-    "streaming_stream_stream_join",
-    "text_repetition_features",
-    "verb_primary_key_audit",
-    "verb_read_values_sql",
-    "window_top3_orders_per_customer",
-    "window_value_functions",
-    # -- (d) the 4 earliest r05-vintage rows --
-    "verb_merge_identity",
-    "verb_modify_schema",
-    "verb_schema_validate_convert",
-    "verb_read_where_grammar",
+    # -- (a) never-graded: round-9 additions --
+    "doc_line_dedup_windowed",
+    "corpus_boilerplate_antijoin",
+    "corpus_line_dedup_global",
+    "pq_codebook_encode",
+    "pq_adc_search",
+    # -- (b) the 38 r05-vintage rows --
+    "q2_min_price_parts",
+    "q8_market_share",
+    "q11_important_parts",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_bulk_suppliers",
+    "q22_idle_customers",
+    "window_running_user_value",
+    "window_sessionization",
+    "rollup_lineitem_status",
+    "cube_orders_status_priority",
+    "set_ops_customers",
+    "pivot_returnflag_linestatus",
+    "window_lead_lag_monthly",
+    "window_rank_ntile",
+    "grouping_sets_revenue",
+    "percentile_functions",
+    "regr_bool_aggregates",
+    "asof_join_events_orders",
+    "verb_datetimeoffset_roundtrip",
+    "time_render_contract",
+    "streaming_tumbling_counts",
+    "streaming_foreach_batch_upsert",
+    "verb_time_travel",
+    "verb_table_changes",
+    "mv_incremental_update",
+    "array_higher_order_functions",
+    "dataset_split_hash",
+    "stratified_sample_lang",
+    "verb_optimize_compact",
+    "pack_sequences_per_lang",
+    "ann_recall_at10",
+    "verb_history",
+    "corpus_shuffle_shards",
+    "minhash_dedup_incremental",
+    "unigram_logprob_quality",
+    # -- (c) the 7 earliest r06-vintage rows --
+    "verb_timestamp_as_of",
+    "verb_restore",
+    "verb_clone_diverge",
+    "verb_vacuum_retention",
+    "verb_optimize_zorder",
+    "verb_information_schema",
+    "verb_export_import",
 ]
 
 
