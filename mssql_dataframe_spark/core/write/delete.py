@@ -368,35 +368,17 @@ def delete_op(
         # their read is not a parquet scan, so _metadata does not
         # resolve — and a delete from an empty table is a no-op
         # anyway.)
-        from .update import stats_candidates
+        from .update import discover_matched_files, split_entries
 
-        candidates = stats_candidates(store, table_name, bounds)
-        if candidates is not None and not candidates:
-            matched_files = set()
-        else:
-            scan = (
-                store.read(table_name)
-                if candidates is None
-                else store.read_files(table_name, candidates)
-            )
-            matched_files = {
-                os.path.basename(r["f"])
-                for r in scan
-                .select(*match, F.col("_metadata.file_path").alias("f"))
-                .join(keys, on=match, how="left_semi")
-                .select("f")
-                .distinct()
-                .collect()
-            }
+        matched_files = discover_matched_files(
+            store, table_name, bounds, keys, match
+        )
         if not matched_files:
             return 0  # nothing matches: no rewrite, no commit
-        kept = [e for e in entries if e["path"] not in matched_files]
+        kept, touched = split_entries(entries, matched_files)
         if kept:
             keep_entries = kept
-            target = store.read_files(
-                table_name,
-                [e["path"] for e in entries if e["path"] in matched_files],
-            )
+            target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
 

@@ -76,6 +76,11 @@ def assign_identity(df: DataFrame, col: str, start: int,
         r["__pid"]: r["cnt"]
         for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
+    if not counts:
+        # empty frame: a zero-arg create_map types as map<void,void>
+        # and fails analysis when indexed — and there is nothing to
+        # number anyway. next == start doubles as the emptiness signal.
+        return df.withColumn(col, F.lit(None).cast(dtype)), start
     offsets, acc = {}, start
     for pid in sorted(counts):
         offsets[pid] = acc

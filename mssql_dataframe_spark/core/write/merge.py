@@ -234,45 +234,16 @@ def merge_op(
         # (empty-manifest tables skip this: their read is not a
         # parquet scan, so _metadata does not resolve — and there is
         # nothing to prune.)
-        import os as _os
+        from .update import discover_matched_files, split_entries
 
-        from .update import stats_candidates
-
-        candidates = stats_candidates(store, table_name, bounds)
-        if candidates is not None and not candidates:
-            matched_files = set()
-        else:
-            scan = (
-                store.read(table_name)
-                if candidates is None
-                else store.read_files(table_name, candidates)
-            )
-            if not all(c in scan.columns for c in match):
-                # a just-auto-evolved match column exists in no stored
-                # file: every stored value reads NULL and NULL never
-                # equals — nothing can match, all files carry
-                matched_files = set()
-            else:
-                matched_files = {
-                    _os.path.basename(r["f"])
-                    for r in scan
-                    .select(*match, F.col("_metadata.file_path").alias("f"))
-                    .join(
-                        src.select(*match).distinct(),
-                        on=match,
-                        how="left_semi",
-                    )
-                    .select("f")
-                    .distinct()
-                    .collect()
-                }
-        kept = [e for e in entries if e["path"] not in matched_files]
+        matched_files = discover_matched_files(
+            store, table_name, bounds,
+            src.select(*match).distinct(), match,
+        )
+        kept, touched = split_entries(entries, matched_files)
         if kept:
             keep_entries = kept
-            target = store.read_files(
-                table_name,
-                [e["path"] for e in entries if e["path"] in matched_files],
-            )
+            target = store.read_files(table_name, touched)
 
     # distinct source value sets per delete_requires column — shared by
     # the file-discovery probe below and the keep-rule flags later
@@ -323,8 +294,13 @@ def merge_op(
             all_in = F.lit(True) if deletable else F.lit(False)
             for c in avail_dr if deletable else []:
                 vals = dr_val_sets[c]
+                # no broadcast hint: the distinct value set is usually
+                # tiny (AQE broadcasts it from its runtime size), but a
+                # high-cardinality delete_requires column must not be
+                # FORCED driver-side — an unbounded hint OOMs there,
+                # while a shuffled hash join merely costs a shuffle
                 probe = probe.join(
-                    F.broadcast(vals), probe[c] == vals[f"__drv_{c}"], "left"
+                    vals, probe[c] == vals[f"__drv_{c}"], "left"
                 ).drop(f"__drv_{c}")
                 all_in = all_in & F.col(f"__in_{c}").isNotNull()
             matched_files = {
@@ -352,13 +328,16 @@ def merge_op(
             if f.name not in target.columns:
                 target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
 
-    # delete_requires flags: broadcast semi-join against DISTINCT source
-    # values per column (scale-safe lowering of `IN (SELECT c FROM src)`)
+    # delete_requires flags: membership join against DISTINCT source
+    # values per column (scale-safe lowering of `IN (SELECT c FROM
+    # src)` — no literal blowup, no driver collect). No broadcast
+    # hint: AQE broadcasts the value set when its runtime size allows;
+    # forcing it would OOM the driver on a high-cardinality column.
     dr_flags = []
     for c in delete_requires:
         vals = dr_val_sets[c]
         target = target.join(
-            F.broadcast(vals), target[c] == vals[f"__drv_{c}"], "left"
+            vals, target[c] == vals[f"__drv_{c}"], "left"
         ).drop(f"__drv_{c}")
         dr_flags.append(f"__in_{c}")
 
@@ -373,12 +352,14 @@ def merge_op(
         new_rows = src.join(
             target.select(*match), on=match, how="left_anti"
         )
-        n_new = new_rows.count()
-        if n_new:
-            dtype = meta.spark_schema[identity].dataType
-            new_rows, next_id = assign_identity(
-                new_rows, identity, meta.identity_next, dtype
-            )
+        dtype = meta.spark_schema[identity].dataType
+        # assign_identity's own per-partition count job doubles as the
+        # emptiness check (next_id advances iff rows exist) — no
+        # separate count() materializing the anti-join twice
+        new_rows, next_id = assign_identity(
+            new_rows, identity, meta.identity_next, dtype
+        )
+        if next_id != meta.identity_next:
             store.update_meta(table_name, identity_next=next_id)
             # source rows whose match keys already exist in the target =
             # src MINUS the new rows (anti-join; a semi-join here would
@@ -389,9 +370,7 @@ def merge_op(
                 identity, F.lit(None).cast(dtype)
             ).unionByName(new_rows)
         else:
-            src = src.withColumn(
-                identity, F.lit(None).cast(meta.spark_schema[identity].dataType)
-            )
+            src = src.withColumn(identity, F.lit(None).cast(dtype))
         pre_assigned_identity = True
 
     renamed = src.select(
@@ -428,12 +407,21 @@ def merge_op(
     # One limit(1) probe, and only on the rare missing-column path;
     # identity and computed columns are engine-filled, not NULL.
     computed_cols = meta.properties.get("computed_columns") or {}
+    # _time_insert is engine-stamped on every inserted row when
+    # metadata timestamps are on, so it is exempt like identity.
+    # _time_update is NOT: inserts store NULL there (only matched rows
+    # get stamped), so a NOT NULL _time_update still rejects — that
+    # rejection is genuine, not false.
+    engine_stamped = (
+        {"_time_insert"} if include_metadata_timestamps else set()
+    )
     missing_nn = [
         c
         for c in dict.fromkeys((*meta.not_nullable, *meta.primary_key))
         if c != meta.identity_column
         and c not in src.columns
         and c not in computed_cols
+        and c not in engine_stamped
     ]
     if missing_nn and joined.filter(is_insert).limit(1).count():
         from ...errors import DataframeColumnInvalidValue
@@ -443,6 +431,32 @@ def merge_op(
             f"column(s) {missing_nn} are absent from the source "
             "dataframe, so inserted rows would store NULL there"
         )
+
+    # WHEN NOT MATCHED BY SOURCE ... SET expressions are
+    # grammar-whitelisted above, but the grammar cannot see the
+    # RESULT's nullability — `SET c = NULL` (or any expression that
+    # evaluates NULL on some row) against a NOT NULL / PK column must
+    # raise like SQL Server's error 515, not commit unchecked. One
+    # limit(1) probe over the target-only rows, and only on the rare
+    # path where a constrained column is being set.
+    nmbs_nn = [
+        c
+        for c in nmbs_set
+        if c in {*meta.not_nullable, *meta.primary_key}
+    ]
+    if nmbs_nn:
+        null_hit = F.lit(False)
+        for c in nmbs_nn:
+            null_hit = null_hit | F.expr(str(nmbs_set[c])).isNull()
+        if joined.filter(is_tgt_only & null_hit).limit(1).count():
+            from ...errors import DataframeColumnInvalidValue
+
+            raise DataframeColumnInvalidValue(
+                f"MERGE cannot update not-matched-by-source rows: "
+                f"not_matched_by_source_set expression(s) for NOT NULL "
+                f"/ PRIMARY KEY column(s) {nmbs_nn} evaluate to NULL "
+                "on at least one target row"
+            )
 
     now = F.current_timestamp().cast("timestamp_ntz")
     out_cols = []
@@ -508,19 +522,22 @@ def merge_op(
                 if keep_entries else None
             ),
         )
-    if evolved_meta_changes:
-        # validation passed — publish the schema evolution with the
-        # data commit (update_meta first so the commit's declared
-        # schema matches the files being written)
-        store.update_meta(table_name, **evolved_meta_changes)
+    # schema evolution (if any) rides the SAME meta write that moves
+    # the version pointer, inside the commit's exclusive claim — an
+    # OCC loss discards the evolved columns with the staged files
+    # instead of leaving phantom catalog schema behind the winner
+    evolved_schema = meta.spark_schema if evolved_meta_changes else None
+    evolved_types = meta.column_types if evolved_meta_changes else None
     if keep_entries is not None:
         store.replace_files(
             table_name, result, keep_entries, op="merge",
             preconditions=fk_deps, expected_version=meta.version,
+            new_schema=evolved_schema, new_column_types=evolved_types,
         )
     else:
         store.overwrite(
             table_name, result, op="merge", preconditions=fk_deps,
             expected_version=meta.version,
+            new_schema=evolved_schema, new_column_types=evolved_types,
         )
     return src

@@ -120,37 +120,17 @@ def merge_scd2(
         # has at most one current row: if it exists, its file is
         # discovered and the close happens there; pruned files hold
         # only non-matching or historical rows.
-        import os as _os
+        from .update import discover_matched_files, split_entries
 
-        from .update import stats_candidates
-
-        candidates = stats_candidates(store, table_name, bounds)
-        if candidates is not None and not candidates:
-            matched_files = set()
-        else:
-            scan = (
-                store.read(table_name)
-                if candidates is None
-                else store.read_files(table_name, candidates)
-            )
-            matched_files = {
-                _os.path.basename(r["f"])
-                for r in scan.filter(F.col(current_col) == F.lit(True))
-                .select(*match, F.col("_metadata.file_path").alias("f"))
-                .join(
-                    src.select(*match).distinct(), on=match, how="left_semi"
-                )
-                .select("f")
-                .distinct()
-                .collect()
-            }
-        kept = [e for e in entries if e["path"] not in matched_files]
+        matched_files = discover_matched_files(
+            store, table_name, bounds,
+            src.select(*match).distinct(), match,
+            pre_filter=(F.col(current_col) == F.lit(True)),
+        )
+        kept, touched = split_entries(entries, matched_files)
         if kept:
             keep_entries = kept
-            target = store.read_files(
-                table_name,
-                [e["path"] for e in entries if e["path"] in matched_files],
-            )
+            target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
     tgt = target.withColumn("__t", F.lit(True))
@@ -165,6 +145,37 @@ def merge_scd2(
     changed = reduce(
         and_, [tgt[c].eqNullSafe(F.col(f"__s_{c}")) for c in tracked]
     ) == F.lit(False)
+
+    # new-current rows take NULL for every schema column absent from
+    # the source (``row_struct("new")`` below) — a NOT NULL or PRIMARY
+    # KEY column missing from the dataframe therefore makes ANY row
+    # that synthesizes a new version (src-only insert OR
+    # matched-and-changed replacement) a constraint violation (SQL
+    # Server MERGE raises error 515 there; same probe as write.merge).
+    # The three SCD bookkeeping columns are engine-stamped, and
+    # computed columns are engine-materialized, so they are exempt; an
+    # identity column is NOT — merge_scd2 does not assign identity
+    # values, so its absence from the source would silently store NULL
+    # keys. One limit(1) probe, only on the rare missing-column path.
+    computed_cols = meta.properties.get("computed_columns") or {}
+    missing_nn = [
+        c
+        for c in dict.fromkeys((*meta.not_nullable, *meta.primary_key))
+        if c not in src.columns
+        and c not in computed_cols
+        and c not in scd_cols
+    ]
+    if missing_nn and j.filter(
+        is_src_only | (is_matched & changed)
+    ).limit(1).count():
+        from ...errors import DataframeColumnInvalidValue
+
+        raise DataframeColumnInvalidValue(
+            f"SCD2 merge cannot write new version rows: NOT NULL / "
+            f"PRIMARY KEY column(s) {missing_nn} are absent from the "
+            "source dataframe, so new current rows would store NULL "
+            "there"
+        )
 
     def row_struct(kind: str) -> Column:
         fields = []
@@ -207,6 +218,36 @@ def merge_scd2(
         store, out, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
+    # PK uniqueness at risk (same shapes as write.merge): a business
+    # key STRICTLY WIDER than the PK inserts a new current row even
+    # when its PK value already exists; a tracked (rewritten) PK
+    # column takes arbitrary source values; a PK containing
+    # ``valid_from`` (the canonical SCD2 key) collides when ``as_of``
+    # equals an existing version's start. The common PK==match case
+    # never enters: SCD2 history itself duplicates the business key,
+    # so such a PK is unenforceable by construction and merge_scd2
+    # keeps the reference's in-place-merge behavior there. Keys-only
+    # agg + semi join against the carried files — slim at any scale.
+    pk = list(meta.primary_key)
+    pk_at_risk = bool(pk) and not meta.properties.get(
+        "pk_not_enforced"
+    ) and (
+        (set(pk) < set(match))
+        or bool(set(pk) & set(tracked))
+        or valid_from_col in pk
+    )
+    if pk_at_risk:
+        from ...validation import enforce_unique_constraints
+
+        enforce_unique_constraints(
+            out, {"PRIMARY KEY": pk},
+            existing=(
+                store.read_files(
+                    table_name, [e["path"] for e in keep_entries]
+                )
+                if keep_entries else None
+            ),
+        )
     if keep_entries is not None:
         store.replace_files(
             table_name, out, keep_entries, op="merge_scd2",

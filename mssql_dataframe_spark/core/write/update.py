@@ -55,6 +55,59 @@ def resolve_match_columns(meta, dataframe, match_columns) -> list[str]:
     return cols
 
 
+def discover_matched_files(
+    store, table_name, bounds, src_keys, match, pre_filter=None
+):
+    """Tier-2 content discovery shared by update/delete/merge/scd2:
+    one slim scan (match columns + ``_metadata.file_path``) finds the
+    files holding a row whose match key appears in the source — the
+    rest are bit-identical and carry into the next manifest by
+    reference. The scan is first stats-narrowed to candidate files via
+    per-column manifest-bounds intersection (``stats_candidates``), so
+    discovery cost is ∝ files the key ranges intersect, not table
+    size. ``pre_filter`` restricts which target rows count as
+    touchable (SCD2 passes ``is_current``: historical rows never
+    change, so a file holding only history for a matched key still
+    carries). Returns the matched file basenames; a match column
+    absent from every stored file (just auto-evolved) reads NULL
+    everywhere and NULL never equals, so nothing can match.
+
+    Callers must skip this for empty-manifest tables (their read is
+    not a parquet scan, so ``_metadata`` does not resolve — and there
+    is nothing to prune)."""
+    import os as _os
+
+    candidates = stats_candidates(store, table_name, bounds)
+    if candidates is not None and not candidates:
+        return set()
+    scan = (
+        store.read(table_name)
+        if candidates is None
+        else store.read_files(table_name, candidates)
+    )
+    if not all(c in scan.columns for c in match):
+        return set()
+    if pre_filter is not None:
+        scan = scan.filter(pre_filter)
+    return {
+        _os.path.basename(r["f"])
+        for r in scan
+        .select(*match, F.col("_metadata.file_path").alias("f"))
+        .join(src_keys, on=match, how="left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    }
+
+
+def split_entries(entries, matched_files):
+    """Partition manifest entries by the discovery verdict: (kept
+    entries carried by reference, touched file paths to rewrite)."""
+    kept = [e for e in entries if e["path"] not in matched_files]
+    touched = [e["path"] for e in entries if e["path"] in matched_files]
+    return kept, touched
+
+
 def stats_candidates(store, table_name, bounds):
     """Stats pre-narrowing for the content-discovery fallback:
     per-column manifest bounds (composite PKs, FK columns, UNIQUE /
@@ -135,50 +188,23 @@ def update_op(
     entries = store.manifest(table_name, meta.version)
     if keep_entries is None and not stats_decided and entries:
         # content pruning fallback for composite-PK / non-PK match
-        # keys (mirrors delete_op): UPDATE only changes rows whose
-        # match key appears in the source, so files with no matching
-        # row are bit-identical — one slim scan (match columns +
-        # _metadata.file_path) finds the touched files and the rest
-        # carry into the next manifest by reference. A composite-PK
-        # match first stats-narrows the scan to candidate files via
-        # per-column bounds intersection. (empty-manifest tables skip
-        # this: their read is not a parquet scan, so _metadata does
-        # not resolve.)
-        import os as _os
-
-        candidates = stats_candidates(store, table_name, bounds)
-        if candidates is not None and not candidates:
-            matched_files = set()
-        else:
-            scan = (
-                store.read(table_name)
-                if candidates is None
-                else store.read_files(table_name, candidates)
-            )
-            matched_files = {
-                _os.path.basename(r["f"])
-                for r in scan
-                .select(*match, F.col("_metadata.file_path").alias("f"))
-                .join(
-                    src.select(*match).distinct(), on=match, how="left_semi"
-                )
-                .select("f")
-                .distinct()
-                .collect()
-            }
+        # keys (shared tier-2 discovery — see discover_matched_files):
+        # UPDATE only changes rows whose match key appears in the
+        # source, so files with no matching row carry by reference.
+        matched_files = discover_matched_files(
+            store, table_name, bounds,
+            src.select(*match).distinct(), match,
+        )
         if not matched_files:
             # no target row matches the source: UPDATE changes nothing
             # — commit nothing (the delete/no-match contract). Without
             # this, an empty match rewrote the ENTIRE table
             # byte-identically: a catastrophic no-op at 100 TB.
             return src
-        kept = [e for e in entries if e["path"] not in matched_files]
+        kept, touched = split_entries(entries, matched_files)
         if kept:
             keep_entries = kept
-            target = store.read_files(
-                table_name,
-                [e["path"] for e in entries if e["path"] in matched_files],
-            )
+            target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
     renamed = src.select(

@@ -1094,6 +1094,8 @@ class TableStore:
         op: str = "replace_files",
         preconditions: Optional[list[tuple]] = None,
         expected_version: Optional[int] = None,
+        new_schema: Optional[T.StructType] = None,
+        new_column_types: Optional[dict[str, str]] = None,
     ) -> None:
         """Commit the next snapshot as ``keep_entries`` (untouched files
         carried over BY REFERENCE — no rewrite, no copy) plus the
@@ -1104,10 +1106,17 @@ class TableStore:
         Callers computed ``keep_entries`` against a specific snapshot;
         pass that snapshot's version as ``expected_version`` so a
         concurrent commit landing in between fails this write cleanly
-        instead of being silently dropped from the new manifest."""
+        instead of being silently dropped from the new manifest.
+
+        ``new_schema``/``new_column_types`` publish a schema evolution
+        (merge auto-evolve) in the SAME meta write that moves the
+        version pointer — an OCC loss discards the evolution with the
+        staged files, never leaving phantom catalog columns behind."""
         self._commit(name, df, keep_entries=list(keep_entries), op=op,
                      preconditions=preconditions,
-                     expected_version=expected_version)
+                     expected_version=expected_version,
+                     new_schema=new_schema,
+                     new_column_types=new_column_types)
 
     def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
                 new_schema: Optional[T.StructType] = None,

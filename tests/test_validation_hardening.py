@@ -300,3 +300,312 @@ def test_merge_delete_requires_accepts_bare_string(engine, spark):
     )
     got = {r["k"] for r in engine.read.table("dbo.vh11").collect()}
     assert got == {2, 3}  # k=1 (part 0, not in source) deleted
+
+
+def test_scd2_rejects_new_version_with_missing_not_null_column(
+    engine, spark
+):
+    """A NOT NULL non-tracked column absent from the SCD2 source makes
+    any synthesized new-version row (src-only insert OR changed-row
+    replacement) a violation — previously row_struct('new') silently
+    filled it with NULL (the hole write.merge already closed)."""
+    engine.create.table(
+        "dbo.vhs1",
+        {
+            "id": "bigint",
+            "name": "nvarchar(20)",
+            "cat": "nvarchar(5)",
+            "_valid_from": "datetime2",
+            "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+        primary_key_column="id",
+        not_nullable=["cat"],
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    engine.write.merge_scd2(
+        "dbo.vhs1",
+        spark.createDataFrame(
+            [Row(id=1, name="a", cat="X")],
+            "id long, name string, cat string",
+        ),
+        as_of=t1,
+    )
+    # unchanged re-merge WITHOUT cat: no new version rows synthesize,
+    # so the missing column is harmless (probe gates on the rare path)
+    engine.write.merge_scd2(
+        "dbo.vhs1",
+        spark.createDataFrame([Row(id=1, name="a")], "id long, name string"),
+        as_of=t2,
+    )
+    assert engine.read.table("dbo.vhs1").count() == 1
+    # a NEW key without cat must raise, not insert NULL
+    with pytest.raises(errors.DataframeColumnInvalidValue, match="cat"):
+        engine.write.merge_scd2(
+            "dbo.vhs1",
+            spark.createDataFrame(
+                [Row(id=2, name="b")], "id long, name string"
+            ),
+            as_of=t2,
+        )
+    # a CHANGED existing key without cat synthesizes a new current row
+    # too — same violation
+    with pytest.raises(errors.DataframeColumnInvalidValue, match="cat"):
+        engine.write.merge_scd2(
+            "dbo.vhs1",
+            spark.createDataFrame(
+                [Row(id=1, name="a2")], "id long, name string"
+            ),
+            as_of=t2,
+        )
+    assert engine.read.table("dbo.vhs1").count() == 1
+
+
+def test_scd2_superset_business_key_enforces_pk(engine, spark):
+    """A business key strictly wider than the PK inserts a new current
+    row even when its PK value already exists — SQL Server still
+    enforces the PK there."""
+    engine.create.table(
+        "dbo.vhs2",
+        {
+            "id": "bigint",
+            "region": "nvarchar(5)",
+            "amount": "bigint",
+            "_valid_from": "datetime2",
+            "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+        primary_key_column="id",
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    engine.write.merge_scd2(
+        "dbo.vhs2",
+        spark.createDataFrame(
+            [Row(id=1, region="US", amount=10)],
+            "id long, region string, amount long",
+        ),
+        match_columns=["id", "region"],
+        as_of=t1,
+    )
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.merge_scd2(
+            "dbo.vhs2",
+            spark.createDataFrame(
+                [Row(id=1, region="EU", amount=20)],
+                "id long, region string, amount long",
+            ),
+            match_columns=["id", "region"],
+            as_of=t1,
+        )
+    # a fresh PK value through the same shape still inserts fine
+    engine.write.merge_scd2(
+        "dbo.vhs2",
+        spark.createDataFrame(
+            [Row(id=2, region="EU", amount=20)],
+            "id long, region string, amount long",
+        ),
+        match_columns=["id", "region"],
+        as_of=t1,
+    )
+    assert engine.read.table("dbo.vhs2").count() == 2
+
+
+def test_scd2_valid_from_pk_rejects_as_of_collision(engine, spark):
+    """The canonical (business key, valid_from) composite PK: closing
+    and re-opening a key at the SAME as_of would store two rows with
+    an identical PK tuple — must raise, not silently corrupt."""
+    engine.create.table(
+        "dbo.vhs3",
+        {
+            "id": "bigint",
+            "amount": "bigint",
+            "_valid_from": "datetime2",
+            "_valid_to": "datetime2",
+            "_is_current": "bit",
+        },
+        primary_key_column=["id", "_valid_from"],
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    engine.write.merge_scd2(
+        "dbo.vhs3",
+        spark.createDataFrame([Row(id=1, amount=10)], "id long, amount long"),
+        match_columns=["id"],
+        as_of=t1,
+    )
+    with pytest.raises(errors.SQLUniqueConstraintViolation):
+        engine.write.merge_scd2(
+            "dbo.vhs3",
+            spark.createDataFrame(
+                [Row(id=1, amount=20)], "id long, amount long"
+            ),
+            match_columns=["id"],
+            as_of=t1,  # same effective timestamp as the open version
+        )
+    # a later as_of closes and re-opens cleanly
+    engine.write.merge_scd2(
+        "dbo.vhs3",
+        spark.createDataFrame([Row(id=1, amount=20)], "id long, amount long"),
+        match_columns=["id"],
+        as_of=t2,
+    )
+    assert engine.read.table("dbo.vhs3").count() == 2
+
+
+def test_merge_nmbs_set_null_into_not_null_raises(engine, spark):
+    """`SET c = NULL` (or any NULL-evaluating expression) against a
+    NOT NULL column via WHEN NOT MATCHED BY SOURCE must raise like SQL
+    Server's error 515 — the grammar whitelist cannot see result
+    nullability."""
+    engine.create.table(
+        "dbo.vh15",
+        {"k": "bigint", "flag": "bigint", "v": "bigint"},
+        primary_key_column="k",
+        not_nullable=["flag"],
+    )
+    engine.write.insert(
+        "dbo.vh15",
+        spark.createDataFrame(
+            [Row(k=1, flag=0, v=1), Row(k=2, flag=0, v=2)],
+            "k long, flag long, v long",
+        ),
+    )
+    # the bare NULL literal is already grammar-rejected; a
+    # whitelisted expression that EVALUATES to NULL is the hole
+    with pytest.raises(errors.DataframeColumnInvalidValue, match="flag"):
+        engine.write.merge(
+            "dbo.vh15",
+            spark.createDataFrame(
+                [Row(k=1, flag=0, v=10)], "k long, flag long, v long"
+            ),
+            not_matched_by_source_set={"flag": "nullif(flag, flag)"},
+        )
+    # a non-NULL expression still flags normally
+    engine.write.merge(
+        "dbo.vh15",
+        spark.createDataFrame(
+            [Row(k=1, flag=0, v=10)], "k long, flag long, v long"
+        ),
+        not_matched_by_source_set={"flag": "1"},
+    )
+    got = {(r["k"], r["flag"], r["v"]) for r in engine.read.table("dbo.vh15").collect()}
+    assert got == {(1, 0, 10), (2, 1, 2)}
+
+
+def test_merge_insert_allows_not_null_time_insert(engine, spark):
+    """A NOT NULL _time_insert is engine-stamped on every inserted row
+    when metadata timestamps are on — the missing-column probe must
+    not falsely reject it."""
+    engine.create.table(
+        "dbo.vh16",
+        {"k": "bigint", "v": "bigint", "_time_insert": "datetime2"},
+        primary_key_column="k",
+        not_nullable=["_time_insert"],
+    )
+    engine.write.merge(
+        "dbo.vh16",
+        spark.createDataFrame([Row(k=1, v=1)], "k long, v long"),
+        upsert=True,
+        include_metadata_timestamps=True,
+    )
+    row = engine.read.table("dbo.vh16").collect()[0]
+    assert row["v"] == 1 and row["_time_insert"] is not None
+
+
+def test_merge_auto_evolve_occ_loss_leaves_schema_unchanged(engine, spark):
+    """A merge that auto-evolves the schema but loses the commit race
+    must not leave the evolved columns in the catalog — the evolution
+    publishes atomically with the data commit."""
+    engine.create.table(
+        "dbo.vh17", {"k": "bigint", "v": "bigint"}, primary_key_column="k"
+    )
+    engine.write.insert(
+        "dbo.vh17",
+        spark.createDataFrame([Row(k=1, v=1)], "k long, v long"),
+    )
+    store = engine.store
+    orig_rf, orig_ow = store.replace_files, store.overwrite
+    raced = {"done": False}
+
+    def race(orig):
+        def wrapper(name, df, *a, **kw):
+            # fire the concurrent insert at the last pre-commit moment
+            if name == "dbo.vh17" and not raced["done"]:
+                raced["done"] = True
+                store.replace_files, store.overwrite = orig_rf, orig_ow
+                engine.write.insert(
+                    "dbo.vh17",
+                    spark.createDataFrame([Row(k=9, v=9)], "k long, v long"),
+                )
+            return orig(name, df, *a, **kw)
+
+        return wrapper
+
+    store.replace_files, store.overwrite = race(orig_rf), race(orig_ow)
+    try:
+        with pytest.raises(errors.SQLConcurrentWriteConflict):
+            engine.write.merge(
+                "dbo.vh17",
+                spark.createDataFrame(
+                    [Row(k=1, v=2, extra=5)], "k long, v long, extra long"
+                ),
+                upsert=True,
+                auto_evolve=True,
+            )
+    finally:
+        store.replace_files, store.overwrite = orig_rf, orig_ow
+    meta = store.meta("dbo.vh17")
+    assert "extra" not in meta.column_types
+    assert "extra" not in meta.spark_schema.fieldNames()
+    got = {(r["k"], r["v"]) for r in engine.read.table("dbo.vh17").collect()}
+    assert got == {(1, 1), (9, 9)}
+    # the retry (re-read, re-plan) evolves and commits cleanly
+    engine.write.merge(
+        "dbo.vh17",
+        spark.createDataFrame(
+            [Row(k=1, v=2, extra=5)], "k long, v long, extra long"
+        ),
+        upsert=True,
+        auto_evolve=True,
+    )
+    assert "extra" in store.meta("dbo.vh17").column_types
+    got = {
+        (r["k"], r["v"], r["extra"])
+        for r in engine.read.table("dbo.vh17").collect()
+    }
+    assert got == {(1, 2, 5), (9, 9, None)}
+
+
+def test_merge_delete_requires_high_cardinality(engine, spark):
+    """A high-cardinality delete_requires column must not be force-
+    broadcast (driver OOM risk at scale) — the membership join is left
+    to the planner and the semantics hold at any cardinality."""
+    engine.create.table(
+        "dbo.vh18",
+        {"k": "bigint", "part": "bigint", "v": "bigint"},
+        primary_key_column="k",
+    )
+    n = 4000
+    base = spark.range(n).selectExpr(
+        "id as k", "id as part", "id as v"
+    )
+    engine.write.insert("dbo.vh18", base)
+    # source reloads parts [0, 1000): keys 0..499 survive as updates,
+    # 500..999 are deleted (their part is in the source but their key
+    # is not), parts >= 1000 are untouched
+    src = spark.range(500).selectExpr(
+        "id as k", "id as part", "id + 100000 as v"
+    ).union(
+        spark.range(500, 1000).selectExpr(
+            "id + 1000000 as k", "id as part", "id as v"
+        )
+    )
+    engine.write.merge("dbo.vh18", src, delete_requires=["part"])
+    out = engine.read.table("dbo.vh18")
+    assert out.count() == n - 500 + 500
+    assert out.filter((F.col("k") >= 500) & (F.col("k") < 1000)).count() == 0
+    assert (
+        out.filter((F.col("k") >= 1000) & (F.col("k") < 4000)).count()
+        == 3000
+    )
