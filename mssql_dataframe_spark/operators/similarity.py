@@ -589,6 +589,37 @@ def semantic_dedup(
     )
 
 
+#: quantized-corpus caches created by kmeans_quantized /
+#: pq_train_encode. The returned plans READ these caches (unpersisting
+#: before return would re-scan and re-quantize the corpus at action
+#: time), so the functions cannot release them — but repeated calls
+#: over large corpora would otherwise accumulate executor cache until
+#: LRU pressure evicts unrelated data. Callers done consuming the
+#: returned frames call :func:`release_caches`.
+_TRACKED_CACHES: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every quantized-corpus cache this module created
+    (kmeans_quantized / pq_train_encode persist their grids for the
+    returned plan's benefit). Safe any time — a released frame
+    recomputes on next action. Returns the number released."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
 def _q_sqsum(c: Column) -> Column:
     """Exact int64 squared norm of a quantized vector column."""
     return F.aggregate(
@@ -705,10 +736,9 @@ def kmeans_quantized(
     # unpersisting before return would force the final assignment to
     # re-scan and re-quantize the corpus; Spark evicts LRU, so the
     # cache's lifetime needs no manual management in normal use
-    qe = (
+    qe = _persist_tracked(
         embeddings.select(F.col(id_col).alias("vec_id"), qcol.alias("q"))
         .withColumn("nv", _q_sqsum(F.col("q")))
-        .persist()
     )
     init = qe.orderBy("vec_id").limit(k).collect()
     cents = [(i, list(r["q"])) for i, r in enumerate(init)]
@@ -768,13 +798,13 @@ def pq_train_encode(
     # assignment branches (unpersisting before return would re-scan
     # and re-quantize the corpus once per subspace at action time);
     # Spark evicts LRU, so no manual lifetime management is needed
-    qe = embeddings.select(
+    qe = _persist_tracked(embeddings.select(
         F.col(id_col).alias("vec_id"),
         *[
             F.slice(qcol, s * sub + 1, sub).alias(f"q{s}")
             for s in range(m)
         ],
-    ).persist()
+    ))
     init = qe.orderBy("vec_id").limit(k).collect()
 
     out = None
@@ -831,10 +861,17 @@ def pq_adc_topk(
     Scale shape: the per-query tables are m*k integers — broadcast
     joined onto the encoded corpus (one narrow scan of the m code
     columns; the original vectors are never touched at search time,
-    which is the entire point of PQ). The top-k window partitions by
-    query over score-ranked candidates; at production scale an IVF
-    coarse quantizer prunes the corpus to nprobe inverted lists
-    before this scan (see ivf_topk) — ADC is the within-list scorer.
+    which is the entire point of PQ). Top-k uses the
+    :func:`exact_topk_scalable` shape: a per-partition running top-k
+    inside the scoring scan (Arrow-batched, no shuffle of the scored
+    corpus — a per-query global window here would funnel the ENTIRE
+    scored corpus into one task per query), then one tiny window over
+    the ``partitions x Q x topk`` surviving candidates. Per-partition
+    pruning is lossless: a global top-k row is top-k within its own
+    partition under the same (score asc, vec_id asc) total order. At
+    production scale an IVF coarse quantizer prunes the corpus to
+    nprobe inverted lists before this scan (see ivf_topk) — ADC is
+    the within-list scorer.
     """
     encoded, codebooks = pq_train_encode(
         embeddings, m=m, k=k, iters=iters, quant=quant, dim=dim,
@@ -890,12 +927,42 @@ def pq_adc_topk(
     score = sum(
         (F.col(f"__t{s}") for s in range(1, m)), F.col("__t0")
     ).cast("long")
+    cand = scored.withColumn("adc_score_q", score).select(
+        "query_id", "vec_id", "adc_score_q"
+    )
+
+    def local_topk(batches):
+        # running per-query top-k across the partition's Arrow batches:
+        # the accumulator never exceeds Q x topk rows, and only those
+        # survivors leave the scan stage (dtype-agnostic: pandas sorts
+        # whatever the id column's type is)
+        acc = None
+        for pdf in batches:
+            frame = pdf if acc is None else pd.concat(
+                [acc, pdf], ignore_index=True
+            )
+            acc = (
+                frame.sort_values(["adc_score_q", "vec_id"], kind="stable")
+                .groupby("query_id", sort=False)
+                .head(topk)
+            )
+        if acc is not None:
+            yield acc
+
+    id_type = embeddings.schema[id_col].dataType
+    from pyspark.sql import types as _T
+
+    cand_schema = _T.StructType([
+        _T.StructField("query_id", id_type),
+        _T.StructField("vec_id", encoded.schema["vec_id"].dataType),
+        _T.StructField("adc_score_q", _T.LongType()),
+    ])
+    cand = cand.mapInPandas(local_topk, schema=cand_schema)
     w = Window.partitionBy("query_id").orderBy(
-        score.asc(), F.col("vec_id").asc()
+        F.col("adc_score_q").asc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("adc_score_q", score)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "vec_id", "adc_score_q")
     )

@@ -456,7 +456,23 @@ class TableStore:
             os.replace(tmp, dst)
             return
         try:
-            os.link(tmp, dst)
+            try:
+                os.link(tmp, dst)
+            except FileExistsError:
+                raise
+            except OSError:
+                # filesystem without hard links (some network / FUSE /
+                # object-store mounts): fall back to an equally
+                # put-if-absent O_CREAT|O_EXCL create + write. Not a
+                # cross-writer downgrade — both primitives are atomic
+                # claims of the same path, so a linking writer and an
+                # O_EXCL writer still exclude each other.
+                fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    with open(tmp, "rb") as src_f:
+                        os.write(fd, src_f.read())
+                finally:
+                    os.close(fd)
         except FileExistsError:
             from .errors import SQLConcurrentWriteConflict
 
@@ -889,8 +905,11 @@ class TableStore:
             cluster_cols=self._cluster_cols(meta),
         )
         next_v = base + 1
-        carried = self.manifest(name, base)
         try:
+            # inside the discard guard: a corrupt carried manifest
+            # (json error — only FileNotFoundError is swallowed) must
+            # not leak the staged files on disk
+            carried = self.manifest(name, base)
             self._check_no_concurrent_commit(name, base)
             self._check_preconditions(name, preconditions)
             self._write_manifest(
@@ -1096,6 +1115,7 @@ class TableStore:
         expected_version: Optional[int] = None,
         new_schema: Optional[T.StructType] = None,
         new_column_types: Optional[dict[str, str]] = None,
+        extra_properties: Optional[dict] = None,
     ) -> None:
         """Commit the next snapshot as ``keep_entries`` (untouched files
         carried over BY REFERENCE — no rewrite, no copy) plus the
@@ -1111,20 +1131,34 @@ class TableStore:
         ``new_schema``/``new_column_types`` publish a schema evolution
         (merge auto-evolve) in the SAME meta write that moves the
         version pointer — an OCC loss discards the evolution with the
-        staged files, never leaving phantom catalog columns behind."""
+        staged files, never leaving phantom catalog columns behind.
+        ``extra_properties`` likewise fold into ``meta.properties``
+        atomically with the version advance (and are visible to the
+        staging stats harvest — optimize_zorder threads its
+        ``stats_columns`` here so the rewritten files' per-column
+        stats and the property that activates them publish
+        together)."""
         self._commit(name, df, keep_entries=list(keep_entries), op=op,
                      preconditions=preconditions,
                      expected_version=expected_version,
                      new_schema=new_schema,
-                     new_column_types=new_column_types)
+                     new_column_types=new_column_types,
+                     extra_properties=extra_properties)
 
     def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
                 new_schema: Optional[T.StructType] = None,
                 new_column_types: Optional[dict[str, str]] = None,
                 op: str = "commit",
                 preconditions: Optional[list[tuple]] = None,
-                expected_version: Optional[int] = None) -> None:
+                expected_version: Optional[int] = None,
+                extra_properties: Optional[dict] = None) -> None:
         meta = self.meta(name)
+        if extra_properties:
+            # folded BEFORE staging (the stats harvest reads
+            # properties like stats_columns) but written to the
+            # catalog only with the version advance below — an OCC
+            # loss leaves the catalog untouched
+            meta.properties = {**meta.properties, **extra_properties}
         base = meta.version if expected_version is None else int(
             expected_version
         )
@@ -1365,22 +1399,24 @@ class TableStore:
             .drop("__z")
         )
         # record stats for every z-order column so pruning engages on
-        # each of them against the rewritten files. Re-read meta right
-        # before the property write: the aggregation above is a long
-        # job, and writing back the meta object read before it would
-        # roll the version pointer back over any concurrent commit.
+        # each of them against the rewritten files. The property rides
+        # the commit itself (extra_properties): it is visible to the
+        # staging stats harvest AND published atomically with the
+        # version advance — a concurrent commit landing mid-rewrite
+        # fails this commit cleanly with the catalog untouched,
+        # instead of a pre-commit property write racing the winner.
         fresh = self.meta(name)
         extra = [c for c in cols if c != self._stats_col(fresh)]
         prior = fresh.properties.get("stats_columns") or []
         if isinstance(prior, str):
             prior = [s.strip() for s in prior.split(",") if s.strip()]
         merged = list(dict.fromkeys([*prior, *extra]))
-        if merged != prior:
-            fresh.properties["stats_columns"] = merged
-            self._write_meta(name, fresh)
         self.replace_files(
             name, ordered, [], op=f"zorder({','.join(cols)})",
             expected_version=v_planned,
+            extra_properties=(
+                {"stats_columns": merged} if merged != prior else None
+            ),
         )
         return len(entries), len(self.manifest(name, self.meta(name).version))
 

@@ -222,3 +222,24 @@ def test_exact_topk_scalable_agrees_with_brute_force_neighbors(spark):
     brute = _topk_sets(S.brute_force_topk_oracle(e, q, k=10, dim=64))
     hits = sum(len(fast[qi] & brute[qi]) for qi in brute)
     assert hits >= 0.8 * sum(len(v) for v in brute.values())
+
+
+def test_release_caches_frees_tracked_persists(spark):
+    """kmeans_quantized / pq_train_encode persist their quantized
+    grids for the returned plan's benefit; release_caches() frees them
+    so repeated calls over large corpora don't accumulate executor
+    cache for the session."""
+    from mssql_dataframe_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.5]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    before = len(similarity._TRACKED_CACHES)
+    out = similarity.kmeans_quantized(df, k=2, iters=1)
+    assert out.count() > 0
+    assert len(similarity._TRACKED_CACHES) == before + 1
+    assert similarity.release_caches() >= 1
+    assert not similarity._TRACKED_CACHES
+    # released caches recompute transparently on the next action
+    assert out.count() > 0
