@@ -24,7 +24,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..errors import SQLColumnDoesNotExist
+from ..errors import SQLColumnDoesNotExist, SQLTableDoesNotExist
 from ..identifiers import compile_where
 from ..store import TableStore
 from . import datetimeoffset as dto
@@ -71,7 +71,17 @@ class read:
             for i, (col, sqlt) in enumerate(meta.column_types.items(), 1):
                 rows.append((t, "BASE TABLE", col, i, sqlt, col in pk))
         for vname, spec in self._store.list_view_specs():
-            src_meta = self._store.meta(spec["source"])
+            try:
+                src_meta = self._store.meta(spec["source"])
+            except SQLTableDoesNotExist:
+                # dangling view (source dropped; drop does not cascade)
+                # — still listed, SQL Server-style, with unknown types
+                # rather than one broken view crashing the catalog
+                for i, col in enumerate(
+                    spec.get("column_names") or [None], 1
+                ):
+                    rows.append((vname, "VIEW", col, i, None, False))
+                continue
             cols = spec.get("column_names") or list(
                 src_meta.column_types.keys()
             )
@@ -142,16 +152,21 @@ class read:
             # length may be widened, so refuse rather than serve a
             # value that might not exist in the data (the same
             # refuses-not-estimates contract as stale stats).
+            from ..store import STRING_BOUND_LIMIT
+
             maybe_truncated = [
                 b for b in bounds
-                if (isinstance(b[0], str) and len(b[0]) >= 64)
-                or (isinstance(b[1], str) and len(b[1]) >= 64)
+                if (isinstance(b[0], str)
+                    and len(b[0]) >= STRING_BOUND_LIMIT)
+                or (isinstance(b[1], str)
+                    and len(b[1]) >= STRING_BOUND_LIMIT)
             ]
             if maybe_truncated:
                 raise ValueError(
                     f"column {c!r} bounds are stored truncated (string "
-                    ">= 64 chars): min/max cannot be answered exactly "
-                    "from metadata — scan the column instead"
+                    f">= {STRING_BOUND_LIMIT} chars): min/max cannot "
+                    "be answered exactly from metadata — scan the "
+                    "column instead"
                 )
             lo = min(b[0] for b in bounds) if bounds else None
             hi = max(b[1] for b in bounds) if bounds else None
@@ -180,8 +195,6 @@ class read:
         masking policies all apply — then any caller-side ``where`` /
         ``limit`` narrow the result further (AND semantics, same
         restricted grammar)."""
-        from ..identifiers import compile_where
-
         spec = self._store.view_spec(view_name)
         # the stored where filters the BASE relation (SQL semantics:
         # WHERE precedes the view's projection, so it may reference
@@ -201,6 +214,11 @@ class read:
         if where is not None:
             df = df.filter(compile_where(where))
         if limit is not None:
+            # same contract table() enforces (reference read.py:111-117)
+            if not isinstance(limit, int) or isinstance(limit, bool):
+                raise ValueError(
+                    "limit must be an integer (reference read.py:111-117)"
+                )
             df = df.limit(limit)
         return df
 
@@ -251,6 +269,26 @@ class read:
                 )
             version = max(candidates)
         df = self._store.read(table_name, version=version)
+        if version is not None and set(df.columns) != set(
+            meta.spark_schema.fieldNames()
+        ):
+            # the documented contract: old data is projected through
+            # the CURRENT declared schema — columns added since the
+            # snapshot read as NULL, columns dropped since vanish, and
+            # retyped columns surface in today's type (try_cast: an
+            # unrepresentable old value reads NULL rather than
+            # failing the whole snapshot under ANSI). This also keeps
+            # current row_filter/masking policies analyzable: they
+            # are declared against the current schema.
+            present = {f.name: f.dataType for f in df.schema.fields}
+            df = df.select(*[
+                (F.col(f.name).try_cast(f.dataType)
+                 if present[f.name] != f.dataType else F.col(f.name))
+                .alias(f.name)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in meta.spark_schema.fields
+            ])
 
         # Row-Level Security (modify.row_filter_policy): the AND of all
         # declared filter predicates applies silently and FIRST —
@@ -278,6 +316,13 @@ class read:
                     f"columns {missing} do not exist in table {table_name!r}"
                 )
             cols = list(dict.fromkeys(list(meta.primary_key) + list(column_names)))
+            if include_tz_offsets:
+                # keep each selected datetimeoffset column's companion
+                # offset column: the caller asked for offsets, so the
+                # PK+requested projection must not strip them
+                cols = list(dict.fromkeys(
+                    cols + [comps[c] for c in cols if c in comps]
+                ))
             df = df.select(*cols)
 
         if where is not None:
@@ -369,19 +414,64 @@ class read:
             mf_old, mf_new = self._store.version_file_sets(
                 table_name, from_version, to_version
             )
-            old = self._store.read_files(table_name, sorted(mf_old - mf_new))
-            new = self._store.read_files(table_name, sorted(mf_new - mf_old))
+            # each side reads under ITS OWN version's recorded schema:
+            # the old files predate any later MODIFY COLUMN rewrite,
+            # so reading them with the current schema would yield
+            # NULL/mistyped old_ values
+            old = self._store.read_files(
+                table_name, sorted(mf_old - mf_new), version=from_version
+            )
+            new = self._store.read_files(
+                table_name, sorted(mf_new - mf_old), version=to_version
+            )
         else:
             old = self._store.read(table_name, version=from_version)
             new = self._store.read(table_name, version=to_version)
-        others = [c for c in old.columns if c not in keys]
+        # compared columns = union of both sides' non-key columns, so
+        # schema evolution between the versions is CDC-visible: a
+        # column added since from_version compares against old_=NULL
+        # (its appearance IS the change) and a dropped column against
+        # new_=NULL, instead of added columns being invisible and
+        # dropped ones crashing the select. Engine-internal
+        # datetimeoffset companion offset columns are excluded — like
+        # SQL Server's ``=`` over datetimeoffset, change detection
+        # compares the UTC instant stored in the base column, and the
+        # companions would otherwise leak as old_/new_ output.
+        suffix = dto.OFFSET_SUFFIX
+        names = list(
+            dict.fromkeys([*new.columns, *old.columns])
+        )
+        hidden = {
+            c for c in names
+            if c.endswith(suffix) and c[: -len(suffix)] in names
+        }
+        others = [c for c in names if c not in keys and c not in hidden]
+        old_t = {f.name: f.dataType for f in old.schema.fields}
+        new_t = {f.name: f.dataType for f in new.schema.fields}
+        # one output type per column: the NEW side's (today's schema);
+        # old values of a retyped column try_cast to it (NULL when
+        # unrepresentable, rather than failing under ANSI)
+        target = {c: new_t.get(c, old_t.get(c)) for c in others}
+
+        def _side(df, prefix, types):
+            cols = []
+            for c in others:
+                if c in df.columns:
+                    col = F.col(c)
+                    if types[c] != target[c]:
+                        col = col.try_cast(target[c])
+                else:
+                    col = F.lit(None).cast(target[c])
+                cols.append(col.alias(f"{prefix}_{c}"))
+            return cols
+
         o = old.select(
             *[F.col(k).alias(f"__ko_{k}") for k in keys],
-            *[F.col(c).alias(f"old_{c}") for c in others],
+            *_side(old, "old", old_t),
         ).withColumn("__o", F.lit(True))
         n = new.select(
             *[F.col(k).alias(f"__kn_{k}") for k in keys],
-            *[F.col(c).alias(f"new_{c}") for c in others],
+            *_side(new, "new", new_t),
         ).withColumn("__n", F.lit(True))
         cond = reduce(
             and_, [o[f"__ko_{k}"] == n[f"__kn_{k}"] for k in keys]

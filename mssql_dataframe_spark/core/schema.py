@@ -37,6 +37,17 @@ def get_schema(
     if dataframe is None:
         return schema_df
     meta = store.meta(table_name)
+    unknown = [
+        c for c in dataframe.columns if c not in meta.column_types
+    ]
+    if unknown:
+        # surface the documented error class instead of the raw
+        # KeyError the dict comprehension below would raise
+        from ..errors import DataframeColumnDoesNotExist
+
+        raise DataframeColumnDoesNotExist(
+            f"columns {unknown} do not exist in table {table_name!r}"
+        )
     converted = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},

@@ -162,7 +162,11 @@ class SparkEngine:
         return self.store.restore(table_name, version)
 
     def register_view(self, table_name: str, view_name: str | None = None):
-        """Expose a stored table to ``spark.sql`` queries."""
+        """Expose a stored table to ``spark.sql`` queries as a LIVE
+        view: the registration follows the table across writes and
+        vacuum (the store re-registers it on every commit), matching
+        the always-current semantics a SQL Server view implies rather
+        than a frozen snapshot of the file list at call time."""
         v = view_name or table_name.split(".")[-1]
-        self.store.read(table_name).createOrReplaceTempView(v)
+        self.store.register_live_view(table_name, v)
         return v

@@ -120,7 +120,13 @@ def _footer_stats(path: str, cols: list[str]):
     return rows, bounds
 
 
-def _truncate_string_bounds(lo, hi, limit: int = 64):
+#: manifest string-bound cap shared with read.table_stats' truncation
+#: guard — a bound at exactly this length may be widened, so exact
+#: min/max cannot be served from metadata for such columns.
+STRING_BOUND_LIMIT = 64
+
+
+def _truncate_string_bounds(lo, hi, limit: int = STRING_BOUND_LIMIT):
     """Cap string bounds at ``limit`` chars before they enter the
     manifest (the Delta stats-truncation shape): a long-text stats
     column would otherwise store full values per file entry — O(files
@@ -191,6 +197,12 @@ class TableStore:
         # deterministic for tests and oracle grading without touching
         # production behavior (None = wall clock).
         self.commit_time_provider = None
+        # live spark.sql views: {table name: {temp view names}} —
+        # re-registered after every commit so the view tracks the
+        # CURRENT snapshot (a temp view binds a frozen file list;
+        # without the refresh it serves stale data after a write and
+        # FileNotFound after vacuum reaps the old files)
+        self._live_views: dict[str, set[str]] = {}
         os.makedirs(self.root, exist_ok=True)
 
     def _now(self) -> float:
@@ -390,11 +402,29 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(meta.__dict__, f, indent=1, default=str)
         os.replace(tmp, os.path.join(tdir, _META))  # atomic commit point
+        self._refresh_live_views(name)
+
+    def register_live_view(self, name: str, view: str) -> None:
+        """Expose the table's CURRENT snapshot as a spark.sql temp
+        view and keep it current: every meta publication re-registers
+        it, so the view survives writes and vacuum instead of serving
+        the frozen file list it was first bound to."""
+        self.read(name).createOrReplaceTempView(view)
+        self._live_views.setdefault(name, set()).add(view)
+
+    def _refresh_live_views(self, name: str) -> None:
+        for view in self._live_views.get(name, ()):
+            try:
+                self.read(name).createOrReplaceTempView(view)
+            except SQLTableDoesNotExist:  # pragma: no cover - dropped
+                pass
 
     def drop(self, name: str) -> None:
         tdir = self._table_dir(name)
         if os.path.exists(tdir):
             shutil.rmtree(tdir)
+        for view in self._live_views.pop(name, ()):
+            self.spark.catalog.dropTempView(view)
 
     def list_tables(self) -> list[str]:
         out = []
@@ -774,13 +804,26 @@ class TableStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def read_files(self, name: str, entry_paths: list[str]) -> DataFrame:
-        """DataFrame over a subset of the CURRENT snapshot's files (the
-        touched side of a pruned merge/update)."""
+    def read_files(
+        self, name: str, entry_paths: list[str],
+        version: Optional[int] = None,
+    ) -> DataFrame:
+        """DataFrame over a subset of a snapshot's files (the touched
+        side of a pruned merge/update). ``version`` reads the files
+        under that version's RECORDED schema — a retained snapshot's
+        files predate any later MODIFY COLUMN rewrite, so reading them
+        with the current schema would yield NULL/mistyped columns."""
         pool = self._pool_dir(name)
-        return self._read_paths(
-            self.meta(name), [os.path.join(pool, p) for p in entry_paths]
-        )
+        meta = self.meta(name)
+        paths = [os.path.join(pool, p) for p in entry_paths]
+        if version is not None and int(version) != meta.version:
+            recorded = self.commit_info(name, int(version)).get("schema")
+            if recorded is not None:
+                schema = T.StructType.fromJson(recorded)
+                if not paths:
+                    return self.spark.createDataFrame([], schema)
+                return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_paths(meta, paths)
 
     def split_by_key_range(
         self, name: str, col: str, lo, hi
