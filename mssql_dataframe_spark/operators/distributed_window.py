@@ -129,6 +129,27 @@ def ntile_from_rank(rn, total: int, buckets: int = 5):
     return F.when(rn <= big, head).otherwise(tail).cast("int")
 
 
+def ntile_from_rank_col(rn, total, buckets: int = 5):
+    """:func:`ntile_from_rank` with a per-row total COLUMN — NTILE
+    within groups of differing sizes (e.g. per-language terciles) from
+    a group-local rank, still with no per-group window: the group's
+    row count rides a broadcast join and the tile is pure integer
+    arithmetic. Matches ``NTILE(buckets) OVER (PARTITION BY g ...)``
+    exactly for a 1-based in-group ``rn`` and ``total`` = group size.
+    """
+    q = F.floor(total / F.lit(buckets)).cast("bigint")
+    r = (total % F.lit(buckets)).cast("bigint")
+    big = r * (q + 1)
+    head = F.floor((rn + q) / (q + 1))
+    tail = r + F.floor((rn - big + q - 1) / q)
+    return (
+        F.when(q == 0, rn)
+        .when(rn <= big, head)
+        .otherwise(tail)
+        .cast("int")
+    )
+
+
 def global_cumsum(
     df: DataFrame, order_cols, value_col: str, out: str = "cum", pins=None
 ):

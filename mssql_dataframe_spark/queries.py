@@ -9863,6 +9863,48 @@ def corpus_boilerplate_antijoin(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_perplexity_buckets",
+    sql="""
+    WITH scores AS ({uni}),
+    scored AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.mean_logprob
+      FROM scores s JOIN documents d USING (doc_id)
+    ), tiled AS (
+      SELECT doc_id, lang, n_tokens, mean_logprob,
+             CAST(NTILE(3) OVER (
+               PARTITION BY lang
+               ORDER BY mean_logprob DESC, doc_id) AS INT) AS ppl_bucket
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, mean_logprob, ppl_bucket,
+           CASE WHEN ppl_bucket = 1 THEN 'head'
+                WHEN ppl_bucket = 3 THEN 'tail'
+                ELSE 'middle' END AS bucket_label
+    FROM tiled
+    """.format(uni=REGISTRY["unigram_logprob_quality"]["sql"]),
+)
+def corpus_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing (operators/
+    curation.py perplexity_buckets): unigram-LM fluency scores split
+    into head/middle/tail terciles PER LANGUAGE — the CCNet rule that
+    keeps head, mixes middle, drops tail. Scale shape: no per-language
+    window (a language can span terabytes — one task per lang);
+    instead ONE range-partitioned global rank over
+    (lang, score desc, id) with broadcast per-language offsets and
+    arithmetic NTILE (distributed_window.ntile_from_rank_col). The
+    oracle is the windowed NTILE over the same scores."""
+    from .operators import distributed_window as DW
+
+    d = _t(spark, sf_dir, "documents")
+    pins = []
+    out = C.perplexity_buckets(
+        d, id_col="doc_id", text_col="text", lang_col="lang",
+        buckets=3, pins=pins,
+    )
+    return DW.finalize(out, pins)
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

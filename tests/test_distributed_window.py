@@ -73,3 +73,55 @@ def test_release_all_drains_session_pins(spark):
     assert got.count() == 500
     assert DW.release_all() >= 1
     assert DW.release_all() == 0
+
+
+def test_ntile_from_rank_col_matches_partitioned_ntile(spark):
+    """Per-group arithmetic NTILE (column total) must equal
+    NTILE() OVER (PARTITION BY g ORDER BY ...) for uneven group
+    sizes, including groups smaller than the bucket count."""
+    rows = [Row(g="a", k=i) for i in range(10)]
+    rows += [Row(g="b", k=i) for i in range(7)]
+    rows += [Row(g="c", k=0)]  # 1 row < 3 buckets
+    df = spark.createDataFrame(rows, "g string, k int")
+    w = Window.partitionBy("g").orderBy("k")
+    want = {
+        (r.g, r.k): r.b
+        for r in df.withColumn("b", F.ntile(3).over(w)).collect()
+    }
+    rn = F.row_number().over(w)
+    sizes = df.groupBy("g").count()
+    got = {
+        (r.g, r.k): r.b
+        for r in df.withColumn("__rn", rn)
+        .join(F.broadcast(sizes), "g")
+        .withColumn(
+            "b",
+            DW.ntile_from_rank_col(F.col("__rn"), F.col("count"), 3),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_perplexity_buckets_labels_and_coverage(spark):
+    from mssql_dataframe_spark.operators import curation as C
+
+    rows = [
+        (i, " ".join(["common"] * 3 + (["rare%d" % i] if i % 2 else [])),
+         "en" if i % 3 else "fr")
+        for i in range(12)
+    ] + [(50, None, "en"), (51, "", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pins = []
+    out = DW.finalize(C.perplexity_buckets(df, pins=pins), pins).collect()
+    assert {r.doc_id for r in out} == set(range(12))  # no-token docs drop
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.bucket_label == {1: "head", 3: "tail"}.get(
+            r.ppl_bucket, "middle"
+        )
+    for lang, rs in by_lang.items():
+        # every language covers bucket 1..3 when it has >= 3 docs
+        if len(rs) >= 3:
+            assert {r.ppl_bucket for r in rs} == {1, 2, 3}
