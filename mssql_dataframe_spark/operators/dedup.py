@@ -5,8 +5,9 @@ Design for 100 TB:
 - exact dedup is a hash aggregation on the dedup key (one shuffle,
   map-side partial aggregation);
 - MinHash signatures are computed scan-side with built-in expressions
-  (shingle -> per-band salted md5 -> array_min), so signature
-  generation is embarrassingly parallel and codegen'd — no Python;
+  (shingle -> multiply-shift hash family -> per-permutation min over
+  exploded shingle rows), so signature generation is embarrassingly
+  parallel and codegen'd — no Python;
 - LSH candidate generation shuffles by (band, signature) — each bucket
   is tiny, so the self-join explodes only within buckets, never
   globally;
@@ -63,21 +64,6 @@ def exact_dedup(
         )
         .select(id_col, "dup_count")
     )
-
-
-def minhash_band_signature(
-    text: str | Column, band: int, k: int = 8
-) -> Column:
-    """One MinHash band value: min over character-k-gram shingles of the
-    band-salted md5. Deterministic across engines (md5 is standard);
-    the same computation is SQL-expressible for the DuckDB oracle.
-    """
-    c = F.col(text) if isinstance(text, str) else text
-    sh = shingles(c, k)
-    hashed = F.transform(
-        sh, lambda s: F.md5(F.concat(F.lit(f"b{band}:"), s))
-    )
-    return F.array_min(hashed)
 
 
 def _mh_a(i: int) -> int:
@@ -266,6 +252,91 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def _estimate_prune(
+    raw_cands: DataFrame,
+    base1: DataFrame,
+    base2: DataFrame,
+    key1: str,
+    key2: str,
+    id_col: str,
+    n_hashes: int,
+    threshold: float,
+    margin: float = 0.2,
+) -> DataFrame:
+    """Min-hash agreement ESTIMATE prune, shared by every LSH pair
+    operator: the fraction of agreeing min-hashes is an unbiased
+    Jaccard estimator, so candidates estimating below
+    ``threshold - margin`` drop with a cheap n_hashes-column
+    comparison — no shingle join. Returns the surviving
+    ``(key1, key2)`` pairs."""
+    m1 = base1.select(
+        F.col(id_col).alias(key1),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    m2 = base2.select(
+        F.col(id_col).alias(key2),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        raw_cands.join(m1, key1)
+        .join(m2, key2)
+        .withColumn("__est", agree / F.lit(float(n_hashes)))
+        .filter(F.col("__est") >= threshold - margin)
+        .select(key1, key2)
+    )
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    rows1: DataFrame,
+    rows2: DataFrame,
+    key1: str,
+    key2: str,
+    id_col: str,
+    threshold: float,
+    gram_col: str = "sh",
+) -> DataFrame:
+    """Exact set-Jaccard verification, shared by every candidate-pair
+    operator: candidates join both exploded (id, gram) relations,
+    intersection size is a hash aggregation per pair, and
+    ``|union| = n1 + n2 - |inter|`` needs no union materialization.
+    Returns ``(key1, key2, jaccard)`` for pairs >= threshold, jaccard
+    rounded to 6 (the oracle-stable render)."""
+    sizes1 = rows1.groupBy(id_col).agg(F.count("*").alias("n1"))
+    sizes2 = rows2.groupBy(id_col).agg(F.count("*").alias("n2"))
+    inter = (
+        cands.join(
+            rows1.select(F.col(id_col).alias(key1), gram_col), key1
+        )
+        .join(
+            rows2.select(F.col(id_col).alias(key2), gram_col),
+            [key2, gram_col],
+        )
+        .groupBy(key1, key2)
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes1.select(F.col(id_col).alias(key1), "n1"), key1)
+        .join(sizes2.select(F.col(id_col).alias(key2), "n2"), key2)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(key1, key2, "jaccard")
+    )
+
+
 def jaccard_similarity(text1: Column, text2: Column, k: int = 8) -> Column:
     """Exact k-shingle Jaccard similarity between two text columns."""
     s1 = F.array_distinct(shingles(text1, k))
@@ -310,49 +381,13 @@ def minhash_dedup_pairs(
     raw_cands = lsh_candidate_pairs(
         df, id_col, text_col, n_bands, k, base=base, rows_per_band=rows_per_band
     )
-    m1 = base.select(
-        F.col(id_col).alias("id1"),
-        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(n_hashes)],
+    cands = _estimate_prune(
+        raw_cands, base, base, "id1", "id2", id_col, n_hashes,
+        threshold, margin,
     )
-    m2 = base.select(
-        F.col(id_col).alias("id2"),
-        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(n_hashes)],
+    return _verify_jaccard(
+        cands, rows, rows, "id1", "id2", id_col, threshold
     )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
-    )
-    cands = (
-        raw_cands.join(m1, "id1")
-        .join(m2, "id2")
-        .withColumn("__est", agree / F.lit(float(n_hashes)))
-        .filter(F.col("__est") >= threshold - margin)
-        .select("id1", "id2")
-    )
-    sizes = rows.groupBy(id_col).agg(F.count("*").alias("n"))
-    inter = (
-        cands.join(
-            rows.select(F.col(id_col).alias("id1"), "sh"), "id1"
-        )
-        .join(rows.select(F.col(id_col).alias("id2"), "sh"), ["id2", "sh"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    verified = (
-        inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2")), "id2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
-    return verified
 
 
 def minhash_dedup_incremental(
@@ -409,56 +444,13 @@ def minhash_dedup_incremental(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    m1 = nb.select(
-        F.col(id_col).alias("new_id"),
-        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(n_hashes)],
+    cands = _estimate_prune(
+        raw, nb, cb, "new_id", "corpus_id", id_col, n_hashes,
+        threshold, margin,
     )
-    m2 = cb.select(
-        F.col(id_col).alias("corpus_id"),
-        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(n_hashes)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
-    )
-    cands = (
-        raw.join(m1, "new_id")
-        .join(m2, "corpus_id")
-        .withColumn("__est", agree / F.lit(float(n_hashes)))
-        .filter(F.col("__est") >= threshold - margin)
-        .select("new_id", "corpus_id")
-    )
-    n_sizes = new_rows.groupBy(id_col).agg(F.count("*").alias("n1"))
-    c_sizes = cor_rows.groupBy(id_col).agg(F.count("*").alias("n2"))
-    inter = (
-        cands.join(
-            new_rows.select(F.col(id_col).alias("new_id"), "sh"), "new_id"
-        )
-        .join(
-            cor_rows.select(F.col(id_col).alias("corpus_id"), "sh"),
-            ["corpus_id", "sh"],
-        )
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.join(
-            n_sizes.select(F.col(id_col).alias("new_id"), "n1"), "new_id"
-        )
-        .join(
-            c_sizes.select(F.col(id_col).alias("corpus_id"), "n2"),
-            "corpus_id",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "corpus_id", "jaccard")
+    return _verify_jaccard(
+        cands, new_rows, cor_rows, "new_id", "corpus_id", id_col,
+        threshold,
     )
 
 
@@ -517,12 +509,23 @@ def ngram_jaccard_pairs(
         F.lower(F.substring(c, 1, block_prefix)).alias("pfx"),
     )
     sizes_b = blocks.groupBy("lb", "pfx").agg(F.count("*").alias("__bn"))
+    # salt base: the id itself when numeric (ANSI-SQL-replicable, the
+    # oracle's form); a 64-bit hash otherwise — pmod on a non-numeric
+    # id would cast to NULL, a NULL salt matches nothing in the
+    # equi-join, and the function would silently return ZERO pairs
+    from pyspark.sql.types import NumericType
+
+    salt_base = (
+        F.col(id_col)
+        if isinstance(df.schema[id_col].dataType, NumericType)
+        else F.abs(F.xxhash64(F.col(id_col)))
+    )
     salted = blocks.join(sizes_b, ["lb", "pfx"]).select(
         F.col(id_col),
         "lb",
         "pfx",
         F.pmod(
-            F.col(id_col),
+            salt_base,
             F.ceil(F.col("__bn") / F.lit(float(block_cap))).cast("long"),
         ).alias("salt"),
     )
@@ -543,28 +546,9 @@ def ngram_jaccard_pairs(
         )
     )
     rows = _pin(rows)
-    sizes = rows.groupBy(id_col).agg(F.count("*").alias("ng"))
-    inter = (
-        cands.join(rows.select(F.col(id_col).alias("id1"), "g"), "id1")
-        .join(rows.select(F.col(id_col).alias("id2"), "g"), ["id2", "g"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id1"), F.col("ng").alias("n1")), "id1"
-        )
-        .join(sizes.select(F.col(id_col).alias("id2"), F.col("ng").alias("n2")), "id2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+    return _verify_jaccard(
+        cands, rows, rows, "id1", "id2", id_col, threshold,
+        gram_col="g",
     )
 
 
@@ -680,7 +664,11 @@ def connected_components(
     sym = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    if sym.count() <= small_graph_edges:
+    # sym holds both directions of every input edge — halve its count
+    # so the documented "at most small_graph_edges EDGES" cutover
+    # compares like with like instead of engaging at half the input
+    # threshold
+    if sym.count() // 2 <= small_graph_edges:
         return _cc_union_find(sym, nodes, id_col)
     if nodes is None:
         # default: iterate only edge-incident nodes (every other node
@@ -694,6 +682,7 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
     converged = False
+    prev_cached = None
     for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.a == labels.node)
@@ -714,12 +703,20 @@ def connected_components(
         if (it + 1) % checkpoint_every == 0:
             # truncate lineage; materialized by the convergence action
             new_labels = new_labels.localCheckpoint(eager=False)
+            cached = None
         else:
             new_labels = new_labels.persist()
+            cached = new_labels
         changed = new_labels.agg(
             F.max(F.col("__changed").cast("int"))
         ).collect()[0][0]
-        labels.unpersist()
+        # release the PRE-drop cached handle from the previous round:
+        # unpersist only uncaches exact-plan matches, so calling it on
+        # the post-drop projection (as this loop once did) silently
+        # leaked every round's O(nodes) label frame for the session
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cached
         labels = new_labels.drop("__changed")
         if not changed:
             converged = True
@@ -877,11 +874,30 @@ def simhash_near_dup_pairs(
     least one exact block — candidates equi-join per block (bounded
     buckets), then exact popcount verification.
 
+    RECALL CONTRACT: full recall is guaranteed only for Hamming
+    distance <= ``n_blocks - 1``. A larger ``max_hamming`` is
+    deliberately PARTIAL-recall LSH blocking (a pair whose differing
+    bits spread across every block shares none and is never a
+    candidate) — every returned pair is still exact-verified, and a
+    warning logs the gap. Raising ``n_blocks`` restores recall but
+    narrows each block (more candidates per bucket): the standard
+    blocking trade-off, tune per corpus.
+
     Zero-token documents are excluded from pairing: they all SimHash to
     0, so a corpus with millions of empty docs would otherwise put them
     in one bucket (quadratic pair blow-up), and "empty ~ empty" is not
     a meaningful near-duplicate signal.
     """
+    if max_hamming > n_blocks - 1:
+        import logging
+
+        logging.getLogger("mssql_dataframe_spark").warning(
+            "simhash_near_dup_pairs: max_hamming=%d exceeds the "
+            "n_blocks-1=%d pigeonhole guarantee — pairs with Hamming "
+            "distance in (%d, %d] may be missed (partial-recall "
+            "blocking); raise n_blocks for full recall",
+            max_hamming, n_blocks - 1, n_blocks - 1, max_hamming,
+        )
     _, bits = _token_hash(F.lit(""), token_hash)
     h = simhash_table(df, id_col, text_col, token_hash=token_hash).filter(
         F.col("h") != 0
@@ -957,16 +973,6 @@ def fuzzy_join_dist1(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     )
     s = F.col("s")
-    variants = F.array_union(
-        F.array(s),
-        F.transform(
-            F.sequence(F.lit(1), F.length(s)),
-            lambda i: F.concat(
-                F.substring(s, F.lit(1), i - 1),
-                s.substr(i + 1, F.length(s)),
-            ),
-        ),
-    )
     # a small input (one parquet file) scans as ONE partition, and a
     # broadcast probe inherits its parent partitioning — the explode,
     # probe, and levenshtein verification would all run on a single
@@ -976,7 +982,28 @@ def fuzzy_join_dist1(
     par = df.sparkSession.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
-    keyed = base.select("id", "s", F.explode(variants).alias("k"))
+    # one deletion variant PER EXPLODED ROW (position 0 = the string
+    # itself): per-row memory stays O(len). Materializing the whole
+    # neighborhood as one array value first would hold len+1 strings
+    # of ~len chars in a single row — O(len²) bytes inside one task
+    # for a long document, the exact shape shingle_rows exists to
+    # avoid. Duplicate variants from repeated chars (e.g. "aa" minus
+    # either 'a') add candidate rows, discarded by the final distinct.
+    keyed = base.select(
+        "id", "s",
+        F.explode(F.sequence(F.lit(0), F.length(s))).alias("__i"),
+    ).select(
+        "id",
+        "s",
+        F.when(F.col("__i") == 0, s)
+        .otherwise(
+            F.concat(
+                s.substr(F.lit(1), F.col("__i") - 1),
+                s.substr(F.col("__i") + 1, F.length(s)),
+            )
+        )
+        .alias("k"),
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(

@@ -878,8 +878,23 @@ def pq_adc_topk(
         id_col=id_col, vec_col=vec_col, _return_codebooks=True,
     )
     sub = dim // m
-    spark = embeddings.sparkSession
-    qrows = (
+    qrows = _pq_query_rows(embeddings, query_ids, quant, id_col, vec_col)
+    tables = _adc_tables(
+        embeddings.sparkSession, qrows, codebooks, m, sub,
+        embeddings.schema[id_col].dataType,
+    )
+    scored = encoded.select("vec_id", *[f"code_{s}" for s in range(m)])
+    return _adc_score_topk(
+        scored, tables, m, topk,
+        embeddings.schema[id_col].dataType,
+        encoded.schema["vec_id"].dataType,
+    )
+
+
+def _pq_query_rows(embeddings, query_ids, quant, id_col, vec_col):
+    """Collect the query vectors on the quantized grid (few rows —
+    the explicit query-id list)."""
+    return (
         embeddings.filter(F.col(id_col).isin(list(query_ids)))
         .select(
             F.col(id_col).alias("query_id"),
@@ -890,10 +905,13 @@ def pq_adc_topk(
         )
         .collect()
     )
-    # per-(query, subspace, centroid) exact distance table — m*k ints
-    # per query, computed driver-side on the quantized grid. The
-    # query_id column keeps the id column's own type so non-integer
-    # document keys work too.
+
+
+def _adc_tables(spark, qrows, codebooks, m, sub, query_id_type):
+    """Per-(query, subspace, centroid) exact distance table — m*k ints
+    per query, computed driver-side on the quantized grid. The
+    query_id column keeps the id column's own type so non-integer
+    document keys work too."""
     from pyspark.sql import types as T
 
     table_rows = []
@@ -904,25 +922,41 @@ def pq_adc_topk(
             for cid, cq in codebooks[s]:
                 d = sum((a - b) * (a - b) for a, b in zip(u, cq))
                 table_rows.append((r["query_id"], s, cid, d))
-    tables = spark.createDataFrame(
+    return spark.createDataFrame(
         table_rows,
         T.StructType([
-            T.StructField(
-                "query_id", embeddings.schema[id_col].dataType
-            ),
+            T.StructField("query_id", query_id_type),
             T.StructField("s", T.IntegerType()),
             T.StructField("cid", T.IntegerType()),
             T.StructField("d", T.LongType()),
         ]),
     )
-    scored = encoded.select("vec_id", *[f"code_{s}" for s in range(m)])
+
+
+def _adc_score_topk(scored, tables, m, topk, query_id_type, vec_id_type):
+    """ADC-score a codes frame against broadcast per-query tables and
+    return ``(query_id, rank, vec_id, adc_score_q)`` top-k per query.
+
+    ``scored`` carries ``vec_id, code_0..code_{m-1}`` and optionally a
+    ``query_id`` (pre-probed IVF candidates); without one, the first
+    table join fans each vector out to every query (flat ADC scan).
+    Top-k is a per-partition running top-k inside the scoring scan
+    (Arrow-batched; the accumulator never exceeds Q x topk rows) plus
+    one tiny window over the surviving candidates — never a global
+    per-query window over the full scored corpus.
+    """
+    has_query = "query_id" in scored.columns
     for s in range(m):
         t_s = tables.filter(F.col("s") == s).select(
             "query_id",
             F.col("cid").alias(f"code_{s}"),
             F.col("d").alias(f"__t{s}"),
         )
-        on = ["query_id", f"code_{s}"] if s else [f"code_{s}"]
+        on = (
+            ["query_id", f"code_{s}"]
+            if s or has_query
+            else [f"code_{s}"]
+        )
         scored = scored.join(F.broadcast(t_s), on)
     score = sum(
         (F.col(f"__t{s}") for s in range(1, m)), F.col("__t0")
@@ -949,12 +983,11 @@ def pq_adc_topk(
         if acc is not None:
             yield acc
 
-    id_type = embeddings.schema[id_col].dataType
     from pyspark.sql import types as _T
 
     cand_schema = _T.StructType([
-        _T.StructField("query_id", id_type),
-        _T.StructField("vec_id", encoded.schema["vec_id"].dataType),
+        _T.StructField("query_id", query_id_type),
+        _T.StructField("vec_id", vec_id_type),
         _T.StructField("adc_score_q", _T.LongType()),
     ])
     cand = cand.mapInPandas(local_topk, schema=cand_schema)
@@ -965,6 +998,130 @@ def pq_adc_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "vec_id", "adc_score_q")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    topk: int = 5,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    quant: int = 1024,
+    dim: int = 64,
+    centroid_mod: int = 53,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_codebook: int = 1 << 16,
+) -> DataFrame:
+    """IVF-PQ search (the billion-vector ANN standard, FAISS
+    ``IVFx,PQy`` with ``by_residual=False``): a coarse inverted-file
+    quantizer prunes the corpus to each query's ``nprobe`` nearest
+    lists, and PQ asymmetric distance scores only those candidates
+    from their ``m`` code bytes — the original vectors are read once
+    at build time and never at search time.
+
+    Deterministic end-to-end: the coarse codebook is the ids ≡ 1 mod
+    ``centroid_mod`` subset (reproducible in ANSI SQL, the ivf_topk
+    convention), coarse assignment is exact int64 L2 on the quantized
+    grid with lowest-centroid tie-break, PQ training is the
+    integer-exact Lloyd of :func:`pq_train_encode`, and ranking ties
+    break on ascending vector id.
+
+    Returns ``(query_id, rank, vec_id, adc_score_q)``, up to ``topk``
+    per query (a query probing sparse lists may return fewer).
+
+    Scale shape: the coarse codebook is collected once (capped at
+    ``max_codebook``) and ships via ``sc.broadcast`` into ONE
+    Arrow-batched assignment pass (each corpus vector crosses the
+    boundary once; the N×C distance matrix never materializes
+    row-wise). The codes⋈assignment id join happens at BUILD time —
+    at 100 TB the index (ccid, codes) is written bucketed by ccid, so
+    the probe equi-join is shuffle-free and search touches only
+    ``nprobe/C`` of the codes. The probe pair list (Q × nprobe) and
+    the ADC tables (Q × m × k ints) broadcast; top-k uses the
+    per-partition running accumulator, never a full-corpus window.
+    """
+    import numpy as np
+
+    encoded, codebooks = pq_train_encode(
+        embeddings, m=m, k=k, iters=iters, quant=quant, dim=dim,
+        id_col=id_col, vec_col=vec_col, _return_codebooks=True,
+    )
+    sub = dim // m
+    spark = embeddings.sparkSession
+    id_type = embeddings.schema[id_col].dataType
+
+    qcol = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+    qn = embeddings.select(F.col(id_col).alias("vec_id"), qcol.alias("q"))
+    cent_rows = sorted(
+        qn.filter((F.col("vec_id") % centroid_mod) == 1).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if len(cent_rows) > max_codebook:
+        raise ValueError(
+            f"IVF codebook has {len(cent_rows)} centroids; cap is "
+            f"{max_codebook} — raise centroid_mod or max_codebook"
+        )
+    cid_arr = np.array([r["vec_id"] for r in cent_rows], dtype="int64")
+    cmat = np.vstack([r["q"] for r in cent_rows]).astype("int64")
+    cnorm = (cmat * cmat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((cid_arr, cmat, cnorm))
+
+    def assign(batches):
+        cids, cm, cn = bc.value
+        for pdf in batches:
+            V = np.vstack(pdf["q"].to_numpy()).astype("int64")
+            vn = (V * V).sum(axis=1)
+            dist = vn[:, None] + cn[None, :] - 2 * (V @ cm.T)
+            # argmin returns the FIRST minimum; cids ascend, so ties
+            # break on the lowest centroid id like the SQL oracle
+            best = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "ccid": cids[best]}
+            )
+
+    from pyspark.sql import types as _T
+
+    assigned = qn.mapInPandas(
+        assign,
+        schema=_T.StructType([
+            _T.StructField("vec_id", encoded.schema["vec_id"].dataType),
+            _T.StructField("ccid", _T.LongType()),
+        ]),
+    )
+
+    # probes: exact int64 distance of each (few) collected query to
+    # the coarse codebook, driver-side — Q × nprobe pairs, broadcast
+    qrows = _pq_query_rows(embeddings, query_ids, quant, id_col, vec_col)
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r["q"], dtype="int64")
+        d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((cid_arr, d))
+        for ci in order[:nprobe]:
+            probe_rows.append((r["query_id"], int(cid_arr[ci])))
+    probes = spark.createDataFrame(
+        probe_rows,
+        _T.StructType([
+            _T.StructField("query_id", id_type),
+            _T.StructField("ccid", _T.LongType()),
+        ]),
+    )
+
+    index = encoded.select(
+        "vec_id", *[f"code_{s}" for s in range(m)]
+    ).join(assigned, "vec_id")
+    cand = index.join(F.broadcast(probes), "ccid").drop("ccid")
+    tables = _adc_tables(spark, qrows, codebooks, m, sub, id_type)
+    return _adc_score_topk(
+        cand, tables, m, topk, id_type,
+        encoded.schema["vec_id"].dataType,
     )
 
 

@@ -4596,7 +4596,11 @@ def simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs. The gate entry uses the ``md5_60`` token
     hash (first 15 md5 hex chars as a 60-bit long) so DuckDB can
     replicate the entire pipeline bit-for-bit; production keeps the
-    default xxhash64 (same operator, ``token_hash='xxhash64'``)."""
+    default xxhash64 (same operator, ``token_hash='xxhash64'``).
+    max_hamming=8 over 4 blocks is deliberately PARTIAL-recall LSH
+    blocking (full recall holds only <= n_blocks-1 = 3; the operator
+    logs the gap) — the oracle replicates the same 4x15-bit blocking,
+    so the contract graded here is the blocking itself."""
     d = _t(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(
         d, "doc_id", "text", max_hamming=8, token_hash="md5_60"
@@ -8690,14 +8694,49 @@ def _pq_oracle_sql(m: int = 2, k: int = 4, iters: int = 2,
 
 def _pq_adc_oracle_sql(query_ids: tuple = (0, 1, 2), topk: int = 5,
                        m: int = 2, k: int = 4, iters: int = 2,
-                       quant: int = 1024, dim: int = 64) -> str:
+                       quant: int = 1024, dim: int = 64,
+                       ivf: tuple | None = None) -> str:
     """Unrolled-CTE DuckDB twin of pq_adc_topk: the shared per-
     subspace Lloyd chains, per-(query, centroid) exact distance
-    tables, code-joined ADC scores, ROW_NUMBER top-k."""
+    tables, code-joined ADC scores, ROW_NUMBER top-k. With
+    ``ivf=(centroid_mod, nprobe)`` it becomes the ivfpq_topk twin:
+    a coarse codebook (ids ≡ 1 mod centroid_mod on the full
+    quantized grid), exact-int argmin list assignment, and a
+    per-query nprobe probe filter joined into the scored set."""
     sub = dim // m
     parts = _pq_chain_parts(m, k, iters, quant, dim)
     ids = ", ".join(str(i) for i in query_ids)
     last = iters - 1
+    ivf_joins = ""
+    if ivf is not None:
+        centroid_mod, nprobe = ivf
+        zipd = ("CAST(list_sum(list_transform(list_zip(f.q, c.cq), "
+                "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
+        parts.append(f""",
+    cc AS (
+      SELECT vec_id AS ccid, q AS cq FROM qn
+      WHERE vec_id % {centroid_mod} = 1
+    ),
+    asg AS (
+      SELECT vec_id, ccid FROM (
+        SELECT f.vec_id, c.ccid,
+               ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {zipd}, c.ccid) AS rn
+        FROM qn f CROSS JOIN cc c) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, ccid FROM (
+        SELECT f.vec_id AS query_id, c.ccid,
+               ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {zipd}, c.ccid) AS rn
+        FROM qn f CROSS JOIN cc c
+        WHERE f.vec_id IN ({ids})) WHERE rn <= {nprobe}
+    )""")
+        ivf_joins = (
+            " JOIN asg ON asg.vec_id = s0.vec_id"
+            " JOIN probe pr ON pr.query_id = q0.query_id"
+            " AND pr.ccid = asg.ccid"
+        )
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
         parts.append(f""",
@@ -8727,7 +8766,7 @@ def _pq_adc_oracle_sql(query_ids: tuple = (0, 1, 2), topk: int = 5,
     sc AS (
       SELECT q0.query_id, s0.vec_id,
              CAST({score} AS BIGINT) AS adc_score_q
-      FROM a0x{last} s0 {joins} {qjoins}
+      FROM a0x{last} s0 {joins} {qjoins}{ivf_joins}
     )
     SELECT query_id, CAST(rn AS INT) AS rank, vec_id, adc_score_q
     FROM (
@@ -9860,6 +9899,29 @@ def corpus_boilerplate_antijoin(spark, sf_dir):
         "text_clean",
         "n_kept",
         (F.col("__n") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+    )
+
+
+@register(
+    "ivfpq_adc_search",
+    sql=_pq_adc_oracle_sql(ivf=(53, 2)),
+)
+def ivfpq_adc_search(spark, sf_dir):
+    """IVF-PQ search (operators/similarity.py ivfpq_topk — FAISS
+    ``IVF,PQ`` with by_residual=False): a deterministic coarse
+    inverted-file quantizer (ids ≡ 1 mod 53, exact int64 L2 on the
+    quantized grid, lowest-centroid ties) prunes the corpus to each
+    query's 2 nearest lists; PQ asymmetric distance then scores only
+    those candidates from their m code bytes. The build-time id join
+    materializes the (list, codes) index — at 100 TB it is written
+    bucketed by list id so the probe equi-join is shuffle-free and
+    search touches nprobe/C of the codes, never the vectors. The
+    oracle replays codebook, assignment, probes, ADC tables, and
+    ranking in flat SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        emb, query_ids=[0, 1, 2], topk=5, m=2, k=4, iters=2,
+        quant=1024, dim=64, centroid_mod=53, nprobe=2,
     )
 
 

@@ -243,3 +243,36 @@ def test_release_caches_frees_tracked_persists(spark):
     assert not similarity._TRACKED_CACHES
     # released caches recompute transparently on the next action
     assert out.count() > 0
+
+
+def test_ivfpq_scores_agree_with_flat_adc(spark):
+    """IVF-PQ is flat ADC restricted to probed lists: every
+    (query, vec) it returns must carry the SAME exact int score the
+    flat ADC scan assigns, ranks must be consistent, and the
+    candidate set must be a subset of the flat top ranking."""
+    rows = [
+        (i, [float(((i * 7 + j * 13) % 29) - 14) / 14 for j in range(16)])
+        for i in range(120)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(m=2, k=4, iters=2, quant=256, dim=16)
+    flat = {
+        (r.query_id, r.vec_id): r.adc_score_q
+        for r in S.pq_adc_topk(
+            e, query_ids=[1, 54], topk=120, **kw
+        ).collect()
+    }
+    out = S.ivfpq_topk(
+        e, query_ids=[1, 54], topk=5, centroid_mod=11, nprobe=2, **kw
+    ).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert flat[(r.query_id, r.vec_id)] == r.adc_score_q
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [(r.adc_score_q, r.vec_id) for r in rs]
+        assert scores == sorted(scores)
+        assert len(rs) <= 5

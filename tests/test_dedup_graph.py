@@ -8,6 +8,9 @@ from __future__ import annotations
 
 import logging
 
+from pyspark.sql import functions as F
+
+from mssql_dataframe_spark.operators import dedup as D
 from mssql_dataframe_spark.operators.dedup import connected_components
 
 
@@ -225,3 +228,73 @@ def test_release_pins_drains_dedup_caches(spark):
     assert n == len(held)
     assert all(not p.storageLevel.useMemory for p in held)
     assert D.release_pins() == 0
+
+
+def test_cc_loop_releases_superseded_label_caches(spark):
+    """Each distributed round's persisted label frame must be released
+    once superseded — unpersist on the post-drop projection was a
+    silent no-op (plan mismatch), leaking O(nodes) per round."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+    )
+    # default checkpoint_every stays on: disabling truncation makes
+    # the per-round self-referencing plan exponential (the reason the
+    # cadence exists)
+    out = D.connected_components(edges, small_graph_edges=0)
+    assert out.filter(F.col("component") == 0).count() == 9
+    after = jsc.getPersistentRDDs().size()
+    # ~8 rounds: without the release every non-checkpoint round's
+    # label frame stays cached (~+6 extra). Allowed residue: the two
+    # eager localCheckpoints (sym, labels0), checkpoint-round RDDs,
+    # and the final round's cache the returned plan reads.
+    assert after - before <= 5, (before, after)
+
+
+def test_cc_small_graph_cutover_counts_input_edges(spark, monkeypatch):
+    """The union-find cutover compares INPUT edge count, not the
+    doubled symmetrized row count."""
+    import mssql_dataframe_spark.operators.dedup as dd
+
+    calls = []
+    real = dd._cc_union_find
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dd, "_cc_union_find", spy)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id1 long, id2 long"
+    )
+    dd.connected_components(edges, small_graph_edges=3).collect()
+    assert calls  # 3 edges <= 3: fast path (sym rows = 6 must not veto)
+
+
+def test_ngram_jaccard_pairs_works_with_string_ids(spark):
+    """String doc ids must not be silently cast to NULL in the block
+    salt (which made the candidate join empty)."""
+    rows = [
+        ("doc-a", "the quick brown fox jumps over the lazy dog today"),
+        ("doc-b", "the quick brown fox jumps over the lazy dog today"),
+        ("doc-c", "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert {(r.id1, r.id2) for r in got} == {("doc-a", "doc-b")}
+
+
+def test_simhash_partial_recall_warns(spark, caplog):
+    import logging
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    with caplog.at_level(logging.WARNING, logger="mssql_dataframe_spark"):
+        D.simhash_near_dup_pairs(df, max_hamming=8, n_blocks=4).collect()
+    assert any("pigeonhole" in r.message for r in caplog.records)

@@ -37,6 +37,8 @@ EXTRA = [
     "corpus_line_dedup_global",
     "pq_codebook_encode",
     "pq_adc_search",
+    "ivfpq_adc_search",
+    "corpus_perplexity_buckets",
     "verb_composite_pk_pruned_ingest",
     "verb_scd2_composite_key",
     "verb_merge_partition_reload",
