@@ -28,6 +28,14 @@ from ..errors import (
 from ..store import TableStore
 
 
+def _implied_uq_name(child_table: str, fk_name: str) -> str:
+    """Reserved name of the implied parent UNIQUE recorded for an FK
+    referencing non-PK columns. Scoped by the CHILD table because FK
+    names are unique only per child — two children may both declare
+    'fk1' against the same parent."""
+    return f"uq__fk__{child_table}__{fk_name}"
+
+
 class modify:
     def __init__(self, store: TableStore):
         self._store = store
@@ -43,8 +51,34 @@ class modify:
         meta = self._store.meta(table_name)
         schema = meta.spark_schema
         if modify == "add":
+            if column_name in schema.fieldNames():
+                # SQL Server raises; StructType.add would happily
+                # append a DUPLICATE field and make the table
+                # unreadable (every projection ambiguous)
+                raise ValueError(
+                    f"column {column_name!r} already exists"
+                )
             spec = parse_column_spec(data_type)
-            new_schema = schema.add(column_name, spec.spark_type, True)
+            not_nullable = list(meta.not_nullable)
+            if not is_nullable:
+                # SQL Server requires a DEFAULT to add NOT NULL to a
+                # non-empty table; this engine has no defaults, so the
+                # add is legal only while the table is empty (manifest
+                # row count — no scan)
+                n_rows = sum(
+                    int(e.get("rows") or 0)
+                    for e in self._store.manifest(table_name, meta.version)
+                )
+                if n_rows:
+                    raise ValueError(
+                        f"cannot add NOT NULL column {column_name!r} to "
+                        f"a non-empty table ({n_rows} rows would hold "
+                        "NULL); add it nullable or truncate first"
+                    )
+                not_nullable = [*not_nullable, column_name]
+            new_schema = schema.add(
+                column_name, spec.spark_type, is_nullable
+            )
             types = dict(meta.column_types)
             types[column_name] = data_type
             # metadata-only: the declared-schema read returns NULL for
@@ -53,6 +87,7 @@ class modify:
                 table_name,
                 spark_schema_json=new_schema.jsonValue(),
                 column_types=types,
+                not_nullable=not_nullable,
             )
         elif modify == "alter":
             if column_name not in schema.fieldNames():
@@ -64,6 +99,15 @@ class modify:
             ):
                 raise SQLRecastColumnUnchanged(
                     f"column {column_name!r} is already {data_type!r}"
+                )
+            if not is_nullable and self._store.read(table_name).filter(
+                F.col(column_name).isNull()
+            ).limit(1).count():
+                # SQL Server's ALTER ... NOT NULL fails on existing
+                # NULLs — tightening must audit, not silently declare
+                raise ValueError(
+                    f"cannot alter {column_name!r} to NOT NULL: "
+                    "existing rows hold NULL"
                 )
             df = self._store.read(table_name).withColumn(
                 column_name, F.col(column_name).cast(spec.spark_type)
@@ -82,9 +126,29 @@ class modify:
                 table_name, df, T.StructType(fields), types,
                 op="alter_column", expected_version=meta.version,
             )
+            # keep write-path NOT NULL enforcement (driven by
+            # meta.not_nullable, not the schema flag) in sync with the
+            # altered nullability in BOTH directions
+            nn = [c for c in meta.not_nullable if c != column_name]
+            if not is_nullable:
+                nn.append(column_name)
+            if nn != list(meta.not_nullable):
+                self._store.update_meta(table_name, not_nullable=nn)
         elif modify == "drop":
             if column_name not in schema.fieldNames():
                 raise SQLColumnDoesNotExist(column_name)
+            # SQL Server refuses to drop PK / identity columns; doing
+            # it here would leave meta keying merges on a ghost column
+            if column_name in meta.primary_key:
+                raise ValueError(
+                    f"cannot drop {column_name!r}: part of the primary "
+                    "key — drop the primary key first"
+                )
+            if column_name == meta.identity_column:
+                raise ValueError(
+                    f"cannot drop {column_name!r}: it is the identity "
+                    "column"
+                )
             self._require_no_column_dependents(
                 table_name, column_name, dict(meta.properties), "drop"
             )
@@ -93,9 +157,31 @@ class modify:
             types = {
                 k: v for k, v in meta.column_types.items() if k != column_name
             }
+            # stats bookkeeping follows the drop atomically: bounds
+            # for a ghost column must not keep driving file pruning
+            props = dict(meta.properties)
+            extra = None
+            changed = {}
+            if props.get("stats_column") == column_name:
+                changed["stats_column"] = None
+            sc = props.get("stats_columns") or []
+            if column_name in sc:
+                changed["stats_columns"] = [
+                    c for c in sc if c != column_name
+                ]
+            if changed:
+                extra = changed
             self._store.overwrite(table_name, df, T.StructType(fields), types,
                                   op="drop_column",
-                                  expected_version=meta.version)
+                                  expected_version=meta.version,
+                                  extra_properties=extra)
+            if column_name in meta.not_nullable:
+                self._store.update_meta(
+                    table_name,
+                    not_nullable=[
+                        c for c in meta.not_nullable if c != column_name
+                    ],
+                )
         else:
             raise ValueError("modify must be one of add|alter|drop")
 
@@ -205,31 +291,60 @@ class modify:
         self, table_name: str, column_name: str, props: dict, action: str
     ) -> None:
         """SQL Server-style dependency errors: declared artifacts whose
-        definitions reference the column block a rename/drop."""
+        definitions reference the column block a rename/drop.
+        Expression matching is identifier-exact (word-boundary regex),
+        not substring — dropping 'id' must not be vetoed by a check on
+        'order_id'."""
+        import re
+
+        ident = re.compile(
+            r"(?<![A-Za-z0-9_])" + re.escape(column_name)
+            + r"(?![A-Za-z0-9_])"
+        )
+
+        def mentions(expr) -> bool:
+            return bool(ident.search(str(expr)))
+
         blockers = []
         for kind, refs in (
             ("check constraint", props.get("check_constraints") or {}),
             ("computed column", props.get("computed_columns") or {}),
         ):
             for nm, expr in refs.items():
-                if column_name in str(expr):
+                if mentions(expr):
                     blockers.append(f"{kind} {nm!r}")
         if column_name in (props.get("masking_policies") or {}):
             blockers.append("masking policy")
         for nm, fk in (props.get("foreign_keys") or {}).items():
-            if column_name in fk["columns"]:
+            if column_name in fk["columns"] or (
+                fk.get("ref_table") == table_name
+                and column_name in fk.get("ref_columns", ())
+            ):
                 blockers.append(f"foreign key {nm!r}")
         for nm, ucols in (props.get("unique_constraints") or {}).items():
             if column_name in ucols:
                 blockers.append(f"unique constraint {nm!r}")
         for nm, pred in (props.get("row_filters") or {}).items():
-            if column_name in str(pred):
+            if mentions(pred):
                 blockers.append(f"row filter {nm!r}")
+        # OTHER tables' foreign keys may reference this column as a
+        # PARENT key (ref_columns) — the common PK-referenced case
+        # records no implied unique here, so scan the catalog like
+        # rename_table does
+        for t in self._store.list_tables():
+            if t == table_name:
+                continue
+            fks = self._store.meta(t).properties.get("foreign_keys") or {}
+            for nm, fk in fks.items():
+                if fk.get("ref_table") == table_name and column_name in (
+                    fk.get("ref_columns") or ()
+                ):
+                    blockers.append(f"foreign key {nm!r} on {t}")
         for vname, spec in self._store.list_view_specs():
             if spec.get("source") != table_name:
                 continue
             if column_name in (spec.get("column_names") or ()) or (
-                spec.get("where") and column_name in spec["where"]
+                spec.get("where") and mentions(spec["where"])
             ) or spec.get("order_column") == column_name:
                 blockers.append(f"view {vname!r}")
         if blockers:
@@ -320,7 +435,9 @@ class modify:
             props["stats_columns"] = _ren(props["stats_columns"])
         # key bookkeeping FIRST so the rewrite's footer-stat harvest
         # labels bounds with the NEW name (pruning stays live through
-        # the rename instead of degrading until the next rewrite)
+        # the rename instead of degrading until the next rewrite);
+        # restored if the rewrite then fails (OCC loss / crash path),
+        # so meta never keeps naming a column the schema doesn't have
         self._store.update_meta(
             table_name,
             primary_key=_ren(meta.primary_key),
@@ -332,10 +449,20 @@ class modify:
             ),
             properties=props,
         )
-        self._store.overwrite(
-            table_name, df, T.StructType(fields), types, op="rename_column",
-            expected_version=meta.version,
-        )
+        try:
+            self._store.overwrite(
+                table_name, df, T.StructType(fields), types,
+                op="rename_column", expected_version=meta.version,
+            )
+        except BaseException:
+            self._store.update_meta(
+                table_name,
+                primary_key=list(meta.primary_key),
+                not_nullable=list(meta.not_nullable),
+                identity_column=meta.identity_column,
+                properties=dict(meta.properties),
+            )
+            raise
 
     def rename_table(self, table_name: str, new_name: str) -> None:
         """``sp_rename 'old', 'new'`` analog: a pure metadata move (the
@@ -351,7 +478,7 @@ class modify:
         deps = []
         for t in self._store.list_tables():
             if t == table_name:
-                continue
+                continue  # self-FKs don't block: rewritten below
             fks = self._store.meta(t).properties.get("foreign_keys") or {}
             for nm, fk in fks.items():
                 if fk["ref_table"] == table_name:
@@ -370,6 +497,17 @@ class modify:
         os.rename(src_dir, dst_dir)
         meta2 = self._store.meta(new_name)
         meta2.name = new_name
+        # a self-referencing FK moves with the table: its ref_table
+        # must follow the rename or the next insert probes a ghost
+        # parent and referential actions stop matching
+        fks2 = dict(meta2.properties.get("foreign_keys") or {})
+        changed = False
+        for nm, fk in list(fks2.items()):
+            if fk.get("ref_table") == table_name:
+                fks2[nm] = {**fk, "ref_table": new_name}
+                changed = True
+        if changed:
+            meta2.properties = {**meta2.properties, "foreign_keys": fks2}
         self._store._write_meta(new_name, meta2)
 
     def computed_column(
@@ -421,10 +559,27 @@ class modify:
             if column_name not in computed:
                 raise ValueError(f"no computed column {column_name!r}")
             del computed[column_name]
-            props["computed_columns"] = computed
-            # drop the expression AND the column (one COW rewrite)
-            self._store.update_meta(table_name, properties=props)
-            self.column(table_name, "drop", column_name)
+            # dependency check BEFORE any metadata write: a blocked
+            # drop must leave the column fully managed, not present-
+            # but-unregistered (writes would stop recomputing it and
+            # the error-271 write guard would be lost)
+            self._require_no_column_dependents(
+                table_name, column_name,
+                {**props, "computed_columns": computed}, "drop",
+            )
+            schema = meta.spark_schema
+            df = self._store.read(table_name).drop(column_name)
+            fields = [f for f in schema.fields if f.name != column_name]
+            types = {
+                k: v for k, v in meta.column_types.items()
+                if k != column_name
+            }
+            # expression removal and column drop publish in ONE commit
+            self._store.overwrite(
+                table_name, df, T.StructType(fields), types,
+                op="drop_computed_column", expected_version=meta.version,
+                extra_properties={"computed_columns": computed},
+            )
         else:
             raise ValueError("modify must be one of add|drop")
 
@@ -565,9 +720,8 @@ class modify:
             # checks and child enforcement ill-defined. Accept the
             # declared PK outright, otherwise audit uniqueness with
             # one distributed agg over the parent's keys.
-            if sorted(rcols) != sorted(ref_meta.primary_key):
-                from pyspark.sql import functions as F
-
+            needs_implied_uq = sorted(rcols) != sorted(ref_meta.primary_key)
+            if needs_implied_uq:
                 dup = (
                     self._store.read(ref_table)
                     .select(*rcols)
@@ -585,16 +739,6 @@ class modify:
                         "nor unique — SQL Server requires a PRIMARY KEY "
                         "or UNIQUE constraint on the referenced columns"
                     )
-                # SQL Server requires a DURABLE PK/UNIQUE constraint
-                # on the referenced columns, not a point-in-time scan:
-                # record the implied UNIQUE on the parent so its own
-                # subsequent insert/update/merge keep the invariant
-                # (dropped again when this FK is dropped).
-                ref_props = dict(ref_meta.properties)
-                ref_uq = dict(ref_props.get("unique_constraints") or {})
-                ref_uq[f"uq__fk__{name}"] = rcols
-                ref_props["unique_constraints"] = ref_uq
-                self._store.update_meta(ref_table, properties=ref_props)
             spec = {
                 "columns": cols,
                 "ref_table": ref_table,
@@ -602,11 +746,28 @@ class modify:
             }
             if on_delete != "no_action":
                 spec["on_delete"] = on_delete
-            # audit: a table in violation cannot acquire the FK
+            # audit BEFORE any metadata write: a table in violation
+            # cannot acquire the FK, and a failed audit must not leave
+            # a permanent (undroppable — drop requires the FK to
+            # exist) implied UNIQUE on the parent
             enforce_foreign_keys(
                 self._store, self._store.read(table_name), {name: spec},
                 table_name=table_name,
             )
+            if needs_implied_uq:
+                # SQL Server requires a DURABLE PK/UNIQUE constraint
+                # on the referenced columns, not a point-in-time scan:
+                # record the implied UNIQUE on the parent so its own
+                # subsequent insert/update/merge keep the invariant
+                # (dropped again when this FK is dropped). Keyed by
+                # CHILD TABLE + FK name — FK names are only unique per
+                # child, so same-named FKs from different children
+                # must not collide on a shared parent.
+                ref_props = dict(ref_meta.properties)
+                ref_uq = dict(ref_props.get("unique_constraints") or {})
+                ref_uq[_implied_uq_name(table_name, name)] = rcols
+                ref_props["unique_constraints"] = ref_uq
+                self._store.update_meta(ref_table, properties=ref_props)
             fks[name] = spec
         elif modify == "drop":
             if name not in fks:
@@ -622,13 +783,20 @@ class modify:
                 ref_uq = dict(
                     ref_meta.properties.get("unique_constraints") or {}
                 )
-                if f"uq__fk__{name}" in ref_uq:
-                    del ref_uq[f"uq__fk__{name}"]
-                    ref_props = dict(ref_meta.properties)
-                    ref_props["unique_constraints"] = ref_uq
-                    self._store.update_meta(
-                        ref_table_drop, properties=ref_props
-                    )
+                # current child-scoped key, plus the legacy name-only
+                # key for constraints recorded before the scoping fix
+                for uq_name in (
+                    _implied_uq_name(table_name, name),
+                    f"uq__fk__{name}",
+                ):
+                    if uq_name in ref_uq:
+                        del ref_uq[uq_name]
+                        ref_props = dict(ref_meta.properties)
+                        ref_props["unique_constraints"] = ref_uq
+                        self._store.update_meta(
+                            ref_table_drop, properties=ref_props
+                        )
+                        break
             del fks[name]
         else:
             raise ValueError("modify must be one of add|drop")

@@ -1139,17 +1139,21 @@ class TableStore:
                   new_column_types: Optional[dict[str, str]] = None,
                   op: str = "overwrite",
                   preconditions: Optional[list[tuple]] = None,
-                  expected_version: Optional[int] = None) -> None:
+                  expected_version: Optional[int] = None,
+                  extra_properties: Optional[dict] = None) -> None:
         """Materialize ``df`` as the next snapshot, then atomically move
         the table pointer. Readers of the old version are unaffected —
         old snapshots are vacuumed only once they fall
         ``keep_versions`` commits behind, so a lazy plan bound to a
         recent snapshot can still be consumed after later writes. A
-        crash before the meta replace leaves the table unchanged."""
+        crash before the meta replace leaves the table unchanged.
+        ``extra_properties`` fold into ``meta.properties`` atomically
+        with the version advance (see replace_files)."""
         self._commit(name, df, keep_entries=[], new_schema=new_schema,
                      new_column_types=new_column_types, op=op,
                      preconditions=preconditions,
-                     expected_version=expected_version)
+                     expected_version=expected_version,
+                     extra_properties=extra_properties)
 
     def replace_files(
         self, name: str, df: DataFrame, keep_entries: list[dict],
