@@ -1,8 +1,12 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 All operators are pure built-in-function column expressions (JVM-side,
-whole-stage codegen) — no Python UDFs — so they scan at full Parquet
-speed and scale linearly with executors. Designed for the
+whole-stage codegen) — no row-at-a-time Python UDFs — so they scan at
+full Parquet speed and scale linearly with executors. ONE deliberate
+exception: ``heavy_hitters`` runs its Misra-Gries sketch pass as an
+Arrow-batched ``mapInPandas`` (the per-partition counter state has no
+built-in expression form); everything else, including its exact
+verification phase, stays codegen. Designed for the
 ``documents(doc_id, text, lang, source, n_chars)`` table shape.
 """
 
@@ -31,8 +35,12 @@ def tokens(col: str | Column) -> Column:
 
 
 def token_count(col: str | Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col)).cast("bigint")
+    """Whitespace token count; NULL text counts 0 (guarded against
+    both ANSI size(NULL)=NULL and the legacy sizeOfNull=-1
+    convention — negative token counts would poison any sum)."""
+    return F.greatest(
+        F.lit(0), F.coalesce(F.size(tokens(col)), F.lit(0))
+    ).cast("bigint")
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
@@ -64,8 +72,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(toks)
     punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?]", ""))
     digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    avg_wl = F.when(n_words > 0,
-                    (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    # word length from the TRIMMED char count: tokens are trimmed, so
+    # raw length() would let leading/trailing padding inflate the
+    # metric and flip quality_flag on otherwise-normal documents.
+    # (Interior runs of whitespace still count once per extra char —
+    # single-space separation is the corpus-normal case.)
+    avg_wl = F.when(
+        n_words > 0,
+        (F.length(F.trim(c)) - (n_words - 1)) / n_words,
+    ).otherwise(F.lit(0.0))
     swr = stopword_ratio(text_col, "en")
     out = df.select(
         "doc_id",
@@ -114,7 +129,11 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         lang_col.alias("lang_pred"),
-        max_score.cast("bigint").alias("stopword_hits"),
+        # NULL text scores NULL through size(filter(NULL)); 'und'
+        # means "no stopwords hit", so hits must read 0, not NULL
+        F.coalesce(max_score, F.lit(0)).cast("bigint").alias(
+            "stopword_hits"
+        ),
     )
 
 
@@ -134,17 +153,22 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    spark_df = df
-    n_docs = spark_df.select(id_col).distinct().count()
-    toks = spark_df.select(
+    # N rides a broadcast single-row cross join (the unigram_logprob
+    # shape) instead of an eager distinct().count() action — keeps
+    # the builder lazy and avoids scanning df twice when uncached
+    n_docs_row = df.agg(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    toks = df.select(
         F.col(id_col),
         F.explode(F.transform(tokens(F.col(text_col)), F.lower)).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    idf = dfreq.withColumn(
-        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
-    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs_row)).withColumn(
+        "idf",
+        F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)),
+    ).drop("__n_docs")
     scored = tf.join(F.broadcast(idf), "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 8)
     )
@@ -190,9 +214,7 @@ def unigram_logprob(
     ).select(id_col, F.lower(F.col("__t")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     total = freq.agg(F.sum("tf").cast("double").alias("__corpus_n"))
-    qlp = F.round(F.log(F.col("tf").cast("double")) * F.lit(1e6)).cast(
-        "bigint"
-    )
+    qlp = _qln(F.col("tf"))
     per_doc = (
         toks.join(freq, "tok")
         .groupBy(id_col)
@@ -251,6 +273,13 @@ def chunk_documents(
     follows the input, so a downstream ``repartition`` is only needed
     if chunk_size << doc length (fan-out factor large).
     """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if overlap < 0:
+        # a negative overlap widens the stride past chunk_size and
+        # silently DROPS the characters between chunks, violating the
+        # every-char-covered invariant
+        raise ValueError("overlap must be non-negative")
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
@@ -318,6 +347,31 @@ def char_entropy(
     )
 
 
+def _qln(c: Column) -> Column:
+    """ln of an integer count quantized to 1e-6 as int64 — the
+    order-independent exact-sum trick shared by unigram_logprob,
+    bigram_pmi, and bigram_logprob (one definition so the
+    quantization can never drift from the SQL oracles)."""
+    return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+
+def _bigram_pairs(base: DataFrame, *extra_cols: str) -> DataFrame:
+    """(…extra_cols, t1, t2) adjacent-pair rows from a frame with a
+    token-array column ``tk`` (>= 2 tokens) — one array zip, no
+    self-join; shared by bigram_pmi and bigram_logprob."""
+    return base.select(
+        *extra_cols,
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.size("tk") - 1).alias("t1"),
+                F.slice("tk", 2, F.size("tk") - 1).alias("t2"),
+            )
+        ).alias("p"),
+    ).select(
+        *extra_cols, F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",
@@ -345,14 +399,7 @@ def bigram_pmi(
     """
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     base = df.select(toks.alias("tk")).filter(F.size("tk") >= 2)
-    pairs = base.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("tk", 1, F.size("tk") - 1).alias("t1"),
-                F.slice("tk", 2, F.size("tk") - 1).alias("t2"),
-            )
-        ).alias("p")
-    ).select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    pairs = _bigram_pairs(base)
 
     uni = (
         df.select(F.explode(toks).alias("tok"))
@@ -362,9 +409,6 @@ def bigram_pmi(
     totals = uni.agg(
         F.sum("c").alias("U")
     ).crossJoin(big.agg(F.sum("c_xy").alias("B")))
-
-    def qln(c):
-        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
 
     scored = (
         big.filter(F.col("c_xy") >= min_count)
@@ -376,8 +420,8 @@ def bigram_pmi(
         .select(
             "t1", "t2", F.col("c_xy").alias("pair_count"),
             (
-                qln(F.col("c_xy")) + 2 * qln(F.col("U"))
-                - qln(F.col("B")) - qln(F.col("c_x")) - qln(F.col("c_y"))
+                _qln(F.col("c_xy")) + 2 * _qln(F.col("U"))
+                - _qln(F.col("B")) - _qln(F.col("c_x")) - _qln(F.col("c_y"))
             ).alias("pmi_q"),
         )
     )
@@ -391,9 +435,10 @@ def heavy_hitters(
     col: str = "v",
     k_track: int = 64,
     top_n: int = 20,
+    verify_threshold: bool = False,
 ) -> DataFrame:
-    """Exact top-N frequent values via a distributed Misra-Gries
-    sketch + verification — the corpus-vocabulary shape where a full
+    """Top-N frequent values via a distributed Misra-Gries sketch +
+    exact verification — the corpus-vocabulary shape where a full
     ``GROUP BY value`` would build a hash table over billions of
     distinct keys just to keep twenty.
 
@@ -402,12 +447,19 @@ def heavy_hitters(
     ``mapInPandas`` and emits only its surviving counters. Pigeonhole
     guarantee: any value with global count > N/(k_track+1) survives in
     at least one partition summary, so the candidate union contains
-    every true heavy hitter. Phase 2 (verify): exact counts for the
+    every such heavy hitter. Phase 2 (verify): exact counts for the
     candidate set only — the count aggregation's key set is the tiny
-    candidate union, never the full vocabulary. Output is the exact
-    (value, cnt) top-N with deterministic (cnt desc, value) order —
-    independent of partitioning, because candidates are a superset of
-    the answer and counting is exact.
+    candidate union, never the full vocabulary.
+
+    EXACTNESS CONTRACT: the returned top-N is provably exact iff the
+    Nth-ranked count exceeds N_total/(k_track+1) — then every value
+    that could displace a returned row is guaranteed to be a
+    candidate. Below that threshold the tail of the ranking is
+    partition-dependent best-effort. ``verify_threshold=True`` runs
+    the check eagerly (one extra count job) and raises with the
+    k_track needed instead of silently returning an unproven tail;
+    the sketch itself is the one deliberate Python (Arrow-batched
+    ``mapInPandas``) exception to this module's built-ins-only rule.
     """
     import pandas as pd_
 
@@ -445,11 +497,27 @@ def heavy_hitters(
         src.join(F.broadcast(cands), "v")
         .groupBy("v").agg(F.count("*").alias("cnt"))
     )
-    return (
+    result = (
         exact.orderBy(F.col("cnt").desc(), F.col("v"))
         .limit(top_n)
         .select(F.col("v").alias("value"), "cnt")
     )
+    if verify_threshold:
+        rows = result.collect()
+        n_total = src.count()
+        nth = rows[-1]["cnt"] if rows else 0
+        if n_total > 0 and (not rows or nth * (k_track + 1) <= n_total):
+            raise ValueError(
+                f"heavy_hitters: the rank-{top_n} count {nth} does "
+                f"not clear the Misra-Gries exactness threshold "
+                f"N/(k_track+1) = {n_total}/{k_track + 1} — the tail "
+                "of the ranking is unproven; raise k_track to at "
+                f"least {n_total // max(nth, 1)}"
+            )
+        return df.sparkSession.createDataFrame(
+            rows, "value string, cnt bigint"
+        )
+    return result
 
 
 def bigram_logprob(
@@ -478,15 +546,7 @@ def bigram_logprob(
     base = df.select(F.col(id_col), toks.alias("tk")).filter(
         F.size("tk") >= 2
     )
-    pairs = base.select(
-        id_col,
-        F.explode(
-            F.arrays_zip(
-                F.slice("tk", 1, F.size("tk") - 1).alias("t1"),
-                F.slice("tk", 2, F.size("tk") - 1).alias("t2"),
-            )
-        ).alias("p"),
-    ).select(id_col, F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    pairs = _bigram_pairs(base, id_col)
 
     big = pairs.groupBy("t1", "t2").agg(F.count("*").alias("c2"))
     ctx = big.groupBy("t1").agg(F.sum("c2").alias("c1"))
@@ -495,16 +555,13 @@ def bigram_logprob(
         .agg(F.count_distinct("tok").cast("long").alias("v"))
     )
 
-    def qln(c):
-        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
-
     scored = (
         pairs.join(big, ["t1", "t2"])
         .join(ctx, "t1")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
-            (qln(F.col("c2") + 1) - qln(F.col("c1") + F.col("v")))
+            (_qln(F.col("c2") + 1) - _qln(F.col("c1") + F.col("v")))
             .alias("qterm"),
         )
     )
@@ -513,6 +570,29 @@ def bigram_logprob(
         F.round(F.sum("qterm") / 1e6 / F.count("*"), 6)
         .alias("mean_logprob"),
     )
+
+
+def _pad_stream(stream: Column) -> Column:
+    """Boundary-anchor a space-joined token stream for plain-replace
+    pair merging: sentinel spaces at both ends, every separator
+    doubled. A pair pattern " a  b " then matches whole tokens only,
+    and adjacent occurrences don't compete for a shared boundary
+    space. Replacements of the form " a+b " preserve the invariant
+    (single flanking space each side re-forms a double separator with
+    the neighbor's remaining space)."""
+    return F.when(F.length(stream) == 0, stream).otherwise(
+        F.concat(
+            F.lit(" "),
+            F.replace(stream, F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+    )
+
+
+def _unpad_stream(padded: Column) -> Column:
+    """Inverse of :func:`_pad_stream` after merges: collapse the
+    doubled separators and strip the sentinels."""
+    return F.trim(F.replace(padded, F.lit("  "), F.lit(" ")))
 
 
 def apply_token_merges(
@@ -525,11 +605,19 @@ def apply_token_merges(
     """Apply a FIXED ordered merge table to the whitespace token
     stream — the BPE/WordPiece APPLY step (training-side merge mining
     is bigram_pmi; this is the inference side a tokenizer service
-    runs): merge k replaces each adjacent pair "a b" with the fused
-    symbol "a+b", in rule order, each rule replacing every
+    runs): merge k replaces each adjacent TOKEN pair (a, b) with the
+    fused symbol "a+b", in rule order, each rule replacing every
     non-overlapping occurrence left to right — plain-string
-    ``replace`` semantics, identical in Spark and ANSI SQL, so the
-    segmentation is engine-exact.
+    ``replace`` semantics on a boundary-anchored stream, identical in
+    Spark and ANSI SQL, so the segmentation is engine-exact.
+
+    Boundary anchoring: the stream is sentinel-padded and every
+    separator doubled, so a rule matches " a  b " — whole tokens
+    only. A raw ``replace(stream, "a b", ...)`` would fire on
+    SUBSTRINGS of other tokens ("xa b" contains "a b"), fusing pairs
+    that are not the rule's token pair; the doubled separators also
+    let consecutive occurrences ("a b a b") each match without
+    stealing the shared boundary space.
 
     Returns (id, n_tokens_before, n_tokens_after, tokenized) where
     ``tokenized`` is the space-joined post-merge symbol stream. Pure
@@ -541,11 +629,12 @@ def apply_token_merges(
     stream = F.concat_ws(
         " ", F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     )
-    out = stream
+    out = _pad_stream(stream)
     for a, b in merges:
         out = F.replace(
-            out, F.lit(f"{a} {b}"), F.lit(f"{a}{joiner}{b}")
+            out, F.lit(f" {a}  {b} "), F.lit(f" {a}{joiner}{b} ")
         )
+    out = _unpad_stream(out)
     # NULL text -> NULL token array; count must read 0 (and guard the
     # legacy -1 size-of-null convention)
     n_before = F.greatest(
@@ -623,12 +712,18 @@ def learn_token_merges(
                 break
             a, b = top["pair"].split(" ", 1)
             merges.append((k, a, b, int(top["cnt"])))
+            # fuse on the boundary-anchored stream: pair counts above
+            # are token-accurate (array zip), so the fuse must be too
+            # — a raw replace would also mutate substrings of other
+            # tokens and corrupt every later round's segmentation
             seg = seg.withColumn(
                 "seg",
-                F.replace(
-                    F.col("seg"),
-                    F.lit(f"{a} {b}"),
-                    F.lit(f"{a}{joiner}{b}"),
+                _unpad_stream(
+                    F.replace(
+                        _pad_stream(F.col("seg")),
+                        F.lit(f" {a}  {b} "),
+                        F.lit(f" {a}{joiner}{b} "),
+                    )
                 ),
             )
     finally:

@@ -2587,7 +2587,7 @@ def json_funcs(spark, sf_dir):
     "text_token_counts",
     sql=r"""
     SELECT doc_id,
-           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+           CAST(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT)
              AS n_tokens,
            LENGTH(text) AS n_chars_calc
@@ -2621,7 +2621,8 @@ def _sw_sql_list(lang: str) -> str:
            CAST(n_chars AS BIGINT) AS n_chars_calc,
            CAST(len(toks) AS BIGINT) AS n_words,
            ROUND(CASE WHEN len(toks) > 0
-                 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 THEN CAST(LENGTH(TRIM(text)) - (len(toks) - 1) AS DOUBLE)
+                      / len(toks)
                  ELSE 0.0 END, 6) AS avg_word_len,
            ROUND(CAST(LENGTH(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
                  / GREATEST(n_chars, 1), 6) AS punct_ratio,
@@ -2632,7 +2633,8 @@ def _sw_sql_list(lang: str) -> str:
                       / len(toks) ELSE 0.0 END, 6) AS stopword_ratio_en,
            (len(toks) >= 5
             AND (CASE WHEN len(toks) > 0
-                 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 THEN CAST(LENGTH(TRIM(text)) - (len(toks) - 1) AS DOUBLE)
+                      / len(toks)
                  ELSE 0.0 END) BETWEEN 2 AND 12
             AND CAST(LENGTH(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
                 / GREATEST(n_chars, 1) <= 0.2) AS quality_flag
@@ -2669,7 +2671,7 @@ def _langid_sql() -> str:
     )
     SELECT doc_id,
            CASE WHEN {greatest} > 0 THEN {pick} ELSE 'und' END AS lang_pred,
-           CAST({greatest} AS BIGINT) AS stopword_hits
+           CAST(COALESCE({greatest}, 0) AS BIGINT) AS stopword_hits
     FROM s
     """
 
@@ -4379,8 +4381,15 @@ def _bpe_train_oracle_sql(rounds: int = 5) -> str:
       SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM p{k} GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
     ), s{k + 1} AS MATERIALIZED (
-      SELECT replace(seg, (SELECT pair FROM w{k}),
-                     (SELECT replace(pair, ' ', '+') FROM w{k})) AS seg
+      -- boundary-anchored fuse (matches the engine's _pad_stream /
+      -- _unpad_stream): whole-token matches only
+      SELECT TRIM(replace(
+               replace(' ' || replace(seg, ' ', '  ') || ' ',
+                       (SELECT ' ' || replace(pair, ' ', '  ') || ' '
+                        FROM w{k}),
+                       (SELECT ' ' || replace(pair, ' ', '+') || ' '
+                        FROM w{k})),
+               '  ', ' ')) AS seg
       FROM s{k}
     )""")
     sel = "\n    UNION ALL\n    ".join(
@@ -4428,13 +4437,17 @@ def tokenizer_learn_merges(spark, sf_dir):
       FROM documents
     ),
     m AS (
+      -- boundary-anchored merges: sentinel-pad + double separators so
+      -- each rule matches whole tokens only (" a  b "), then collapse
       SELECT doc_id, n_before,
-             replace(replace(replace(replace(
-               s,
-               'table hash', 'table+hash'),
-               'part filter', 'part+filter'),
-               'customer join', 'customer+join'),
-               'merge group', 'merge+group') AS tokenized
+             TRIM(replace(
+               replace(replace(replace(replace(
+                 ' ' || replace(s, ' ', '  ') || ' ',
+                 ' table  hash ', ' table+hash '),
+                 ' part  filter ', ' part+filter '),
+                 ' customer  join ', ' customer+join '),
+                 ' merge  group ', ' merge+group '),
+               '  ', ' ')) AS tokenized
       FROM d
     )
     SELECT doc_id,

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import Row
 
 from mssql_dataframe_spark.operators.curation import per_source_cap
+from mssql_dataframe_spark.operators import text as X
 from mssql_dataframe_spark.operators.text import char_entropy, chunk_documents
 
 
@@ -221,3 +222,88 @@ def test_learn_token_merges_resegments_between_rounds(spark):
     assert merges[0] == (0, "a", "b", 7)  # beats "b x"/"x c" at 6
     assert merges[1] == (1, "a+b", "x", 6)  # visible only post-fusion
     assert merges[2] == (2, "a+b+x", "c", 6)
+
+
+def test_apply_merges_respects_token_boundaries(spark):
+    """A merge rule (a, b) must fuse only the TOKEN pair — substrings
+    of other tokens ("xa b", "a bc") must be untouched, and
+    consecutive occurrences must each fuse."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "xa b"),
+            (3, "a bc"),
+            (4, "a b a b"),
+            (5, "x a b y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.tokenized
+        for r in X.apply_token_merges(df, [("a", "b")]).collect()
+    }
+    assert out[1] == "a+b"
+    assert out[2] == "xa b"
+    assert out[3] == "a bc"
+    assert out[4] == "a+b a+b"
+    assert out[5] == "x a+b y"
+
+
+def test_learn_merges_boundary_fuse_keeps_counts_consistent(spark):
+    """The fuse step must be token-accurate like the pair counts: a
+    corpus where 'a b' is frequent must not mutate 'xa b'."""
+    rows = [(i, "a b") for i in range(5)] + [(100, "xa b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = X.learn_token_merges(df, rounds=1)
+    assert merges[0][1] == "a" and merges[0][2] == "b"
+    assert merges[0][3] == 5  # 'xa b' is NOT an (a, b) pair
+    applied = {
+        r.doc_id: r.tokenized
+        for r in X.apply_token_merges(
+            df, [(merges[0][1], merges[0][2])]
+        ).collect()
+    }
+    assert applied[100] == "xa b"
+
+
+def test_chunk_documents_rejects_bad_sizes(spark):
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-negative"):
+        X.chunk_documents(df, chunk_size=3, overlap=-1)
+    with pytest.raises(ValueError, match="positive"):
+        X.chunk_documents(df, chunk_size=0, overlap=0)
+
+
+def test_quality_avg_word_len_ignores_padding(spark):
+    df = spark.createDataFrame(
+        [(1, "hi yo"), (2, "  hi yo  ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in X.quality_features(df).collect()}
+    assert out[1].avg_word_len == out[2].avg_word_len == 2.0
+
+
+def test_token_count_and_lang_id_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat and the dog in the")],
+        "doc_id long, text string",
+    )
+    counts = {r.doc_id: r.n for r in df.select(
+        "doc_id", X.token_count("text").alias("n")).collect()}
+    assert counts[1] == 0 and counts[2] == 7
+    lid = {r.doc_id: r for r in X.lang_id(df).collect()}
+    assert lid[1].lang_pred == "und" and lid[1].stopword_hits == 0
+    assert lid[2].lang_pred == "en"
+
+
+def test_heavy_hitters_verify_threshold_raises_below_guarantee(spark):
+    # 400 values, each appearing twice: rank-3 count 2 <= 400/(3+1)
+    rows = [(f"v{i % 200}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "v string")
+    with pytest.raises(ValueError, match="exactness threshold"):
+        X.heavy_hitters(df, col="v", k_track=3, top_n=3,
+                        verify_threshold=True)
+    # generous k_track clears the threshold and returns exact rows
+    out = X.heavy_hitters(
+        df, col="v", k_track=300, top_n=3, verify_threshold=True
+    ).collect()
+    assert all(r.cnt == 2 for r in out)
