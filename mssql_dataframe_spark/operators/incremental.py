@@ -96,6 +96,10 @@ def apply_agg_delta(
     Cost at 100 TB: one broadcast of the (small) delta + one shuffle
     of (delta + key-projection); the wide MV is scanned once in place.
     """
+    # the delta plan feeds BOTH the left join and the anti join below;
+    # a small frame by construction, so pin it rather than re-running
+    # the CDC union + hash aggregate twice
+    delta = delta.localCheckpoint(eager=True)
     d = delta.select(
         *[F.col(k).alias(f"__d_{k}") for k in keys],
         f"d_{count_col}",
@@ -103,7 +107,10 @@ def apply_agg_delta(
     )
     cond = None
     for k in keys:
-        c = mv[k] == d[f"__d_{k}"]
+        # NULL-SAFE key equality: a nullable group key's NULL group is
+        # a real group in the MV; plain == would silently drop its
+        # deletes (stale count forever) and duplicate it on inserts
+        c = mv[k].eqNullSafe(d[f"__d_{k}"])
         cond = c if cond is None else (cond & c)
     j = mv.join(F.broadcast(d), cond, "left")
     new_count = F.coalesce(mv[count_col], F.lit(0)) + F.coalesce(
@@ -122,8 +129,15 @@ def apply_agg_delta(
             .alias(c)
         )
     existing = j.select(*out_cols).filter(F.col(count_col) > 0)
+    mvk = mv.select(*[F.col(k).alias(f"__m_{k}") for k in keys])
+    anti_cond = None
+    for k in keys:
+        # same null-safe semantics as above: a delta to an EXISTING
+        # NULL-key group must not be classified as a fresh group
+        c = delta[k].eqNullSafe(mvk[f"__m_{k}"])
+        anti_cond = c if anti_cond is None else (anti_cond & c)
     fresh = (
-        delta.join(mv.select(*keys), on=keys, how="left_anti")
+        delta.join(mvk, anti_cond, "left_anti")
         .select(
             *keys,
             F.col(f"d_{count_col}").cast("bigint").alias(count_col),

@@ -5429,10 +5429,18 @@ def streaming_stateful_ewma(spark, sf_dir):
 @register(
     "streaming_ingest_dedup_store",
     sql="""
-    WITH raw AS (
+    WITH off AS (
+      -- mirror offset: past the real id range (collision-proof at any
+      -- corpus size), bumped off multiples of 3 so the copy lands in a
+      -- different batch class — same arithmetic as the engine
+      SELECT CASE WHEN (MAX(doc_id) + 1) % 3 = 0 THEN MAX(doc_id) + 2
+             ELSE MAX(doc_id) + 1 END AS o
+      FROM documents WHERE text IS NOT NULL
+    ), raw AS (
       SELECT doc_id, text FROM documents WHERE text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 100000, text FROM documents WHERE text IS NOT NULL
+      SELECT doc_id + (SELECT o FROM off), text
+      FROM documents WHERE text IS NOT NULL
     ), d AS (
       SELECT doc_id, text, md5(text) AS fp, doc_id % 3 AS b FROM raw
     ), firstb AS (

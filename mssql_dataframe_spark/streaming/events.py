@@ -44,6 +44,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
+def _stamp_batch_dir(path: str, t: float) -> None:
+    """Stamp every file in a staged batch dir with mod-time ``t``: the
+    file stream source replays in mod-time order, so ascending stamps
+    fix the micro-batch order deterministically — no per-write sleeps,
+    and immune to coarse filesystem mtime granularity."""
+    for root_, _dirs, files in os.walk(path):
+        for fn in files:
+            os.utime(os.path.join(root_, fn), (t, t))
+
+
 def _run_to_memory(
     result: DataFrame,
     name: str,
@@ -151,34 +161,31 @@ def append_mode_out_of_order_replay(
     stage = os.path.join(_SCRATCH, f"appmode_src_{uuid.uuid4().hex}")
     late_half = batch.filter(F.col("ts") >= F.lit(mid))
     early_half = batch.filter(F.col("ts") < F.lit(mid))
-    # b=0 written first (older mod time) -> processed as micro-batch 0
-    late_half.coalesce(1).write.parquet(os.path.join(stage, "b=0"))
     import time as _time
 
-    _time.sleep(1.05)  # distinct file mod times fix the replay order
+    # b=0 stamped older -> processed as micro-batch 0
+    base_t = _time.time()
+    late_half.coalesce(1).write.parquet(os.path.join(stage, "b=0"))
+    _stamp_batch_dir(os.path.join(stage, "b=0"), base_t)
     early_half.coalesce(1).write.parquet(os.path.join(stage, "b=1"))
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(stage, "b=*"))
-    )
-    agg = (
-        stream.withWatermark("ts", delay)
-        .groupBy(F.window("ts", window).alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "n_events")
-    )
-    checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}")
+    _stamp_batch_dir(os.path.join(stage, "b=1"), base_t + 2)
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "b=*"))
+        )
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", window).alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        return _run_to_memory(agg, name, mode="append")
+    finally:
+        # the memory sink holds the drained rows; the staged copy of
+        # the events table is dead weight once the query terminated
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def stateful_user_stats(
@@ -217,23 +224,14 @@ def stateful_user_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    drained = _run_to_memory(
+        out, name, mode="update", progress_out=progress_out
     )
-    q.awaitTermination()
-    if progress_out is not None:
-        progress_out.extend(q.recentProgress)
     # update-mode emits one row per key per micro-batch with cumulative
     # values; the per-key max is the final state even if the replay
     # split into several batches
     return (
-        spark.sql(f"SELECT * FROM {name}")
+        drained
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -320,13 +318,19 @@ def foreach_batch_upsert(
         engine.write.merge(table, combined, upsert=True)
 
     checkpoint = os.path.join(_SCRATCH, f"ckpt_fbu_{uuid.uuid4().hex}")
-    q = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the result lives in the store table; the pre-split source
+        # copy and the checkpoint are dead weight after the drain
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return engine.read.table(table)
 
 
@@ -371,8 +375,6 @@ def windowed_eviction_drain(
     exactly the complete-mode (= batch = oracle) result — eviction and
     correctness are asserted on the SAME drain.
     """
-    import shutil as _shutil
-
     factory, stage = staged_event_source_factory(spark, sf_dir)
     add_sentinel_batch(spark, sf_dir, stage)
     cutoff = load_events(spark, sf_dir).agg(F.max("ts").alias("t")).first()["t"]
@@ -399,7 +401,7 @@ def windowed_eviction_drain(
     finally:
         # the memory sink holds the drained rows; the staged files are
         # no longer needed once the query terminated
-        _shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def staged_event_source_factory(spark: SparkSession, sf_dir: str,
@@ -422,10 +424,18 @@ def staged_event_source_factory(spark: SparkSession, sf_dir: str,
     secs = batch.select(
         F.expr(f"percentile_approx(cast(ts as long), array({qs}))").alias("p")
     ).collect()[0][0]
+    # tz-AWARE cuts: F.lit of a naive datetime converts through the
+    # OS-local timezone (TimestampType.toInternal), which would shift
+    # the batch boundaries off hour alignment on any non-UTC driver;
+    # aware UTC datetimes convert exactly under the UTC session tz
     cuts = [
-        datetime.datetime.utcfromtimestamp(int(v) // 3600 * 3600) for v in secs
+        datetime.datetime.fromtimestamp(
+            int(v) // 3600 * 3600, tz=datetime.timezone.utc
+        )
+        for v in secs
     ]
     stage = os.path.join(_SCRATCH, f"staged_src_{uuid.uuid4().hex}")
+    base_t = _time.time()
     lo = None
     for i, hi in enumerate(cuts + [None]):
         part = batch
@@ -433,8 +443,10 @@ def staged_event_source_factory(spark: SparkSession, sf_dir: str,
             part = part.filter(F.col("ts") >= F.lit(lo))
         if hi is not None:
             part = part.filter(F.col("ts") < F.lit(hi))
-        part.coalesce(1).write.parquet(os.path.join(stage, f"b={i}"))
-        _time.sleep(1.05)  # distinct mod-times fix the replay order
+        d = os.path.join(stage, f"b={i}")
+        part.coalesce(1).write.parquet(d)
+        # ascending mod-time stamps fix the replay order (sleep-free)
+        _stamp_batch_dir(d, base_t + 2 * i)
         lo = hi
     schema = batch.schema
 
@@ -483,10 +495,11 @@ def add_sentinel_batch(spark: SparkSession, sf_dir: str, stage: str,
             typed("value", F.lit(0.0)),
             typed("props", F.lit(None)),
         ).select(*batch.columns)
-        _time.sleep(1.05)
-        sent.coalesce(1).write.parquet(
-            os.path.join(stage, f"b={n_batches + i}")
-        )
+        d = os.path.join(stage, f"b={n_batches + i}")
+        sent.coalesce(1).write.parquet(d)
+        # stamped far ahead of every staged batch (which used ~now)
+        # so the sentinels always replay LAST, in order
+        _stamp_batch_dir(d, _time.time() + 10_000 + 2 * i)
 
 
 def stream_stream_interval_join(
@@ -572,8 +585,6 @@ def stream_stream_left_join(
     sentinel, unmatched views from the last real batch would be
     withheld in state forever (the standard outer-join caveat).
     """
-    import shutil as _shutil
-
     factory, stage = staged_event_source_factory(spark, sf_dir)
     add_sentinel_batch(spark, sf_dir, stage)
     name = f"sslj_{uuid.uuid4().hex[:8]}"
@@ -619,7 +630,7 @@ def stream_stream_left_join(
         # the watermark it exists to advance
         return drained.filter(F.col("user_id") >= 0)
     finally:
-        _shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def streaming_corpus_ingest_dedup(
@@ -653,18 +664,26 @@ def streaming_corpus_ingest_dedup(
         .filter(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    # mirrored copy at +100000 (100000 % n_batches != 0): every text
-    # recurs in a DIFFERENT batch class, so the cross-batch dedup path
-    # is genuinely exercised, not just the within-batch collapse
+    # mirrored copy offset past the real id range (a fixed constant
+    # would COLLIDE with real doc_ids once the corpus outgrows it —
+    # two different texts sharing one PK value aborts the drain),
+    # bumped off multiples of n_batches so every text recurs in a
+    # DIFFERENT batch class and the cross-batch dedup path is
+    # genuinely exercised, not just the within-batch collapse
+    max_id = int(base.agg(F.max("doc_id")).first()[0])
+    off = max_id + 1
+    if off % n_batches == 0:
+        off += 1
     docs = base.unionAll(
-        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        base.select((F.col("doc_id") + off).alias("doc_id"), "text")
     )
     stage = os.path.join(_SCRATCH, f"ingest_src_{uuid.uuid4().hex}")
+    base_t = _time.time()
     for k in range(n_batches):
-        docs.filter(F.col("doc_id") % n_batches == k).coalesce(1).write.parquet(
-            os.path.join(stage, f"b={k}")
-        )
-        _time.sleep(1.05)  # distinct mod-times fix the replay order
+        d = os.path.join(stage, f"b={k}")
+        docs.filter(F.col("doc_id") % n_batches == k).coalesce(1).write.parquet(d)
+        # ascending mod-time stamps fix the replay order (sleep-free)
+        _stamp_batch_dir(d, base_t + 2 * k)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -691,13 +710,19 @@ def streaming_corpus_ingest_dedup(
         )
 
     checkpoint = os.path.join(_SCRATCH, f"ckpt_ing_{uuid.uuid4().hex}")
-    q = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the result lives in the store table; the staged corpus copy
+        # and the checkpoint are dead weight once the drain finished
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return engine.read.table(table)
 
 
@@ -744,23 +769,18 @@ def stateful_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if progress_out is not None:
-        progress_out.extend(q.recentProgress)
-    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        drained = _run_to_memory(
+            out, name, mode="update", progress_out=progress_out
+        )
+    finally:
+        # also on a failed drain — a crash must not leak the 3-batch
+        # staged copy of the events table permanently
+        shutil.rmtree(stage, ignore_errors=True)
     # update-mode emits cumulative state per batch; n strictly grows,
     # so the final state per user is the max-n row
     return (
-        spark.sql(f"SELECT * FROM {name}")
+        drained
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),

@@ -75,3 +75,38 @@ def test_noop_changes_produce_empty_delta(engine, spark):
     mv0 = _mv(engine.read.table("dbo.f2", version=v_ins))
     mv = apply_agg_delta(mv0, delta, ["grp"], ["sum_amt"])
     assert [(r.grp, r.n_rows) for r in mv.collect()] == [("a", 1)]
+
+
+def test_null_group_key_deltas_apply(engine, spark):
+    """NULL group keys are real MV groups: a delete from the NULL
+    group must decrement it (not be silently dropped by a non-null-
+    safe join), and an insert into it must merge, not duplicate."""
+    base = _df(
+        spark,
+        [(1, None, "10.00"), (2, None, "5.00"), (3, "a", "1.00")],
+    )
+    engine.create.table("dbo.f3", COLS, primary_key_column="id")
+    engine.write.insert("dbo.f3", base)
+    v_ins = engine.store.meta("dbo.f3").version
+    engine.write.delete(
+        "dbo.f3", spark.createDataFrame([Row(id=1)], "id long")
+    )
+    engine.write.insert("dbo.f3", _df(spark, [(4, None, "2.00")]))
+    cdc = engine.read.table_changes("dbo.f3", from_version=v_ins)
+    delta = agg_delta(cdc, ["grp"], {"sum_amt": "amt"})
+    mv0 = _mv(engine.read.table("dbo.f3", version=v_ins))
+    mv = apply_agg_delta(mv0, delta, ["grp"], ["sum_amt"])
+    got = sorted(
+        ((r.grp, r.n_rows, r.sum_amt) for r in mv.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    want = sorted(
+        ((r.grp, r.n_rows, r.sum_amt)
+         for r in _mv(engine.read.table("dbo.f3")).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == want
+    # exactly ONE null-key group row, with the merged totals
+    nulls = [t for t in got if t[0] is None]
+    assert len(nulls) == 1
+    assert nulls[0][1] == 2 and nulls[0][2] == Decimal("7.00")
