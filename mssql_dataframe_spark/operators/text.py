@@ -60,7 +60,9 @@ def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Length/word/character-class quality signals per document.
 
     Columns: n_chars_calc, n_words, avg_word_len, punct_ratio,
@@ -83,7 +85,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     swr = stopword_ratio(text_col, "en")
     out = df.select(
-        "doc_id",
+        id_col,
         n_chars.cast("bigint").alias("n_chars_calc"),
         n_words.cast("bigint").alias("n_words"),
         F.round(avg_wl.cast("double"), 6).alias("avg_word_len"),

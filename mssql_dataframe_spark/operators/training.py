@@ -26,9 +26,12 @@ def pack_sequences(
     partition_col: str | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: documents (in deterministic id
-    order) are assigned to consecutive bins of ``budget`` tokens;
-    a document that would overflow the current bin starts the next
-    one, and a document longer than the budget gets a bin of its own.
+    order) are assigned to consecutive bins of ``budget`` tokens by
+    the RUNNING count — a document belongs to the bin its first token
+    lands in (``floor(cumsum_before / budget)``) and SPILLS past the
+    bin's nominal budget rather than starting a new one (padding /
+    truncation of spilled tails is the tokenizer's concern, not the
+    packer's; the pinned tests assert the spill semantics).
 
     bin boundaries via running token count: doc i starts a new bin
     when floor(cumsum_before / budget) advances — computed with ONE
@@ -142,7 +145,8 @@ def split_hash(
     duplicates land in the SAME split — no train/test leakage through
     dup pairs the dedup pass missed.
 
-    Returns the input plus (split_bucket, split). A NULL id/text
+    Returns ``(id, split_bucket, split)`` — join back on the id to
+    attach the split to the full rows. A NULL id/text
     yields a NULL bucket and lands in 'test' (CASE-else), matching the
     SQL oracle's ``||`` NULL propagation.
     """
@@ -180,7 +184,9 @@ def stratified_sample_hash(
     for stratum, p in sorted(pct_by_stratum.items()):
         cond = F.col(strata_col) == stratum
         pct = F.when(cond, F.lit(p)) if pct is None else pct.when(cond, F.lit(p))
-    pct = pct.otherwise(F.lit(0))
+    # empty config: every stratum is "absent" -> all rows dropped
+    # (the documented verdict), not an AttributeError on None
+    pct = F.lit(0) if pct is None else pct.otherwise(F.lit(0))
     return df.withColumn("__bucket", key % 100).filter(
         F.col("__bucket") < pct
     ).drop("__bucket")
@@ -199,8 +205,9 @@ def temperature_resample(
     their raw share without drowning the high-resource ones).
 
     DATA-DERIVED rates in pure integer arithmetic so any engine lands
-    on identical keep sets: per-stratum weight w_l = floor(sqrt(n_l))
-    (IEEE sqrt of an exact int is correctly rounded — identical
+    on identical keep sets: per-stratum weight w_l = isqrt(n_l)
+    (exact integer sqrt; agrees with floor(IEEE sqrt) at any count a
+    SQL oracle can hold — identical
     everywhere), per-doc keep rate in basis points
     rate_l = (10000 * w_l * (N div target_frac_den)) div (W * n_l),
     and the keep decision compares the content-keyed md5 bucket
@@ -214,22 +221,31 @@ def temperature_resample(
     counts = df.groupBy(strata_col).agg(
         F.count("*").cast("long").alias("__nl")
     )
-    w = counts.withColumn(
-        "__wl", F.floor(F.sqrt(F.col("__nl"))).cast("long")
-    )
-    tot = w.agg(
-        F.sum("__wl").cast("long").alias("__tw"),
-        F.sum("__nl").cast("long").alias("__tn"),
-    )
-    rates = (
-        w.crossJoin(F.broadcast(tot))
-        .select(
-            strata_col,
-            F.expr(
-                f"(10000 * __wl * (__tn div {target_frac_den})) "
-                "div (__tw * __nl)"
-            ).cast("long").alias("rate_bp"),
-        )
+    # the per-stratum frame is O(languages) — compute the rates in
+    # PYTHON integers (arbitrary precision), not 64-bit SQL longs:
+    # 10000 * w_l * (N div den) exceeds Long.MAX around 4e10 docs in
+    # one language (the module's advertised scale), where BIGINT
+    # arithmetic would silently wrap negative and drop the whole
+    # language. Same formula, exact at any magnitude.
+    rows = counts.collect()
+    import math
+
+    wl = {r[strata_col]: math.isqrt(int(r["__nl"])) for r in rows}
+    nl = {r[strata_col]: int(r["__nl"]) for r in rows}
+    tw = sum(wl.values())
+    tn = sum(nl.values())
+    rate_rows = [
+        (k, (10000 * wl[k] * (tn // target_frac_den)) // (tw * nl[k]))
+        for k in nl
+    ]
+    from pyspark.sql import types as _T
+
+    rates = df.sparkSession.createDataFrame(
+        rate_rows,
+        _T.StructType([
+            _T.StructField(strata_col, df.schema[strata_col].dataType),
+            _T.StructField("rate_bp", _T.LongType()),
+        ]),
     )
     keyed = df.select(
         F.col(id_col), F.col(strata_col),

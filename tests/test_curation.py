@@ -155,3 +155,56 @@ def test_quality_weighted_sample_rates_and_floor(spark):
     # deterministic: second run identical
     again = quality_weighted_sample(df, floor_bp=1000).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_quality_filter_custom_id_col(spark):
+    from mssql_dataframe_spark.operators.curation import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat today with the dog")],
+        "id long, text string",
+    )
+    out = quality_filter(df, id_col="id").collect()
+    assert out[0].id == 1 and out[0].keep is True
+
+
+def test_per_source_cap_guards_work_and_keep_cols(spark):
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.operators.curation import per_source_cap
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, source string, __rn int"
+    )
+    with _pytest.raises(ValueError, match="__rn"):
+        per_source_cap(df, cap=1)
+    df2 = spark.createDataFrame(
+        [(1, "a", True)], "doc_id long, source string, keep boolean"
+    )
+    with _pytest.raises(ValueError, match="keep"):
+        per_source_cap(df2, cap=1, keep_col="keep")
+
+
+def test_stratified_sample_empty_config_drops_all(spark):
+    from mssql_dataframe_spark.operators.training import (
+        stratified_sample_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", "x")], "doc_id long, source string, text string"
+    )
+    assert stratified_sample_hash(df, "source", {}).count() == 0
+
+
+def test_perplexity_buckets_keeps_null_lang_group(spark):
+    from mssql_dataframe_spark.operators import distributed_window as DW
+    from mssql_dataframe_spark.operators.curation import perplexity_buckets
+
+    rows = [(i, "common words here always", "en" if i < 6 else None)
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pins = []
+    out = DW.finalize(perplexity_buckets(df, pins=pins), pins).collect()
+    assert {r.doc_id for r in out} == set(range(9))
+    nulls = [r for r in out if r.lang is None]
+    assert len(nulls) == 3 and {r.ppl_bucket for r in nulls} == {1, 2, 3}
