@@ -122,18 +122,23 @@ class modify:
             ]
             types = dict(meta.column_types)
             types[column_name] = data_type
-            self._store.overwrite(
-                table_name, df, T.StructType(fields), types,
-                op="alter_column", expected_version=meta.version,
-            )
             # keep write-path NOT NULL enforcement (driven by
             # meta.not_nullable, not the schema flag) in sync with the
-            # altered nullability in BOTH directions
+            # altered nullability in BOTH directions — published in
+            # the SAME meta write as the data commit (extra_meta), so
+            # a crash can never land the retype without its
+            # enforcement bookkeeping
             nn = [c for c in meta.not_nullable if c != column_name]
             if not is_nullable:
                 nn.append(column_name)
-            if nn != list(meta.not_nullable):
-                self._store.update_meta(table_name, not_nullable=nn)
+            self._store.overwrite(
+                table_name, df, T.StructType(fields), types,
+                op="alter_column", expected_version=meta.version,
+                extra_meta=(
+                    {"not_nullable": nn}
+                    if nn != list(meta.not_nullable) else None
+                ),
+            )
         elif modify == "drop":
             if column_name not in schema.fieldNames():
                 raise SQLColumnDoesNotExist(column_name)
@@ -171,17 +176,23 @@ class modify:
                 ]
             if changed:
                 extra = changed
+            # not_nullable cleanup rides the commit (extra_meta): a
+            # crash after the data commit must not leave the key
+            # naming a ghost column — the insert/merge missing-NOT-
+            # NULL probes would then reject every subsequent write,
+            # since the column can never be supplied again
             self._store.overwrite(table_name, df, T.StructType(fields), types,
                                   op="drop_column",
                                   expected_version=meta.version,
-                                  extra_properties=extra)
-            if column_name in meta.not_nullable:
-                self._store.update_meta(
-                    table_name,
-                    not_nullable=[
-                        c for c in meta.not_nullable if c != column_name
-                    ],
-                )
+                                  extra_properties=extra,
+                                  extra_meta=(
+                                      {"not_nullable": [
+                                          c for c in meta.not_nullable
+                                          if c != column_name
+                                      ]}
+                                      if column_name in meta.not_nullable
+                                      else None
+                                  ))
         else:
             raise ValueError("modify must be one of add|alter|drop")
 
@@ -509,6 +520,15 @@ class modify:
         if changed:
             meta2.properties = {**meta2.properties, "foreign_keys": fks2}
         self._store._write_meta(new_name, meta2)
+        # live spark.sql views registered on the old name must follow
+        # the rename: _refresh_live_views under the old key swallows
+        # table-not-found, so the views would silently stop refreshing
+        # and keep serving the pre-rename frozen file list (stale
+        # reads, then FileNotFound once vacuum reaps those files)
+        views = self._store._live_views.pop(table_name, None)
+        if views:
+            self._store._live_views[new_name] = views
+            self._store._refresh_live_views(new_name)
 
     def computed_column(
         self,
@@ -574,11 +594,21 @@ class modify:
                 k: v for k, v in meta.column_types.items()
                 if k != column_name
             }
-            # expression removal and column drop publish in ONE commit
+            # expression removal and column drop publish in ONE
+            # commit — including the same stats cleanup the plain
+            # column('drop') branch does: a persisted computed column
+            # can be the z-order/stats column, and a ghost entry
+            # would keep driving file pruning and table_stats
+            extra = {"computed_columns": computed}
+            if props.get("stats_column") == column_name:
+                extra["stats_column"] = None
+            sc = props.get("stats_columns") or []
+            if column_name in sc:
+                extra["stats_columns"] = [c for c in sc if c != column_name]
             self._store.overwrite(
                 table_name, df, T.StructType(fields), types,
                 op="drop_computed_column", expected_version=meta.version,
-                extra_properties={"computed_columns": computed},
+                extra_properties=extra,
             )
         else:
             raise ValueError("modify must be one of add|drop")

@@ -269,9 +269,16 @@ class read:
                 )
             version = max(candidates)
         df = self._store.read(table_name, version=version)
-        if version is not None and set(df.columns) != set(
-            meta.spark_schema.fieldNames()
+        if version is not None and (
+            {(f.name, f.dataType) for f in df.schema.fields}
+            != {(f.name, f.dataType) for f in meta.spark_schema.fields}
         ):
+            # compare (name, type) pairs, not just names: a version
+            # that differs only by a column RETYPE (ALTER COLUMN,
+            # same names) must still reproject, or the snapshot would
+            # surface the old type and break the documented contract
+            # below (field nullability is deliberately ignored — it
+            # never changes what a reader sees).
             # the documented contract: old data is projected through
             # the CURRENT declared schema — columns added since the
             # snapshot read as NULL, columns dropped since vanish, and

@@ -493,16 +493,22 @@ class TableStore:
             except OSError:
                 # filesystem without hard links (some network / FUSE /
                 # object-store mounts): fall back to an equally
-                # put-if-absent O_CREAT|O_EXCL create + write. Not a
+                # put-if-absent O_CREAT|O_EXCL claim. Not a
                 # cross-writer downgrade — both primitives are atomic
                 # claims of the same path, so a linking writer and an
-                # O_EXCL writer still exclude each other.
-                fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                try:
-                    with open(tmp, "rb") as src_f:
-                        os.write(fd, src_f.read())
-                finally:
-                    os.close(fd)
+                # O_EXCL writer still exclude each other. The claim is
+                # a zero-length create; the content then publishes via
+                # one same-directory rename of the already-complete
+                # tmp file — no byte copy (no short-write or
+                # whole-file-in-memory hazard), and no window where
+                # the path holds PARTIAL json. A crash between claim
+                # and rename leaves an empty manifest, which the next
+                # writer of this version surfaces through the same
+                # orphan-recovery message as a crashed linking writer.
+                os.close(os.open(
+                    dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                ))
+                os.replace(tmp, dst)
         except FileExistsError:
             from .errors import SQLConcurrentWriteConflict
 
@@ -1140,7 +1146,8 @@ class TableStore:
                   op: str = "overwrite",
                   preconditions: Optional[list[tuple]] = None,
                   expected_version: Optional[int] = None,
-                  extra_properties: Optional[dict] = None) -> None:
+                  extra_properties: Optional[dict] = None,
+                  extra_meta: Optional[dict] = None) -> None:
         """Materialize ``df`` as the next snapshot, then atomically move
         the table pointer. Readers of the old version are unaffected —
         old snapshots are vacuumed only once they fall
@@ -1153,7 +1160,8 @@ class TableStore:
                      new_column_types=new_column_types, op=op,
                      preconditions=preconditions,
                      expected_version=expected_version,
-                     extra_properties=extra_properties)
+                     extra_properties=extra_properties,
+                     extra_meta=extra_meta)
 
     def replace_files(
         self, name: str, df: DataFrame, keep_entries: list[dict],
@@ -1198,7 +1206,15 @@ class TableStore:
                 op: str = "commit",
                 preconditions: Optional[list[tuple]] = None,
                 expected_version: Optional[int] = None,
-                extra_properties: Optional[dict] = None) -> None:
+                extra_properties: Optional[dict] = None,
+                extra_meta: Optional[dict] = None) -> None:
+        """``extra_meta`` sets top-level TableMeta fields (e.g.
+        ``not_nullable``) in the SAME meta write that advances the
+        version pointer — the non-properties sibling of
+        ``extra_properties``, for callers whose key bookkeeping must
+        publish atomically with the data commit (a crash between a
+        data commit and a follow-up ``update_meta`` would otherwise
+        leave enforcement metadata naming ghost columns)."""
         meta = self.meta(name)
         if extra_properties:
             # folded BEFORE staging (the stats harvest reads
@@ -1244,6 +1260,13 @@ class TableStore:
             meta.spark_schema_json = new_schema.jsonValue()
         if new_column_types is not None:
             meta.column_types = dict(new_column_types)
+        if extra_meta:
+            for k, v in extra_meta.items():
+                if not hasattr(meta, k):
+                    raise AttributeError(
+                        f"extra_meta key {k!r} is not a TableMeta field"
+                    )
+                setattr(meta, k, v)
         self._write_meta(name, meta)
         self._vacuum(name, keep_before=next_v - self._retention(meta))
 

@@ -210,10 +210,12 @@ def test_clone_rejects_existing_destination(engine, spark):
 
 def test_version_read_uses_its_own_schema(engine, spark):
     """Time travel across a version-bumping schema change (ALTER
-    rewrites data at v+1): the prior version reads with the schema
-    RECORDED IN ITS OWN COMMIT, not the current one. Metadata-only
-    ADD does not bump the version, so the current snapshot simply
-    gains a NULL column (Delta ADD COLUMN semantics)."""
+    rewrites data at v+1): the STORE layer reads the prior version
+    with the schema RECORDED IN ITS OWN COMMIT (files parse under
+    the types they were written with), while the read VERB then
+    projects through the CURRENT declared schema — retyped columns
+    surface in today's type, so row-filter/masking policies declared
+    against the current schema stay analyzable on any snapshot."""
     df = spark.createDataFrame([(1, 5), (2, 7)], "id long, num int")
     engine.create.table("dbo.sv", {"id": "bigint", "num": "int"},
                         primary_key_column="id")
@@ -222,9 +224,13 @@ def test_version_read_uses_its_own_schema(engine, spark):
     engine.modify.column("dbo.sv", modify="alter", column_name="num",
                          data_type="bigint")
     assert engine.store.meta("dbo.sv").version == v_ins + 1
+    # store layer: the snapshot's own recorded schema
+    raw = engine.store.read("dbo.sv", version=v_ins)
+    assert dict(raw.dtypes)["num"] == "int"
+    # read verb: projected through the current declared schema
     old = engine.read.table("dbo.sv", version=v_ins)
     new = engine.read.table("dbo.sv")
-    assert dict(old.dtypes)["num"] == "int"
+    assert dict(old.dtypes)["num"] == "bigint"
     assert dict(new.dtypes)["num"] == "bigint"
     assert {(r["id"], r["num"]) for r in old.collect()} == {(1, 5), (2, 7)}
 
