@@ -202,6 +202,19 @@ def parse_column_spec(spec: str) -> ColumnSpec:
     Mirrors the reference's ``dynamic.column_spec`` regex split
     (reference: dynamic.py:140-166) and its rules-lookup normalization
     of ``int identity`` -> ``int`` (reference: conversion.py:141-146).
+
+    >>> parse_column_spec("DECIMAL(5,2)").render()
+    'decimal(5,2)'
+    >>> parse_column_spec("varchar(MAX)").is_max
+    True
+    >>> parse_column_spec("bigint identity(1,1)").sql_type
+    'bigint'
+    >>> parse_column_spec("nvarchar(100)").spark_type
+    StringType()
+    >>> parse_column_spec("flux")  # doctest: +IGNORE_EXCEPTION_DETAIL
+    Traceback (most recent call last):
+        ...
+    UndefinedConversionRule: cannot parse SQL type spec
     """
     cleaned = re.sub(r"\s+identity.*$", "", spec.strip(), flags=re.IGNORECASE)
     m = _SPEC_RE.match(cleaned)

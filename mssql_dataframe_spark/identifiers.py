@@ -25,7 +25,17 @@ _MAX_NAME_LEN = 128
 
 def escape(name: str) -> str:
     """Backtick-quote one identifier, validating length like the
-    reference's QUOTENAME round trip (reference: dynamic.py:29-47)."""
+    reference's QUOTENAME round trip (reference: dynamic.py:29-47).
+
+    >>> escape("ColumnA")
+    '`ColumnA`'
+    >>> escape("weird`name")
+    '`weird``name`'
+    >>> escape("x" * 129)  # doctest: +IGNORE_EXCEPTION_DETAIL
+    Traceback (most recent call last):
+        ...
+    SQLInvalidLengthObjectName: object name must be 1..128 chars
+    """
     if name is None or len(name) == 0 or len(str(name)) > _MAX_NAME_LEN:
         raise SQLInvalidLengthObjectName(
             f"object name must be 1..{_MAX_NAME_LEN} chars: {name!r}"
@@ -36,7 +46,13 @@ def escape(name: str) -> str:
 
 def escape_table(table_name: str) -> str:
     """Escape a possibly dotted ``schema.table`` name part-by-part
-    (reference: dynamic.py:49-58)."""
+    (reference: dynamic.py:49-58).
+
+    >>> escape_table("dbo.orders")
+    '`dbo`.`orders`'
+    >>> escape_table("orders")
+    '`orders`'
+    """
     parts = str(table_name).split(".")
     return ".".join(escape(p) for p in parts)
 
@@ -99,6 +115,17 @@ def compile_where(where: str) -> str:
     Grammar (reference: dynamic.py:61-137): conditions joined by AND/OR,
     comparison ops ``>= <= <> != !> !< = > <`` plus ``IS [NOT] NULL``,
     with at most one level of parentheses (reference: dynamic.py:95-97).
+
+    >>> compile_where("ColumnA > 5 and ColumnB is not null")
+    '`ColumnA` > 5 AND `ColumnB` IS NOT NULL'
+    >>> compile_where("name = O'Brien")
+    "`name` = 'O''Brien'"
+    >>> compile_where("(a = 1 or b = 2) and c <> 3")
+    '(`a` = 1 OR `b` = 2) AND `c` != 3'
+    >>> compile_where("'; select true; --")  # doctest: +IGNORE_EXCEPTION_DETAIL
+    Traceback (most recent call last):
+        ...
+    SQLInvalidSyntax: could not parse condition
     """
     if not where or not where.strip():
         raise SQLInvalidSyntax("empty where string")
