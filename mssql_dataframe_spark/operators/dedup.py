@@ -859,6 +859,66 @@ def simhash_table(
     )
 
 
+def blocked_hamming_pairs(
+    hashed: DataFrame,
+    n_blocks: int,
+    block_width: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Pigeonhole-blocked Hamming join over an (``id``, ``h``) frame:
+    split each 64-bit hash into ``n_blocks`` blocks of ``block_width``
+    bits, equi-join per (block index, block value) — any pair within
+    Hamming distance ``n_blocks - 1`` shares at least one exact block —
+    and exact-popcount only the candidates. Returns
+    (id1, id2, hamming) with ``hamming <= max_hamming``, id1 < id2.
+
+    Shared by simhash_near_dup_pairs (text) and
+    multimodal.ahash_near_dup_pairs (images): one copy of the blocking
+    machinery so recall-contract fixes can't silently diverge."""
+    blocks = hashed.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("h", i * block_width)
+                        .bitwiseAND(F.lit((1 << block_width) - 1))
+                        .alias("blk_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "id", "h",
+        F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.h").alias("h1"),
+            F.col("b.h").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -902,47 +962,7 @@ def simhash_near_dup_pairs(
     h = simhash_table(df, id_col, text_col, token_hash=token_hash).filter(
         F.col("h") != 0
     )
-    block_width = bits // n_blocks
-    mask = (1 << block_width) - 1
-    blocks = h.select(
-        "id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright("h", i * block_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("blk_val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "h", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.h").alias("h1"),
-            F.col("b.h").alias("h2"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
-    )
+    return blocked_hamming_pairs(h, n_blocks, bits // n_blocks, max_hamming)
 
 
 def fuzzy_join_dist1(

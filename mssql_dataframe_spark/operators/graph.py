@@ -96,7 +96,15 @@ def pagerank_quantized(
             )
             .localCheckpoint(eager=False)
         )
-    out = ranks.select("node_id", "rank_q")
+    # materialize BEFORE releasing the caches: persist() is lazy, so
+    # unpersisting here without an action would deregister the caches
+    # while still empty and every iteration would recompute the edge
+    # dedup + degree join when the caller finally runs an action (the
+    # same no-op-unpersist trap the connected-components loop hit).
+    # The eager localCheckpoint runs the whole iteration chain once
+    # with the caches live, pins the result as a plan-stable snapshot,
+    # and then the frames are safe to free.
+    out = ranks.select("node_id", "rank_q").localCheckpoint(eager=True)
     edges_w.unpersist()
     nodes.unpersist()
     return out

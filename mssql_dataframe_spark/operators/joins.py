@@ -10,6 +10,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -26,23 +27,38 @@ def asof_join(
     ``right_time <= left_time`` for the same key (``on``).
 
     Implementation (scale-first): union the two sides tagged by origin,
-    ONE window pass per key ordered by (time, origin) carrying
-    ``last(value, ignorenulls=True)`` forward, then keep left rows.
+    ONE window pass per key ordered by (time, origin) carrying the
+    latest right row forward AS ONE STRUCT, then keep left rows.
     This is a single shuffle on the key — no per-row subquery, no
     broadcast of the big side, no skew beyond the key distribution.
     An equality tie (right_time == left_time) matches, mirroring
     ASOF JOIN semantics in DuckDB/kdb (>= match).
+
+    The carried values are a single struct per right row — NEVER
+    per-column ``last(ignorenulls)`` carries, which would splice
+    columns from DIFFERENT right rows whenever a right value is NULL
+    (the attached row must be one that actually exists in ``right``,
+    and a genuinely-NULL right value must surface as NULL). Right
+    rows that share (key, time) are tie-broken by the struct's own
+    ordering so results are engine-deterministic.
     """
-    right_values = right_values or [
-        c for c in right.columns if c not in (on, right_time)
-    ]
+    if right_values is None:
+        right_values = [
+            c for c in right.columns if c not in (on, right_time)
+        ]
+    if not right_values:
+        return left
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
-          for c in right_values],
+        F.lit(None).cast(
+            T.StructType([
+                T.StructField(c, right.schema[c].dataType)
+                for c in right_values
+            ])
+        ).alias("__rv"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
@@ -51,26 +67,26 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["__lrow"].dataType
         ).alias("__lrow"),
-        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("__rv"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows (__is_left=0) sort before left rows at equal time, so a
-    # tie is visible to the left row -> inclusive (<=) semantics
+    # tie is visible to the left row -> inclusive (<=) semantics; the
+    # trailing __rv makes equal-(time,origin) right rows deterministic
+    # (the largest struct wins on any engine)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(),
+                 F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"__last_{c}")
-            for c in right_values
-        ],
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv_last"),
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"__last_{c}").alias(f"{c}{suffix}") for c in right_values],
+        *[F.col("__rv_last")[c].alias(f"{c}{suffix}") for c in right_values],
     )
     return out
 
@@ -91,8 +107,32 @@ def salted_join(
     AQE's skew-join split handles this automatically for sort-merge
     joins; the explicit form is for cluster setups where AQE is off or
     the skew is in an aggregation-feeding join it can't split.
+
+    Only big-side-preserving join types are legal: the small side is
+    replicated ``n_salts`` times, so ``right``/``full`` would emit
+    every unmatched small-side row once PER SALT — silently breaking
+    the identical-results contract. Those types raise instead.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti",
+                   "semi", "anti", "cross"):
+        raise ValueError(
+            f"salted_join cannot preserve unmatched small-side rows "
+            f"(how={how!r}): the replicated small side would emit "
+            "each of them n_salts times — use a plain join for "
+            "right/full semantics"
+        )
+    # the salt must spread DUPLICATE big-side rows of a hot key too
+    # (identical projected rows are common in event data); a pure
+    # row-content hash would send them all to one salt, re-creating
+    # the skew. The per-partition row position decorrelates them while
+    # staying deterministic under task retry; the salt never reaches
+    # the output, so results are independent of its exact values.
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(),
+                   *[F.col(c) for c in big.columns]),
+        F.lit(n_salts),
+    )
     b = big.withColumn("__salt", salt)
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -116,14 +156,34 @@ def range_join_banded(
     At scale this turns BroadcastNestedLoopJoin into a shuffled
     hash/sort-merge join keyed by band — the standard banded range-join
     technique.
+
+    Right-side columns whose names collide with left columns are
+    suffixed ``_r`` (the interval_overlap_join convention) so the
+    post-join filter is never ambiguous; ``right_lo``/``right_hi``
+    refer to the RIGHT frame's original names either way.
     """
+    renames = {
+        c: (f"{c}_r" if c in set(left.columns) else c)
+        for c in right.columns
+    }
+    r = right.select(
+        *[F.col(c).alias(renames[c]) for c in right.columns]
+    )
+    lo, hi = renames[right_lo], renames[right_hi]
     band = F.lit(band_width)
-    r_banded = right.withColumn(
+    # the interval is half-open (lo <= v < hi), but the band range must
+    # stay CLOSED at floor(hi/band): subtracting an epsilon before the
+    # floor silently drops true matches whenever hi sits within the
+    # epsilon above a band boundary (values just below hi live in the
+    # band the epsilon excluded). The at-most-one surplus band when hi
+    # is an exact multiple joins no rows past the exact post-filter,
+    # and each left row lives in exactly one band, so no dedup appears.
+    r_banded = r.withColumn(
         "__band",
         F.explode(
             F.sequence(
-                F.floor(F.col(right_lo) / band),
-                F.floor((F.col(right_hi) - F.lit(1e-9)) / band),
+                F.floor(F.col(lo) / band),
+                F.floor(F.col(hi) / band),
             )
         ),
     )
@@ -131,13 +191,11 @@ def range_join_banded(
     return (
         l_banded.join(r_banded, "__band")
         .filter(
-            (F.col(left_value) >= F.col(right_lo))
-            & (F.col(left_value) < F.col(right_hi))
+            (F.col(left_value) >= F.col(lo))
+            & (F.col(left_value) < F.col(hi))
         )
         .drop("__band")
     )
-    # no dedup needed: each left row lives in exactly one band, so it
-    # meets each right interval at most once
 
 
 def point_in_time_join(
@@ -155,6 +213,10 @@ def point_in_time_join(
     ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)`` — the
     as-reported view that makes backtests and training-data builds
     leakage-free (joining the CURRENT version would leak the future).
+    LEFT semantics: a fact with no valid version at its timestamp
+    (key absent, or fact_ts before the key's first valid_from)
+    carries NULL dimension values rather than silently vanishing from
+    the training set.
 
     Scale shape: one equi-join shuffle on the business key; the
     interval containment is a post-join filter that keeps at most ONE
@@ -184,7 +246,7 @@ def point_in_time_join(
     for c in dim_values:
         name = c if c not in taken else f"{c}{suffix}"
         out_cols.append(F.col(f"__d.{c}").alias(name))
-    return f.join(d, cond, "inner").select(*out_cols)
+    return f.join(d, cond, "left").select(*out_cols)
 
 
 def resample_forward_fill(

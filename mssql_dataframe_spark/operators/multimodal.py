@@ -73,23 +73,27 @@ def decode_real(payload: bytes, kind: str):
     )
 
 
-def extract_features(
-    media: DataFrame, use_stub: bool = True, batch_hint: int = 256
-) -> DataFrame:
+def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over media rows.
 
     ``mapInPandas`` streams Arrow record batches through Python once per
     partition — the correct shape for decode workloads (CPU-bound per
     row, no shuffle). Partition count should track cluster cores; the
     payload column is only materialized inside the batch iterator.
+    Arrow batch sizing is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
     if not use_stub and not REAL_DECODERS_AVAILABLE:
         raise NotImplementedError("no real decoders in this environment")
+    # the kernel honors the flag too: a production build that flips
+    # REAL_DECODERS_AVAILABLE must never get stub features silently
+    # labeled as real ones
+    decode = _decode_stub if use_stub else decode_real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(p, k)
+                decode(p, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -358,7 +362,14 @@ def decode_box_resize_pixels(
     """REAL decode kernel behind the Arrow-batch plumbing: parse each
     payload (PPM or BMP by magic), box-filter downscale, emit one row
     per output pixel. CPU-bound per row with no shuffle — partition
-    count should track cluster cores at scale."""
+    count should track cluster cores at scale.
+
+    NULL payloads emit no pixel rows (the same skip-don't-crash
+    contract as the stub kernels). Images whose dimensions are not
+    integral multiples of ``out_w``/``out_h`` are center-cropped to
+    the largest divisible size first — deterministic integer
+    arithmetic end-to-end, so mixed-geometry corpora work while the
+    box filter stays bit-reproducible."""
     xs, ys = np.meshgrid(np.arange(out_w), np.arange(out_h))
     flat_x, flat_y = xs.ravel().astype(np.int32), ys.ravel().astype(np.int32)
     n_px = out_w * out_h
@@ -366,18 +377,29 @@ def decode_box_resize_pixels(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, rs, gs, bs = [], [], [], []
+            n_imgs = 0
             for m, p in zip(pdf["media_id"], pdf["payload"]):
-                small = box_resize(decode_image(bytes(p)), out_w, out_h)
+                if p is None:
+                    continue
+                img = decode_image(bytes(p))
+                h, w = img.shape[0], img.shape[1]
+                if h < out_h or w < out_w:
+                    continue  # too small to produce one block per cell
+                ch, cw = h - h % out_h, w - w % out_w
+                if (ch, cw) != (h, w):
+                    y0, x0 = (h - ch) // 2, (w - cw) // 2
+                    img = img[y0 : y0 + ch, x0 : x0 + cw]
+                small = box_resize(img, out_w, out_h)
+                n_imgs += 1
                 mids.extend([m] * n_px)
                 rs.append(small[..., 0].ravel())
                 gs.append(small[..., 1].ravel())
                 bs.append(small[..., 2].ravel())
-            k = len(pdf)
             yield pd.DataFrame(
                 {
                     "media_id": mids,
-                    "px_x": np.tile(flat_x, k),
-                    "px_y": np.tile(flat_y, k),
+                    "px_x": np.tile(flat_x, n_imgs),
+                    "px_y": np.tile(flat_y, n_imgs),
                     "r": np.concatenate(rs).astype(np.int32) if rs else [],
                     "g": np.concatenate(gs).astype(np.int32) if gs else [],
                     "b": np.concatenate(bs).astype(np.int32) if bs else [],
@@ -492,6 +514,8 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 "peak", "rms",
             )}
             for m, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue  # skip-don't-crash, like the stub kernels
                 rate, s = decode_wav(bytes(p))
                 s64 = s.astype(np.int64)
                 n = len(s)
@@ -548,17 +572,35 @@ def ahash_near_dup_pairs(
     together), which is exactly why aHash catches re-encoded
     duplicates that byte-level dedup misses.
 
-    Scale shape mirrors simhash_near_dup_pairs: the hash is
-    ``max_hamming+1`` blocks; two hashes within the budget MUST agree
-    on at least one block (pigeonhole), so candidates come from an
-    equi-join on (block_idx, block_value) and only candidates pay the
-    exact popcount. Decode cost is one ``mapInPandas`` pass; nothing
-    downstream touches pixels again.
+    Scale shape: the hash is ``max_hamming+1`` blocks; two hashes
+    within the budget MUST agree on at least one block (pigeonhole),
+    so candidates come from an equi-join on (block_idx, block_value)
+    and only candidates pay the exact popcount — via the SAME
+    ``blocked_hamming_pairs`` machinery simhash_near_dup_pairs uses.
+    Decode cost is one ``mapInPandas`` pass; nothing downstream
+    touches pixels again.
+
+    Uniform (flat) images all hash to 0 — every cell sits at the mean
+    — so, like SimHash's zero-hash exclusion, they are excluded from
+    pairing: "flat ~ flat" pairs would conflate different solid
+    colors AND pile every blank/padding frame into one bucket
+    (quadratic candidate blow-up). When ``media`` carries a ``kind``
+    column, only image rows are hashed (the other kinds' payloads are
+    not image bytes).
     """
     n_px = out_w * out_h
+    if n_px > 64:
+        raise ValueError(
+            f"ahash grid {out_w}x{out_h} needs {n_px} bits; the hash "
+            "is packed into ONE 64-bit word (shiftleft wraps the "
+            "shift count mod 64 past that, silently corrupting every "
+            "hash) — use a grid of at most 64 cells"
+        )
     n_blocks = max_hamming + 1
     block_bits = (n_px + n_blocks - 1) // n_blocks
 
+    if "kind" in media.columns:
+        media = media.filter(F.col("kind") == "image")
     px = decode_box_resize_pixels(media, out_w=out_w, out_h=out_h)
     gray = px.select(
         "media_id",
@@ -581,39 +623,9 @@ def ahash_near_dup_pairs(
             ).alias("ah")
         )
     )
-    blocks = hashed.select(
-        "media_id", "ah",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(k).alias("blk"),
-                    F.shiftright(F.col("ah"), k * block_bits)
-                    .bitwiseAND(F.lit((1 << block_bits) - 1))
-                    .alias("blk_val"),
-                )
-                for k in range(n_blocks)
-            ])
-        ).alias("b"),
-    ).select("media_id", "ah", F.col("b.blk"), F.col("b.blk_val"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id1"),
-            F.col("b.media_id").alias("id2"),
-            F.col("a.ah").alias("h1"),
-            F.col("b.ah").alias("h2"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
-    )
+    from .dedup import blocked_hamming_pairs
+
+    h = hashed.select(
+        F.col("media_id").alias("id"), F.col("ah").alias("h")
+    ).filter(F.col("h") != 0)
+    return blocked_hamming_pairs(h, n_blocks, block_bits, max_hamming)

@@ -26,7 +26,12 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            # coalesce: sum over ZERO rows is NULL, and an empty data
+            # drop must profile as n_nulls=0, not break `n_nulls == 0`
+            # quality gates with a NULL
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"__nulls_{c}"),
             F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),

@@ -171,7 +171,9 @@ def test_duplicate_match_keys_raise(engine, spark):
 def test_point_in_time_join_picks_version_at_fact_time(spark):
     """Facts see the version valid at THEIR timestamp: boundary hits
     the new version (valid_from inclusive, valid_to exclusive), open
-    intervals match forever, unmatched keys drop (inner)."""
+    intervals match forever, and facts with NO valid version (unknown
+    key, or before the key's first valid_from) carry NULL dimension
+    values instead of silently vanishing (LEFT semantics)."""
     from mssql_dataframe_spark.operators.joins import point_in_time_join
 
     dim = spark.createDataFrame(
@@ -204,7 +206,8 @@ def test_point_in_time_join_picks_version_at_fact_time(spark):
             facts, dim, on=["k"], fact_time="ts", dim_values=["name"]
         ).collect()
     }
-    assert out == {10: "v1", 11: "v2", 12: "v2", 13: "w1"}
+    assert out == {10: "v1", 11: "v2", 12: "v2", 13: "w1",
+                   14: None, 15: None}
 
 
 def test_point_in_time_join_suffixes_colliding_columns(spark):
