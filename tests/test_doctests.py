@@ -14,8 +14,9 @@ import pytest
 import mssql_dataframe_spark.conversion_rules as conversion_rules
 import mssql_dataframe_spark.errors as errors
 import mssql_dataframe_spark.identifiers as identifiers
+import mssql_dataframe_spark.jdbc as jdbc
 
-PURE_MODULES = [identifiers, conversion_rules, errors]
+PURE_MODULES = [identifiers, conversion_rules, errors, jdbc]
 
 
 @pytest.mark.parametrize("mod", PURE_MODULES, ids=lambda m: m.__name__)
