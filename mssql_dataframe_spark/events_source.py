@@ -56,6 +56,22 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bigints.
         if "NANOS" not in str(exc).upper():
             raise
+        # Deliberately session-sticky, and LOUD about it: the conf is
+        # consulted again when this lazy plan executes, so restoring it
+        # here would break the returned frame. Blast radius in a
+        # nanos-vintage session: any LATER read of a different
+        # TIMESTAMP(NANOS) parquet loads ts as bigint instead of
+        # erroring — normalize such frames through normalize_event_ts
+        # (which branches on the loaded dtype) like every consumer in
+        # this package does.
+        import logging
+
+        logging.getLogger("mssql_dataframe_spark").warning(
+            "events.parquet is TIMESTAMP(NANOS)-vintage: enabling "
+            "spark.sql.legacy.parquet.nanosAsLong for this session — "
+            "later nanos-parquet reads will load as bigint; pass them "
+            "through events_source.normalize_event_ts"
+        )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -38,7 +38,14 @@ _SESSION_PINS: list[DataFrame] = []
 
 
 def _range_partitioned(df: DataFrame, order_cols, pins=None) -> DataFrame:
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except ValueError:
+        # platforms that auto-manage the shuffle ("auto" on AQE-managed
+        # clusters) — fall back to the cluster's default parallelism
+        n_part = df.sparkSession.sparkContext.defaultParallelism
     out = (
         df.repartitionByRange(n_part, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
@@ -116,11 +123,22 @@ def ntile_from_rank(rn, total: int, buckets: int = 5):
     """NTILE(buckets) derived arithmetically from a global rank.
 
     Matches SQL NTILE exactly: the first ``total % buckets`` tiles get
-    ``total // buckets + 1`` rows, the rest one fewer. Pure integer
-    expression — composes with :func:`global_row_number` to give NTILE
-    without any global window.
+    ``total // buckets + 1`` rows, the rest one fewer. Composes with
+    :func:`global_row_number` to give NTILE without any global window.
+
+    Exactness bound: the tile arithmetic divides through DOUBLE (Spark
+    promotes integer ``/`` to double), exact while ``rn + q`` stays
+    within the 2^53 double mantissa — ~9e15 rows, three orders of
+    magnitude above a 100 TB corpus's row count. Beyond that the
+    boundary rows could land one tile off, so the guard raises loudly
+    instead of going silently wrong.
     """
     q, r = divmod(int(total), buckets)
+    if int(total) + buckets > 2**53:
+        raise ValueError(
+            f"ntile_from_rank: total={total} exceeds the 2^53 "
+            "double-exact bound for the tile division"
+        )
     if q == 0:
         return rn.cast("int")
     big = r * (q + 1)
@@ -133,9 +151,13 @@ def ntile_from_rank_col(rn, total, buckets: int = 5):
     """:func:`ntile_from_rank` with a per-row total COLUMN — NTILE
     within groups of differing sizes (e.g. per-language terciles) from
     a group-local rank, still with no per-group window: the group's
-    row count rides a broadcast join and the tile is pure integer
-    arithmetic. Matches ``NTILE(buckets) OVER (PARTITION BY g ...)``
-    exactly for a 1-based in-group ``rn`` and ``total`` = group size.
+    row count rides a broadcast join and the tile is arithmetic.
+    Matches ``NTILE(buckets) OVER (PARTITION BY g ...)`` exactly for a
+    1-based in-group ``rn`` and ``total`` = group size, up to the same
+    2^53-rows-per-group double-exactness bound as
+    :func:`ntile_from_rank` (unreachable for any real per-group size;
+    the scalar variant raises past it, this column variant documents
+    it because the bound would be per-row data).
     """
     q = F.floor(total / F.lit(buckets)).cast("bigint")
     r = (total % F.lit(buckets)).cast("bigint")
@@ -167,27 +189,50 @@ def global_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the running NON-NULL count rides along so NULL semantics stay
+    # bit-identical to the global window: sum() over a prefix is NULL
+    # iff the prefix holds ZERO non-null values — a partition-local
+    # all-NULL prefix must still surface the PRIOR partitions' total
+    # (coalesce), and only a globally-all-NULL prefix stays NULL
     d = d.withColumn(_LOCAL, F.sum(value_col).over(w_local))
+    d = d.withColumn("__dw_nn", F.count(value_col).over(w_local))
 
-    sums = {
-        r[_PID]: r["s"]
-        for r in d.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
+    stats = {
+        r[_PID]: (r["s"], r["c"])
+        for r in d.groupBy(_PID)
+        .agg(F.sum(value_col).alias("s"), F.count(value_col).alias("c"))
+        .collect()
     }
     zero = decimal.Decimal(0) if any(
-        isinstance(v, decimal.Decimal) for v in sums.values()
+        isinstance(s, decimal.Decimal) for s, _ in stats.values()
     ) else 0
-    offsets, acc = [], zero
-    for pid in sorted(sums):
-        offsets.append((pid, acc))
-        acc = acc + (sums[pid] if sums[pid] is not None else zero)
+    offsets, acc, cnt = [], zero, 0
+    for pid in sorted(stats):
+        offsets.append((pid, acc, cnt))
+        s, c = stats[pid]
+        acc = acc + (s if s is not None else zero)
+        cnt += int(c)
     local_type = dict(d.dtypes)[_LOCAL]
     off = spark.createDataFrame(
-        [(int(p), str(v)) for p, v in offsets],
-        schema=f"{_PID} int, __dw_off string",
-    ).select(_PID, F.col("__dw_off").cast(local_type).alias("__dw_off"))
+        [(int(p), str(v), int(c)) for p, v, c in offsets],
+        schema=f"{_PID} int, __dw_off string, __dw_cnt_off bigint",
+    ).select(
+        _PID,
+        F.col("__dw_off").cast(local_type).alias("__dw_off"),
+        "__dw_cnt_off",
+    )
     result = (
         d.join(F.broadcast(off), _PID)
-        .withColumn(out, F.col(_LOCAL) + F.col("__dw_off"))
-        .drop(_PID, _LOCAL, "__dw_off")
+        .withColumn(
+            out,
+            F.when(
+                F.col("__dw_nn") + F.col("__dw_cnt_off") == 0,
+                F.lit(None).cast(local_type),
+            ).otherwise(
+                F.coalesce(F.col(_LOCAL), F.lit(0).cast(local_type))
+                + F.col("__dw_off")
+            ),
+        )
+        .drop(_PID, _LOCAL, "__dw_nn", "__dw_off", "__dw_cnt_off")
     )
     return result, acc

@@ -6675,6 +6675,64 @@ def scd2_point_in_time_join(spark, sf_dir):
 
 
 @register(
+    "pit_left_unmatched_facts",
+    sql="""
+    WITH hist AS (
+      SELECT c_custkey, c_name,
+             TIMESTAMP '2024-01-01 00:00:00' AS vf,
+             CAST(NULL AS TIMESTAMP) AS vt
+      FROM customer WHERE c_custkey % 2 = 0 AND c_custkey <= 300
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey AS c_custkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN TIMESTAMP '2023-06-01 00:00:00'
+                  ELSE TIMESTAMP '2024-08-01 00:00:00' END AS fact_ts
+      FROM orders WHERE o_custkey <= 300
+    )
+    SELECT f.o_orderkey, f.c_custkey, f.fact_ts, h.c_name
+    FROM facts f LEFT JOIN hist h ON f.c_custkey = h.c_custkey
+     AND h.vf <= f.fact_ts AND (h.vt IS NULL OR f.fact_ts < h.vt)
+    """,
+)
+def pit_left_unmatched_facts(spark, sf_dir):
+    """Point-in-time LEFT semantics (operators/joins.py
+    point_in_time_join): facts with NO valid dimension version — an
+    odd customer key absent from the type-2 history, or a timestamp
+    before the key's first valid_from — carry NULL dimension values
+    instead of silently vanishing from the training set. The oracle
+    is the plain interval LEFT JOIN. Same scale shape as the inner
+    form: one equi-join shuffle on the business key, interval
+    containment as a post-join filter."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") <= 300)
+    )
+    dim = cust.select(
+        "c_custkey", "c_name",
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+        .alias("_valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("_valid_to"),
+    )
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.lit("2023-06-01 00:00:00"),
+            ).otherwise(F.lit("2024-08-01 00:00:00"))
+            .cast("timestamp_ntz").alias("fact_ts"),
+        )
+    )
+    return J.point_in_time_join(
+        facts, dim, on=["c_custkey"], fact_time="fact_ts",
+        dim_values=["c_name"],
+    ).select("o_orderkey", "c_custkey", "fact_ts", "c_name")
+
+
+@register(
     "data_profile_orders",
     sql="""
     SELECT 'o_orderkey' AS column_name,

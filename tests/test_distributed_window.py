@@ -125,3 +125,64 @@ def test_perplexity_buckets_labels_and_coverage(spark):
         # every language covers bucket 1..3 when it has >= 3 docs
         if len(rs) >= 3:
             assert {r.ppl_bucket for r in rs} == {1, 2, 3}
+
+
+def test_global_cumsum_null_prefix_matches_global_window(spark):
+    """NULL handling is bit-identical to the global window: a
+    partition-local all-NULL prefix still surfaces the prior
+    partitions' running total, and only a globally-all-NULL prefix
+    stays NULL."""
+    # leading NULLs, then values, with enough rows that range
+    # partitioning splits them across several partitions
+    rows = [(i, None if i < 5 or i % 7 == 3 else i * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    pins = []
+    got_df, total = DW.global_cumsum(df, ["k"], "v", out="cum", pins=pins)
+    got = {r["k"]: r["cum"] for r in DW.finalize(got_df, pins).collect()}
+    want, run, seen = {}, 0, False
+    for i in range(200):
+        v = None if i < 5 or i % 7 == 3 else i * 10
+        if v is not None:
+            run += v
+            seen = True
+        want[i] = run if seen else None
+    assert got == want
+    assert total == run
+
+
+def test_global_cumsum_all_null_column(spark):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)], "k long, v long"
+    )
+    pins = []
+    got_df, _ = DW.global_cumsum(df, ["k"], "v", out="cum", pins=pins)
+    got = [r["cum"] for r in DW.finalize(got_df, pins).collect()]
+    assert got == [None] * 10
+
+
+def test_ntile_from_rank_guards_double_exactness(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="2\\^53"):
+        DW.ntile_from_rank(F.lit(1), total=2**53, buckets=5)
+
+
+def test_range_partitioned_tolerates_auto_shuffle_conf(spark, monkeypatch):
+    """Platforms that auto-manage the shuffle report a non-numeric
+    conf value (open-source Spark refuses to even set one, so the
+    foreign-session behavior is simulated at the conf getter)."""
+    real_get = type(spark.conf).get
+
+    def fake_get(self, key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(self, key, *args, **kwargs)
+
+    monkeypatch.setattr(type(spark.conf), "get", fake_get)
+    pins = []
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    out, total = DW.global_row_number(df, ["k"], pins=pins)
+    monkeypatch.undo()
+    assert total == 10
+    got = {r["k"]: r["rn"] for r in DW.finalize(out, pins).collect()}
+    assert got == {i: i + 1 for i in range(10)}
