@@ -81,6 +81,33 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+def _quantize_col(vec_col: str | Column, quant: int) -> Column:
+    """``floor(v*quant + 0.5)`` int64 quantizer — the ONE expression
+    every integer-exact path (semantic_dedup, k-means, PQ, ADC query
+    tables) must share: cross-path and cross-engine bit-agreement
+    rests on all of them quantizing identically."""
+    return F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+
+
+def _round8_away(x: "np.ndarray") -> "np.ndarray":
+    """Round-half-AWAY-from-zero to 8 decimals — the semantics of both
+    Spark's ``F.round`` and DuckDB's ``ROUND``. ``np.round`` is
+    half-to-even, which disagrees with them exactly at the .5 boundary
+    of the 9th decimal; a numpy kernel that feeds a tie-broken
+    comparison against either engine must round THIS way."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e8 + 0.5) / 1e8
+
+
+def _drop_null_vectors(df: DataFrame, col_name: str) -> DataFrame:
+    """NULL embeddings carry no similarity signal: the SQL paths drop
+    them via NULL-propagating cosine, so the numpy kernels filter them
+    here for the same result instead of crashing np.stack mid-batch."""
+    return df.filter(F.col(col_name).isNotNull())
+
+
 def brute_force_topk_oracle(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,10 +268,10 @@ def lsh_ann_topk(
     Pick ``n_planes`` with :func:`n_planes_for` so bucket count scales
     with the corpus; total buckets = n_tables * 2^n_planes.
     """
-    c = corpus.select(
+    c = _drop_null_vectors(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
     ).withColumn("__cnorm", norm("__cv", dim))
-    q = queries.select(
+    q = _drop_null_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qnorm", norm("__qv", dim))
 
@@ -311,13 +338,17 @@ def ivf_topk(
     the inverted lists would be written bucketed by centroid id so the
     probe join is shuffle-free.
     """
-    import numpy as np
-    import pandas as pd_
-
-    cents = corpus.filter((F.col(id_col) % centroid_mod) == 1).select(
+    spark = corpus.sparkSession
+    cents_plan = _drop_null_vectors(
+        corpus.filter((F.col(id_col) % centroid_mod) == 1), vec_col
+    ).select(
         F.col(id_col).alias("cid"), _as_double(vec_col).alias("__cvec")
     ).withColumn("__cnorm", norm("__cvec", dim))
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    # bounded collect: limit(cap+1) keeps a misconfigured centroid_mod
+    # from OOMing the driver BEFORE the guard below can fire
+    cent_rows = sorted(
+        cents_plan.limit(max_codebook + 1).collect(), key=lambda r: r["cid"]
+    )
     if len(cent_rows) > max_codebook:
         raise ValueError(
             f"IVF codebook has {len(cent_rows)} centroids; cap is "
@@ -326,7 +357,7 @@ def ivf_topk(
     # ship the codebook via sc.broadcast: serialized ONCE per executor,
     # not re-pickled into every task closure (matters at the 2^16-
     # centroid production shape)
-    bc = corpus.sparkSession.sparkContext.broadcast(
+    bc = spark.sparkContext.broadcast(
         (
             np.array([r["cid"] for r in cent_rows], dtype="int64"),
             np.vstack([r["__cvec"] for r in cent_rows]),  # (C, dim)
@@ -339,13 +370,15 @@ def ivf_topk(
         for pdf in batches:
             V = np.vstack(pdf["__cv"].to_numpy())  # (B, dim)
             vnorms = pdf["__vnorm"].to_numpy()
-            scores = np.round(
-                (V @ cmat.T) / np.outer(vnorms, cnorms), 8
-            )  # (B, C), rounded BEFORE argmax like the SQL oracle
+            scores = _round8_away(
+                (V @ cmat.T) / np.outer(vnorms, cnorms)
+            )  # (B, C), rounded half-away BEFORE argmax — np.round is
+            #    half-to-even and would disagree with the SQL oracle's
+            #    ROUND exactly at the 9th-decimal .5 boundary
             # argmax with lowest-cid tie-break (cid_arr ascending, and
             # np.argmax returns the first max)
             best = np.argmax(scores, axis=1)
-            yield pd_.DataFrame(
+            yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"],
                     "__cv": pdf["__cv"],
@@ -354,18 +387,25 @@ def ivf_topk(
                 }
             )
 
-    c = corpus.select(
+    c = _drop_null_vectors(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
     ).withColumn("__vnorm", norm("__cv", dim))
     assigned = c.mapInPandas(
         assign,
         schema="neighbor_id long, __cv array<double>, __vnorm double, cid long",
     )
-    q = queries.select(
+    q = _drop_null_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qnorm", norm("__qv", dim))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__qcos").desc(), F.col("cid").asc()
+    )
+    # rebuild the (tiny) codebook frame from the rows already
+    # collected — reusing the lazy cents_plan here would re-run the
+    # full corpus scan + norm a second time for the probe cross join
+    cents = spark.createDataFrame(
+        [(r["cid"], r["__cvec"], r["__cnorm"]) for r in cent_rows],
+        schema="cid long, __cvec array<double>, __cnorm double",
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
@@ -415,31 +455,30 @@ def embedding_near_dup_pairs(
     verification (id1 < id2, cosine >= threshold)."""
     buckets = table_buckets_udf(dim, n_tables=1, n_planes=n_planes)
     v = (
-        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
+        _drop_null_vectors(df, vec_col)
+        .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__v"))
         .withColumn("bucket", F.element_at(buckets("__v"), 1))
         .withColumn("__n", norm("__v", dim))
         .select("id", "__v", "bucket", "__n")
     )
     a, b = v.alias("a"), v.alias("b")
+    # threshold on the RAW cosine (the documented contract, and what
+    # the DuckDB twin filters on); rounding is output-rendering only —
+    # filtering on the rounded value would admit pairs in
+    # [threshold - 5e-9, threshold) that the oracle rejects
+    raw = dot("a.__v", "b.__v", dim) / (F.col("a.__n") * F.col("b.__n"))
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                dot("a.__v", "b.__v", dim)
-                / (F.col("a.__n") * F.col("b.__n")),
-                8,
-            ),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+        .withColumn("__raw", raw)
+        .filter(F.col("__raw") >= threshold)
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            "cosine_sim",
+            F.round(F.col("__raw"), 8).alias("cosine_sim"),
         )
     )
 
@@ -514,10 +553,7 @@ def semantic_dedup(
     ivf_topk mapInPandas matmul assignment — the cluster/represent/
     flag pipeline downstream is unchanged.
     """
-    qcol = F.transform(
-        _as_double(vec_col),
-        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
-    )
+    qcol = _quantize_col(vec_col, quant)
 
     def sqnorm(c):
         return F.aggregate(
@@ -575,6 +611,14 @@ def semantic_dedup(
         F.zip_with(F.col("q"), F.col("rq"), lambda x, y: x * y),
         F.lit(0).cast("long"), lambda a, x: a + x,
     )
+    # the squared-cosine cross-multiplication runs in DECIMAL(38,0):
+    # in int64 it overflows once 10000*rdot^2 ~ 2^63 — an L2 norm of
+    # only ~5.7 at quant=1024 (any unnormalized corpus), where ANSI
+    # mode would abort the job and legacy mode would silently flip
+    # verdicts. Decimal38 matches the DuckDB oracle's HUGEINT
+    # exactness envelope (|v| up to ~3000 at quant=1024); both sides
+    # are integers, so the verdict still cannot straddle an ulp.
+    d38 = "decimal(38,0)"
     return joined.select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
@@ -582,8 +626,9 @@ def semantic_dedup(
             (F.col("vec_id") != F.col("rep_id"))
             & (rdot > 0)
             & (
-                F.lit(10000) * rdot * rdot
-                >= F.lit(tau_sq_bp) * F.col("nv") * F.col("nr")
+                F.lit(10000).cast(d38) * rdot.cast(d38) * rdot.cast(d38)
+                >= F.lit(tau_sq_bp).cast(d38)
+                * F.col("nv").cast(d38) * F.col("nr").cast(d38)
             )
         ).alias("is_dup"),
     )
@@ -727,10 +772,7 @@ def kmeans_quantized(
     train on a sample and assign the full corpus once, exactly like
     production IVF training.
     """
-    qcol = F.transform(
-        _as_double(vec_col),
-        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
-    )
+    qcol = _quantize_col(vec_col, quant)
     spark = embeddings.sparkSession
     # persisted for the training collects AND the returned plan —
     # unpersisting before return would force the final assignment to
@@ -790,10 +832,7 @@ def pq_train_encode(
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     spark = embeddings.sparkSession
-    qcol = F.transform(
-        _as_double(vec_col),
-        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
-    )
+    qcol = _quantize_col(vec_col, quant)
     # persisted for the m training loops AND the returned plan's m
     # assignment branches (unpersisting before return would re-scan
     # and re-quantize the corpus once per subspace at action time);
@@ -898,10 +937,7 @@ def _pq_query_rows(embeddings, query_ids, quant, id_col, vec_col):
         embeddings.filter(F.col(id_col).isin(list(query_ids)))
         .select(
             F.col(id_col).alias("query_id"),
-            F.transform(
-                _as_double(vec_col),
-                lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
-            ).alias("q"),
+            _quantize_col(vec_col, quant).alias("q"),
         )
         .collect()
     )
@@ -1054,13 +1090,15 @@ def ivfpq_topk(
     spark = embeddings.sparkSession
     id_type = embeddings.schema[id_col].dataType
 
-    qcol = F.transform(
-        _as_double(vec_col),
-        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    qcol = _quantize_col(vec_col, quant)
+    qn = _drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"), qcol.alias("q")
     )
-    qn = embeddings.select(F.col(id_col).alias("vec_id"), qcol.alias("q"))
+    # bounded collect: the cap guard must fire BEFORE an unbounded
+    # codebook can OOM the driver
     cent_rows = sorted(
-        qn.filter((F.col("vec_id") % centroid_mod) == 1).collect(),
+        qn.filter((F.col("vec_id") % centroid_mod) == 1)
+        .limit(max_codebook + 1).collect(),
         key=lambda r: r["vec_id"],
     )
     if len(cent_rows) > max_codebook:
@@ -1156,8 +1194,23 @@ def exact_topk_scalable(
     partition pruning is lossless: a global top-k row is top-k within
     its own partition under the same total order.
     """
+    # id-type contract: this kernel packs ids into int64 numpy arrays
+    # for the running top-k (the speed path). Non-integral keys raise
+    # HERE with a pointer to the path that preserves them, instead of
+    # a deep numpy ValueError mid-job.
+    for side, frame in (("queries", queries), ("corpus", corpus)):
+        if frame.schema[id_col].dataType.simpleString() not in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            raise TypeError(
+                f"exact_topk_scalable requires integral {id_col!r} ids "
+                f"({side} side is "
+                f"{frame.schema[id_col].dataType.simpleString()}) — map "
+                "string keys to a surrogate int first, or use "
+                "pq_adc_topk, which preserves arbitrary id types"
+            )
     q_rows = (
-        queries.select(
+        _drop_null_vectors(queries, vec_col).select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
         )
         .collect()
@@ -1215,7 +1268,7 @@ def exact_topk_scalable(
             }
         )
 
-    c = corpus.select(
+    c = _drop_null_vectors(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
     )
     cand = c.mapInPandas(
