@@ -51,6 +51,19 @@ class create:
         """
         escape_table(table_name)  # validates identifier lengths
         not_nullable = list(not_nullable or [])
+        if not columns and not sql_primary_key:
+            raise ValueError(
+                "a table needs at least one column (SQL Server cannot "
+                "create a column-less table either)"
+            )
+        unknown_nn = [c for c in not_nullable if c not in columns]
+        if unknown_nn:
+            # a typo here would otherwise be recorded silently and make
+            # the table permanently unwritable (every insert rejected
+            # for a column that can never be supplied)
+            raise SQLColumnDoesNotExist(
+                f"not_nullable column(s) {unknown_nn} not in columns"
+            )
         if sql_primary_key and primary_key_column is not None:
             raise ValueError(
                 "either sql_primary_key or primary_key_column, not both "
@@ -136,6 +149,22 @@ class create:
         for c in column_names or ():
             if c not in meta.spark_schema.fieldNames():
                 raise SQLColumnDoesNotExist(c)
+        # the stored spec is exactly read.table's parameter set, so the
+        # REST of its validations fail fast here too — not on first read
+        if (order_column is None) != (order_direction is None):
+            raise ValueError(
+                "order_column and order_direction must be supplied together"
+            )
+        if order_direction is not None and str(
+            order_direction
+        ).upper() not in ("ASC", "DESC"):
+            raise ValueError("order_direction must be ASC or DESC")
+        if order_column is not None and (
+            order_column not in meta.spark_schema.fieldNames()
+        ):
+            raise SQLColumnDoesNotExist(order_column)
+        if limit is not None and not isinstance(limit, int):
+            raise ValueError("limit must be an integer")
         self._store.create_view(
             view_name,
             {

@@ -125,6 +125,19 @@ def insert(
         raise DataframeColumnInvalidValue(
             f"NOT NULL column(s) {absent} missing from the insert dataframe"
         )
+    if meta.identity_column and meta.identity_column in dataframe.columns:
+        # SQL Server error 544: explicit identity values need
+        # IDENTITY_INSERT ON, which this engine does not model —
+        # accepting them silently would also desync identity_next and
+        # let a later auto-assigned batch mint duplicate primary keys
+        # (the auto path skips the PK collision checks precisely
+        # because engine-assigned ids are unique by construction).
+        raise DataframeColumnInvalidValue(
+            f"Cannot insert explicit value for identity column "
+            f"{meta.identity_column!r} in table {table_name!r} — drop "
+            "the column and let the engine assign it (re-seed via "
+            "modify.identity_reseed for migration loads)"
+        )
     dataframe = dto.derive(dataframe, meta)
     # PRIMARY KEY enforcement (SQL Server raises "Violation of PRIMARY
     # KEY constraint" on every INSERT; the reference surfaces that
@@ -161,10 +174,16 @@ def insert(
         df = df.withColumn("_time_insert", F.current_timestamp().cast("timestamp_ntz"))
 
     identity = meta.identity_column
+    identity_meta = None
     if identity and identity not in df.columns:
         dtype = meta.spark_schema[identity].dataType
         df, next_id = assign_identity(df, identity, meta.identity_next, dtype)
-        store.update_meta(table_name, identity_next=next_id)
+        if next_id != meta.identity_next:
+            # published with the commit (extra_meta), not before it: a
+            # pre-commit update_meta is last-writer-wins, so an OCC
+            # loser could roll the winner's advanced counter back and
+            # later inserts would mint duplicate identity PKs
+            identity_meta = {"identity_next": next_id}
 
     # fill columns absent from the input with NULLs
     for f in meta.spark_schema.fields:
@@ -242,5 +261,6 @@ def insert(
     store.append(
         table_name, out, extra_properties=extra_properties,
         preconditions=fk_deps, expected_version=meta.version,
+        extra_meta=identity_meta,
     )
     return df

@@ -345,6 +345,7 @@ def merge_op(
     # not supplied by the dataframe
     identity = meta.identity_column
     pre_assigned_identity = False
+    identity_meta = None
     if identity and identity not in src.columns:
         # keys absent from the pruned target are absent from the whole
         # table (pruned-away files are provably match-free), so the
@@ -360,7 +361,11 @@ def merge_op(
             new_rows, identity, meta.identity_next, dtype
         )
         if next_id != meta.identity_next:
-            store.update_meta(table_name, identity_next=next_id)
+            # counter publication rides the data commit (extra_meta
+            # below) — a pre-commit update_meta is last-writer-wins
+            # under concurrency and an OCC loser could roll back the
+            # winner's advanced counter
+            identity_meta = {"identity_next": next_id}
             # source rows whose match keys already exist in the target =
             # src MINUS the new rows (anti-join; a semi-join here would
             # re-select the new rows, dropping matched updates and
@@ -533,11 +538,13 @@ def merge_op(
             table_name, result, keep_entries, op="merge",
             preconditions=fk_deps, expected_version=meta.version,
             new_schema=evolved_schema, new_column_types=evolved_types,
+            extra_meta=identity_meta,
         )
     else:
         store.overwrite(
             table_name, result, op="merge", preconditions=fk_deps,
             expected_version=meta.version,
             new_schema=evolved_schema, new_column_types=evolved_types,
+            extra_meta=identity_meta,
         )
     return src

@@ -160,7 +160,15 @@ def update_op(
     src, bounds = precheck_dataframe(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},
-        not_nullable=[c for c in meta.not_nullable if c not in match],
+        # PK columns join the NOT NULL set like insert does: an update
+        # matching on non-PK columns can rewrite a PK column, and SQL
+        # Server raises "Cannot insert the value NULL" there too
+        not_nullable=[
+            c for c in dict.fromkeys(
+                (*meta.not_nullable, *meta.primary_key)
+            )
+            if c not in match and c in dataframe.columns
+        ],
         unique_key=match,
         bounds_col=match,
     )
@@ -182,6 +190,13 @@ def update_op(
         touched, kept = store.split_by_key_range(
             table_name, match[0], single_bounds[0], single_bounds[1]
         )
+        if not touched:
+            # every file's key range misses the source: no target row
+            # can match, so UPDATE changes nothing — commit nothing
+            # (the same no-match contract the content-discovery path
+            # below honors; committing here published phantom
+            # versions for no-op updates)
+            return src
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
@@ -251,16 +266,23 @@ def update_op(
         from ...validation import enforce_unique_constraints
 
         # when pruned, `result` is only the rewritten files — the
-        # carried-over files' keys are the cross-check side
-        enforce_unique_constraints(
-            result, uniques,
-            existing=(
-                store.read_files(
-                    table_name, [e["path"] for e in keep_entries]
-                )
-                if keep_entries else None
-            ),
+        # carried-over files' keys are the cross-check side, and the
+        # probe stats-prunes to just the kept files whose recorded key
+        # ranges intersect the batch (insert's existing_for shape:
+        # scanning ALL kept files made the probe cost proportional to
+        # table size instead of to the overlap)
+        keep_paths = (
+            {e["path"] for e in keep_entries} if keep_entries else set()
         )
+
+        def _existing_for(cols, b):
+            if not keep_paths:
+                return None
+            touched_p, _ = store.split_by_key_ranges(table_name, b)
+            sel = [pth for pth in touched_p if pth in keep_paths]
+            return store.read_files(table_name, sel) if sel else None
+
+        enforce_unique_constraints(result, uniques, existing_for=_existing_for)
     if keep_entries is not None:
         store.replace_files(
             table_name, result, keep_entries, op="update",

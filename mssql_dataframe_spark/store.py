@@ -918,6 +918,7 @@ class TableStore:
         extra_properties: Optional[dict] = None,
         preconditions: Optional[list[tuple]] = None,
         expected_version: Optional[int] = None,
+        extra_meta: Optional[dict] = None,
     ) -> None:
         """Commit the next snapshot as the current manifest's entries
         (carried by reference — manifest-only cost) plus the new files
@@ -975,6 +976,18 @@ class TableStore:
         meta.version = next_v
         if extra_properties:
             meta.properties = {**meta.properties, **extra_properties}
+        if extra_meta:
+            # top-level TableMeta bookkeeping (e.g. identity_next)
+            # published in the SAME meta write as the version advance:
+            # a pre-commit update_meta would be last-writer-wins under
+            # concurrency — an OCC loser could clobber the winner's
+            # advanced counter after the winner committed
+            for k, v in extra_meta.items():
+                if not hasattr(meta, k):
+                    raise AttributeError(
+                        f"extra_meta key {k!r} is not a TableMeta field"
+                    )
+                setattr(meta, k, v)
         self._write_meta(name, meta)
         self._vacuum(name, keep_before=next_v - self._retention(meta))
 
@@ -1171,6 +1184,7 @@ class TableStore:
         new_schema: Optional[T.StructType] = None,
         new_column_types: Optional[dict[str, str]] = None,
         extra_properties: Optional[dict] = None,
+        extra_meta: Optional[dict] = None,
     ) -> None:
         """Commit the next snapshot as ``keep_entries`` (untouched files
         carried over BY REFERENCE — no rewrite, no copy) plus the
@@ -1198,7 +1212,8 @@ class TableStore:
                      expected_version=expected_version,
                      new_schema=new_schema,
                      new_column_types=new_column_types,
-                     extra_properties=extra_properties)
+                     extra_properties=extra_properties,
+                     extra_meta=extra_meta)
 
     def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
                 new_schema: Optional[T.StructType] = None,
