@@ -31,8 +31,15 @@ from pyspark.sql import functions as F
 
 OFFSET_SUFFIX = "__tz"
 
-#: trailing offset of a datetimeoffset literal: +HH:MM / -HHMM / Z
-_OFFSET_RE = r"(Z|[+-]\d{2}:?\d{2})\s*$"
+#: trailing offset of a datetimeoffset literal. Groups: 1=Z, 2=sign,
+#: 3=hours, 4=minutes. Accepts every zone form Spark's string->
+#: timestamp cast honors — ±H, ±HH, ±H:MM, ±HH:MM, ±HHMM, ±HH:MM:SS
+#: (offset seconds are parsed past but not stored: SQL Server's
+#: datetimeoffset has minute granularity). Matching a SUBSET of what
+#: the cast accepts would desync instant and recorded offset: the
+#: cast would shift the instant while the companion recorded +00:00,
+#: silently changing the rendered wall time for forms like '+5:30'.
+_OFFSET_RE = r"(?:(Z)|([+-])(\d{1,2})(?::?(\d{2}))?(?::\d{2})?)\s*$"
 
 
 def companions(meta) -> dict[str, str]:
@@ -51,11 +58,11 @@ def offset_minutes(c: F.Column) -> F.Column:
     """Offset minutes from a datetimeoffset string's trailing ``±HH:MM``
     (``Z`` and missing offset both mean UTC — the reference assumes UTC
     for naive values, conversion.py:536-538)."""
-    tz = F.regexp_extract(c, _OFFSET_RE, 1)
-    digits = F.translate(tz, ":", "")  # +HHMM / -HHMM / Z / ''
-    sign = F.when(F.substring(digits, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
-    hh = F.substring(digits, 2, 2).try_cast("int")
-    mm = F.substring(digits, 4, 2).try_cast("int")
+    sign = F.when(
+        F.regexp_extract(c, _OFFSET_RE, 2) == "-", F.lit(-1)
+    ).otherwise(F.lit(1))
+    hh = F.regexp_extract(c, _OFFSET_RE, 3).try_cast("int")
+    mm = F.regexp_extract(c, _OFFSET_RE, 4).try_cast("int")
     mins = sign * (F.coalesce(hh, F.lit(0)) * 60 + F.coalesce(mm, F.lit(0)))
     return F.when(c.isNull(), F.lit(None)).otherwise(mins).cast("smallint")
 

@@ -740,6 +740,15 @@ class modify:
                         f"ON DELETE SET NULL requires nullable FK "
                         f"column(s); {blocked} are NOT NULL"
                     )
+            if ref_table == table_name and on_delete != "no_action":
+                # SQL Server error 1785: CASCADE/SET NULL on a
+                # self-referencing FK "may cause cycles or multiple
+                # cascade paths" and is rejected at DDL time
+                raise ValueError(
+                    f"ON DELETE {on_delete.upper()} is not allowed on "
+                    "a self-referencing foreign key (SQL Server error "
+                    "1785); use no_action"
+                )
             ref_meta = self._store.meta(ref_table)  # raises if absent
             for rc in rcols:
                 if rc not in ref_meta.spark_schema.fieldNames():

@@ -329,6 +329,12 @@ def delete_op(
         raise ValueError(
             f"delete takes match-key columns only; unexpected {extra}"
         )
+    entries = store.manifest(table_name, meta.version)
+    if not entries:
+        # empty table: nothing can match — no rewrite, no commit (the
+        # same no-match contract delete_where honors; committing here
+        # published phantom 'delete' versions)
+        return 0
     pk_match = match == list(meta.primary_key)
     can_prune = pk_match and len(match) == 1
     keys, bounds = precheck_dataframe(
@@ -355,7 +361,6 @@ def delete_op(
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
-    entries = store.manifest(table_name, meta.version)
     if keep_entries is None and not stats_decided and entries:
         # content pruning fallback (the delete_where shape) for
         # composite-PK / non-PK match keys — e.g. an ON DELETE
@@ -391,9 +396,76 @@ def delete_op(
         _chain=_chain,
     )
     survivors = target.join(keys, on=match, how="left_anti")
-    total_before = sum(
-        e.get("rows") or 0 for e in store.manifest(table_name, meta.version)
-    )
+    # self-referencing FKs: fk_references skips the table itself (a
+    # row being deleted may legitimately reference another deleted
+    # row), so the check runs HERE against what REMAINS — pruned
+    # survivors plus the carried files, stats-narrowed to the files
+    # whose FK-column ranges intersect the deleted keys. Only
+    # no_action self-FKs exist (cascade/set_null are rejected at
+    # declaration, SQL Server error 1785).
+    self_fks = {
+        nm: fk
+        for nm, fk in (meta.properties.get("foreign_keys") or {}).items()
+        if fk["ref_table"] == table_name
+    }
+    if self_fks:
+        from ...errors import SQLForeignKeyViolation
+
+        deleted = target.join(keys, on=match, how="left_semi")
+        keep_paths = {
+            e["path"] for e in (keep_entries or [])
+        }
+        for nm, fk in self_fks.items():
+            parent_keys = (
+                deleted.select(
+                    *[
+                        F.col(rc).alias(c)
+                        for c, rc in zip(fk["columns"], fk["ref_columns"])
+                    ]
+                )
+                .na.drop(how="any")
+                .distinct()
+            )
+            brow = parent_keys.agg(
+                *[
+                    f
+                    for i, c in enumerate(fk["columns"])
+                    for f in (
+                        F.min(c).alias(f"__lo_{i}"),
+                        F.max(c).alias(f"__hi_{i}"),
+                    )
+                ]
+            ).collect()[0]
+            kb = {
+                c: (brow[f"__lo_{i}"], brow[f"__hi_{i}"])
+                for i, c in enumerate(fk["columns"])
+                if brow[f"__lo_{i}"] is not None
+            }
+            if not kb:
+                continue  # no non-NULL deleted keys: nothing references
+            probe = survivors.select(*fk["columns"])
+            if keep_paths:
+                touched_c, _ = store.split_by_key_ranges(table_name, kb)
+                sel = [pth for pth in touched_c if pth in keep_paths]
+                if sel:
+                    probe = probe.unionByName(
+                        store.read_files(table_name, sel)
+                        .select(*fk["columns"])
+                    )
+            hit = (
+                probe.na.drop(how="any")
+                .join(parent_keys, fk["columns"], "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise SQLForeignKeyViolation(
+                    f"DELETE from {table_name!r} violates "
+                    f"self-referencing FOREIGN KEY {nm!r}: surviving "
+                    f"rows still reference deleted key(s) via "
+                    f"{fk['columns']}"
+                )
+    total_before = sum(e.get("rows") or 0 for e in entries)
     # CHECK constraints cannot be newly violated by row removal; no
     # enforcement pass is needed on a pure delete.
     if keep_entries is not None:

@@ -25,7 +25,13 @@ from .insert import insert
 
 def _list_data_files(path: str, suffix: str) -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # prune hidden/temp DIRECTORIES too (_temporary, .spark-staging
+        # etc.): a writer's in-flight part files would otherwise be
+        # ingested under their staging relpath and then AGAIN under
+        # their committed relpath — duplicated rows plus a ledger entry
+        # for a path that stops existing
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(suffix) and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))

@@ -27,8 +27,9 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ...errors import SQLColumnDoesNotExist
+from ...errors import DataframeColumnDoesNotExist, SQLColumnDoesNotExist
 from ...store import TableStore
+from .. import datetimeoffset as dto
 from .. import generated
 from ...validation import (
     enforce_check_constraints,
@@ -70,6 +71,19 @@ def merge_scd2(
                 f"SCD2 bookkeeping column {c!r} must not appear in the "
                 "source dataframe — it is table-managed"
             )
+    unknown = [c for c in dataframe.columns if c not in meta.column_types]
+    if unknown:
+        # the engine's error class, not a raw KeyError from the
+        # column_types lookup below (merge_op guards the same way)
+        raise DataframeColumnDoesNotExist(
+            f"source column(s) {unknown} are not columns of "
+            f"{table_name!r}"
+        )
+    # datetimeoffset companions derive BEFORE match/tracked resolution
+    # so the original ±HH:MM offsets travel with the new current rows
+    # (insert/update/merge all derive; without this the companions
+    # were written NULL and render() silently rebased to +00:00)
+    dataframe = dto.derive(dataframe, meta)
     match = resolve_match_columns(meta, dataframe, match_columns)
     tracked = [c for c in dataframe.columns if c not in match]
     if not tracked:
@@ -236,11 +250,22 @@ def merge_scd2(
         or bool(set(pk) & set(tracked))
         or valid_from_col in pk
     )
+    # recorded UNIQUE constraints are enforced like every other write
+    # verb (they exist so FK references against non-PK parent columns
+    # stay unambiguous): an SCD2 rewrite that would leave a closed row
+    # and a new current row sharing a constrained value — or take a
+    # value another key holds — raises, exactly as the physical
+    # constraint would in SQL Server. History tables that WANT
+    # duplicate-across-versions attributes simply don't declare the
+    # constraint.
+    uniques = dict(meta.properties.get("unique_constraints") or {})
     if pk_at_risk:
+        uniques["PRIMARY KEY"] = pk
+    if uniques:
         from ...validation import enforce_unique_constraints
 
         enforce_unique_constraints(
-            out, {"PRIMARY KEY": pk},
+            out, uniques,
             existing=(
                 store.read_files(
                     table_name, [e["path"] for e in keep_entries]
