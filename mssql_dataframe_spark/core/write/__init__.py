@@ -71,6 +71,7 @@ class write:
         auto_evolve=False,
         not_matched_by_source_set=None,
         include_metadata_timestamps=None,
+        extra_properties=None,
     ):
         return merge_op(
             self._store,
@@ -82,6 +83,7 @@ class write:
             self._imt(include_metadata_timestamps),
             auto_evolve,
             not_matched_by_source_set,
+            extra_properties,
         )
 
     def merge_scd2(

@@ -54,6 +54,7 @@ def merge_op(
     include_metadata_timestamps: bool = False,
     auto_evolve: bool = False,
     not_matched_by_source_set: Optional[dict] = None,
+    extra_properties: Optional[dict] = None,
 ) -> DataFrame:
     if isinstance(delete_requires, str):
         # mirror match_columns' bare-string convention — list('part')
@@ -533,18 +534,21 @@ def merge_op(
     # instead of leaving phantom catalog schema behind the winner
     evolved_schema = meta.spark_schema if evolved_meta_changes else None
     evolved_types = meta.column_types if evolved_meta_changes else None
+    # caller bookkeeping (e.g. a foreachBatch sink's applied-batch-id
+    # ledger) publishes atomically with the merge commit — the
+    # exactly-once pattern append documents
     if keep_entries is not None:
         store.replace_files(
             table_name, result, keep_entries, op="merge",
             preconditions=fk_deps, expected_version=meta.version,
             new_schema=evolved_schema, new_column_types=evolved_types,
-            extra_meta=identity_meta,
+            extra_meta=identity_meta, extra_properties=extra_properties,
         )
     else:
         store.overwrite(
             table_name, result, op="merge", preconditions=fk_deps,
             expected_version=meta.version,
             new_schema=evolved_schema, new_column_types=evolved_types,
-            extra_meta=identity_meta,
+            extra_meta=identity_meta, extra_properties=extra_properties,
         )
     return src

@@ -67,19 +67,32 @@ def _run_to_memory(
     (``stateOperators[].numRowsTotal`` / ``numRowsRemoved``) are how
     tests assert that watermark eviction keeps state bounded.
     """
+    spark = result.sparkSession
     checkpoint = os.path.join(_SCRATCH, f"ckpt_{name}_{uuid.uuid4().hex}")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if progress_out is not None:
-        progress_out.extend(q.recentProgress)
-    return result.sparkSession.sql(f"SELECT * FROM {name}")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+        # pin the drained rows independently of the memory sink, then
+        # release BOTH leak surfaces: the checkpoint dir (hundreds
+        # were accumulating under scratch across bench/test runs) and
+        # the sink's temp view, which otherwise keeps every drained
+        # result set alive in the driver for the session lifetime
+        out = spark.sql(f"SELECT * FROM {name}").localCheckpoint(
+            eager=True
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def tumbling_window_counts(
@@ -163,13 +176,15 @@ def append_mode_out_of_order_replay(
     early_half = batch.filter(F.col("ts") < F.lit(mid))
     import time as _time
 
-    # b=0 stamped older -> processed as micro-batch 0
+    # b=0 stamped older -> processed as micro-batch 0; the writes sit
+    # INSIDE the cleanup guard — a failure mid-staging must not
+    # orphan the half-written scratch dir
     base_t = _time.time()
-    late_half.coalesce(1).write.parquet(os.path.join(stage, "b=0"))
-    _stamp_batch_dir(os.path.join(stage, "b=0"), base_t)
-    early_half.coalesce(1).write.parquet(os.path.join(stage, "b=1"))
-    _stamp_batch_dir(os.path.join(stage, "b=1"), base_t + 2)
     try:
+        late_half.coalesce(1).write.parquet(os.path.join(stage, "b=0"))
+        _stamp_batch_dir(os.path.join(stage, "b=0"), base_t)
+        early_half.coalesce(1).write.parquet(os.path.join(stage, "b=1"))
+        _stamp_batch_dir(os.path.join(stage, "b=1"), base_t + 2)
         stream = (
             spark.readStream.schema(batch.schema)
             .option("maxFilesPerTrigger", 1)
@@ -207,11 +222,19 @@ def stateful_user_stats(
     ev = source_factory() if source_factory else _stream_events(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
-        n, vmax = state.get if state.exists else (0, float("-inf"))
+        n, vmax = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
+            # Series.max() skips NULLs and is NaN only when every
+            # value is NULL — treat that as "no value seen", so a
+            # user with only NULL values emits NULL max_value like
+            # the SQL MAX the oracle computes (never -inf)
             if len(pdf):
-                vmax = max(vmax, float(pdf["value"].max()))
+                m = pdf["value"].max()
+                if not pd_.isna(m):
+                    vmax = float(m) if vmax is None else max(
+                        vmax, float(m)
+                    )
         state.update((n, vmax))
         yield pd_.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
@@ -290,14 +313,19 @@ def foreach_batch_upsert(
     # but the shared loader tolerates either file vintage
     batch = load_events(spark, sf_dir)
     src_dir = os.path.join(_SCRATCH, f"fbu_src_{uuid.uuid4().hex}")
-    batch.select("user_id", "value").repartition(n_splits).write.parquet(src_dir)
-    stream = (
-        spark.readStream.schema("user_id bigint, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
 
-    def _sink(mb: DataFrame, _batch_id: int) -> None:
+    def _sink(mb: DataFrame, batch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a batch replayed after a
+        # failure between the merge commit and the checkpoint offset
+        # commit would double-accumulate this read-modify-write sink.
+        # The applied-batch-id ledger rides the merge commit itself
+        # (extra_properties), so the guard and the data can never
+        # disagree — the standard idempotent-foreachBatch pattern.
+        last = engine.store.meta(table).properties.get(
+            "last_stream_batch_id"
+        )
+        if last is not None and batch_id <= last:
+            return
         agg = mb.groupBy("user_id").agg(
             F.count("*").alias("__n"),
             F.sum(F.col("value").cast("decimal(18,4)")).alias("__s"),
@@ -315,10 +343,23 @@ def foreach_batch_upsert(
             .cast("decimal(18,4)")
             .alias("sum_value"),
         )
-        engine.write.merge(table, combined, upsert=True)
+        engine.write.merge(
+            table, combined, upsert=True,
+            extra_properties={"last_stream_batch_id": batch_id},
+        )
 
     checkpoint = os.path.join(_SCRATCH, f"ckpt_fbu_{uuid.uuid4().hex}")
     try:
+        # the staging write sits inside the cleanup guard too — a
+        # failure mid-write must not orphan the scratch copy
+        batch.select("user_id", "value").repartition(
+            n_splits
+        ).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
         q = (
             stream.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", checkpoint)
@@ -502,6 +543,45 @@ def add_sentinel_batch(spark: SparkSession, sf_dir: str, stage: str,
         _stamp_batch_dir(d, _time.time() + 10_000 + 2 * i)
 
 
+def _interval_view_click_join(factory, horizon: str, how: str) -> DataFrame:
+    """Shared views x clicks interval-join construction for the inner
+    and leftOuter stream-stream entries: ONE copy of the watermark /
+    time-bounds / projection contract, so a horizon or condition fix
+    cannot silently diverge between the two gate entries."""
+    views = (
+        factory()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        factory()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return views.join(
+        clicks,
+        F.expr(
+            f"""v_user = c_user
+            AND click_ts >= view_ts
+            AND click_ts <= view_ts + INTERVAL {horizon}"""
+        ),
+        how,
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id", "click_id", "view_ts", "click_ts",
+    )
+
+
 def stream_stream_interval_join(
     spark: SparkSession,
     sf_dir: str,
@@ -529,41 +609,7 @@ def stream_stream_interval_join(
     if source_factory is None:
         source_factory = lambda: _stream_events(spark, sf_dir)  # noqa: E731
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    views = (
-        source_factory()
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "1 hour")
-    )
-    clicks = (
-        source_factory()
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    joined = views.join(
-        clicks,
-        F.expr(
-            f"""v_user = c_user
-            AND click_ts >= view_ts
-            AND click_ts <= view_ts + INTERVAL {horizon}"""
-        ),
-        "inner",
-    ).select(
-        F.col("v_user").alias("user_id"),
-        "view_id",
-        "click_id",
-        "view_ts",
-        "click_ts",
-    )
+    joined = _interval_view_click_join(source_factory, horizon, "inner")
     return _run_to_memory(joined, name, mode="append", progress_out=progress_out)
 
 
@@ -588,38 +634,7 @@ def stream_stream_left_join(
     factory, stage = staged_event_source_factory(spark, sf_dir)
     add_sentinel_batch(spark, sf_dir, stage)
     name = f"sslj_{uuid.uuid4().hex[:8]}"
-    views = (
-        factory()
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "1 hour")
-    )
-    clicks = (
-        factory()
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    joined = views.join(
-        clicks,
-        F.expr(
-            f"""v_user = c_user
-            AND click_ts >= view_ts
-            AND click_ts <= view_ts + INTERVAL {horizon}"""
-        ),
-        "leftOuter",
-    ).select(
-        F.col("v_user").alias("user_id"),
-        "view_id", "click_id", "view_ts", "click_ts",
-    )
+    joined = _interval_view_click_join(factory, horizon, "leftOuter")
     try:
         drained = _run_to_memory(
             joined, name, mode="append", progress_out=progress_out
@@ -754,6 +769,12 @@ def stateful_ewma(
         if frames:
             pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
             for v in pdf["value"]:
+                if pd_.isna(v):
+                    # NULL values contribute nothing, matching SQL
+                    # aggregate NULL-skipping; int(floor(nan)) would
+                    # abort the whole drain on any NULL-carrying
+                    # events vintage
+                    continue
                 q = int(math.floor(v * 100 + 0.5))
                 e = q if n == 0 else (13 * q + 87 * e) // 100
                 n += 1
