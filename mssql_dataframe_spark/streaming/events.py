@@ -14,6 +14,7 @@ memory sink and are returned as a DataFrame for the oracle compare.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import uuid
@@ -418,7 +419,20 @@ def windowed_eviction_drain(
     """
     factory, stage = staged_event_source_factory(spark, sf_dir)
     add_sentinel_batch(spark, sf_dir, stage)
-    cutoff = load_events(spark, sf_dir).agg(F.max("ts").alias("t")).first()["t"]
+    # tz-AWARE cutoff, same reasoning as the factory's cut points: the
+    # collected max(ts) is a naive datetime, and F.lit of a naive
+    # value re-converts through the OS-local timezone — in a DST fold
+    # hour on a non-UTC driver that shifts the load-bearing cutoff by
+    # an hour and drops the final hour's real windows. Collecting the
+    # epoch seconds and rebuilding an aware UTC datetime is exact.
+    cutoff_s = (
+        load_events(spark, sf_dir)
+        .agg(F.max(F.col("ts").cast("long")).alias("t"))
+        .first()["t"]
+    )
+    cutoff = datetime.datetime.fromtimestamp(
+        int(cutoff_s), tz=datetime.timezone.utc
+    )
     try:
         if which == "tumbling":
             out = tumbling_window_counts(
@@ -456,7 +470,6 @@ def staged_event_source_factory(spark: SparkSession, sf_dir: str,
     watermark). Returns ``(factory, stage_dir)``; callers own cleanup
     of ``stage_dir``.
     """
-    import datetime
     import time as _time
 
     batch = load_events(spark, sf_dir)
