@@ -107,3 +107,40 @@ def test_stream_stream_left_join_emits_unmatched(spark):
         for p in prog for s in p.get("stateOperators", [])
     )
     assert removed > 0, "watermark must evict join state during the drain"
+
+
+def test_foreach_batch_upsert_replay_is_idempotent(engine, spark, sf_dir):
+    """foreachBatch is at-least-once: draining the SAME source again
+    against the same table (batch ids restart at 0 <= the recorded
+    ledger) must not double-accumulate the read-modify-write totals —
+    the applied-batch-id ledger rides the merge commit."""
+    from mssql_dataframe_spark.streaming import events as SE
+
+    first = {
+        (r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in SE.foreach_batch_upsert(spark, sf_dir, engine).collect()
+    }
+    assert first
+    # simulate a replay from a fresh checkpoint: batch ids 0..n-1 are
+    # all <= the recorded last_stream_batch_id, so every batch skips
+    table = "dbo.user_totals_stream"
+    props = engine.store.meta(table).properties
+    assert props.get("last_stream_batch_id") is not None
+    import mssql_dataframe_spark.streaming.events as se_mod
+
+    orig_create = engine.create.table
+
+    def reuse_table(*a, **k):
+        return None  # table already exists from the first drain
+
+    engine.create.table = reuse_table
+    try:
+        again = {
+            (r["user_id"]): (r["n_events"], r["sum_value"])
+            for r in SE.foreach_batch_upsert(
+                spark, sf_dir, engine
+            ).collect()
+        }
+    finally:
+        engine.create.table = orig_create
+    assert again == first
