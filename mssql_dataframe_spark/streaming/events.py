@@ -265,7 +265,8 @@ def stateful_user_stats(
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str,
-                    progress_out: list | None = None) -> DataFrame:
+                    progress_out: list | None = None,
+                    source_factory=None) -> DataFrame:
     """Streaming exact deduplication on (user_id, event_type, hour):
     ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
     and — unlike plain ``dropDuplicates`` on non-event-time keys —
@@ -274,11 +275,19 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
     stream. Keys sharing a clock-hour are by construction <1 hour
     apart, so the within-watermark semantics equal a global DISTINCT
     on this replay. Emits append-mode survivors; callers aggregate
-    batch-side."""
+    batch-side.
+
+    ``source_factory`` (optional, like every watermarked sibling)
+    replays a multi-batch staged source so the bounded-state claim is
+    OBSERVABLE in ``progress_out`` (stateOperators numRowsRemoved) —
+    the single-file default drains in one micro-batch where no
+    eviction can occur; tests/test_streaming_eviction.py pins the
+    staged form."""
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    ev = _stream_events(spark, sf_dir).withColumn(
-        "hr", F.date_trunc("hour", F.col("ts"))
+    src = source_factory() if source_factory else _stream_events(
+        spark, sf_dir
     )
+    ev = src.withColumn("hr", F.date_trunc("hour", F.col("ts")))
     survivors = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "hr"]
     )

@@ -94,3 +94,37 @@ def test_stateful_state_bounded_by_key_cardinality(spark, sf_dir):
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_dedup_state_evicts_under_staged_replay(spark, sf_dir):
+    """dropDuplicatesWithinWatermark's bounded-state claim, observed:
+    replayed against the staged multi-batch source + sentinel, dedup
+    state rows are removed mid-drain, and the surviving key set (minus
+    sentinel-era rows) equals the single-batch result."""
+    factory, stage = STR.staged_event_source_factory(spark, sf_dir)
+    STR.add_sentinel_batch(spark, sf_dir, stage)
+    import shutil
+
+    progress: list = []
+    try:
+        staged = STR.streaming_dedup(
+            spark, sf_dir, progress_out=progress, source_factory=factory
+        )
+        rows = {
+            tuple(r) for r in staged.filter("user_id >= 0").collect()
+        }
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    ops = [p for pr in progress for p in pr.get("stateOperators", [])]
+    assert ops
+    evicted = sum(op.get("numRowsRemoved", 0) for op in ops)
+    peak = max(op.get("numRowsTotal", 0) for op in ops)
+    assert evicted > 0, "no dedup state evicted under staged replay"
+    single = {
+        tuple(r) for r in STR.streaming_dedup(spark, sf_dir).collect()
+    }
+    assert rows == single
+    assert peak < len(single), (
+        "peak state should stay below the full key set once eviction "
+        f"runs (peak={peak}, keys={len(single)})"
+    )
