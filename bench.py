@@ -113,15 +113,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = Q.REGISTRY[name]["fn"]
         samples: list[float] = []
         # per-query fault isolation: one broken query must not erase the
-        # round's entire perf signal — record it and keep timing the rest
+        # round's entire perf signal — record it and keep timing the
+        # rest (the registry lookup sits INSIDE the guard too: a
+        # renamed entry must degrade to one ERROR line, not a KeyError
+        # that erases every other timing)
         try:
+            fn = Q.REGISTRY[name]["fn"]
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
-                n = df.count()  # force full execution
+                # force FULL execution through the noop sink: count()
+                # lets Catalyst column-prune deterministic pandas-UDF /
+                # window projections, timing only the parquet scan for
+                # projection-shaped entries — the noop DataSource
+                # evaluates every output column with zero driver
+                # transfer (no collect/serialization skew)
+                df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
                 # drop persisted intermediates (LSH signatures etc.) so
                 # runs don't inherit each other's cache pressure
@@ -134,7 +143,7 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         spread = ", ".join(f"{s:.3f}" for s in samples)
         print(
-            f"# {name}: p50 {timings[name]}s of [{spread}] ({n} rows)",
+            f"# {name}: p50 {timings[name]}s of [{spread}]",
             file=sys.stderr,
         )
 
@@ -148,7 +157,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # the headline total excludes errored queries by construction —
+        # flag it so a crash-lowered total is never misread as a win
         out["errors"] = errors
+        out["incomplete"] = True
     print(json.dumps(out))
 
 

@@ -36,9 +36,13 @@ TABLES = [
 ]
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
+def _canon(df: pd.DataFrame) -> tuple[pd.DataFrame, dict]:
     """Sort columns by name, canonicalize dtypes the driver treats as
-    equivalent (datetime64 resolution, object-vs-string), sort rows."""
+    equivalent (datetime64 resolution, object-vs-string), sort rows.
+    Returns (frame, {col: original float width}) — the width map is
+    compared separately, since the value-rounding path below coerces
+    everything to float64."""
+    widths: dict[str, str] = {}
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         dt = df[c].dtype
@@ -51,7 +55,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(object)
         elif str(dt).startswith("float"):
             # driver hashes at repr precision; normalize -0.0 and round
-            # to 12 significant digits so final-ulp noise doesn't flag
+            # to 12 significant digits so final-ulp noise doesn't flag.
+            # The ORIGINAL width is recorded first: coercing float32 to
+            # float64 before the dtype check would silently mask the
+            # exact values-equal/width-differs gate risk this tool
+            # exists to catch (integer widths ARE flagged; float must
+            # be too).
+            widths[c] = str(dt)
             df[c] = df[c].map(
                 lambda v: None
                 if v is None or (isinstance(v, float) and math.isnan(v))
@@ -63,7 +73,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         for c in df.columns
     ]
     order = sorted(range(len(df)), key=lambda i: tuple(k.iloc[i] for k in key))
-    return df.iloc[order].reset_index(drop=True)
+    return df.iloc[order].reset_index(drop=True), widths
 
 
 def run(sf_dir: str, names: list[str]) -> int:
@@ -99,27 +109,39 @@ def run(sf_dir: str, names: list[str]) -> int:
             print(f"ERROR     {name}: {type(e).__name__}: {e}")
             continue
         issues = []
-        if sorted(spd.columns) != sorted(dpd.columns):
-            issues.append(
-                f"cols spark={sorted(spd.columns)} duck={sorted(dpd.columns)}"
-            )
-        elif len(spd) != len(dpd):
-            issues.append(f"rows spark={len(spd)} duck={len(dpd)}")
-        else:
-            s, d = _canon(spd), _canon(dpd)
-            dtype_diff = [
-                (c, str(s[c].dtype), str(d[c].dtype))
-                for c in s.columns
-                if str(s[c].dtype) != str(d[c].dtype)
-            ]
-            if dtype_diff:
-                issues.append(f"DTYPE {dtype_diff}")
-            try:
-                pd.testing.assert_frame_equal(
-                    s, d, check_dtype=False, check_exact=False, rtol=1e-9
+        try:
+            if sorted(spd.columns) != sorted(dpd.columns):
+                issues.append(
+                    f"cols spark={sorted(spd.columns)} "
+                    f"duck={sorted(dpd.columns)}"
                 )
-            except AssertionError as e:
-                issues.append(f"VALUES {str(e).splitlines()[-1][:160]}")
+            elif len(spd) != len(dpd):
+                issues.append(f"rows spark={len(spd)} duck={len(dpd)}")
+            else:
+                (s, sw), (d, dw) = _canon(spd), _canon(dpd)
+                dtype_diff = [
+                    (c, str(s[c].dtype), str(d[c].dtype))
+                    for c in s.columns
+                    if str(s[c].dtype) != str(d[c].dtype)
+                ]
+                dtype_diff += [
+                    (c, sw.get(c, "—"), dw.get(c, "—"))
+                    for c in s.columns
+                    if sw.get(c) != dw.get(c)
+                ]
+                if dtype_diff:
+                    issues.append(f"DTYPE {dtype_diff}")
+                try:
+                    pd.testing.assert_frame_equal(
+                        s, d, check_dtype=False, check_exact=False,
+                        rtol=1e-9,
+                    )
+                except AssertionError as e:
+                    issues.append(f"VALUES {str(e).splitlines()[-1][:160]}")
+        except Exception as e:  # noqa: BLE001 - isolate per entry: one
+            # uncanonicalizable frame (e.g. an exotic tz-aware dtype)
+            # must not abort the rest of a 240-entry sweep unchecked
+            issues.append(f"COMPARE-ERROR {type(e).__name__}: {e}")
         el = time.time() - t0
         if issues:
             n_fail += 1
