@@ -57,6 +57,10 @@ SKIP = {
     "verb_merge_upsert": "mutation verb: audited via store write path",
     "verb_update": "mutation verb: audited via store write path",
     "verb_merge_scd2": "mutation verb: audited via store write path",
+    "verb_delete_where": "mutation verb: audited via store write path; "
+    "the slim file-discovery scan is pinned by delete_where tests — "
+    "explaining the post-delete read-back here would mislabel a plain "
+    "table read as the delete plan",
     "scd2_point_in_time_join": "builds its dimension via store merges; "
     "join shape = equi-join + interval filter (joins.py docstring)",
     "kmeans_codebook_train": "iterative: per-iteration plan is one "
@@ -98,11 +102,16 @@ def audit(plan: str) -> dict:
                 "ArrowEvalPython",
                 "MapInPandas",
                 "FlatMapGroupsInPandas",
-                "BatchEvalPython",
             )
         ),
+        # row-at-a-time pickled Python — the regression the header
+        # calls a bug; counted SEPARATELY so an Arrow->Batch downgrade
+        # changes the diff instead of hiding inside one lumped number
+        "python_row_eval": _ops(plan, "BatchEvalPython"),
         "cached": _ops(plan, "InMemoryTableScan"),
-        "scans": _ops(plan, "Scan parquet"),
+        "scans": len(
+            re.findall(r"\(\d+\) Scan (?:parquet|csv|json|orc|text)", plan)
+        ),
         "read_cols": read_cols,
         "pushed_nonempty": sum(1 for p in pushed if p.strip()),
     }
@@ -121,7 +130,10 @@ def main() -> None:
             plan = formatted_plan(spark, df)
             rows.append((name, audit(plan), None))
         except Exception as exc:  # noqa: BLE001 — audit harness boundary
-            rows.append((name, None, f"ERROR {type(exc).__name__}: {exc}"[:160]))
+            # single-line, pipe-free: this text lands in a markdown
+            # table cell of a round-over-round-diffed artifact
+            msg = " ".join(str(exc).split()).replace("|", "/")
+            rows.append((name, None, f"ERROR {type(exc).__name__}: {msg}"[:160]))
         spark.catalog.clearCache()
 
     out = [
@@ -130,10 +142,11 @@ def main() -> None:
         f"Generated by tools/plan_audit.py at {os.path.basename(sf_dir)}. "
         "Per query: shuffle Exchange count, join strategies "
         "(broadcast/sort-merge/shuffled-hash/nested-loop), distinct "
-        "WholeStageCodegen spans, Python eval nodes (Arrow-batched only — "
-        "row-at-a-time Python in a hot path is a bug), InMemoryTableScan "
-        "count (reads served from an explicit persist), parquet scan "
-        "count, columns read per scan (pruning), and scans with non-empty "
+        "WholeStageCodegen spans, Python eval nodes (Arrow-batched; a "
+        "row-at-a-time BatchEvalPython in a hot path is a bug and would "
+        "render as `N+M!` in the py column), InMemoryTableScan "
+        "count (reads served from an explicit persist), file scan "
+        "count (any format), columns read per scan (pruning), and scans with non-empty "
         "PushedFilters (pushdown). Caveats: AQE plans print codegen ids "
         "only once finalized, so codegen=0 means not-yet-finalized, not "
         "interpreted; queries with no row filter legitimately show 0 "
@@ -148,9 +161,12 @@ def main() -> None:
             continue
         joins = f"{a['bhj']}/{a['smj']}/{a['shj']}/{a['bnl']}"
         cols = ",".join(str(c) for c in a["read_cols"]) or "—"
+        py = str(a["python_eval"])
+        if a["python_row_eval"]:
+            py += f"+{a['python_row_eval']}!"
         out.append(
             f"| {name} | {a['exchanges']} | {joins} | {a['codegen']} "
-            f"| {a['python_eval']} | {a['cached']} | {a['scans']} | {cols} "
+            f"| {py} | {a['cached']} | {a['scans']} | {cols} "
             f"| {a['pushed_nonempty']}/{a['scans']} |"
         )
     path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.md")

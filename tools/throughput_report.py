@@ -41,6 +41,12 @@ def main() -> None:
     scratch = os.path.join(
         os.path.dirname(__file__), "..", ".spark_tables", f"tp_{uuid.uuid4().hex}"
     )
+    # guaranteed cleanup even when a section raises mid-report: the
+    # multi-hundred-MB scratch tree must not accumulate across failed
+    # runs (atexit fires on normal exit AND on an uncaught exception)
+    import atexit
+
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     n = orders.count()
     lines = [
@@ -81,7 +87,12 @@ def main() -> None:
         half = orders.filter(F.col("o_orderkey") % 2 == 0)
         eng.create.table_from_dataframe("dbo.orders_m", half, primary_key="o_orderkey")
         eng.write.insert("dbo.orders_m", half)
-        src = orders if upsert else orders.filter(F.col("o_orderkey") % 4 != 1)
+        # full merge: exclude keys ≡ 2 (mod 4) — EVEN keys, so ~half
+        # of the preloaded target is NOT MATCHED BY SOURCE and the
+        # delete clause does real work (the old % 4 != 1 exclusion
+        # dropped only odd keys, none of which were in the target, so
+        # the published "full merge" number never exercised deletes)
+        src = orders if upsert else orders.filter(F.col("o_orderkey") % 4 != 2)
         t0 = time.perf_counter()
         eng.write.merge("dbo.orders_m", src, upsert=upsert)
         return time.perf_counter() - t0
@@ -332,7 +343,7 @@ def main() -> None:
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").cast("double").alias("v"),
     )
-    n_part_rows = pbase.count()
+    n_part_rows = n  # pbase is a pure projection of orders (counted above)
     for nparts in (2, 4, 8):
         eng = fresh_engine()
         tbl = "dbo.scale_p"
@@ -476,12 +487,12 @@ def main() -> None:
         ),
     )
 
-    shutil.rmtree(scratch, ignore_errors=True)
     path = os.path.join(os.path.dirname(__file__), "..", "THROUGHPUT.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {os.path.abspath(path)}")
-    print("\n".join(lines[5:]))
+    # echo from the column header (one line above the separator row)
+    print("\n".join(lines[lines.index("|---|---|---|") - 1:]))
 
 
 if __name__ == "__main__":
