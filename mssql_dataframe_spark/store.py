@@ -1002,17 +1002,26 @@ class TableStore:
         object storage the same shape references absolute file URIs
         instead of links (Delta's shallow-clone AddFile carries the
         source path verbatim)."""
-        if self.exists(dst):
-            raise ValueError(f"table {dst!r} already exists")
+        if self.exists(dst) or self.is_view(dst):
+            # same collision contract as create(): a clone landing on a
+            # VIEW name would otherwise make the path both view and
+            # table, and reads would resolve inconsistently
+            raise ValueError(f"table or view {dst!r} already exists")
         meta = self.meta(src)
         entries = self.manifest(src, meta.version)
         src_pool, dst_pool = self._pool_dir(src), self._pool_dir(dst)
         os.makedirs(dst_pool, exist_ok=True)
         for e in entries:
-            os.link(
-                os.path.join(src_pool, e["path"]),
-                os.path.join(dst_pool, e["path"]),
-            )
+            s = os.path.join(src_pool, e["path"])
+            d = os.path.join(dst_pool, e["path"])
+            try:
+                os.link(s, d)
+            except OSError:
+                # no-hardlink filesystem (FUSE / some network mounts):
+                # degrade to a byte copy — the clone is then deep for
+                # that file but still correct; same portability
+                # contract the manifest claim's O_EXCL fallback keeps
+                shutil.copy2(s, d)
         new_meta = dataclasses.replace(
             meta, name=str(dst), version=0, created_at=time.time(),
             column_types=dict(meta.column_types),
@@ -1066,8 +1075,8 @@ class TableStore:
         manifest commits as version 0, and every declared artifact
         (PK, constraints, masks, computed columns...) arrives with the
         metadata. Returns the imported row count."""
-        if self.exists(name):
-            raise ValueError(f"table {name!r} already exists")
+        if self.exists(name) or self.is_view(name):
+            raise ValueError(f"table or view {name!r} already exists")
         with open(os.path.join(in_dir, "_export_meta.json")) as f:
             ex = json.load(f)
         pool = self._pool_dir(name)
@@ -1508,6 +1517,15 @@ class TableStore:
     def update_meta(self, name: str, **changes) -> TableMeta:
         meta = self.meta(name)
         for k, v in changes.items():
+            # validate BEFORE writing: setattr on the dataclass would
+            # happily add an unknown attribute, json-dump it into
+            # _meta.json, and every later meta() would die with
+            # TypeError(unexpected keyword) — a typo'd field name must
+            # not poison the catalog and brick the table
+            if k not in TableMeta.__dataclass_fields__:
+                raise AttributeError(
+                    f"update_meta key {k!r} is not a TableMeta field"
+                )
             setattr(meta, k, v)
         self._write_meta(name, meta)
         return meta
