@@ -60,6 +60,36 @@ def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def quality_flag_col(text_col: str = "text") -> Column:
+    """The :func:`quality_features` verdict as a standalone ROW-LOCAL
+    expression, so composed gates (``curation.quality_filter``) can
+    fold it into an existing document scan instead of materializing
+    and joining a second feature frame. Value-identical to the
+    ``quality_flag`` column: it thresholds the same ROUNDED
+    intermediates ``quality_features`` publishes (rounding first, then
+    comparing, exactly as the feature frame does — pinned by
+    tests against the feature-frame flag)."""
+    toks = tokens(text_col)
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(toks)
+    punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?]", ""))
+    avg_wl = F.when(
+        n_words > 0,
+        (F.length(F.trim(c)) - (n_words - 1)) / n_words,
+    ).otherwise(F.lit(0.0))
+    avg_r = F.round(avg_wl.cast("double"), 6)
+    punct_r = F.round(
+        (punct / F.greatest(n_chars, F.lit(1))).cast("double"), 6
+    )
+    return (
+        (n_words >= 5)
+        & (avg_r >= 2)
+        & (avg_r <= 12)
+        & (punct_r <= 0.2)
+    ).cast("boolean")
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -208,3 +208,76 @@ def test_perplexity_buckets_keeps_null_lang_group(spark):
     assert {r.doc_id for r in out} == set(range(9))
     nulls = [r for r in out if r.lang is None]
     assert len(nulls) == 3 and {r.ppl_bucket for r in nulls} == {1, 2, 3}
+
+
+def test_quality_flag_col_matches_feature_frame(spark):
+    """quality_flag_col (the row-local expression quality_filter fuses
+    into its spine scan) must stay value-identical to the flag the
+    quality_features frame publishes — including the rounded-then-
+    thresholded edge (avg_word_len exactly 2.0/12.0, punct exactly
+    0.2) and NULL/blank text."""
+    from pyspark.sql import functions as F
+
+    from mssql_dataframe_spark.operators.text import (
+        quality_features,
+        quality_flag_col,
+    )
+
+    rows = [
+        (1, "the cat sat on mat"),           # normal -> True
+        (2, "a b c d e"),                    # avg_word_len 1 -> False
+        (3, None),                           # NULL text
+        (4, ""),                             # blank
+        (5, "aa bb cc dd ee"),               # avg exactly 2.0 -> True
+        (6, "...... words here today maybe"),# punct heavy
+        (7, "x" * 13 + " " + "y" * 13 + " z q w"),  # long words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = quality_features(df).select(
+        "doc_id", F.col("quality_flag").alias("a")
+    )
+    f = df.select("doc_id", quality_flag_col("text").alias("b"))
+    bad = q.join(f, "doc_id").filter(
+        ~F.col("a").eqNullSafe(F.col("b"))
+    ).count()
+    assert bad == 0
+
+
+def test_quality_filter_fused_equals_composition(spark):
+    """The fused single-scan quality_filter must produce exactly the
+    frame the two-scan composition (quality_features ⋈
+    repetition_features) produced."""
+    from pyspark.sql import functions as F
+
+    from mssql_dataframe_spark.operators.curation import (
+        quality_filter,
+        repetition_features,
+    )
+    from mssql_dataframe_spark.operators.text import quality_features
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "spam spam spam spam spam spam spam spam"),
+        (3, "unique words compose this entirely normal document today"),
+        (4, ""),
+        (5, "a b a b a b a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = (
+        quality_features(df).select("doc_id", "n_words", "quality_flag")
+        .join(
+            repetition_features(df).select("doc_id", "repetition_flag"),
+            "doc_id",
+        )
+        .withColumn(
+            "keep",
+            (F.col("quality_flag") & ~F.col("repetition_flag")).cast(
+                "boolean"
+            ),
+        )
+    )
+    new = quality_filter(df)
+    assert new.columns == [
+        "doc_id", "n_words", "quality_flag", "repetition_flag", "keep",
+    ]
+    assert old.exceptAll(new).isEmpty() and new.exceptAll(old).isEmpty()
