@@ -12,8 +12,14 @@ few-million-row daily load, that's the difference between a full-table
 shuffle and a broadcast-sized merge.
 
 Correct for the distributive aggregates (count, sum — and avg as
-sum/count); min/max are NOT maintainable from deltas alone (a deleted
-row that held the min needs a rescan) and are deliberately absent.
+sum/count) via :func:`agg_delta`/:func:`apply_agg_delta`. MIN/MAX are
+not delta-maintainable under deletes (the dropped row may have held
+the extremum), so :func:`apply_minmax_delta` maintains them with the
+textbook PARTIAL-RESCAN design: inserts tighten the stored extremum
+for free; only keys where a deleted value TIES the stored extremum
+("endangered" keys) are re-scanned, and the rescan is a key-semi-join
+against the base table — cost ∝ endangered keys' rows, never the
+table.
 """
 
 from __future__ import annotations
@@ -149,3 +155,144 @@ def apply_agg_delta(
         .filter(F.col(count_col) > 0)
     )
     return existing.unionByName(fresh)
+
+
+def apply_minmax_delta(
+    mv: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str = "n_rows",
+    min_col: str = "min_val",
+    max_col: str = "max_val",
+) -> DataFrame:
+    """Maintain a per-key (count, min, max) aggregate from a
+    ``table_changes`` frame with PARTIAL rescans.
+
+    MIN/MAX are not distributive under deletes: if the dropped row
+    held the group's extremum, the new extremum is unknowable from the
+    change feed. The standard warehouse answer is not a full refresh —
+    it is to split the keys three ways:
+
+    - **fresh keys** (in the delta, not the MV): built entirely from
+      the inserted values — no base access;
+    - **safe keys** (existing, and no deleted value ties the stored
+      extremum): inserts can only TIGHTEN min/max, so
+      ``least(stored, ins_min)`` / ``greatest(stored, ins_max)`` is
+      exact — no base access;
+    - **endangered keys** (a delete/update-old value equals — or,
+      defensively, crosses — the stored extremum): rescanned EXACTLY,
+      via one key-semi-join against the post-change ``base``. Keys are
+      few by construction (a delete endangers a key only when it hits
+      the current extremum), so the rescan reads a sliver of the
+      table; with cluster-on-write layouts the semi join also prunes
+      files.
+
+    ``base`` must be the post-change snapshot of the fact rows
+    (``read.table(...)`` after the load), projected to ``keys`` +
+    ``value_col`` by this function — column pruning keeps the rescan
+    scan narrow. CDC key columns may be unprefixed (match columns) or
+    ``old_``/``new_``-prefixed (tracked attributes), like
+    :func:`agg_delta`. Keys whose maintained count reaches zero drop
+    out. NULL ``value_col`` rows count toward ``count_col`` but are
+    ignored by min/max (SQL aggregate semantics).
+
+    Returns the maintained MV frame ``(keys..., count_col, min_col,
+    max_col)``.
+    """
+    ct = F.col("change_type")
+
+    def _side(prefix: str) -> DataFrame:
+        sign = 1 if prefix == "new" else -1
+        part = changes.filter(
+            ct != ("insert" if prefix == "old" else "delete")
+        )
+        cols = []
+        for k in keys:
+            src = f"{prefix}_{k}" if f"{prefix}_{k}" in changes.columns else k
+            cols.append(F.col(src).alias(k))
+        cols.append(F.lit(sign).alias("__c"))
+        cols.append(F.col(f"{prefix}_{value_col}").alias("__v"))
+        return part.select(*cols)
+
+    delta = (
+        _side("old")
+        .unionByName(_side("new"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("__c").cast("bigint").alias("__dn"),
+            F.min(F.when(F.col("__c") == 1, F.col("__v"))).alias("__ins_min"),
+            F.max(F.when(F.col("__c") == 1, F.col("__v"))).alias("__ins_max"),
+            F.min(F.when(F.col("__c") == -1, F.col("__v"))).alias("__del_min"),
+            F.max(F.when(F.col("__c") == -1, F.col("__v"))).alias("__del_max"),
+        )
+        # consumed by three branches below (safe/endangered/fresh) in
+        # one action — pin the small-by-construction frame
+        .localCheckpoint(eager=True)
+    )
+
+    d = delta.select(
+        *[F.col(k).alias(f"__d_{k}") for k in keys],
+        "__dn", "__ins_min", "__ins_max", "__del_min", "__del_max",
+    )
+    cond = None
+    for k in keys:
+        # null-safe: a NULL group key is a real MV group
+        c = mv[k].eqNullSafe(d[f"__d_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = mv.join(F.broadcast(d), cond, "left")
+    new_n = F.coalesce(mv[count_col], F.lit(0)) + F.coalesce(
+        d["__dn"], F.lit(0)
+    )
+    # a deleted value at-or-beyond the stored extremum invalidates it;
+    # every comparison is guarded so the verdict is never NULL
+    endangered = (
+        d["__del_min"].isNotNull()
+        & (mv[min_col].isNull() | (d["__del_min"] <= mv[min_col]))
+    ) | (
+        d["__del_max"].isNotNull()
+        & (mv[max_col].isNull() | (d["__del_max"] >= mv[max_col]))
+    )
+    live = j.filter(new_n > 0)
+    safe = live.filter(~endangered).select(
+        *[mv[k] for k in keys],
+        new_n.cast("bigint").alias(count_col),
+        F.least(mv[min_col], d["__ins_min"]).alias(min_col),
+        F.greatest(mv[max_col], d["__ins_max"]).alias(max_col),
+    )
+    danger_keys = live.filter(endangered).select(
+        *[mv[k].alias(f"__e_{k}") for k in keys]
+    )
+    bcols = base.select(
+        *[F.col(k) for k in keys], F.col(value_col).alias("__v")
+    )
+    rcond = None
+    for k in keys:
+        c = bcols[k].eqNullSafe(danger_keys[f"__e_{k}"])
+        rcond = c if rcond is None else (rcond & c)
+    rescanned = (
+        bcols.join(F.broadcast(danger_keys), rcond, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias(count_col),
+            F.min("__v").alias(min_col),
+            F.max("__v").alias(max_col),
+        )
+    )
+    mvk = mv.select(*[F.col(k).alias(f"__m_{k}") for k in keys])
+    acond = None
+    for k in keys:
+        c = delta[k].eqNullSafe(mvk[f"__m_{k}"])
+        acond = c if acond is None else (acond & c)
+    fresh = (
+        delta.join(mvk, acond, "left_anti")
+        .filter(F.col("__dn") > 0)
+        .select(
+            *keys,
+            F.col("__dn").cast("bigint").alias(count_col),
+            F.col("__ins_min").alias(min_col),
+            F.col("__ins_max").alias(max_col),
+        )
+    )
+    return safe.unionByName(rescanned).unionByName(fresh)

@@ -10046,6 +10046,102 @@ def corpus_perplexity_buckets(spark, sf_dir):
     return DW.finalize(out, pins)
 
 
+@register(
+    "mv_minmax_partial_rescan",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders WHERE o_custkey < 300
+    ),
+    final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 2 = 0
+                  THEN price + CAST(10 AS DECIMAL(18,4))
+                  ELSE price END AS price
+      FROM base WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey + 1000, price
+      FROM base WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(price) AS DOUBLE) AS min_price,
+           CAST(MAX(price) AS DOUBLE) AS max_price
+    FROM final GROUP BY o_custkey
+    """,
+)
+def mv_minmax_partial_rescan(spark, sf_dir):
+    """MIN/MAX materialized-view maintenance with PARTIAL rescans
+    (operators/incremental.py apply_minmax_delta): min/max are not
+    delta-maintainable under deletes, so the operator splits keys into
+    fresh (built from inserts), safe (inserts only tighten the stored
+    extremum), and endangered (a deleted value tied the extremum) —
+    only the endangered keys' rows are re-read, via a key-semi-join
+    against the post-load snapshot. The same load as
+    mv_incremental_update (updates, deletes, key moves, fresh keys)
+    exercises every branch; the oracle is the full recompute of the
+    final state."""
+    from .operators.incremental import apply_minmax_delta
+
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        )
+    )
+    eng.create.table(
+        "dbo.fact_mm",
+        {"o_orderkey": "bigint", "o_custkey": "bigint",
+         "price": "decimal(18,4)"},
+        primary_key_column="o_orderkey",
+    )
+    eng.write.insert("dbo.fact_mm", base)
+    v_ins = eng.store.meta("dbo.fact_mm").version  # create=v0, insert=v1
+    mv0 = (
+        eng.read.table("dbo.fact_mm", version=v_ins)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+    )
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    survivors = base.filter(ok % 7 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(ck % 2 == 0, F.col("price") + F.lit(10).cast("decimal(18,4)"))
+        .otherwise(F.col("price"))
+        .cast("decimal(18,4)")
+        .alias("price"),
+    )
+    inserts = base.filter(ok % 11 == 0).select(
+        (ok + 10000000).alias("o_orderkey"),
+        (ck + 1000).alias("o_custkey"),
+        "price",
+    )
+    eng.write.merge(
+        "dbo.fact_mm",
+        survivors.unionByName(inserts),
+        match_columns=["o_orderkey"],
+    )
+    cdc = eng.read.table_changes("dbo.fact_mm", from_version=v_ins)
+    post = eng.read.table("dbo.fact_mm")
+    mv = apply_minmax_delta(
+        mv0, cdc, post, ["o_custkey"], "price",
+        min_col="min_price", max_col="max_price",
+    )
+    return mv.select(
+        "o_custkey", "n_rows",
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

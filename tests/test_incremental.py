@@ -110,3 +110,106 @@ def test_null_group_key_deltas_apply(engine, spark):
     nulls = [t for t in got if t[0] is None]
     assert len(nulls) == 1
     assert nulls[0][1] == 2 and nulls[0][2] == Decimal("7.00")
+
+
+def _mv_minmax(df):
+    return df.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("amt").alias("min_amt"),
+        F.max("amt").alias("max_amt"),
+    )
+
+
+def test_minmax_partial_rescan_equals_recompute(engine, spark):
+    """Deletes of the extremum (endangered keys -> rescan), deletes of
+    non-extremum values (safe), inserts tightening min/max (safe),
+    group moves, emptied groups, and fresh groups — all must equal the
+    full recompute."""
+    from mssql_dataframe_spark.operators.incremental import (
+        apply_minmax_delta,
+    )
+
+    base = _df(
+        spark,
+        [
+            (1, "a", "10.00"), (2, "a", "20.00"), (3, "a", "30.00"),
+            (4, "b", "5.00"), (5, "b", "50.00"),
+            (6, "c", "70.00"),
+            (7, "e", "1.00"), (8, "e", "2.00"),
+        ],
+    )
+    engine.create.table("dbo.fm", COLS, primary_key_column="id")
+    engine.write.insert("dbo.fm", base)
+    v_ins = engine.store.meta("dbo.fm").version
+    mv0 = _mv_minmax(engine.read.table("dbo.fm", version=v_ins))
+    # a: delete id=1 (the MIN -> endangered, rescan) keep 2,3
+    # b: delete id=5 (the MAX -> endangered), insert id=9 40.00
+    # c: delete id=6 (empties the group -> drops out)
+    # d: fresh group via id=10
+    # e: update id=7 1.00 -> 1.50 (old value WAS the min -> endangered),
+    #    id=8 moves e -> a (endangers e's max, tightens a's... nothing)
+    final = _df(
+        spark,
+        [
+            (2, "a", "20.00"), (3, "a", "30.00"),
+            (4, "b", "5.00"), (9, "b", "40.00"),
+            (10, "d", "60.00"),
+            (7, "e", "1.50"), (8, "a", "2.00"),
+        ],
+    )
+    engine.write.merge("dbo.fm", final, match_columns=["id"])
+    cdc = engine.read.table_changes("dbo.fm", from_version=v_ins)
+    post = engine.read.table("dbo.fm")
+    mv = apply_minmax_delta(
+        mv0, cdc, post, ["grp"], "amt",
+        min_col="min_amt", max_col="max_amt",
+    )
+    got = sorted(
+        (r.grp, r.n_rows, str(r.min_amt), str(r.max_amt))
+        for r in mv.collect()
+    )
+    want = sorted(
+        (r.grp, r.n_rows, str(r.min_amt), str(r.max_amt))
+        for r in _mv_minmax(post).collect()
+    )
+    assert got == want
+
+
+def test_minmax_null_values_and_insert_only(engine, spark):
+    """NULL fact values count toward n_rows but not min/max; an
+    insert-only load never rescans (endangered requires a delete)."""
+    from pyspark.sql import Row
+    from decimal import Decimal
+
+    from mssql_dataframe_spark.operators.incremental import (
+        apply_minmax_delta,
+    )
+
+    def df_(rows):
+        return spark.createDataFrame(
+            [Row(id=i, grp=g, amt=None if a is None else Decimal(a))
+             for i, g, a in rows],
+            "id long, grp string, amt decimal(10,2)",
+        )
+
+    base = df_([(1, "a", None), (2, "a", "20.00")])
+    engine.create.table("dbo.fn", COLS, primary_key_column="id")
+    engine.write.insert("dbo.fn", base)
+    v_ins = engine.store.meta("dbo.fn").version
+    mv0 = _mv_minmax(engine.read.table("dbo.fn", version=v_ins))
+    engine.write.insert("dbo.fn", df_([(3, "a", "5.00"), (4, "x", None)]))
+    cdc = engine.read.table_changes("dbo.fn", from_version=v_ins)
+    post = engine.read.table("dbo.fn")
+    mv = apply_minmax_delta(
+        mv0, cdc, post, ["grp"], "amt",
+        min_col="min_amt", max_col="max_amt",
+    )
+    got = sorted(
+        (r.grp, r.n_rows, str(r.min_amt), str(r.max_amt))
+        for r in mv.collect()
+    )
+    want = sorted(
+        (r.grp, r.n_rows, str(r.min_amt), str(r.max_amt))
+        for r in _mv_minmax(post).collect()
+    )
+    assert got == want
