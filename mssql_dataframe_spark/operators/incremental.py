@@ -296,3 +296,78 @@ def apply_minmax_delta(
         )
     )
     return safe.unionByName(rescanned).unionByName(fresh)
+
+
+def apply_distinct_delta(
+    mv: DataFrame,
+    aux: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str = "n_distinct",
+    aux_count_col: str = "vcnt",
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain a per-key COUNT(DISTINCT value) aggregate from a
+    ``table_changes`` frame — the TWO-LEVEL MV design.
+
+    Distinct counts are not delta-maintainable from the change feed
+    alone (a delete decrements the count only when it removes the LAST
+    occurrence of a value), so the standard answer is an auxiliary
+    occurrence table ``aux(keys..., value_col, vcnt)`` — which IS
+    delta-maintainable: it is a plain per-(key, value) row count, so
+    :func:`agg_delta`/:func:`apply_agg_delta` maintain it exactly,
+    and rows drop out when their occurrence count reaches zero. The
+    distinct count is then re-derived for the CHANGED KEYS ONLY: one
+    semi-join of the new aux against the delta's key set plus a count
+    per key — cost ∝ changed keys' distinct values, never the corpus.
+
+    SQL semantics: NULL values do not count toward COUNT(DISTINCT),
+    so NULL-valued rows never enter ``aux``; a key whose rows are all
+    NULL-valued (or that lost its last non-NULL value) has no MV row.
+
+    Returns ``(new_mv, new_aux)`` — persist both for the next load.
+    """
+    nn = changes.filter(
+        F.col(f"old_{value_col}").isNotNull()
+        | F.col(f"new_{value_col}").isNotNull()
+    )
+    # a change row whose only non-NULL side is the old (or new) value
+    # must contribute only that side; model NULL-valued sides as
+    # absent by re-labeling them so agg_delta's insert/delete filters
+    # skip them: an update NULL -> v acts as an insert of v, v -> NULL
+    # as a delete of v, NULL -> NULL contributes nothing (filtered
+    # above).
+    ct = F.col("change_type")
+    relabeled = nn.withColumn(
+        "change_type",
+        F.when(
+            (ct == "update") & F.col(f"old_{value_col}").isNull(), "insert"
+        )
+        .when(
+            (ct == "update") & F.col(f"new_{value_col}").isNull(), "delete"
+        )
+        .otherwise(ct),
+    )
+    delta = agg_delta(
+        relabeled, keys + [value_col], {}, count_col=aux_count_col
+    ).localCheckpoint(eager=True)
+    new_aux = apply_agg_delta(
+        aux, delta, keys + [value_col], [], count_col=aux_count_col
+    )
+    changed = delta.select(*keys).distinct()
+    ck = changed.select(*[F.col(k).alias(f"__c_{k}") for k in keys])
+    scond = None
+    for k in keys:
+        c = new_aux[k].eqNullSafe(ck[f"__c_{k}"])
+        scond = c if scond is None else (scond & c)
+    recount = (
+        new_aux.join(F.broadcast(ck), scond, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias(count_col))
+    )
+    acond = None
+    for k in keys:
+        c = mv[k].eqNullSafe(ck[f"__c_{k}"])
+        acond = c if acond is None else (acond & c)
+    untouched = mv.join(F.broadcast(ck), acond, "left_anti")
+    return untouched.unionByName(recount), new_aux

@@ -10142,6 +10142,94 @@ def mv_minmax_partial_rescan(spark, sf_dir):
     )
 
 
+@register(
+    "mv_distinct_count_two_level",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders WHERE o_custkey < 300
+    ),
+    final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 2 = 0
+                  THEN price + CAST(10 AS DECIMAL(18,4))
+                  ELSE price END AS price
+      FROM base WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey + 1000, price
+      FROM base WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_custkey,
+           CAST(COUNT(DISTINCT price) AS BIGINT) AS n_distinct
+    FROM final GROUP BY o_custkey
+    """,
+)
+def mv_distinct_count_two_level(spark, sf_dir):
+    """COUNT(DISTINCT) materialized-view maintenance via the TWO-LEVEL
+    design (operators/incremental.py apply_distinct_delta): the
+    auxiliary per-(key, value) occurrence table is exactly
+    delta-maintainable, and the distinct count re-derives for the
+    changed keys only — one semi-join + count over their aux rows,
+    never the corpus. Same load as mv_incremental_update; oracle is
+    the full recompute of the final state."""
+    from .operators.incremental import apply_distinct_delta
+
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        )
+    )
+    eng.create.table(
+        "dbo.fact_dc",
+        {"o_orderkey": "bigint", "o_custkey": "bigint",
+         "price": "decimal(18,4)"},
+        primary_key_column="o_orderkey",
+    )
+    eng.write.insert("dbo.fact_dc", base)
+    v_ins = eng.store.meta("dbo.fact_dc").version  # create=v0, insert=v1
+    snap = eng.read.table("dbo.fact_dc", version=v_ins)
+    aux0 = (
+        snap.filter(F.col("price").isNotNull())
+        .groupBy("o_custkey", "price")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vcnt"))
+    )
+    mv0 = (
+        snap.filter(F.col("price").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count_distinct("price").cast("bigint").alias("n_distinct"))
+    )
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    survivors = base.filter(ok % 7 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(ck % 2 == 0, F.col("price") + F.lit(10).cast("decimal(18,4)"))
+        .otherwise(F.col("price"))
+        .cast("decimal(18,4)")
+        .alias("price"),
+    )
+    inserts = base.filter(ok % 11 == 0).select(
+        (ok + 10000000).alias("o_orderkey"),
+        (ck + 1000).alias("o_custkey"),
+        "price",
+    )
+    eng.write.merge(
+        "dbo.fact_dc",
+        survivors.unionByName(inserts),
+        match_columns=["o_orderkey"],
+    )
+    cdc = eng.read.table_changes("dbo.fact_dc", from_version=v_ins)
+    mv, _aux = apply_distinct_delta(
+        mv0, aux0, cdc, ["o_custkey"], "price"
+    )
+    return mv.select("o_custkey", "n_distinct")
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

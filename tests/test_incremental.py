@@ -213,3 +213,80 @@ def test_minmax_null_values_and_insert_only(engine, spark):
         for r in _mv_minmax(post).collect()
     )
     assert got == want
+
+
+def test_distinct_count_two_level_mv_equals_recompute(engine, spark):
+    """COUNT(DISTINCT) maintenance via the aux occurrence table:
+    deleting a duplicated value keeps the count, deleting the last
+    occurrence drops it, NULL transitions follow SQL COUNT(DISTINCT)
+    semantics, and untouched keys never recompute."""
+    from pyspark.sql import Row
+    from decimal import Decimal
+
+    from mssql_dataframe_spark.operators.incremental import (
+        apply_distinct_delta,
+    )
+
+    def df_(rows):
+        return spark.createDataFrame(
+            [Row(id=i, grp=g, amt=None if a is None else Decimal(a))
+             for i, g, a in rows],
+            "id long, grp string, amt decimal(10,2)",
+        )
+
+    # a: 10 appears twice + 20 once -> 2 distinct
+    # b: 5, NULL -> 1 distinct ; c: 7 -> 1 ; u: untouched key
+    base = df_([
+        (1, "a", "10.00"), (2, "a", "10.00"), (3, "a", "20.00"),
+        (4, "b", "5.00"), (5, "b", None),
+        (6, "c", "7.00"),
+        (7, "u", "9.00"),
+    ])
+    engine.create.table("dbo.fd", COLS, primary_key_column="id")
+    engine.write.insert("dbo.fd", base)
+    v_ins = engine.store.meta("dbo.fd").version
+    snap = engine.read.table("dbo.fd", version=v_ins)
+    aux0 = (
+        snap.filter(F.col("amt").isNotNull())
+        .groupBy("grp", "amt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vcnt"))
+    )
+    mv0 = (
+        snap.filter(F.col("amt").isNotNull())
+        .groupBy("grp")
+        .agg(F.count_distinct("amt").cast("bigint").alias("n_distinct"))
+    )
+    # a: delete id=1 (dup of 10 -> count stays 2), update id=3 20->30
+    # b: update id=4 5->NULL (loses last non-null -> key drops),
+    #    update id=5 NULL->6 (gains one)
+    # c: delete id=6 (key disappears entirely)
+    # d: fresh key with two equal values -> 1 distinct
+    final = df_([
+        (2, "a", "10.00"), (3, "a", "30.00"),
+        (4, "b", None), (5, "b", "6.00"),
+        (7, "u", "9.00"),
+        (8, "d", "1.00"), (9, "d", "1.00"),
+    ])
+    engine.write.merge("dbo.fd", final, match_columns=["id"])
+    cdc = engine.read.table_changes("dbo.fd", from_version=v_ins)
+    mv, aux = apply_distinct_delta(mv0, aux0, cdc, ["grp"], "amt")
+    got = sorted((r.grp, r.n_distinct) for r in mv.collect())
+    post = engine.read.table("dbo.fd")
+    want = sorted(
+        (r.grp, r.n)
+        for r in post.filter(F.col("amt").isNotNull())
+        .groupBy("grp")
+        .agg(F.count_distinct("amt").cast("bigint").alias("n"))
+        .collect()
+    )
+    assert got == want
+    # the aux table equals a fresh occurrence count of the final state
+    want_aux = sorted(
+        (r.grp, str(r.amt), r.vcnt)
+        for r in post.filter(F.col("amt").isNotNull())
+        .groupBy("grp", "amt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vcnt"))
+        .collect()
+    )
+    got_aux = sorted((r.grp, str(r.amt), r.vcnt) for r in aux.collect())
+    assert got_aux == want_aux
