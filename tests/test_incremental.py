@@ -290,3 +290,118 @@ def test_distinct_count_two_level_mv_equals_recompute(engine, spark):
     )
     got_aux = sorted((r.grp, str(r.amt), r.vcnt) for r in aux.collect())
     assert got_aux == want_aux
+
+
+def test_mv_maintenance_seeded_fuzz_equals_recompute(engine, spark):
+    """Seeded randomized load: hundreds of rows mutated with random
+    updates/deletes/inserts (value collisions and key churn included),
+    then every maintained aggregate family — count/sum, min/max with
+    partial rescans, distinct-count via the aux table — must equal a
+    full recompute of the final state."""
+    import random
+    from decimal import Decimal
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark.operators.incremental import (
+        agg_delta,
+        apply_agg_delta,
+        apply_distinct_delta,
+        apply_minmax_delta,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    groups = [f"g{i}" for i in range(12)]
+    base_rows = [
+        (i, rng.choice(groups),
+         None if rng.random() < 0.08 else f"{rng.randrange(1, 40)}.00")
+        for i in range(400)
+    ]
+
+    def df_(rows):
+        return spark.createDataFrame(
+            [Row(id=i, grp=g, amt=None if a is None else Decimal(a))
+             for i, g, a in rows],
+            "id long, grp string, amt decimal(10,2)",
+        )
+
+    engine.create.table("dbo.fz", COLS, primary_key_column="id")
+    engine.write.insert("dbo.fz", df_(base_rows))
+    v_ins = engine.store.meta("dbo.fz").version
+    snap = engine.read.table("dbo.fz", version=v_ins)
+    mv_cs0 = snap.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("amt").alias("sum_amt"),
+    )
+    mv_mm0 = _mv_minmax(snap)
+    nn0 = snap.filter(F.col("amt").isNotNull())
+    aux0 = nn0.groupBy("grp", "amt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vcnt")
+    )
+    mv_dc0 = nn0.groupBy("grp").agg(
+        F.count_distinct("amt").cast("bigint").alias("n_distinct")
+    )
+    final_rows = []
+    for i, g, a in base_rows:
+        r = rng.random()
+        if r < 0.3:
+            continue  # delete
+        if r < 0.6:  # update: value churn, occasional key move / NULL
+            g2 = rng.choice(groups) if rng.random() < 0.2 else g
+            a2 = (None if rng.random() < 0.1
+                  else f"{rng.randrange(1, 40)}.00")
+            final_rows.append((i, g2, a2))
+        else:
+            final_rows.append((i, g, a))
+    final_rows += [
+        (1000 + j, rng.choice(groups + ["h1", "h2"]),
+         None if rng.random() < 0.08 else f"{rng.randrange(1, 40)}.00")
+        for j in range(80)
+    ]
+    engine.write.merge("dbo.fz", df_(final_rows), match_columns=["id"])
+    cdc = engine.read.table_changes("dbo.fz", from_version=v_ins)
+    post = engine.read.table("dbo.fz")
+
+    d = agg_delta(cdc, ["grp"], {"sum_amt": "amt"})
+    mv_cs = apply_agg_delta(mv_cs0, d, ["grp"], ["sum_amt"])
+    got = sorted((r.grp, r.n_rows, str(r.sum_amt)) for r in mv_cs.collect())
+    want = sorted(
+        (r.grp, r.n_rows, str(r.sum_amt))
+        for r in post.groupBy("grp").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("amt").alias("sum_amt"),
+        ).collect()
+    )
+    assert got == want
+
+    mv_mm = apply_minmax_delta(
+        mv_mm0, cdc, post, ["grp"], "amt",
+        min_col="min_amt", max_col="max_amt",
+    )
+    got = sorted(
+        (r.grp, r.n_rows, str(r.min_amt), str(r.max_amt))
+        for r in mv_mm.collect()
+    )
+    want = sorted(
+        (r.grp, r.n_rows, str(r.min_amt), str(r.max_amt))
+        for r in _mv_minmax(post).collect()
+    )
+    assert got == want
+
+    mv_dc, aux = apply_distinct_delta(mv_dc0, aux0, cdc, ["grp"], "amt")
+    got = sorted((r.grp, r.n_distinct) for r in mv_dc.collect())
+    pnn = post.filter(F.col("amt").isNotNull())
+    want = sorted(
+        (r.grp, r.n)
+        for r in pnn.groupBy("grp").agg(
+            F.count_distinct("amt").cast("bigint").alias("n")
+        ).collect()
+    )
+    assert got == want
+    got_aux = sorted((r.grp, str(r.amt), r.vcnt) for r in aux.collect())
+    want_aux = sorted(
+        (r.grp, str(r.amt), r.vcnt)
+        for r in pnn.groupBy("grp", "amt").agg(
+            F.count(F.lit(1)).cast("bigint").alias("vcnt")
+        ).collect()
+    )
+    assert got_aux == want_aux
