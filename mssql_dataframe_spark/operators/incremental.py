@@ -371,3 +371,138 @@ def apply_distinct_delta(
         acond = c if acond is None else (acond & c)
     untouched = mv.join(F.broadcast(ck), acond, "left_anti")
     return untouched.unionByName(recount), new_aux
+
+
+def apply_topk_delta(
+    mv: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """Maintain a per-key TOP-K row set from a ``table_changes``
+    frame.
+
+    ``mv`` holds one row per retained member: ``(keys..., id_col,
+    value_col)`` — the top ``k`` rows of each key under the
+    deterministic total order ``(value DESC, id DESC)`` (the id
+    tie-break makes the set engine-reproducible). NULL-valued rows
+    never rank (SQL ORDER BY semantics would sort them, but a NULL
+    score is meaningless in a leaderboard — they are excluded here
+    and from the stored contract).
+
+    Key classification — the top-k analog of the min/max operator's
+    endangered split:
+
+    - **rescan keys**: some outgoing (delete / update-old) row sorts
+      at-or-above the key's stored BOUNDARY (its weakest retained
+      member) — the victim may be a member, and the replacement is
+      unknowable from the feed; re-read those keys' rows via a
+      key-semi-join against the post-change ``base``. When the key
+      holds fewer than ``k`` members every row IS a member, and the
+      boundary test is automatically always-true for its deletes.
+    - **merge keys**: only sub-boundary deletes and/or incoming rows —
+      membership can only change in favor of known candidates, so the
+      new top-k is a window over (stored members ∪ incoming rows) for
+      those keys; no base access.
+    - untouched keys pass through by anti-join.
+
+    Cost: one pass over the change feed, one O(members) aggregate over
+    the MV, a window over (changed keys × ≤ k + batch) rows, and a
+    pruned rescan of only the endangered keys.
+    """
+    from pyspark.sql.window import Window
+
+    ct = F.col("change_type")
+
+    def _side(prefix: str) -> DataFrame:
+        part = changes.filter(
+            ct != ("insert" if prefix == "old" else "delete")
+        )
+        cols = []
+        for c in keys:
+            src = f"{prefix}_{c}" if f"{prefix}_{c}" in changes.columns else c
+            cols.append(F.col(src).alias(c))
+        idsrc = f"{prefix}_{id_col}" if f"{prefix}_{id_col}" in changes.columns else id_col
+        cols.append(F.col(idsrc).alias(id_col))
+        cols.append(F.col(f"{prefix}_{value_col}").alias(value_col))
+        return part.select(*cols).filter(F.col(value_col).isNotNull())
+
+    outgoing = _side("old")
+    incoming = _side("new")
+
+    sv = F.struct(F.col(value_col), F.col(id_col))
+    stats = mv.groupBy(*keys).agg(F.min(sv).alias("__boundary"))
+    out_stats = outgoing.groupBy(*keys).agg(F.max(sv).alias("__out_max"))
+    st = stats.select(
+        *[F.col(c).alias(f"__s_{c}") for c in keys], "__boundary"
+    )
+
+    def _keycond(left, right_prefix, right):
+        cond = None
+        for c in keys:
+            e = left[c].eqNullSafe(right[f"{right_prefix}{c}"])
+            cond = e if cond is None else (cond & e)
+        return cond
+
+    rescan_keys = (
+        out_stats.join(
+            F.broadcast(st), _keycond(out_stats, "__s_", st), "left"
+        )
+        # a missing boundary (key absent from the MV: all its previous
+        # values were NULL) cannot have had members — nothing to rescan
+        .filter(
+            F.col("__boundary").isNotNull()
+            & (F.col("__out_max") >= F.col("__boundary"))
+        )
+        .select(*[out_stats[c] for c in keys])
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    changed_keys = (
+        outgoing.select(*keys)
+        .unionByName(incoming.select(*keys))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rk = rescan_keys.select(
+        *[F.col(c).alias(f"__r_{c}") for c in keys]
+    )
+    merge_keys = changed_keys.join(
+        F.broadcast(rk), _keycond(changed_keys, "__r_", rk), "left_anti"
+    )
+    mk = merge_keys.select(*[F.col(c).alias(f"__k_{c}") for c in keys])
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).desc(), F.col(id_col).desc()
+    )
+    merged = (
+        mv.join(F.broadcast(mk), _keycond(mv, "__k_", mk), "left_semi")
+        .select(*keys, id_col, value_col)
+        .unionByName(
+            incoming.join(
+                F.broadcast(mk), _keycond(incoming, "__k_", mk), "left_semi"
+            )
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    bb = base.select(*keys, id_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    rescanned = (
+        bb.join(F.broadcast(rk), _keycond(bb, "__r_", rk), "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    ck = changed_keys.select(
+        *[F.col(c).alias(f"__c_{c}") for c in keys]
+    )
+    untouched = mv.join(
+        F.broadcast(ck), _keycond(mv, "__c_", ck), "left_anti"
+    ).select(*keys, id_col, value_col)
+    return untouched.unionByName(merged).unionByName(rescanned)

@@ -10230,6 +10230,104 @@ def mv_distinct_count_two_level(spark, sf_dir):
     return mv.select("o_custkey", "n_distinct")
 
 
+@register(
+    "mv_topk_maintenance",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders WHERE o_custkey < 300
+    ),
+    final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 2 = 0
+                  THEN price + CAST(10 AS DECIMAL(18,4))
+                  ELSE price END AS price
+      FROM base WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey + 1000, price
+      FROM base WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_custkey, o_orderkey, CAST(price AS DOUBLE) AS price
+    FROM (
+      SELECT o_custkey, o_orderkey, price,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY price DESC, o_orderkey DESC
+             ) AS rn
+      FROM final
+    ) WHERE rn <= 3
+    """,
+)
+def mv_topk_maintenance(spark, sf_dir):
+    """Per-key TOP-K view maintenance (operators/incremental.py
+    apply_topk_delta): deletes of a stored member rescan only that key
+    (key-semi-join against the post-load snapshot); promoting inserts
+    merge in-frame against the stored members; sub-boundary churn and
+    untouched keys cost nothing. Deterministic (value DESC, id DESC)
+    order keeps the set engine-reproducible; oracle is the windowed
+    full recompute of the final state."""
+    from .operators.incremental import apply_topk_delta
+
+    eng = _scratch_engine(spark)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        )
+    )
+    eng.create.table(
+        "dbo.fact_tk",
+        {"o_orderkey": "bigint", "o_custkey": "bigint",
+         "price": "decimal(18,4)"},
+        primary_key_column="o_orderkey",
+    )
+    eng.write.insert("dbo.fact_tk", base)
+    v_ins = eng.store.meta("dbo.fact_tk").version  # create=v0, insert=v1
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price").desc(), F.col("o_orderkey").desc()
+    )
+    mv0 = (
+        eng.read.table("dbo.fact_tk", version=v_ins)
+        .filter(F.col("price").isNotNull())
+        .select("o_custkey", "o_orderkey", "price")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    survivors = base.filter(ok % 7 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(ck % 2 == 0, F.col("price") + F.lit(10).cast("decimal(18,4)"))
+        .otherwise(F.col("price"))
+        .cast("decimal(18,4)")
+        .alias("price"),
+    )
+    inserts = base.filter(ok % 11 == 0).select(
+        (ok + 10000000).alias("o_orderkey"),
+        (ck + 1000).alias("o_custkey"),
+        "price",
+    )
+    eng.write.merge(
+        "dbo.fact_tk",
+        survivors.unionByName(inserts),
+        match_columns=["o_orderkey"],
+    )
+    cdc = eng.read.table_changes("dbo.fact_tk", from_version=v_ins)
+    post = eng.read.table("dbo.fact_tk")
+    mv = apply_topk_delta(
+        mv0, cdc, post, ["o_custkey"], "o_orderkey", "price", 3
+    )
+    return mv.select(
+        "o_custkey", "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

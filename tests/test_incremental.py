@@ -405,3 +405,121 @@ def test_mv_maintenance_seeded_fuzz_equals_recompute(engine, spark):
         ).collect()
     )
     assert got_aux == want_aux
+
+
+def _topk(df, k=2):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy(
+        F.col("amt").desc(), F.col("id").desc()
+    )
+    return (
+        df.filter(F.col("amt").isNotNull())
+        .select("grp", "id", "amt")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def test_topk_mv_rescan_and_merge_branches(engine, spark):
+    """Top-k maintenance: deleting a member rescans its key, inserting
+    a promoting value merges in-frame, sub-boundary churn is ignored,
+    untouched keys pass through, NULL transitions follow the
+    non-ranking contract."""
+    from mssql_dataframe_spark.operators.incremental import (
+        apply_topk_delta,
+    )
+
+    base = _df(
+        spark,
+        [
+            (1, "a", "10.00"), (2, "a", "20.00"), (3, "a", "30.00"),
+            (4, "b", "5.00"), (5, "b", "50.00"), (6, "b", "60.00"),
+            (7, "u", "9.00"),
+            (8, "m", "10.00"), (9, "m", "20.00"), (10, "m", "1.00"),
+        ],
+    )
+    engine.create.table("dbo.ft", COLS, primary_key_column="id")
+    engine.write.insert("dbo.ft", base)
+    v_ins = engine.store.meta("dbo.ft").version
+    mv0 = _topk(engine.read.table("dbo.ft", version=v_ins))
+    # a: delete id=3 (the TOP member -> rescan; new top-2 = 20, 10)
+    # b: delete id=4 (below boundary 50 -> merge branch, members keep),
+    #    insert id=11 70.00 (promotes over 60)
+    # m: insert id=12 15.00 (between member 10 and 20 -> displaces 10)
+    # u: untouched
+    final = _df(
+        spark,
+        [
+            (1, "a", "10.00"), (2, "a", "20.00"),
+            (5, "b", "50.00"), (6, "b", "60.00"), (11, "b", "70.00"),
+            (7, "u", "9.00"),
+            (8, "m", "10.00"), (9, "m", "20.00"), (10, "m", "1.00"),
+            (12, "m", "15.00"),
+        ],
+    )
+    engine.write.merge("dbo.ft", final, match_columns=["id"])
+    cdc = engine.read.table_changes("dbo.ft", from_version=v_ins)
+    post = engine.read.table("dbo.ft")
+    mv = apply_topk_delta(mv0, cdc, post, ["grp"], "id", "amt", 2)
+    got = sorted((r.grp, r.id, str(r.amt)) for r in mv.collect())
+    want = sorted((r.grp, r.id, str(r.amt)) for r in _topk(post).collect())
+    assert got == want
+    assert ("m", 12, "15.00") in got and ("m", 8, "10.00") not in got
+
+
+def test_topk_mv_seeded_fuzz(engine, spark):
+    import random
+    from decimal import Decimal
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark.operators.incremental import (
+        apply_topk_delta,
+    )
+
+    rng = random.Random(0xBEEF)
+    groups = [f"g{i}" for i in range(10)]
+
+    def df_(rows):
+        return spark.createDataFrame(
+            [Row(id=i, grp=g, amt=None if a is None else Decimal(a))
+             for i, g, a in rows],
+            "id long, grp string, amt decimal(10,2)",
+        )
+
+    base_rows = [
+        (i, rng.choice(groups),
+         None if rng.random() < 0.1 else f"{rng.randrange(1, 60)}.00")
+        for i in range(300)
+    ]
+    engine.create.table("dbo.ftz", COLS, primary_key_column="id")
+    engine.write.insert("dbo.ftz", df_(base_rows))
+    v_ins = engine.store.meta("dbo.ftz").version
+    mv0 = _topk(engine.read.table("dbo.ftz", version=v_ins), k=3)
+    final_rows = []
+    for i, g, a in base_rows:
+        r = rng.random()
+        if r < 0.25:
+            continue
+        if r < 0.55:
+            g2 = rng.choice(groups) if rng.random() < 0.2 else g
+            a2 = (None if rng.random() < 0.1
+                  else f"{rng.randrange(1, 60)}.00")
+            final_rows.append((i, g2, a2))
+        else:
+            final_rows.append((i, g, a))
+    final_rows += [
+        (1000 + j, rng.choice(groups + ["h"]),
+         None if rng.random() < 0.1 else f"{rng.randrange(1, 60)}.00")
+        for j in range(60)
+    ]
+    engine.write.merge("dbo.ftz", df_(final_rows), match_columns=["id"])
+    cdc = engine.read.table_changes("dbo.ftz", from_version=v_ins)
+    post = engine.read.table("dbo.ftz")
+    mv = apply_topk_delta(mv0, cdc, post, ["grp"], "id", "amt", 3)
+    got = sorted((r.grp, r.id, str(r.amt)) for r in mv.collect())
+    want = sorted(
+        (r.grp, r.id, str(r.amt)) for r in _topk(post, k=3).collect()
+    )
+    assert got == want
