@@ -21,13 +21,17 @@ class write:
         self._store = store
         self.include_metadata_timestamps = include_metadata_timestamps
 
-    def insert(self, table_name, dataframe, include_metadata_timestamps=None):
+    def insert(self, table_name, dataframe, include_metadata_timestamps=None,
+               extra_properties=None):
         # per-call override of the engine-level default (reference:
         # insert/update/merge accept include_metadata_timestamps
-        # per call — tests/test_core/test_write/*_override_timestamps)
+        # per call — tests/test_core/test_write/*_override_timestamps).
+        # extra_properties ride the append commit atomically (the
+        # idempotent-sink ledger shape merge already exposes).
         return insert(
             self._store, table_name, dataframe,
             self._imt(include_metadata_timestamps),
+            extra_properties=extra_properties,
         )
 
     def _imt(self, override):

@@ -10328,6 +10328,35 @@ def mv_topk_maintenance(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_incremental_mv",
+    sql="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_incremental_mv(spark, sf_dir):
+    """Stream -> fact table -> manifest CDC -> incremental MV, in one
+    exactly-once foreachBatch loop (streaming/events.py
+    foreach_batch_incremental_mv): each micro-batch appends raw rows,
+    reads its own change feed from the store's version window, and
+    merges per-user aggregate deltas for the changed keys only — the
+    ledger of each table rides its own commit, so replays converge.
+    The final MV must equal the plain batch GROUP BY regardless of
+    micro-batch boundaries (decimal accumulation)."""
+    from .streaming import events as STR
+
+    out = STR.foreach_batch_incremental_mv(
+        spark, sf_dir, _scratch_engine(spark)
+    )
+    return out.select(
+        "user_id",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -830,3 +830,125 @@ def stateful_ewma(
             F.max_by("ewma_cents", "n_events").alias("ewma_cents"),
         )
     )
+
+
+def incremental_mv_sink(
+    engine, fact: str, mvt: str, mb: DataFrame, batch_id: int,
+    fail_between_commits: bool = False,
+) -> None:
+    """One micro-batch of the stream->fact->CDC->MV loop — module-level
+    so the replay/crash contract is directly testable. Skips legs a
+    prior attempt already committed (each table's ledger rides its own
+    commit); ``fail_between_commits`` injects the crash window between
+    the fact insert and the MV merge for the replay tests."""
+    from ..operators.incremental import agg_delta, apply_agg_delta
+
+    sbid = str(batch_id)
+    fmeta = engine.store.meta(fact)
+    ledger = dict(fmeta.properties.get("applied_batches") or {})
+    if sbid not in ledger:
+        v_pre = fmeta.version
+        ledger[sbid] = [v_pre, v_pre + 1]
+        engine.write.insert(
+            fact,
+            mb.select(
+                "event_id", "user_id",
+                F.col("value").cast("decimal(18,4)").alias("value"),
+            ),
+            extra_properties={"applied_batches": ledger},
+        )
+    else:
+        ledger = engine.store.meta(fact).properties["applied_batches"]
+    if fail_between_commits:
+        raise RuntimeError("injected crash between fact and MV commits")
+    last_mv = engine.store.meta(mvt).properties.get("last_stream_batch_id")
+    if last_mv is not None and batch_id <= last_mv:
+        return
+    v_pre, v_post = ledger[sbid]
+    cdc = engine.read.table_changes(
+        fact, from_version=v_pre, to_version=v_post,
+    )
+    delta = agg_delta(cdc, ["user_id"], {"sum_value": "value"})
+    mv_cur = engine.read.table(mvt)
+    new_mv = apply_agg_delta(mv_cur, delta, ["user_id"], ["sum_value"])
+    # only the batch's keys changed — merge that slice (an append-only
+    # fact can never empty a key, so no delete leg)
+    changed = new_mv.join(
+        delta.select("user_id").distinct(), "user_id", "left_semi"
+    )
+    engine.write.merge(
+        mvt, changed, match_columns=["user_id"], upsert=True,
+        extra_properties={"last_stream_batch_id": batch_id},
+    )
+
+
+def foreach_batch_incremental_mv(
+    spark: SparkSession, sf_dir: str, engine, n_splits: int = 4
+) -> DataFrame:
+    """The full warehouse loop from a stream, exactly-once: each
+    micro-batch (1) APPENDs raw events to a fact table, (2) derives
+    that batch's change feed from the store's manifest CDC between the
+    insert's pre/post versions, (3) converts it to per-user aggregate
+    deltas and merges ONLY the changed keys into an MV table — the MV
+    write cost is ∝ the batch's keys, never the MV. The composition of
+    independently-graded pieces (insert, table_changes, agg_delta /
+    apply_agg_delta, merge) that a production serving pipeline runs.
+
+    Exactly-once across replays (foreachBatch is at-least-once): the
+    fact table's applied-batch ledger records ``batch_id -> [v_pre,
+    v_post]`` and RIDES the insert commit; the MV table's ledger rides
+    its merge commit. A crash between the two commits replays into:
+    fact ledger has the batch (skip the re-insert), MV ledger is
+    behind (apply the delta from the RECORDED version window) — the
+    pair converges with no double count, because each guard and its
+    data publish atomically.
+    """
+    fact = "dbo.events_fact_stream"
+    mvt = "dbo.user_mv_stream"
+    engine.create.table(
+        fact,
+        {"event_id": "bigint", "user_id": "bigint",
+         "value": "decimal(18,4)"},
+        primary_key_column="event_id",
+    )
+    engine.create.table(
+        mvt,
+        {"user_id": "bigint", "n_rows": "bigint",
+         "sum_value": "decimal(18,4)"},
+        primary_key_column="user_id",
+    )
+
+    def _sink(mb: DataFrame, batch_id: int) -> None:
+        incremental_mv_sink(engine, fact, mvt, mb, batch_id)
+
+    batch = load_events(spark, sf_dir).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    # monotonically_increasing_id is partition-dependent — freeze ids
+    # once so every consumer (and a replay) sees the same assignment
+    src_dir = os.path.join(_SCRATCH, f"fbmv_src_{uuid.uuid4().hex}")
+    checkpoint = os.path.join(_SCRATCH, f"ckpt_fbmv_{uuid.uuid4().hex}")
+    try:
+        (
+            batch.select("event_id", "user_id", "value")
+            .repartition(n_splits)
+            .write.parquet(src_dir)
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return engine.read.table(mvt)

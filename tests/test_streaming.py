@@ -144,3 +144,62 @@ def test_foreach_batch_upsert_replay_is_idempotent(engine, spark, sf_dir):
     finally:
         engine.create.table = orig_create
     assert again == first
+
+
+def test_incremental_mv_sink_replay_and_crash_window(engine, spark):
+    """The stream->fact->CDC->MV sink converges under at-least-once
+    replay: a clean re-delivery is a no-op, and a crash BETWEEN the
+    fact insert and the MV merge recovers on replay from the recorded
+    version window — no double counts, no lost deltas."""
+    import pytest as _pytest
+    from decimal import Decimal
+    from pyspark.sql import Row
+
+    from mssql_dataframe_spark.streaming.events import incremental_mv_sink
+
+    fact, mvt = "dbo.f_repl", "dbo.mv_repl"
+    engine.create.table(
+        fact,
+        {"event_id": "bigint", "user_id": "bigint",
+         "value": "decimal(18,4)"},
+        primary_key_column="event_id",
+    )
+    engine.create.table(
+        mvt,
+        {"user_id": "bigint", "n_rows": "bigint",
+         "sum_value": "decimal(18,4)"},
+        primary_key_column="user_id",
+    )
+
+    def mb(rows):
+        return spark.createDataFrame(
+            [Row(event_id=e, user_id=u, value=Decimal(v))
+             for e, u, v in rows],
+            "event_id long, user_id long, value decimal(18,4)",
+        )
+
+    b0 = mb([(1, 10, "1.00"), (2, 10, "2.00"), (3, 20, "5.00")])
+    incremental_mv_sink(engine, fact, mvt, b0, 0)
+    # clean replay of an applied batch: both ledgers current -> no-op
+    incremental_mv_sink(engine, fact, mvt, b0, 0)
+    got = {r.user_id: (r.n_rows, str(r.sum_value))
+           for r in engine.read.table(mvt).collect()}
+    assert got == {10: (2, "3.0000"), 20: (1, "5.0000")}
+
+    # crash between the fact commit and the MV commit
+    b1 = mb([(4, 10, "10.00"), (5, 30, "7.00")])
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        incremental_mv_sink(
+            engine, fact, mvt, b1, 1, fail_between_commits=True
+        )
+    # the fact has the rows, the MV does not — replay must apply the
+    # MV delta WITHOUT re-inserting
+    assert engine.read.table(fact).count() == 5
+    assert engine.read.table(mvt).count() == 2
+    incremental_mv_sink(engine, fact, mvt, b1, 1)
+    assert engine.read.table(fact).count() == 5  # no duplicate insert
+    got = {r.user_id: (r.n_rows, str(r.sum_value))
+           for r in engine.read.table(mvt).collect()}
+    assert got == {
+        10: (3, "13.0000"), 20: (1, "5.0000"), 30: (1, "7.0000"),
+    }
