@@ -19,13 +19,15 @@ Contract preserved:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..errors import SQLColumnDoesNotExist, SQLTableDoesNotExist
-from ..identifiers import compile_where
+from ..identifiers import compile_where, equality_conjuncts
 from ..store import TableStore
 from . import datetimeoffset as dto
 
@@ -268,7 +270,47 @@ class read:
                     "may have vacuumed it)"
                 )
             version = max(candidates)
-        df = self._store.read(table_name, version=version)
+        df = None
+        if version is None and where is not None:
+            bcols = self._store._bloom_cols(meta)
+            if bcols:
+                # point-lookup file pruning (Delta bloom-filter-index
+                # analog): top-level `col = value` conjuncts of the
+                # where-grammar test each file's bloom sidecar, and
+                # provably-absent files never reach the scan. The
+                # filter below still applies — a bloom false positive
+                # only costs a read, never a wrong row; files without
+                # a sidecar for the probed column always stay.
+                fields = {
+                    f.name: f.dataType for f in meta.spark_schema.fields
+                }
+                probes = []
+                for c, raw in equality_conjuncts(where):
+                    if c not in bcols:
+                        continue
+                    if isinstance(fields[c], T.StringType):
+                        probes.append((c, raw))
+                    else:  # integer family (the only other indexed set)
+                        try:
+                            probes.append((c, int(raw)))
+                        except ValueError:
+                            pass
+                if probes:
+                    touched, pruned = self._store.bloom_prune(
+                        table_name, probes
+                    )
+                    if pruned:
+                        df = self._store._read_paths(
+                            meta,
+                            [
+                                os.path.join(
+                                    self._store._pool_dir(table_name), p
+                                )
+                                for p in touched
+                            ],
+                        )
+        if df is None:
+            df = self._store.read(table_name, version=version)
         if version is not None and (
             {(f.name, f.dataType) for f in df.schema.fields}
             != {(f.name, f.dataType) for f in meta.spark_schema.fields}

@@ -163,6 +163,44 @@ def compile_where(where: str) -> str:
     return compiled
 
 
+def equality_conjuncts(where: str) -> list[tuple[str, str]]:
+    """``(column, raw literal)`` pairs for every top-level ``col =
+    value`` condition when the WHOLE where-string is a pure AND of
+    conditions — the shape file-level point-lookup pruning (bloom
+    sidecars) can use. Any OR or parenthesized group returns [] (a
+    disjunction can match rows a single conjunct's pruning would
+    drop); non-equality conditions are simply skipped. Literals are
+    unquoted like the compiler's renderer; the caller types them
+    against the column's declared type."""
+    if not where or "(" in where or ")" in where:
+        return []
+    if re.search(r"\s+OR\s+", where, re.IGNORECASE):
+        return []
+    out: list[tuple[str, str]] = []
+    for part in _LOGIC_SPLIT.split(where):
+        p = part.strip()
+        if not p or p.upper() in ("AND", "OR"):
+            continue
+        if _NULL_RE.match(p):
+            continue
+        for op in _COMPARISON_OPS:
+            idx = p.find(op)
+            if idx > 0:
+                if op != "=":
+                    break  # a real non-equality comparison — skip it
+                col = p[:idx].strip()
+                value = p[idx + 1:].strip()
+                if not col or not value:
+                    break
+                if (value.startswith("'") and value.endswith("'")) or (
+                    value.startswith('"') and value.endswith('"')
+                ):
+                    value = value[1:-1]
+                out.append((col, value))
+                break
+    return out
+
+
 def _flush(fragment: str) -> str:
     """Compile a paren-free fragment: conditions joined by AND/OR.
 

@@ -10357,6 +10357,44 @@ def streaming_incremental_mv(spark, sf_dir):
     )
 
 
+@register(
+    "verb_bloom_index_read",
+    sql="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM part
+    WHERE p_brand = 'Brand#23' AND p_size = 7
+    """,
+)
+def verb_bloom_index_read(spark, sf_dir):
+    """Bloom-filter file index (store.py bloom_prune; the Delta
+    BLOOMFILTER INDEX analog): tables declaring
+    ``bloom_filter_columns`` get per-file bloom sidecars at commit
+    time, and an equality read prunes provably-absent files BEFORE the
+    scan — the point-lookup complement to range-stats pruning, which
+    only engages on clustered keys. The verb read must return exactly
+    the oracle's rows through the pruned scan."""
+    eng = _scratch_engine(spark)
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    eng.create.table(
+        "dbo.part_bloom",
+        {"p_partkey": "bigint", "p_brand": "varchar(20)",
+         "p_size": "bigint"},
+        primary_key_column="p_partkey",
+        properties={"bloom_filter_columns": ["p_brand", "p_size"]},
+    )
+    eng.write.insert("dbo.part_bloom", part)
+    return eng.read.table(
+        "dbo.part_bloom",
+        column_names=["p_partkey", "p_brand", "p_size"],
+        where="p_brand = 'Brand#23' AND p_size = 7",
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -150,6 +150,122 @@ def _truncate_string_bounds(lo, hi, limit: int = STRING_BOUND_LIMIT):
     return (lo, hi)
 
 
+#: bloom sizing: ~10 bits/value with 7 hashes ≈ 1% false-positive rate
+BLOOM_BITS_PER_VALUE = 10
+BLOOM_K = 7
+#: per-(file, column) bit ceiling: 1 MiB of bits — a file with more
+#: distinct values than this gets a degraded (higher-fpp) filter
+#: rather than an unbounded sidecar
+BLOOM_MAX_BITS = 1 << 23
+
+
+def _bloom_hash_pair(value_bytes: bytes) -> tuple[int, int]:
+    """Two independent 64-bit hashes from one md5 — the classic
+    double-hashing base (h1 + i*h2 mod m) for k probe positions.
+    md5 keeps the representation stable across processes (PYTHONHASHSEED
+    randomizes the builtin hash) and engines."""
+    import hashlib
+
+    d = hashlib.md5(value_bytes).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,
+    )
+
+
+def _bloom_value_bytes(v) -> Optional[bytes]:
+    """Canonical hashed representation of one cell: integers as their
+    decimal string (so the query literal '05' and the stored 5 agree
+    after int() normalization), strings as UTF-8. Anything else is not
+    bloom-indexable (None disables the filter for that value)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    item = getattr(v, "item", None)
+    if callable(item):
+        try:
+            v = item()
+        except (ValueError, TypeError):
+            return None
+    if isinstance(v, int):
+        return str(v).encode("utf-8")
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    return None
+
+
+def _bloom_build_for_file(path: str, cols: list[str]) -> dict:
+    """{col: {"m": bits, "k": probes, "b64": zlib+base64 bitset}} for
+    one parquet file — reads ONLY the indexed columns (columnar
+    projection), so the cost is ∝ indexed data, not file width. Runs
+    where the footer harvest runs (driver thread pool for small
+    commits, executors for large ones)."""
+    import base64
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    names = set(pf.schema_arrow.names)
+    want = [c for c in cols if c in names]
+    if not want:
+        return {}
+    tbl = pf.read(columns=want)
+    out = {}
+    for c in want:
+        vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+        encoded = [_bloom_value_bytes(v) for v in vals]
+        encoded = [e for e in encoded if e is not None]
+        if not encoded:
+            continue
+        m = min(BLOOM_MAX_BITS, max(64, len(encoded) * BLOOM_BITS_PER_VALUE))
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for e in encoded:
+            h1, h2 = _bloom_hash_pair(e)
+            for i in range(BLOOM_K):
+                idx = (h1 + i * h2) % m
+                bits[idx >> 3] |= 1 << (idx & 7)
+        out[c] = {
+            "m": int(m),
+            "k": BLOOM_K,
+            "b64": base64.b64encode(zlib.compress(bits.tobytes())).decode(
+                "ascii"
+            ),
+        }
+    return out
+
+
+def _bloom_might_contain(bloom: dict, value_bytes: bytes) -> bool:
+    """Definitive-absence test against one serialized filter. True =
+    maybe present (keep the file); False = provably absent (prune)."""
+    import base64
+    import zlib
+
+    m, k = int(bloom["m"]), int(bloom["k"])
+    bits = zlib.decompress(base64.b64decode(bloom["b64"]))
+    h1, h2 = _bloom_hash_pair(value_bytes)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
+
+def _stage_bloom_sidecar(path: str, cols: list[str]) -> list[str]:
+    """Build and write one staged file's bloom sidecar
+    (``<file>.bloom.json``); returns the columns actually indexed.
+    Module-level (picklable) so the large-commit distributed harvest
+    can run it on executors alongside the footer-stat read."""
+    if not cols:
+        return []
+    blooms = _bloom_build_for_file(path, cols)
+    if not blooms:
+        return []
+    with open(path + ".bloom.json", "w") as f:
+        json.dump(blooms, f)
+    return sorted(blooms)
+
+
 def _plain_scalar(v):
     """Normalize a collected bound to a plain Python int/str (the only
     types manifest stats hold). numpy scalars arrive from Arrow-backed
@@ -610,11 +726,76 @@ class TableStore:
             return [c]
         return list(meta.primary_key) if len(meta.primary_key) > 1 else []
 
+    def _bloom_cols(self, meta: TableMeta) -> list[str]:
+        """Columns the ``bloom_filter_columns`` table property indexes
+        (the Delta bloom-filter-index analog), restricted to the
+        bloom-hashable Spark types (integer family + string); others
+        are silently non-indexed — pruning just never engages for
+        them."""
+        cols = meta.properties.get("bloom_filter_columns") or []
+        if isinstance(cols, str):
+            cols = [c.strip() for c in cols.split(",") if c.strip()]
+        fields = {f.name: f.dataType for f in meta.spark_schema.fields}
+        ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+              T.StringType)
+        return [
+            c for c in cols
+            if c in fields and isinstance(fields[c], ok)
+        ]
+
+    def bloom_prune(
+        self, name: str, eqs: list[tuple]
+    ) -> tuple[list[str], int]:
+        """Current-version file paths that MAY contain a row matching
+        every ``(column, value)`` equality, by per-file bloom sidecar
+        test. Files without a filter for a probed column always count
+        as touched (older files, non-indexed columns) — pruning is
+        conservative, never incorrect (a bloom has no false
+        negatives). Returns ``(touched paths, n_pruned)``. Driver-side
+        O(files) sidecar reads — the point-lookup analog of
+        ``split_by_key_ranges``: range stats prune clustered keys;
+        blooms prune EQUALITY probes on any indexed column regardless
+        of layout."""
+        meta = self.meta(name)
+        entries = self.manifest(name, meta.version)
+        probes = []
+        for c, v in eqs:
+            vb = _bloom_value_bytes(v)
+            if vb is not None:
+                probes.append((c, vb))
+        pool = self._pool_dir(name)
+        touched, pruned = [], 0
+        for e in entries:
+            bcols = e.get("bloom") or []
+            keep = True
+            sidecar = None
+            for c, vb in probes:
+                if c not in bcols:
+                    continue
+                if sidecar is None:
+                    try:
+                        with open(os.path.join(
+                            pool, e["path"] + ".bloom.json"
+                        )) as f:
+                            sidecar = json.load(f)
+                    except (FileNotFoundError, json.JSONDecodeError):
+                        sidecar = {}
+                bl = sidecar.get(c)
+                if bl and not _bloom_might_contain(bl, vb):
+                    keep = False
+                    break
+            if keep:
+                touched.append(e["path"])
+            else:
+                pruned += 1
+        return touched, pruned
+
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
                   stats_col: Optional[str],
                   cluster: bool = False,
                   extra_stats_cols: Optional[list[str]] = None,
-                  cluster_cols: Optional[list[str]] = None) -> tuple:
+                  cluster_cols: Optional[list[str]] = None,
+                  bloom_cols: Optional[list[str]] = None) -> tuple:
         """Materialize ``df`` as new immutable files in a PRIVATE
         staging directory; return ``(manifest entries, stage_dir)``.
         The files enter the shared pool only via ``_publish_staged``,
@@ -664,14 +845,17 @@ class TableStore:
         for c in extra_stats_cols or []:
             if c and c not in harvest and c in schema.fieldNames():
                 harvest.append(c)
+        bcols = [c for c in (bloom_cols or []) if c in schema.fieldNames()]
         entries = []
         if len(moved) > 32:
             paths = [m[1] for m in moved]
             hv = list(harvest)
+            bc = list(bcols)
             stats = (
                 self.spark.sparkContext
                 .parallelize(paths, numSlices=min(len(paths), 512))
-                .map(lambda p: (p, _footer_stats(p, hv)))
+                .map(lambda p: (p, (_footer_stats(p, hv),
+                                    _stage_bloom_sidecar(p, bc))))
                 .collect()
             )
             by_path = dict(stats)
@@ -683,11 +867,23 @@ class TableStore:
                 max_workers=min(16, max(1, len(moved)))
             ) as ex:
                 stats = list(
-                    ex.map(lambda m: _footer_stats(m[1], harvest), moved)
+                    ex.map(
+                        lambda m: (
+                            _footer_stats(m[1], harvest),
+                            _stage_bloom_sidecar(m[1], bcols),
+                        ),
+                        moved,
+                    )
                 )
-        for (dst_name, dst), (rows, bounds) in zip(moved, stats):
+        for (dst_name, dst), ((rows, bounds), file_bloom) in zip(
+            moved, stats
+        ):
             if rows == 0:
                 os.remove(dst)  # empty part files bloat the manifest
+                try:
+                    os.remove(dst + ".bloom.json")
+                except FileNotFoundError:
+                    pass
                 continue
             lo, hi = bounds.get(stats_col, (None, None))
             # stats are recorded PER ENTRY, column-labeled: after a
@@ -696,16 +892,19 @@ class TableStore:
             # compare them against the new key (silent lost updates
             # otherwise). The legacy stats_col/min/max triple stays for
             # the primary column; "stats" carries every harvested one.
-            entries.append({
+            entry = {
                 "path": dst_name, "rows": rows, "min": lo, "max": hi,
                 "stats_col": stats_col if lo is not None else None,
                 "stats": {c: [b[0], b[1]] for c, b in bounds.items()},
                 # written schema, so restore() can reject a rollback
                 # across a column drop/rename instead of misreading
                 "schema_cols": list(schema.fieldNames()),
-            })
+            }
+            if file_bloom:
+                entry["bloom"] = file_bloom
+            entries.append(entry)
         for fn in os.listdir(stage):  # writer-metadata leftovers
-            if not fn.endswith(".parquet"):
+            if not fn.endswith((".parquet", ".bloom.json")):
                 try:
                     os.remove(os.path.join(stage, fn))
                 except OSError:
@@ -722,6 +921,11 @@ class TableStore:
         pool = self._pool_dir(name)
         os.makedirs(pool, exist_ok=True)
         for e in entries:
+            # the sidecar publishes BEFORE its data file: a reader
+            # never sees a data file whose declared bloom is missing
+            sc = os.path.join(stage_dir, e["path"] + ".bloom.json")
+            if e.get("bloom") and os.path.exists(sc):
+                os.replace(sc, os.path.join(pool, e["path"] + ".bloom.json"))
             os.replace(
                 os.path.join(stage_dir, e["path"]),
                 os.path.join(pool, e["path"]),
@@ -953,6 +1157,7 @@ class TableStore:
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
             cluster_cols=self._cluster_cols(meta),
+            bloom_cols=self._bloom_cols(meta),
         )
         next_v = base + 1
         try:
@@ -1012,16 +1217,25 @@ class TableStore:
         src_pool, dst_pool = self._pool_dir(src), self._pool_dir(dst)
         os.makedirs(dst_pool, exist_ok=True)
         for e in entries:
-            s = os.path.join(src_pool, e["path"])
-            d = os.path.join(dst_pool, e["path"])
-            try:
-                os.link(s, d)
-            except OSError:
-                # no-hardlink filesystem (FUSE / some network mounts):
-                # degrade to a byte copy — the clone is then deep for
-                # that file but still correct; same portability
-                # contract the manifest claim's O_EXCL fallback keeps
-                shutil.copy2(s, d)
+            names_ = [e["path"]]
+            if e.get("bloom"):
+                names_.append(e["path"] + ".bloom.json")
+            for n_ in names_:
+                s = os.path.join(src_pool, n_)
+                d = os.path.join(dst_pool, n_)
+                try:
+                    os.link(s, d)
+                except FileNotFoundError:
+                    continue  # sidecar already reaped — entry stays
+                    # conservative (bloom col listed, sidecar absent
+                    # reads as keep-the-file)
+                except OSError:
+                    # no-hardlink filesystem (FUSE / some network
+                    # mounts): degrade to a byte copy — the clone is
+                    # then deep for that file but still correct; same
+                    # portability contract the manifest claim's O_EXCL
+                    # fallback keeps
+                    shutil.copy2(s, d)
         new_meta = dataclasses.replace(
             meta, name=str(dst), version=0, created_at=time.time(),
             column_types=dict(meta.column_types),
@@ -1259,6 +1473,10 @@ class TableStore:
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
             cluster_cols=self._cluster_cols(meta),
+            bloom_cols=[
+                c for c in self._bloom_cols(meta)
+                if c in schema.fieldNames()
+            ],
         )
         entries = keep_entries + staged
         try:
@@ -1386,6 +1604,12 @@ class TableStore:
         if os.path.isdir(pool):
             for fn in os.listdir(pool):
                 if fn.endswith(".parquet") and fn not in referenced:
+                    os.remove(os.path.join(pool, fn))
+                elif (
+                    fn.endswith(".bloom.json")
+                    and fn[: -len(".bloom.json")] not in referenced
+                ):
+                    # bloom sidecars live and die with their data file
                     os.remove(os.path.join(pool, fn))
 
     def optimize(

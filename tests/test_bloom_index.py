@@ -1,0 +1,154 @@
+"""Bloom-filter file index (Delta BLOOMFILTER INDEX analog): per-file
+bloom sidecars built at commit time for the ``bloom_filter_columns``
+table property; equality reads prune provably-absent files before the
+scan; sidecars publish, clone, and vacuum with their data files; a
+bloom has no false negatives, so pruning can never drop a matching
+row."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mssql_dataframe_spark.identifiers import equality_conjuncts
+from mssql_dataframe_spark.store import (
+    _bloom_build_for_file,
+    _bloom_might_contain,
+    _bloom_value_bytes,
+)
+
+
+def _mk(engine, spark, n_files=4):
+    engine.create.table(
+        "dbo.bl",
+        {"id": "bigint", "name": "nvarchar(40)", "grp": "bigint"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["name", "grp"]},
+    )
+    # several inserts -> several files, disjoint name/grp domains
+    for f in range(n_files):
+        rows = [
+            (f * 100 + i, f"name_{f}_{i}", f * 10 + (i % 3))
+            for i in range(50)
+        ]
+        engine.write.insert(
+            "dbo.bl",
+            spark.createDataFrame(rows, "id long, name string, grp long"),
+        )
+    return engine.store
+
+
+def test_manifest_entries_record_bloom_and_sidecars_exist(engine, spark):
+    store = _mk(engine, spark)
+    meta = store.meta("dbo.bl")
+    entries = store.manifest("dbo.bl", meta.version)
+    assert entries and all(
+        sorted(e.get("bloom") or []) == ["grp", "name"] for e in entries
+    )
+    pool = store._pool_dir("dbo.bl")
+    for e in entries:
+        assert os.path.exists(os.path.join(pool, e["path"] + ".bloom.json"))
+
+
+def test_bloom_prune_points_to_single_file_and_read_is_exact(
+    engine, spark
+):
+    store = _mk(engine, spark)
+    meta = store.meta("dbo.bl")
+    n_files = len(store.manifest("dbo.bl", meta.version))
+    touched, pruned = store.bloom_prune("dbo.bl", [("name", "name_2_7")])
+    assert pruned >= n_files - 1 and len(touched) <= 1
+    # the read itself: correct rows through the pruned scan
+    got = engine.read.table("dbo.bl", where="name = name_2_7").collect()
+    assert [(r.id, r.name) for r in got] == [(207, "name_2_7")]
+    # absent value: every file pruned, result empty, no error
+    assert (
+        engine.read.table("dbo.bl", where="name = no_such_name").count()
+        == 0
+    )
+    # int-typed probe with a non-canonical literal still matches
+    got = engine.read.table(
+        "dbo.bl", where="grp = 21 AND name = name_2_7"
+    ).collect()
+    assert len(got) == 1
+
+
+def test_bloom_never_false_negative_exhaustive(engine, spark):
+    """Every stored value must survive its own bloom test — the
+    no-false-negatives contract pruning correctness rests on."""
+    store = _mk(engine, spark, n_files=2)
+    meta = store.meta("dbo.bl")
+    pool = store._pool_dir("dbo.bl")
+    import json
+
+    for e in store.manifest("dbo.bl", meta.version):
+        with open(os.path.join(pool, e["path"] + ".bloom.json")) as f:
+            blooms = json.load(f)
+        fresh = _bloom_build_for_file(
+            os.path.join(pool, e["path"]), ["name", "grp"]
+        )
+        assert set(blooms) == set(fresh)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(pool, e["path"]), columns=["name", "grp"]
+        )
+        for c in ("name", "grp"):
+            for v in tbl.column(c).to_pylist():
+                vb = _bloom_value_bytes(v)
+                assert vb is not None
+                assert _bloom_might_contain(blooms[c], vb)
+
+
+def test_sidecars_follow_vacuum_and_clone(engine, spark):
+    store = _mk(engine, spark, n_files=2)
+    # clone carries sidecars
+    store.clone("dbo.bl", "dbo.bl2")
+    pool2 = store._pool_dir("dbo.bl2")
+    for e in store.manifest("dbo.bl2", 0):
+        assert os.path.exists(os.path.join(pool2, e["path"] + ".bloom.json"))
+    # churn past retention: overwrite repeatedly, then vacuum reaps
+    # the old files AND their sidecars
+    pool = store._pool_dir("dbo.bl")
+    before = {f for f in os.listdir(pool) if f.endswith(".bloom.json")}
+    assert before
+    for _ in range(4):
+        engine.write.truncate("dbo.bl")
+        engine.write.insert(
+            "dbo.bl",
+            spark.createDataFrame(
+                [(1, "x", 1)], "id long, name string, grp long"
+            ),
+        )
+    store.vacuum("dbo.bl", keep_versions=0)
+    left = {f for f in os.listdir(pool) if f.endswith(".bloom.json")}
+    assert not (before & left)
+    data = {f for f in os.listdir(pool) if f.endswith(".parquet")}
+    # no orphan sidecars: every sidecar's data file is still pooled
+    assert all(s[: -len(".bloom.json")] in data for s in left)
+
+
+def test_equality_conjuncts_grammar():
+    assert equality_conjuncts("a = 1 AND b = x") == [("a", "1"), ("b", "x")]
+    assert equality_conjuncts("a = 1 OR b = 2") == []
+    assert equality_conjuncts("(a = 1) AND b = 2") == []
+    assert equality_conjuncts("a >= 1 AND b = 2") == [("b", "2")]
+    assert equality_conjuncts("a IS NULL AND b = 'q z'") == [("b", "q z")]
+    assert equality_conjuncts("a != 3") == []
+
+
+def test_where_without_equality_and_time_travel_bypass_bloom(
+    engine, spark
+):
+    """Non-equality predicates and version reads take the unpruned
+    path and stay correct."""
+    store = _mk(engine, spark, n_files=2)
+    n = engine.read.table("dbo.bl", where="grp >= 0").count()
+    assert n == 100
+    v = store.meta("dbo.bl").version
+    assert (
+        engine.read.table("dbo.bl", version=v, where="name = name_1_1")
+        .count()
+        == 1
+    )
