@@ -1267,6 +1267,11 @@ class TableStore:
                 os.path.join(pool, e["path"]),
                 os.path.join(out_dir, e["path"]),
             )
+            sc = os.path.join(pool, e["path"] + ".bloom.json")
+            if e.get("bloom") and os.path.exists(sc):
+                shutil.copy2(
+                    sc, os.path.join(out_dir, e["path"] + ".bloom.json")
+                )
         with open(os.path.join(out_dir, "_export_meta.json"), "w") as f:
             json.dump(
                 {
@@ -1300,6 +1305,11 @@ class TableStore:
                 os.path.join(in_dir, e["path"]),
                 os.path.join(pool, e["path"]),
             )
+            sc = os.path.join(in_dir, e["path"] + ".bloom.json")
+            if e.get("bloom") and os.path.exists(sc):
+                shutil.copy2(
+                    sc, os.path.join(pool, e["path"] + ".bloom.json")
+                )
         meta = TableMeta(
             name=str(name),
             version=0,

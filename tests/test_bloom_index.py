@@ -152,3 +152,19 @@ def test_where_without_equality_and_time_travel_bypass_bloom(
         .count()
         == 1
     )
+
+
+def test_sidecars_follow_export_import(engine, spark, tmp_path):
+    store = _mk(engine, spark, n_files=2)
+    out = os.path.join(str(tmp_path), "exp")
+    store.export_table("dbo.bl", out)
+    assert any(f.endswith(".bloom.json") for f in os.listdir(out))
+    store.import_table("dbo.bl_in", out)
+    pool = store._pool_dir("dbo.bl_in")
+    for e in store.manifest("dbo.bl_in", 0):
+        assert os.path.exists(
+            os.path.join(pool, e["path"] + ".bloom.json")
+        )
+    # pruned equality read works on the imported table too
+    got = engine.read.table("dbo.bl_in", where="name = name_1_3").collect()
+    assert [(r.id, r.name) for r in got] == [(103, "name_1_3")]
