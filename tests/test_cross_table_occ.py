@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mssql_dataframe_spark import errors
 
@@ -187,3 +188,62 @@ def test_parent_delete_survives_unrelated_child_insert_after_probe(
     assert engine.read.table("dbo.xp").count() == 4
     got = {r["id"]: r["ref"] for r in engine.read.table("dbo.xc").collect()}
     assert got == {9: 0}
+
+
+def test_concurrent_merge_writers_converge_under_contention(
+    engine, spark
+):
+    """TRUE thread-level contention (not a simulated interleaving):
+    two writers merge disjoint key slices into one table
+    concurrently, retrying on SQLConcurrentWriteConflict. The OCC
+    contract under test: every conflict is surfaced (never a silent
+    lost update), a loser's retry succeeds against the fresh
+    snapshot, and the final state holds every row exactly once."""
+    import threading
+
+    from mssql_dataframe_spark.errors import SQLConcurrentWriteConflict
+
+    engine.create.table(
+        "dbo.occ_stress",
+        {"id": "bigint", "writer": "bigint", "round": "bigint"},
+        primary_key_column="id",
+    )
+    failures: list[str] = []
+
+    def worker(writer: int) -> None:
+        for rnd in range(5):
+            rows = [
+                (writer * 1000 + rnd * 10 + i, writer, rnd)
+                for i in range(10)
+            ]
+            df = spark.createDataFrame(
+                rows, "id long, writer long, round long"
+            )
+            for _attempt in range(40):
+                try:
+                    engine.write.merge(
+                        "dbo.occ_stress", df,
+                        match_columns=["id"], upsert=True,
+                    )
+                    break
+                except SQLConcurrentWriteConflict:
+                    continue
+            else:
+                failures.append(f"writer {writer} round {rnd} starved")
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in (1, 2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures
+    got = engine.read.table("dbo.occ_stress")
+    assert got.count() == 100
+    assert got.select("id").distinct().count() == 100
+    per_writer = {
+        r.writer: r.n
+        for r in got.groupBy("writer").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_writer == {1: 50, 2: 50}
