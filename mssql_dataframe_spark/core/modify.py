@@ -174,6 +174,11 @@ class modify:
                 changed["stats_columns"] = [
                     c for c in sc if c != column_name
                 ]
+            bc = props.get("bloom_filter_columns") or []
+            if column_name in bc:
+                changed["bloom_filter_columns"] = [
+                    c for c in bc if c != column_name
+                ]
             if changed:
                 extra = changed
             # not_nullable cleanup rides the commit (extra_meta): a
@@ -444,6 +449,12 @@ class modify:
             props["stats_column"] = new_name
         if props.get("stats_columns"):
             props["stats_columns"] = _ren(props["stats_columns"])
+        if props.get("bloom_filter_columns"):
+            # the rename rewrite regenerates sidecars, so the index
+            # follows the new name with no degraded window
+            props["bloom_filter_columns"] = _ren(
+                props["bloom_filter_columns"]
+            )
         # key bookkeeping FIRST so the rewrite's footer-stat harvest
         # labels bounds with the NEW name (pruning stays live through
         # the rename instead of degrading until the next rewrite);
@@ -605,6 +616,11 @@ class modify:
             sc = props.get("stats_columns") or []
             if column_name in sc:
                 extra["stats_columns"] = [c for c in sc if c != column_name]
+            bc = props.get("bloom_filter_columns") or []
+            if column_name in bc:
+                extra["bloom_filter_columns"] = [
+                    c for c in bc if c != column_name
+                ]
             self._store.overwrite(
                 table_name, df, T.StructType(fields), types,
                 op="drop_computed_column", expected_version=meta.version,

@@ -726,16 +726,23 @@ class TableStore:
             return [c]
         return list(meta.primary_key) if len(meta.primary_key) > 1 else []
 
-    def _bloom_cols(self, meta: TableMeta) -> list[str]:
+    def _bloom_cols(
+        self, meta: TableMeta, schema: Optional[T.StructType] = None
+    ) -> list[str]:
         """Columns the ``bloom_filter_columns`` table property indexes
         (the Delta bloom-filter-index analog), restricted to the
         bloom-hashable Spark types (integer family + string); others
         are silently non-indexed — pruning just never engages for
-        them."""
+        them. ``schema`` overrides the catalog schema for
+        schema-evolving commits (a rename's rewrite must index the
+        NEW column name, which only the commit's schema carries)."""
         cols = meta.properties.get("bloom_filter_columns") or []
         if isinstance(cols, str):
             cols = [c.strip() for c in cols.split(",") if c.strip()]
-        fields = {f.name: f.dataType for f in meta.spark_schema.fields}
+        fields = {
+            f.name: f.dataType
+            for f in (schema or meta.spark_schema).fields
+        }
         ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
               T.StringType)
         return [
@@ -1483,10 +1490,7 @@ class TableStore:
             cluster=bool(meta.properties.get("cluster_on_write")),
             extra_stats_cols=self._stats_cols(meta),
             cluster_cols=self._cluster_cols(meta),
-            bloom_cols=[
-                c for c in self._bloom_cols(meta)
-                if c in schema.fieldNames()
-            ],
+            bloom_cols=self._bloom_cols(meta, schema=schema),
         )
         entries = keep_entries + staged
         try:

@@ -168,3 +168,24 @@ def test_sidecars_follow_export_import(engine, spark, tmp_path):
     # pruned equality read works on the imported table too
     got = engine.read.table("dbo.bl_in", where="name = name_1_3").collect()
     assert [(r.id, r.name) for r in got] == [(103, "name_1_3")]
+
+
+def test_bloom_property_follows_drop_and_rename(engine, spark):
+    """Dropping an indexed column removes it from
+    bloom_filter_columns atomically with the commit; renaming one
+    follows the rename (the rewrite regenerates sidecars under the
+    new name), so the index never goes stale or ghost."""
+    store = _mk(engine, spark, n_files=1)
+    engine.modify.rename_column("dbo.bl", "name", "title")
+    props = store.meta("dbo.bl").properties
+    assert props["bloom_filter_columns"] == ["title", "grp"]
+    got = engine.read.table("dbo.bl", where="title = name_0_9").collect()
+    assert [(r.id,) for r in got] == [(9,)]
+    meta = store.meta("dbo.bl")
+    assert all(
+        sorted(e.get("bloom") or []) == ["grp", "title"]
+        for e in store.manifest("dbo.bl", meta.version)
+    )
+    engine.modify.column("dbo.bl", modify="drop", column_name="grp")
+    props = store.meta("dbo.bl").properties
+    assert props["bloom_filter_columns"] == ["title"]
