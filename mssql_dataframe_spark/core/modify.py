@@ -238,6 +238,40 @@ class modify:
         props["check_constraints"] = checks
         self._store.update_meta(table_name, properties=props)
 
+    def bloom_index(
+        self, table_name: str, columns: Optional[list[str]]
+    ) -> None:
+        """Declare (or with ``None``/``[]`` drop) the bloom-indexed
+        column set of an EXISTING table (the ``CREATE BLOOMFILTER
+        INDEX`` analog; at create time pass the
+        ``bloom_filter_columns`` property instead). Metadata-only and
+        instant: files written from now on get sidecars; files already
+        in the pool gain theirs on their next rewrite (``optimize`` /
+        ``optimize_zorder`` / any merge that touches them) — reads
+        stay correct meanwhile because pruning keeps every file
+        without a sidecar for the probed column. Columns must exist
+        and be bloom-hashable (integer family or string)."""
+        meta = self._store.meta(table_name)
+        cols = list(columns or [])
+        fields = {f.name: f.dataType for f in meta.spark_schema.fields}
+        hashable = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.StringType)
+        for c in cols:
+            if c not in fields:
+                raise SQLColumnDoesNotExist(c)
+            if not isinstance(fields[c], hashable):
+                raise ValueError(
+                    f"column {c!r} ({fields[c].simpleString()}) is not "
+                    "bloom-indexable — integer-family and string "
+                    "columns only"
+                )
+        props = dict(meta.properties)
+        if cols:
+            props["bloom_filter_columns"] = cols
+        else:
+            props.pop("bloom_filter_columns", None)
+        self._store.update_meta(table_name, properties=props)
+
     def unique_constraint(
         self,
         table_name: str,

@@ -189,3 +189,49 @@ def test_bloom_property_follows_drop_and_rename(engine, spark):
     engine.modify.column("dbo.bl", modify="drop", column_name="grp")
     props = store.meta("dbo.bl").properties
     assert props["bloom_filter_columns"] == ["title"]
+
+
+def test_modify_bloom_index_backfills_on_rewrite(engine, spark):
+    """Declaring the index on an existing table is metadata-only:
+    pre-existing files stay unindexed (reads correct, no pruning)
+    until a rewrite regenerates them with sidecars; optimize is that
+    rewrite."""
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.errors import SQLColumnDoesNotExist
+
+    engine.create.table(
+        "dbo.blx",
+        {"id": "bigint", "name": "nvarchar(40)"},
+        primary_key_column="id",
+    )
+    for f in range(2):
+        engine.write.insert(
+            "dbo.blx",
+            spark.createDataFrame(
+                [(f * 100 + i, f"n_{f}_{i}") for i in range(40)],
+                "id long, name string",
+            ),
+        )
+    engine.modify.bloom_index("dbo.blx", ["name"])
+    store = engine.store
+    meta = store.meta("dbo.blx")
+    # old files: no sidecars yet, reads still exact
+    assert all(
+        not e.get("bloom") for e in store.manifest("dbo.blx", meta.version)
+    )
+    assert (
+        engine.read.table("dbo.blx", where="name = n_1_5").count() == 1
+    )
+    # the next rewrite backfills sidecars and pruning engages
+    engine.optimize("dbo.blx", small_file_rows=100_000)
+    meta = store.meta("dbo.blx")
+    ents = store.manifest("dbo.blx", meta.version)
+    assert ents and all(e.get("bloom") == ["name"] for e in ents)
+    touched, pruned = store.bloom_prune("dbo.blx", [("name", "zzz")])
+    assert not touched and pruned == len(ents)
+    # validation: unknown / untypeable columns rejected; [] drops
+    with _pytest.raises(SQLColumnDoesNotExist):
+        engine.modify.bloom_index("dbo.blx", ["ghost"])
+    engine.modify.bloom_index("dbo.blx", [])
+    assert "bloom_filter_columns" not in store.meta("dbo.blx").properties
