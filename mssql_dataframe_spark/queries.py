@@ -10417,9 +10417,15 @@ _GRADE_FIRST = [
     # events slice). After this window every one of the 239 registry
     # entries has a driver CORRECTNESS row and none is older than
     # r07. COVERAGE.md "Grading manifest" documents the cycle.
-    # -- (a) never-graded: mid-r10 additions --
+    # -- (a) never-graded: mid-r10 additions + the r11-continuation
+    # five (MV-maintenance family, streaming MV loop, bloom index) --
     "ivfpq_adc_search",
     "corpus_perplexity_buckets",
+    "mv_minmax_partial_rescan",
+    "mv_distinct_count_two_level",
+    "mv_topk_maintenance",
+    "streaming_incremental_mv",
+    "verb_bloom_index_read",
     # -- (b) the 37 r06-vintage rows (registry order) --
     "trigram_search_parts",
     "doc_ngram_novelty",
@@ -10458,18 +10464,15 @@ _GRADE_FIRST = [
     "pipeline_training_mixture",
     "source_xml_roundtrip",
     "source_schema_evolution_merge",
-    # -- (c) the 11 earliest-positioned r07 rows --
+    # -- (c) the 6 earliest-positioned r07 rows (5 of the original 11
+    # displaced by the continuation's never-graded entries; they keep
+    # their r07 evidence and rotate next round) --
     "q10_returned_items",
     "q4_order_priority",
     "q7_volume_shipping",
     "q14_promo_revenue",
     "q19_disjunctive_filter",
     "distinct_aggregates",
-    "window_moving_avg_frames",
-    "events_mad_outliers",
-    "timeseries_ewma_quantized",
-    "global_topn_orders",
-    "window_time_range_frames",
 ]
 
 
