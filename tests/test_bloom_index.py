@@ -235,3 +235,55 @@ def test_modify_bloom_index_backfills_on_rewrite(engine, spark):
         engine.modify.bloom_index("dbo.blx", ["ghost"])
     engine.modify.bloom_index("dbo.blx", [])
     assert "bloom_filter_columns" not in store.meta("dbo.blx").properties
+
+
+def test_merge_regenerates_sidecars_for_rewritten_files_only(
+    engine, spark
+):
+    """A pruned merge rewrites only intersecting files; carried files
+    keep their original sidecars (bit-identical path), rewritten ones
+    get fresh blooms covering the new rows."""
+    engine.create.table(
+        "dbo.blm",
+        {"id": "bigint", "name": "nvarchar(40)"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["name"],
+                    "cluster_on_write": True},
+    )
+    store = engine.store
+    for f in range(3):
+        engine.write.insert(
+            "dbo.blm",
+            spark.createDataFrame(
+                [(f * 100 + i, f"n_{f}_{i}") for i in range(30)],
+                "id long, name string",
+            ),
+        )
+    before = {
+        e["path"] for e in store.manifest("dbo.blm",
+                                          store.meta("dbo.blm").version)
+    }
+    # upsert touching only the id range of the second insert
+    engine.write.merge(
+        "dbo.blm",
+        spark.createDataFrame([(105, "renamed_row")],
+                              "id long, name string"),
+        match_columns=["id"], upsert=True,
+    )
+    meta = store.meta("dbo.blm")
+    ents = store.manifest("dbo.blm", meta.version)
+    carried = [e for e in ents if e["path"] in before]
+    fresh = [e for e in ents if e["path"] not in before]
+    assert carried and fresh
+    pool = store._pool_dir("dbo.blm")
+    for e in ents:
+        assert e.get("bloom") == ["name"]
+        assert os.path.exists(os.path.join(pool, e["path"] + ".bloom.json"))
+    # the new value is findable via the pruned read; the old value of
+    # the rewritten row is gone
+    assert engine.read.table(
+        "dbo.blm", where="name = renamed_row"
+    ).count() == 1
+    assert engine.read.table(
+        "dbo.blm", where="name = n_1_5"
+    ).count() == 0
