@@ -19,7 +19,6 @@ Contract preserved:
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -271,7 +270,7 @@ class read:
                 )
             version = max(candidates)
         df = None
-        if version is None and where is not None:
+        if where is not None:
             bcols = self._store._bloom_cols(meta)
             if bcols:
                 # point-lookup file pruning (Delta bloom-filter-index
@@ -296,18 +295,18 @@ class read:
                         except ValueError:
                             pass
                 if probes:
+                    # works for time travel too: sidecars live exactly
+                    # as long as their data file, and read_files reads
+                    # a prior version's files under its RECORDED
+                    # schema. An out-of-retention version yields zero
+                    # entries here (pruned == 0), so the unpruned path
+                    # below still raises its documented error.
                     touched, pruned = self._store.bloom_prune(
-                        table_name, probes
+                        table_name, probes, version=version
                     )
                     if pruned:
-                        df = self._store._read_paths(
-                            meta,
-                            [
-                                os.path.join(
-                                    self._store._pool_dir(table_name), p
-                                )
-                                for p in touched
-                            ],
+                        df = self._store.read_files(
+                            table_name, touched, version=version
                         )
         if df is None:
             df = self._store.read(table_name, version=version)

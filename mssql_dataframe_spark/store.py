@@ -751,20 +751,25 @@ class TableStore:
         ]
 
     def bloom_prune(
-        self, name: str, eqs: list[tuple]
+        self, name: str, eqs: list[tuple],
+        version: Optional[int] = None,
     ) -> tuple[list[str], int]:
-        """Current-version file paths that MAY contain a row matching
-        every ``(column, value)`` equality, by per-file bloom sidecar
-        test. Files without a filter for a probed column always count
-        as touched (older files, non-indexed columns) — pruning is
-        conservative, never incorrect (a bloom has no false
+        """File paths of a snapshot (current by default, or a retained
+        ``version`` — sidecars live exactly as long as their data
+        file, so time-travel reads prune too) that MAY contain a row
+        matching every ``(column, value)`` equality, by per-file bloom
+        sidecar test. Files without a filter for a probed column
+        always count as touched (older files, non-indexed columns) —
+        pruning is conservative, never incorrect (a bloom has no false
         negatives). Returns ``(touched paths, n_pruned)``. Driver-side
         O(files) sidecar reads — the point-lookup analog of
         ``split_by_key_ranges``: range stats prune clustered keys;
         blooms prune EQUALITY probes on any indexed column regardless
         of layout."""
         meta = self.meta(name)
-        entries = self.manifest(name, meta.version)
+        entries = self.manifest(
+            name, meta.version if version is None else int(version)
+        )
         probes = []
         for c, v in eqs:
             vb = _bloom_value_bytes(v)

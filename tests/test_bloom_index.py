@@ -287,3 +287,25 @@ def test_merge_regenerates_sidecars_for_rewritten_files_only(
     assert engine.read.table(
         "dbo.blm", where="name = n_1_5"
     ).count() == 0
+
+
+def test_time_travel_reads_prune_with_blooms(engine, spark):
+    """Sidecars live as long as their data file, so a retained prior
+    version's equality read prunes too — and sees that version's
+    rows, not the current ones."""
+    store = _mk(engine, spark, n_files=2)
+    v = store.meta("dbo.bl").version
+    # mutate the current version away from v (delete the probed row)
+    engine.write.delete(
+        "dbo.bl",
+        spark.createDataFrame([(103,)], "id long"),
+    )
+    assert engine.read.table("dbo.bl", where="name = name_1_3").count() == 0
+    touched, pruned = store.bloom_prune(
+        "dbo.bl", [("name", "name_1_3")], version=v
+    )
+    assert pruned >= 1
+    got = engine.read.table(
+        "dbo.bl", version=v, where="name = name_1_3"
+    ).collect()
+    assert [(r.id, r.name) for r in got] == [(103, "name_1_3")]
