@@ -42,6 +42,15 @@ EXTRA = [
     "verb_composite_pk_pruned_ingest",
     "verb_scd2_composite_key",
     "verb_merge_partition_reload",
+    # r11-continuation additions: the MV-maintenance family's returned
+    # frame IS the maintained view's plan (CDC read + delta joins —
+    # auditable); the bloom entry's plan shows the pruned scan; the
+    # streaming loop is annotated like the other streaming sinks
+    "mv_minmax_partial_rescan",
+    "mv_distinct_count_two_level",
+    "mv_topk_maintenance",
+    "verb_bloom_index_read",
+    "streaming_incremental_mv",
 ]
 
 SKIP = {
@@ -65,6 +74,10 @@ SKIP = {
     "join shape = equi-join + interval filter (joins.py docstring)",
     "kmeans_codebook_train": "iterative: per-iteration plan is one "
     "broadcast cross join + two combiner aggs (similarity.py docstring)",
+    "streaming_incremental_mv": "streaming foreachBatch loop: per-batch "
+    "plan = insert + version-window CDC + broadcast delta merge; the "
+    "exactly-once ledger contract is pinned by the crash-injection "
+    "test in tests/test_streaming.py",
 }
 
 
