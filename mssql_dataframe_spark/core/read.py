@@ -23,10 +23,9 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..errors import SQLColumnDoesNotExist, SQLTableDoesNotExist
-from ..identifiers import compile_where, equality_conjuncts
+from ..identifiers import compile_where
 from ..store import TableStore
 from . import datetimeoffset as dto
 
@@ -271,43 +270,28 @@ class read:
             version = max(candidates)
         df = None
         if where is not None:
-            bcols = self._store._bloom_cols(meta)
-            if bcols:
-                # point-lookup file pruning (Delta bloom-filter-index
-                # analog): top-level `col = value` conjuncts of the
-                # where-grammar test each file's bloom sidecar, and
-                # provably-absent files never reach the scan. The
-                # filter below still applies — a bloom false positive
-                # only costs a read, never a wrong row; files without
-                # a sidecar for the probed column always stay.
-                fields = {
-                    f.name: f.dataType for f in meta.spark_schema.fields
-                }
-                probes = []
-                for c, raw in equality_conjuncts(where):
-                    if c not in bcols:
-                        continue
-                    if isinstance(fields[c], T.StringType):
-                        probes.append((c, raw))
-                    else:  # integer family (the only other indexed set)
-                        try:
-                            probes.append((c, int(raw)))
-                        except ValueError:
-                            pass
-                if probes:
-                    # works for time travel too: sidecars live exactly
-                    # as long as their data file, and read_files reads
-                    # a prior version's files under its RECORDED
-                    # schema. An out-of-retention version yields zero
-                    # entries here (pruned == 0), so the unpruned path
-                    # below still raises its documented error.
-                    touched, pruned = self._store.bloom_prune(
-                        table_name, probes, version=version
+            # point-lookup file pruning (Delta bloom-filter-index
+            # analog): top-level `col = value` conjuncts of the
+            # where-grammar test each file's bloom sidecar, and
+            # provably-absent files never reach the scan. The filter
+            # below still applies — a bloom false positive only costs
+            # a read, never a wrong row; files without a sidecar for
+            # the probed column always stay.
+            probes = self._store.typed_bloom_probes(meta, where)
+            if probes:
+                # works for time travel too: sidecars live exactly as
+                # long as their data file, and read_files reads a
+                # prior version's files under its RECORDED schema. An
+                # out-of-retention version yields zero entries here
+                # (pruned == 0), so the unpruned path below still
+                # raises its documented error.
+                touched, pruned = self._store.bloom_prune(
+                    table_name, probes, version=version
+                )
+                if pruned:
+                    df = self._store.read_files(
+                        table_name, touched, version=version
                     )
-                    if pruned:
-                        df = self._store.read_files(
-                            table_name, touched, version=version
-                        )
         if df is None:
             df = self._store.read(table_name, version=version)
         if version is not None and (

@@ -516,7 +516,22 @@ def delete_where_op(
         return 0
     cond_sql = compile_where(where)
 
-    target_all = store.read(table_name)
+    # bloom pre-narrowing: a file whose filter excludes an equality
+    # conjunct's value cannot contain a matching row, so the discovery
+    # scan (and everything downstream) reads only the surviving files
+    # — point deletes on an indexed column skip the table
+    scan_entries = entries
+    probes = store.typed_bloom_probes(meta, where)
+    if probes:
+        touched_b, pruned_b = store.bloom_prune(table_name, probes)
+        if pruned_b:
+            if not touched_b:
+                return 0  # provably no matching row anywhere
+            bset = set(touched_b)
+            scan_entries = [e for e in entries if e["path"] in bset]
+    target_all = store.read_files(
+        table_name, [e["path"] for e in scan_entries]
+    ) if len(scan_entries) != len(entries) else store.read(table_name)
     cond = F.expr(cond_sql)
     matched = {
         os.path.basename(r["f"])

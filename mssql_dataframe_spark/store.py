@@ -750,6 +750,35 @@ class TableStore:
             if c in fields and isinstance(fields[c], ok)
         ]
 
+    def typed_bloom_probes(
+        self, meta: TableMeta, where: str
+    ) -> list[tuple]:
+        """``(column, typed value)`` equality probes a where-grammar
+        string yields against this table's bloom-indexed columns — []
+        whenever pruning cannot engage (no indexed columns, OR /
+        parenthesized predicate, no indexed equality conjunct, or a
+        literal the column's type cannot normalize). Shared by the
+        read verb and DELETE WHERE so both sides type literals
+        identically (an int column's '05' and 5 must hash the same)."""
+        from .identifiers import equality_conjuncts
+
+        bcols = self._bloom_cols(meta)
+        if not bcols:
+            return []
+        fields = {f.name: f.dataType for f in meta.spark_schema.fields}
+        probes: list[tuple] = []
+        for c, raw in equality_conjuncts(where):
+            if c not in bcols:
+                continue
+            if isinstance(fields[c], T.StringType):
+                probes.append((c, raw))
+            else:  # integer family (the only other indexed set)
+                try:
+                    probes.append((c, int(raw)))
+                except ValueError:
+                    pass
+        return probes
+
     def bloom_prune(
         self, name: str, eqs: list[tuple],
         version: Optional[int] = None,

@@ -309,3 +309,40 @@ def test_time_travel_reads_prune_with_blooms(engine, spark):
         "dbo.bl", version=v, where="name = name_1_3"
     ).collect()
     assert [(r.id, r.name) for r in got] == [(103, "name_1_3")]
+
+
+def test_delete_where_equality_prunes_with_blooms(engine, spark):
+    """A point DELETE WHERE on an indexed column narrows its
+    discovery scan to bloom-surviving files, and a provably-absent
+    value deletes nothing without scanning or committing."""
+    store = _mk(engine, spark, n_files=3)
+    v0 = store.meta("dbo.bl").version
+    reads, read_files = [], []
+    orig_read, orig_rf = store.read, store.read_files
+
+    def tap_read(name, *a, **k):
+        reads.append(name)
+        return orig_read(name, *a, **k)
+
+    def tap_rf(name, paths, *a, **k):
+        read_files.append(list(paths))
+        return orig_rf(name, paths, *a, **k)
+
+    store.read, store.read_files = tap_read, tap_rf
+    try:
+        # absent value: no scan beyond pruning, no commit
+        assert engine.write.delete_where("dbo.bl", "name = nope") == 0
+        assert store.meta("dbo.bl").version == v0
+        assert not reads and not read_files
+        # present value: one row deleted; the discovery scan read a
+        # strict subset of the files
+        n = engine.write.delete_where("dbo.bl", "name = name_2_4")
+        assert n == 1
+        assert reads == []  # full-table read path never taken
+        assert read_files and len(read_files[0]) <= 1
+    finally:
+        store.read, store.read_files = orig_read, orig_rf
+    assert (
+        engine.read.table("dbo.bl", where="name = name_2_4").count() == 0
+    )
+    assert engine.read.table("dbo.bl").count() == 149
