@@ -1610,18 +1610,41 @@ class TableStore:
                 "files discarded — re-read and retry"
             )
 
-    def vacuum(self, name: str, keep_versions: Optional[int] = None) -> int:
+    def vacuum(self, name: str, keep_versions: Optional[int] = None,
+               reap_stale_staging_hours: float = 24.0) -> int:
         """Explicit retention enforcement (the Delta ``VACUUM`` analog):
         drop manifests more than ``keep_versions`` behind the current
         version (default: the table's retention property) and delete
         pool files no retained manifest references. Returns the number
         of versions still readable. Metadata + unlink cost only — data
         files are never rewritten, and the current snapshot is always
-        retained."""
+        retained.
+
+        Also reaps ``.stage_*`` directories older than
+        ``reap_stale_staging_hours`` — the litter a writer killed MID-
+        STAGING leaves behind (crashes after staging are cleaned by the
+        commit's own discard guard; a crash during the parquet write
+        has no process left to clean up). Age-gated because staged-but-
+        uncommitted files of a LIVE writer are invisible to everyone
+        else and must not be reaped from under it; no real commit
+        stages for hours. Delta's VACUUM makes the same conservative
+        time-based call for uncommitted files."""
         meta = self.meta(name)
         k = self._retention(meta) if keep_versions is None else max(
             0, int(keep_versions)
         )
+        if reap_stale_staging_hours is not None:
+            cutoff = time.time() - float(reap_stale_staging_hours) * 3600
+            tdir = self._table_dir(name)
+            for d in os.listdir(tdir):
+                if not d.startswith(".stage_"):
+                    continue
+                p = os.path.join(tdir, d)
+                try:
+                    if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:  # pragma: no cover - raced with writer
+                    pass
         self._vacuum(name, keep_before=meta.version - k)
         readable = 0
         for v in range(meta.version, -1, -1):

@@ -117,3 +117,26 @@ def test_crash_after_claim_leaves_recoverable_orphan(
     )
     got = _snapshot(engine)
     assert (4, "d") in got and before[0] in got
+
+
+def test_vacuum_reaps_stale_staging_only(engine, spark):
+    """A writer killed mid-staging leaves a .stage_* directory no
+    guard can clean; vacuum reaps it once it is provably stale
+    (age-gated), while a fresh directory — possibly a live writer's —
+    is left alone."""
+    import time
+
+    _mk(engine, spark)
+    store = engine.store
+    tdir = store._table_dir("dbo.cr")
+    stale = os.path.join(tdir, ".stage_deadbeef")
+    fresh = os.path.join(tdir, ".stage_cafebabe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - 48 * 3600
+    os.utime(stale, (old, old))
+    engine.vacuum("dbo.cr")
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    # the table itself is untouched
+    assert engine.read.table("dbo.cr").count() == 2
