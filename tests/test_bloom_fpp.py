@@ -1,0 +1,83 @@
+"""Pure-python contract pins for the bloom sidecar math: the
+~1% false-positive sizing claim, cap behavior, and canonical value
+encoding — no Spark session needed."""
+
+from __future__ import annotations
+
+import base64
+import json
+import zlib
+
+import numpy as np
+
+from mssql_dataframe_spark.store import (
+    BLOOM_BITS_PER_VALUE,
+    BLOOM_K,
+    BLOOM_MAX_BITS,
+    _bloom_hash_pair,
+    _bloom_might_contain,
+    _bloom_value_bytes,
+)
+
+
+def _build(values):
+    encoded = [_bloom_value_bytes(v) for v in values]
+    encoded = [e for e in encoded if e is not None]
+    m = min(BLOOM_MAX_BITS, max(64, len(encoded) * BLOOM_BITS_PER_VALUE))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for e in encoded:
+        h1, h2 = _bloom_hash_pair(e)
+        for i in range(BLOOM_K):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {
+        "m": int(m),
+        "k": BLOOM_K,
+        "b64": base64.b64encode(zlib.compress(bits.tobytes())).decode(),
+    }
+
+
+def test_false_positive_rate_near_one_percent():
+    members = [f"member_{i}" for i in range(10_000)]
+    bloom = _build(members)
+    # zero false negatives (the correctness contract)
+    for v in members[:500]:
+        assert _bloom_might_contain(bloom, _bloom_value_bytes(v))
+    # fpp near the 10-bits/7-hashes design point (~0.8%); generous
+    # ceiling to keep the test deterministic-robust
+    hits = sum(
+        _bloom_might_contain(bloom, _bloom_value_bytes(f"absent_{i}"))
+        for i in range(10_000)
+    )
+    assert hits / 10_000 < 0.03, hits
+
+
+def test_value_encoding_canonicalization():
+    # ints hash as their decimal string -> '05' parses to the same key
+    assert _bloom_value_bytes(5) == b"5"
+    assert _bloom_value_bytes(int("05")) == b"5"
+    assert _bloom_value_bytes(np.int64(5)) == b"5"
+    assert _bloom_value_bytes("abc") == b"abc"
+    # non-indexable values disable the probe rather than mis-hash
+    assert _bloom_value_bytes(True) is None
+    assert _bloom_value_bytes(None) is None
+    assert _bloom_value_bytes(1.5) is None
+
+
+def test_bit_cap_degrades_gracefully():
+    # more distinct values than the cap affords: filter still has no
+    # false negatives, just a higher fpp
+    n = BLOOM_MAX_BITS // BLOOM_BITS_PER_VALUE + 1000
+    members = [f"v{i}" for i in range(0, n, max(1, n // 2000))]
+    bloom = _build(members)
+    assert bloom["m"] == BLOOM_MAX_BITS or len(members) * 10 < BLOOM_MAX_BITS
+    for v in members[:200]:
+        assert _bloom_might_contain(bloom, _bloom_value_bytes(v))
+
+
+def test_serialization_roundtrip_json():
+    bloom = _build(["a", "b", "c", 42])
+    again = json.loads(json.dumps(bloom))
+    for v in ("a", "b", "c", 42):
+        assert _bloom_might_contain(again, _bloom_value_bytes(v))
+    assert not _bloom_might_contain(again, _bloom_value_bytes("zz"))
