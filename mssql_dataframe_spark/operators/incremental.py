@@ -436,8 +436,8 @@ def apply_topk_delta(
     sv = F.struct(F.col(value_col), F.col(id_col))
     stats = mv.groupBy(*keys).agg(F.min(sv).alias("__boundary"))
     out_stats = outgoing.groupBy(*keys).agg(F.max(sv).alias("__out_max"))
-    st = stats.select(
-        *[F.col(c).alias(f"__s_{c}") for c in keys], "__boundary"
+    os_ = out_stats.select(
+        *[F.col(c).alias(f"__o_{c}") for c in keys], "__out_max"
     )
 
     def _keycond(left, right_prefix, right):
@@ -447,17 +447,14 @@ def apply_topk_delta(
             cond = e if cond is None else (cond & e)
         return cond
 
+    # INNER join (a key absent from the MV has no members — nothing to
+    # rescan), with the BATCH-sized outgoing stats broadcast: the MV
+    # boundary frame is O(all keys) and must never ship to every
+    # executor at 100 TB scale
     rescan_keys = (
-        out_stats.join(
-            F.broadcast(st), _keycond(out_stats, "__s_", st), "left"
-        )
-        # a missing boundary (key absent from the MV: all its previous
-        # values were NULL) cannot have had members — nothing to rescan
-        .filter(
-            F.col("__boundary").isNotNull()
-            & (F.col("__out_max") >= F.col("__boundary"))
-        )
-        .select(*[out_stats[c] for c in keys])
+        stats.join(F.broadcast(os_), _keycond(stats, "__o_", os_))
+        .filter(F.col("__out_max") >= F.col("__boundary"))
+        .select(*[stats[c] for c in keys])
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -849,6 +849,13 @@ def incremental_mv_sink(
     if sbid not in ledger:
         v_pre = fmeta.version
         ledger[sbid] = [v_pre, v_pre + 1]
+        # bound the ledger: replays only ever arrive near the stream
+        # tip (the checkpoint advances), so a 64-batch tail is ample —
+        # an unbounded dict would grow the table meta forever on a
+        # long-running stream
+        if len(ledger) > 64:
+            for k in sorted(ledger, key=int)[: len(ledger) - 64]:
+                del ledger[k]
         engine.write.insert(
             fact,
             mb.select(
