@@ -214,8 +214,12 @@ def _bloom_build_for_file(path: str, cols: list[str]) -> dict:
     out = {}
     for c in want:
         vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-        encoded = [_bloom_value_bytes(v) for v in vals]
-        encoded = [e for e in encoded if e is not None]
+        # DEDUPLICATE before hashing: duplicates set identical bits,
+        # so hashing them is pure waste (rows × 7 md5s → uniques × 7),
+        # and sizing by the UNIQUE count keeps low-cardinality
+        # columns' sidecars small with a better fpp per bit
+        encoded = {_bloom_value_bytes(v) for v in vals}
+        encoded.discard(None)
         if not encoded:
             continue
         m = min(BLOOM_MAX_BITS, max(64, len(encoded) * BLOOM_BITS_PER_VALUE))
@@ -760,7 +764,7 @@ class TableStore:
         literal the column's type cannot normalize). Shared by the
         read verb and DELETE WHERE so both sides type literals
         identically (an int column's '05' and 5 must hash the same)."""
-        from .identifiers import equality_conjuncts
+        from .identifiers import _NUM_RE, equality_conjuncts
 
         bcols = self._bloom_cols(meta)
         if not bcols:
@@ -771,6 +775,18 @@ class TableStore:
             if c not in bcols:
                 continue
             if isinstance(fields[c], T.StringType):
+                # the compiled filter renders numeric-shaped and
+                # keyword literals BARE (identifiers._render_literal —
+                # even when the user quoted them), so Spark compares a
+                # string column NUMERICALLY there ('05' = 5 is TRUE).
+                # An exact-string bloom probe would disagree and prune
+                # files holding numerically-equal rows — skip pruning
+                # for those literals; plain text literals probe
+                # exactly.
+                if _NUM_RE.match(raw) or raw.upper() in (
+                    "TRUE", "FALSE", "NULL"
+                ):
+                    continue
                 probes.append((c, raw))
             else:  # integer family (the only other indexed set)
                 try:
@@ -1267,9 +1283,15 @@ class TableStore:
                 try:
                     os.link(s, d)
                 except FileNotFoundError:
-                    continue  # sidecar already reaped — entry stays
-                    # conservative (bloom col listed, sidecar absent
-                    # reads as keep-the-file)
+                    if n_.endswith(".bloom.json"):
+                        # sidecar already reaped — entry stays
+                        # conservative (bloom col listed, sidecar
+                        # absent reads as keep-the-file)
+                        continue
+                    # a missing DATA file is real corruption: failing
+                    # here beats committing a clone manifest that
+                    # references a nonexistent file
+                    raise
                 except OSError:
                     # no-hardlink filesystem (FUSE / some network
                     # mounts): degrade to a byte copy — the clone is

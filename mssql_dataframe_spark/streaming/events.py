@@ -845,24 +845,40 @@ def incremental_mv_sink(
 
     sbid = str(batch_id)
     fmeta = engine.store.meta(fact)
-    ledger = dict(fmeta.properties.get("applied_batches") or {})
+    props = fmeta.properties
+    ledger = dict(props.get("applied_batches") or {})
+    applied_through = props.get("applied_through", -1)
+    if sbid not in ledger and batch_id <= applied_through:
+        # a replay OLDER than the bounded ledger tail (deep checkpoint
+        # rollback): the batch was fully applied before its entry was
+        # evicted — re-inserting would violate the PK / double-count,
+        # so the whole batch is a no-op
+        return
     if sbid not in ledger:
         v_pre = fmeta.version
         ledger[sbid] = [v_pre, v_pre + 1]
         # bound the ledger: replays only ever arrive near the stream
         # tip (the checkpoint advances), so a 64-batch tail is ample —
         # an unbounded dict would grow the table meta forever on a
-        # long-running stream
-        if len(ledger) > 64:
-            for k in sorted(ledger, key=int)[: len(ledger) - 64]:
-                del ledger[k]
+        # long-running stream. Evicted entries advance applied_through
+        # (the high-water mark the deep-replay guard above checks).
+        evict = (
+            sorted(ledger, key=int)[: len(ledger) - 64]
+            if len(ledger) > 64 else []
+        )
+        for k in evict:
+            applied_through = max(applied_through, int(k))
+            del ledger[k]
         engine.write.insert(
             fact,
             mb.select(
                 "event_id", "user_id",
                 F.col("value").cast("decimal(18,4)").alias("value"),
             ),
-            extra_properties={"applied_batches": ledger},
+            extra_properties={
+                "applied_batches": ledger,
+                "applied_through": applied_through,
+            },
         )
     else:
         ledger = engine.store.meta(fact).properties["applied_batches"]

@@ -346,3 +346,62 @@ def test_delete_where_equality_prunes_with_blooms(engine, spark):
         engine.read.table("dbo.bl", where="name = name_2_4").count() == 0
     )
     assert engine.read.table("dbo.bl").count() == 149
+
+
+def test_numeric_shaped_literal_on_string_column_never_prunes(
+    engine, spark
+):
+    """compile_where renders numeric-shaped literals bare (even when
+    quoted), so Spark compares a string column NUMERICALLY ('05' = 5
+    is TRUE). The bloom probe must therefore NOT engage for such
+    literals — pruning on the exact string would drop the
+    numerically-equal row."""
+    engine.create.table(
+        "dbo.bln",
+        {"id": "bigint", "s": "nvarchar(10)"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["s"]},
+    )
+    engine.write.insert(
+        "dbo.bln",
+        spark.createDataFrame(
+            # all numeric-shaped: under ANSI, `s` = 5 casts the COLUMN
+            # to bigint, so any non-numeric value would error the
+            # filter itself — the silent-prune hazard lives exactly in
+            # the all-numeric case
+            [(1, "05"), (2, "7")], "id long, s string"
+        ),
+    )
+    store = engine.store
+    meta = store.meta("dbo.bln")
+    # the probe machinery itself must refuse these literals
+    assert store.typed_bloom_probes(meta, "s = 5") == []
+    assert store.typed_bloom_probes(meta, "s = '5'") == []
+    assert store.typed_bloom_probes(meta, "s = TRUE") == []
+    assert store.typed_bloom_probes(meta, "s = xyz") == [("s", "xyz")]
+    # end to end: the numerically-equal row survives
+    got = engine.read.table("dbo.bln", where="s = 5").collect()
+    assert [(r.id, r.s) for r in got] == [(1, "05")]
+    assert engine.write.delete_where("dbo.bln", "s = 5") == 1
+    assert engine.read.table("dbo.bln").count() == 1
+
+
+def test_clone_fails_loudly_on_missing_data_file(engine, spark):
+    """A missing bloom sidecar degrades conservatively, but a missing
+    DATA file must fail the clone — committing a manifest that
+    references a nonexistent file would surface as a far-away read
+    error."""
+    import pytest as _pytest
+
+    store = _mk(engine, spark, n_files=1)
+    meta = store.meta("dbo.bl")
+    ents = store.manifest("dbo.bl", meta.version)
+    pool = store._pool_dir("dbo.bl")
+    # sidecar missing: clone still succeeds
+    os.remove(os.path.join(pool, ents[0]["path"] + ".bloom.json"))
+    store.clone("dbo.bl", "dbo.bl_ok")
+    assert engine.read.table("dbo.bl_ok").count() == 50
+    # data file missing: clone refuses
+    os.remove(os.path.join(pool, ents[0]["path"]))
+    with _pytest.raises(FileNotFoundError):
+        store.clone("dbo.bl", "dbo.bl_bad")
