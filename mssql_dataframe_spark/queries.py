@@ -10407,72 +10407,70 @@ def verb_bloom_index_read(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r11 rotation (VERDICT r10 "Next round: do this" #1): (a) the 2
-    # entries added after the r10 window froze -- the only registry
-    # rows with no driver CORRECTNESS row (both gate_sim-green, judge
-    # re-verified); (b) the 37 rows whose latest driver evidence is
-    # r06 (the r6 warehouse/verb suite, tokenizer pair, streaming r6
-    # trio, pipelines, pagerank/kmeans/semantic-dedup); (c) the 11
-    # earliest-positioned r07-vintage rows (TPC-H tail + window/
-    # events slice). After this window every one of the 239 registry
-    # entries has a driver CORRECTNESS row and none is older than
-    # r07. COVERAGE.md "Grading manifest" documents the cycle.
-    # -- (a) never-graded: mid-r10 additions + the r11-continuation
-    # five (MV-maintenance family, streaming MV loop, bloom index) --
-    "ivfpq_adc_search",
-    "corpus_perplexity_buckets",
-    "mv_minmax_partial_rescan",
-    "mv_distinct_count_two_level",
-    "mv_topk_maintenance",
-    "streaming_incremental_mv",
-    "verb_bloom_index_read",
-    # -- (b) the 37 r06-vintage rows (registry order) --
-    "trigram_search_parts",
-    "doc_ngram_novelty",
-    "customer_rfm_segments",
-    "parts_abc_pareto",
-    "tokenizer_learn_merges",
-    "tokenizer_apply_merges",
-    "exact_substring_dup_pairs",
-    "fuzzy_join_names",
-    "embedding_topk_exact_scalable",
-    "multimodal_ahash_dedup_pairs",
-    "streaming_stateful_ewma",
-    "streaming_ingest_dedup_store",
-    "streaming_stream_stream_left_join",
-    "curriculum_stages_per_lang",
-    "temperature_resample_lang",
-    "scd2_point_in_time_join",
-    "data_profile_orders",
-    "pipeline_dedup_sweep",
-    "arrow_python_udf_reverse",
-    "verb_incremental_ingest",
-    "verb_sequence_numbering",
-    "verb_rename_roundtrip",
-    "verb_temp_table_staging",
-    "verb_extended_types_roundtrip",
-    "verb_views",
-    "verb_stats_metadata_read",
-    "verb_computed_columns",
-    "verb_row_level_security",
-    "verb_masked_reads",
-    "pipeline_cdc_to_scd2",
-    "embedding_semantic_dedup",
-    "pagerank_customer_supplier",
-    "kmeans_codebook_train",
-    "quality_weighted_mixture",
-    "pipeline_training_mixture",
-    "source_xml_roundtrip",
-    "source_schema_evolution_merge",
-    # -- (c) the 6 earliest-positioned r07 rows (5 of the original 11
-    # displaced by the continuation's never-graded entries; they keep
-    # their r07 evidence and rotate next round) --
-    "q10_returned_items",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q19_disjunctive_filter",
-    "distinct_aggregates",
+    # r12 rotation (VERDICT r11 "Next round: do this" #1): (a) the
+    # single registry row with no driver CORRECTNESS row anywhere
+    # (pit_left_unmatched_facts, added after the r11 window froze;
+    # gate_sim-green, judge re-verified at 2992 rows); (b) all 44
+    # rows whose latest driver evidence is r07 (window/events/
+    # timeseries shapes, source scan shapes, relational extensions,
+    # business analytics, the r07 LLM-text tail), in registry order;
+    # (c) the 5 earliest-positioned r08-vintage rows. After this
+    # window lands green every one of the 245 registry entries has a
+    # driver CORRECTNESS row and none is older than r08. COVERAGE.md
+    # "Grading manifest" documents the cycle.
+    # -- (a) never-graded --
+    "pit_left_unmatched_facts",
+    # -- (b) the 44 r07-vintage rows (registry order) --
+    "window_moving_avg_frames",
+    "events_mad_outliers",
+    "timeseries_ewma_quantized",
+    "global_topn_orders",
+    "window_time_range_frames",
+    "source_parquet_agg_pushdown",
+    "source_nested_struct_pruning",
+    "bucketed_join_no_shuffle",
+    "stats_aggregates",
+    "unpivot_lineitem_measures",
+    "string_split_rows",
+    "date_spine_calendar",
+    "argmax_aggregates",
+    "histogram_equi_width",
+    "lateral_topk_per_nation",
+    "recursive_cte_supplier_tree",
+    "source_partitioned_pruning",
+    "pandas_udf_embedding_norm",
+    "bloom_filter_join_prune",
+    "interval_overlap_join",
+    "variant_json_extraction",
+    "lang_id_confusion",
+    "decontamination_fuzzy",
+    "heavy_hitters_tokens",
+    "basket_brand_lift",
+    "events_time_to_convert",
+    "embedding_health_check",
+    "source_token_drift",
+    "orders_cohort_ltv",
+    "events_error_budget",
+    "orders_priority_mix_shift",
+    "supplier_otif_rate",
+    "customer_order_gaps",
+    "events_hourly_seasonality",
+    "events_dau_wau_stickiness",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "events_activity_streaks",
+    "try_cast_tolerant_ingest",
+    "null_safe_join_semantics",
+    "timeseries_gap_fill",
+    "bigram_logprob_quality",
+    "bigram_pmi_collocations",
+    # -- (c) the 5 earliest-positioned r08 rows --
+    "apply_in_pandas_zscore",
+    "map_in_pandas_tokens",
+    "posexplode_tokens",
+    "semi_anti_join",
+    "approx_percentile_sketch",
 ]
 
 
