@@ -277,7 +277,14 @@ class read:
             # below still applies — a bloom false positive only costs
             # a read, never a wrong row; files without a sidecar for
             # the probed column always stay.
-            probes = self._store.typed_bloom_probes(meta, where)
+            # probes typed under the SNAPSHOT's recorded schema when
+            # time-traveling: sidecars were hashed under the schema
+            # their files were written with, and a probe typed under a
+            # later retype would prune files whose rows the try_cast
+            # reprojection below surfaces (store.typed_bloom_probes)
+            probes = self._store.typed_bloom_probes(
+                meta, where, version=version
+            )
             if probes:
                 # works for time travel too: sidecars live exactly as
                 # long as their data file, and read_files reads a

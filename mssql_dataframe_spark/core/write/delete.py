@@ -523,7 +523,15 @@ def delete_where_op(
     scan_entries = entries
     probes = store.typed_bloom_probes(meta, where)
     if probes:
-        touched_b, pruned_b = store.bloom_prune(table_name, probes)
+        # pin pruning to the SAME snapshot `entries` came from: an
+        # unversioned call re-reads the current manifest, and a
+        # concurrent commit between the two reads would make the
+        # path-set intersection below drop files bloom never tested —
+        # the final commit's expected_version OCC would catch it, but
+        # the early `return 0` path has no such backstop
+        touched_b, pruned_b = store.bloom_prune(
+            table_name, probes, version=meta.version
+        )
         if pruned_b:
             if not touched_b:
                 return 0  # provably no matching row anywhere

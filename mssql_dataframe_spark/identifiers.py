@@ -89,6 +89,36 @@ def _compile_condition(cond: str) -> str:
 _NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
+def unquote_literal(value: str) -> str:
+    """Strip ONE level of outer quotes from a raw where-grammar
+    literal — the single normalization step shared by the filter
+    renderer (``_render_literal``) and the bloom-probe extractor
+    (``equality_conjuncts``). Keeping it in one place is load-bearing:
+    if the two sides ever normalized differently, a probe would hash a
+    value the compiled filter doesn't compare, and a desynced probe
+    PRUNES files that contain matching rows. A 1-char quote is not a
+    wrapped literal."""
+    value = value.strip()
+    if len(value) >= 2 and (
+        (value.startswith("'") and value.endswith("'"))
+        or (value.startswith('"') and value.endswith('"'))
+    ):
+        return value[1:-1]
+    return value
+
+
+def renders_bare(value: str) -> bool:
+    """True when ``_render_literal`` renders this (already-unquoted)
+    literal BARE — numeric-shaped or a TRUE/FALSE/NULL keyword — so
+    Spark compares it numerically / as a keyword rather than as a
+    string. Bloom probes on STRING columns must skip such literals
+    ('05' = 5 is TRUE under numeric comparison but b'05' != b'5' under
+    an exact-bytes bloom probe)."""
+    return bool(_NUM_RE.match(value)) or value.upper() in (
+        "TRUE", "FALSE", "NULL"
+    )
+
+
 def _render_literal(value: str) -> str:
     """Render the extracted literal as a safe Spark SQL literal.
 
@@ -96,11 +126,7 @@ def _render_literal(value: str) -> str:
     we inline them with single-quote escaping, which is equivalent under
     the restricted grammar (no nesting, no subqueries).
     """
-    value = value.strip()
-    if (value.startswith("'") and value.endswith("'")) or (
-        value.startswith('"') and value.endswith('"')
-    ):
-        value = value[1:-1]
+    value = unquote_literal(value)
     if _NUM_RE.match(value):
         return value
     if value.upper() in ("TRUE", "FALSE", "NULL"):
@@ -192,11 +218,7 @@ def equality_conjuncts(where: str) -> list[tuple[str, str]]:
                 value = p[idx + 1:].strip()
                 if not col or not value:
                     break
-                if (value.startswith("'") and value.endswith("'")) or (
-                    value.startswith('"') and value.endswith('"')
-                ):
-                    value = value[1:-1]
-                out.append((col, value))
+                out.append((col, unquote_literal(value)))
                 break
     return out
 

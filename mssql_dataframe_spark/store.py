@@ -40,6 +40,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -205,6 +206,10 @@ def _bloom_build_for_file(path: str, cols: list[str]) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
 
+    import hashlib
+
+    import pyarrow.compute as pc
+
     pf = pq.ParquetFile(path)
     names = set(pf.schema_arrow.names)
     want = [c for c in cols if c in names]
@@ -213,22 +218,55 @@ def _bloom_build_for_file(path: str, cols: list[str]) -> dict:
     tbl = pf.read(columns=want)
     out = {}
     for c in want:
-        vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-        # DEDUPLICATE before hashing: duplicates set identical bits,
-        # so hashing them is pure waste (rows × 7 md5s → uniques × 7),
-        # and sizing by the UNIQUE count keeps low-cardinality
-        # columns' sidecars small with a better fpp per bit
-        encoded = {_bloom_value_bytes(v) for v in vals}
-        encoded.discard(None)
+        # DEDUPLICATE in Arrow before anything touches Python:
+        # duplicates set identical bits, so hashing them is pure waste
+        # (rows × md5 → uniques × md5), and sizing by the UNIQUE count
+        # keeps low-cardinality columns' sidecars small with a better
+        # fpp per bit. Only the unique array is ever materialized
+        # Python-side — and for the two hashable families the
+        # canonical bytes come straight from Arrow casts (int ->
+        # string renders the same decimal text as Python str(); string
+        # -> binary is the same UTF-8), so _bloom_value_bytes never
+        # runs per value on the hot path.
+        uniq = pc.unique(
+            tbl.column(c).combine_chunks()
+        ).drop_null()
+        import pyarrow as pa
+
+        typ = uniq.type
+        if pa.types.is_integer(typ):
+            encoded = set(
+                uniq.cast(pa.string()).cast(pa.binary()).to_pylist()
+            )
+        elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            encoded = set(uniq.cast(pa.large_binary()).to_pylist())
+        else:  # unusual physical type: per-value canonicalization
+            encoded = {_bloom_value_bytes(v) for v in uniq.to_pylist()}
+            encoded.discard(None)
         if not encoded:
             continue
         m = min(BLOOM_MAX_BITS, max(64, len(encoded) * BLOOM_BITS_PER_VALUE))
-        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-        for e in encoded:
-            h1, h2 = _bloom_hash_pair(e)
-            for i in range(BLOOM_K):
-                idx = (h1 + i * h2) % m
-                bits[idx >> 3] |= 1 << (idx & 7)
+        # vectorized bit-set, bit-identical to the scalar
+        # _bloom_hash_pair/_bloom_might_contain contract: one md5 per
+        # unique value yields (h1, h2); reducing each mod m FIRST
+        # keeps (h1 + i*h2) % m == ((h1%m) + i*(h2%m)) % m exact in
+        # uint64 (m <= 2^23, so a1 + 6*a2 < 2^26 — no wraparound),
+        # where naive uint64 h1 + i*h2 would wrap mod 2^64 and move
+        # bits. All 7 probe positions per value land via one fancy-
+        # indexed bitwise_or (duplicates OR idempotently).
+        digests = b"".join(hashlib.md5(e).digest() for e in encoded)
+        h = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
+        a1 = h[:, 0] % m
+        a2 = (h[:, 1] | 1) % m
+        idx = (
+            a1[:, None] + np.arange(BLOOM_K, dtype=np.uint64) * a2[:, None]
+        ) % m
+        # boolean fancy-assign + little-endian packbits: byte[i] bit j
+        # == flag[8i+j] == exactly the scalar `bits[idx>>3] |= 1 <<
+        # (idx&7)` layout, ~10x faster than np.bitwise_or.at
+        flags = np.zeros(((m + 7) // 8) * 8, dtype=bool)
+        flags[idx.ravel()] = True
+        bits = np.packbits(flags, bitorder="little")
         out[c] = {
             "m": int(m),
             "k": BLOOM_K,
@@ -246,13 +284,49 @@ def _bloom_might_contain(bloom: dict, value_bytes: bytes) -> bool:
     import zlib
 
     m, k = int(bloom["m"]), int(bloom["k"])
-    bits = zlib.decompress(base64.b64decode(bloom["b64"]))
+    bits = bloom.get("_bits")
+    if bits is None:
+        bits = zlib.decompress(base64.b64decode(bloom["b64"]))
     h1, h2 = _bloom_hash_pair(value_bytes)
     for i in range(k):
         idx = (h1 + i * h2) % m
         if not (bits[idx >> 3] >> (idx & 7)) & 1:
             return False
     return True
+
+
+@functools.lru_cache(maxsize=2048)
+def _load_bloom_sidecar(path: str) -> dict:
+    """Parsed, pre-decompressed bloom sidecar for one pool file —
+    ``{col: {"m", "k", "_bits"}}``. Safe to cache globally by path:
+    pool files (and their sidecars) are IMMUTABLE once published —
+    uuid-named, never rewritten in place, vacuumed only after no
+    manifest references them (and a vacuumed file is never probed
+    again; clones hardlink to NEW paths). A missing/corrupt sidecar
+    caches as {} — conservative (the file always counts as touched),
+    and a late-arriving sidecar can only appear under a new file
+    name. The LRU bound keeps repeated point-lookups against an
+    unchanged snapshot O(probes), not O(files × zlib), without
+    letting a million-file scan pin a million bitsets."""
+    import base64
+    import zlib
+
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+    out = {}
+    for c, bl in raw.items():
+        try:
+            out[c] = {
+                "m": int(bl["m"]),
+                "k": int(bl["k"]),
+                "_bits": zlib.decompress(base64.b64decode(bl["b64"])),
+            }
+        except (KeyError, TypeError, ValueError, zlib.error):
+            continue
+    return out
 
 
 def _stage_bloom_sidecar(path: str, cols: list[str]) -> list[str]:
@@ -755,7 +829,8 @@ class TableStore:
         ]
 
     def typed_bloom_probes(
-        self, meta: TableMeta, where: str
+        self, meta: TableMeta, where: str,
+        version: Optional[int] = None,
     ) -> list[tuple]:
         """``(column, typed value)`` equality probes a where-grammar
         string yields against this table's bloom-indexed columns — []
@@ -763,16 +838,36 @@ class TableStore:
         parenthesized predicate, no indexed equality conjunct, or a
         literal the column's type cannot normalize). Shared by the
         read verb and DELETE WHERE so both sides type literals
-        identically (an int column's '05' and 5 must hash the same)."""
-        from .identifiers import _NUM_RE, equality_conjuncts
+        identically (an int column's '05' and 5 must hash the same).
+
+        ``version`` types probes against that snapshot's RECORDED
+        schema, not today's: a time-travel read probes sidecars that
+        were hashed under the schema the files were written with
+        (ALTER COLUMN is a cast-rewrite, so every file of version v —
+        and its sidecar — conforms to v's schema). After a
+        string->int retype, a pre-retype snapshot probe for
+        ``col = 5`` must hash the STRING rules (and therefore skip,
+        since '5' renders bare) or it would prune files whose '05'
+        rows the documented try_cast reprojection surfaces as 5. A
+        snapshot with no recorded schema disables pruning entirely
+        (conservative: every file is touched)."""
+        from .identifiers import equality_conjuncts, renders_bare
 
         bcols = self._bloom_cols(meta)
         if not bcols:
             return []
-        fields = {f.name: f.dataType for f in meta.spark_schema.fields}
+        schema = meta.spark_schema
+        if version is not None and int(version) != meta.version:
+            recorded = self.commit_info(meta.name, int(version)).get(
+                "schema"
+            )
+            if recorded is None:
+                return []
+            schema = T.StructType.fromJson(recorded)
+        fields = {f.name: f.dataType for f in schema.fields}
         probes: list[tuple] = []
         for c, raw in equality_conjuncts(where):
-            if c not in bcols:
+            if c not in bcols or c not in fields:
                 continue
             if isinstance(fields[c], T.StringType):
                 # the compiled filter renders numeric-shaped and
@@ -783,16 +878,17 @@ class TableStore:
                 # files holding numerically-equal rows — skip pruning
                 # for those literals; plain text literals probe
                 # exactly.
-                if _NUM_RE.match(raw) or raw.upper() in (
-                    "TRUE", "FALSE", "NULL"
-                ):
+                if renders_bare(raw):
                     continue
                 probes.append((c, raw))
-            else:  # integer family (the only other indexed set)
+            elif isinstance(fields[c], (T.ByteType, T.ShortType,
+                                        T.IntegerType, T.LongType)):
                 try:
                     probes.append((c, int(raw)))
                 except ValueError:
                     pass
+            # any other recorded type (a later retype away from the
+            # hashable set) simply never probes that column
         return probes
 
     def bloom_prune(
@@ -830,13 +926,12 @@ class TableStore:
                 if c not in bcols:
                     continue
                 if sidecar is None:
-                    try:
-                        with open(os.path.join(
-                            pool, e["path"] + ".bloom.json"
-                        )) as f:
-                            sidecar = json.load(f)
-                    except (FileNotFoundError, json.JSONDecodeError):
-                        sidecar = {}
+                    # LRU-cached, pre-decompressed: the second probe
+                    # against an unchanged snapshot costs O(probes),
+                    # not O(files × zlib) (sidecars are immutable)
+                    sidecar = _load_bloom_sidecar(
+                        os.path.join(pool, e["path"] + ".bloom.json")
+                    )
                 bl = sidecar.get(c)
                 if bl and not _bloom_might_contain(bl, vb):
                     keep = False

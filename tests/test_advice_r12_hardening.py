@@ -1,0 +1,342 @@
+"""Round-12 ADVICE closures, each pinned:
+
+1. (medium) time-travel bloom probes type against the SNAPSHOT's
+   recorded schema, not today's — after ALTER COLUMN string->int, a
+   pre-retype snapshot read must not prune files whose string rows the
+   try_cast reprojection surfaces as matching ints.
+2. (low) DELETE WHERE's bloom pre-narrowing is pinned to the same
+   snapshot version its entry list came from.
+3. (low) one shared unquote/normalize helper feeds the filter renderer
+   AND the probe extractor; a property-style sweep asserts a probe's
+   value always equals the value the rendered literal denotes (or the
+   probe is skipped because the literal renders bare).
+4. (low) the bloom sidecar build is vectorized — pinned bit-identical
+   to the scalar _bloom_hash_pair contract — and bloom_prune's sidecar
+   loads are LRU-cached (second probe of an unchanged snapshot opens
+   no files).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mssql_dataframe_spark.identifiers import (
+    _render_literal,
+    compile_where,
+    equality_conjuncts,
+    renders_bare,
+    unquote_literal,
+)
+from mssql_dataframe_spark.store import (
+    _bloom_build_for_file,
+    _bloom_hash_pair,
+    _bloom_value_bytes,
+    _load_bloom_sidecar,
+)
+
+
+# -- 1. time-travel probes under the recorded schema ------------------
+
+def _mk_retype(engine, spark):
+    """String bloom-indexed column holding numeric-SHAPED strings,
+    then retyped to bigint; returns (store, pre-retype version)."""
+    engine.create.table(
+        "dbo.rt",
+        {"id": "bigint", "val": "nvarchar(10)"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["val"]},
+    )
+    # numeric-SHAPED strings only: ALTER COLUMN is a strict cast-
+    # rewrite (SQL Server semantics — unconvertible data fails the
+    # ALTER), and '05' vs 5 is exactly the bytes-disagreement the
+    # recorded-schema fix guards
+    engine.write.insert(
+        "dbo.rt",
+        spark.createDataFrame([(1, "05"), (2, "07")], "id long, val string"),
+    )
+    engine.write.insert(
+        "dbo.rt",
+        spark.createDataFrame(
+            [(3, "100"), (4, "200")], "id long, val string"
+        ),
+    )
+    v_pre = engine.store.meta("dbo.rt").version
+    engine.modify.column("dbo.rt", "alter", "val", "bigint")
+    return engine.store, v_pre
+
+
+def test_time_travel_retype_probes_skip_under_recorded_string_schema(
+    engine, spark
+):
+    store, v_pre = _mk_retype(engine, spark)
+    meta = store.meta("dbo.rt")
+    # current schema types '5' as int -> a probe WOULD engage today
+    assert store.typed_bloom_probes(meta, "val = 5") == [("val", 5)]
+    # ...but the snapshot's files were hashed under the STRING schema,
+    # where a numeric-shaped literal renders bare and must skip
+    assert store.typed_bloom_probes(meta, "val = 5", version=v_pre) == []
+    # end-to-end: the pre-retype snapshot surfaces the '05' row as 5
+    # through the documented try_cast reprojection — pruning under the
+    # current schema would have silently dropped it
+    got = engine.read.table("dbo.rt", version=v_pre, where="val = 5")
+    assert [(r.id, r.val) for r in got.collect()] == [(1, 5)]
+
+
+def test_time_travel_retype_int_to_string_probes_under_recorded_int(
+    engine, spark
+):
+    engine.create.table(
+        "dbo.rti",
+        {"id": "bigint", "val": "bigint"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["val"]},
+    )
+    engine.write.insert(
+        "dbo.rti",
+        spark.createDataFrame([(1, 5), (2, 7)], "id long, val long"),
+    )
+    engine.write.insert(
+        "dbo.rti",
+        spark.createDataFrame([(3, 100), (4, 200)], "id long, val long"),
+    )
+    v_pre = engine.store.meta("dbo.rti").version
+    engine.modify.column("dbo.rti", "alter", "val", "nvarchar(10)")
+    store = engine.store
+    meta = store.meta("dbo.rti")
+    # recorded schema is INT: '05' normalizes to 5 and probes engage —
+    # matching what the sidecars hashed (decimal string of the int)
+    assert store.typed_bloom_probes(meta, "val = 05", version=v_pre) == [
+        ("val", 5)
+    ]
+    touched, pruned = store.bloom_prune(
+        "dbo.rti", [("val", 5)], version=v_pre
+    )
+    # every file not holding 5 is provably absent; the one holding it
+    # survives (an insert may split across several files, so pin the
+    # shape, not an exact count)
+    n_files = len(store.manifest("dbo.rti", v_pre))
+    assert pruned >= 1 and len(touched) == n_files - pruned >= 1
+    got = engine.read.table("dbo.rti", version=v_pre, where="val = 05")
+    assert [(r.id, r.val) for r in got.collect()] == [(1, "5")]
+
+
+def test_unrecorded_snapshot_schema_disables_pruning(engine, spark):
+    """A retained version whose manifest carries no recorded schema
+    (pre-upgrade manifests) must disable pruning, not guess types."""
+    store, v_pre = _mk_retype(engine, spark)
+    # strip the recorded schema from the snapshot's manifest
+    import json
+
+    p = store._manifest_path("dbo.rt", v_pre)
+    with open(p) as f:
+        doc = json.load(f)
+    doc.get("commit", {}).pop("schema", None)
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    meta = store.meta("dbo.rt")
+    assert store.typed_bloom_probes(meta, "val = 5", version=v_pre) == []
+
+
+# -- 2. DELETE WHERE pruning pinned to its snapshot --------------------
+
+def test_delete_where_bloom_prune_pinned_to_snapshot_version(
+    engine, spark
+):
+    engine.create.table(
+        "dbo.dw",
+        {"id": "bigint", "name": "nvarchar(20)"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["name"]},
+    )
+    engine.write.insert(
+        "dbo.dw",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+    )
+    store = engine.store
+    v = store.meta("dbo.dw").version
+    seen = []
+    orig = store.bloom_prune
+
+    def tap(name, eqs, version=None):
+        seen.append(version)
+        return orig(name, eqs, version=version)
+
+    store.bloom_prune = tap
+    try:
+        assert engine.write.delete_where("dbo.dw", "name = zz") == 0
+    finally:
+        store.bloom_prune = orig
+    # the pruning decision and the entry list came from ONE snapshot
+    assert seen == [v]
+
+
+# -- 3. shared literal normalization ------------------------------------
+
+_LITERALS = [
+    "abc",
+    "'abc'",
+    '"abc"',
+    "O'Brien",
+    "'O''Brien'",
+    "  padded  ",
+    "05",
+    "'05'",
+    "-17",
+    "3.14",
+    "1e5",
+    "TRUE",
+    "null",
+    "'",          # 1-char quote: NOT a wrapped literal
+    "''",         # empty quoted string
+    "a b c",
+    "'a b c'",
+    "ab'cd",
+    "xéy",   # non-ASCII
+]
+
+
+def _denoted(rendered: str):
+    """The value a rendered Spark SQL literal denotes."""
+    if rendered.startswith("'") and rendered.endswith("'"):
+        return rendered[1:-1].replace("''", "'")
+    return rendered  # bare numeric / keyword
+
+
+@pytest.mark.parametrize("lit", _LITERALS)
+def test_probe_value_matches_rendered_literal(lit):
+    """The desync guard: for every literal, the probe extractor's
+    value equals the value the compiled filter's renderer denotes —
+    or the probe is skipped because the literal renders bare (numeric
+    comparison on a string column can match strings the exact-bytes
+    probe would not)."""
+    where = f"c = {lit}"
+    compiled = compile_where(where)
+    assert compiled.startswith("`c` = ")
+    rendered = compiled[len("`c` = "):]
+    pairs = equality_conjuncts(where)
+    assert len(pairs) == 1 and pairs[0][0] == "c"
+    v = pairs[0][1]
+    if renders_bare(v):
+        # typed_bloom_probes skips these on string columns — and on
+        # int columns int(v) == int(rendered) must hold when numeric
+        if not v.upper() in ("TRUE", "FALSE", "NULL"):
+            try:
+                assert int(v) == int(float(rendered))
+            except ValueError:
+                pass  # e.g. 3.14 — int() raises identically both sides
+    else:
+        assert v == _denoted(rendered)
+
+
+@pytest.mark.parametrize("lit", _LITERALS)
+def test_unquote_is_the_single_normalization(lit):
+    """Both sides reduce to unquote_literal — byte-for-byte."""
+    u = unquote_literal(lit)
+    rendered = _render_literal(lit)
+    if renders_bare(u):
+        assert rendered in (u, u.upper())
+    else:
+        assert rendered == "'" + u.replace("'", "''") + "'"
+
+
+def test_hypothesis_probe_renderer_agreement():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.characters(
+        whitelist_categories=("L", "N"),
+        whitelist_characters=" '\".-+_",
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=1, max_size=24))
+    def prop(lit):
+        import re
+
+        s = lit.strip()
+        if not s or re.search(r"\s+(AND|OR)\s+", s, re.I):
+            return
+        if re.search(r"\s+IS\s+(NOT\s+)?NULL\s*$", s, re.I):
+            return
+        where = f"c = {s}"
+        try:
+            compiled = compile_where(where)
+        except Exception:
+            return
+        if not compiled.startswith("`c` = "):
+            return
+        rendered = compiled[len("`c` = "):]
+        pairs = equality_conjuncts(where)
+        if len(pairs) != 1:
+            return
+        v = pairs[0][1]
+        if not renders_bare(v):
+            assert v == _denoted(rendered)
+
+    prop()
+
+
+# -- 4. vectorized bloom build + sidecar cache --------------------------
+
+def test_vectorized_bloom_build_bit_identical_to_scalar(tmp_path):
+    """The numpy build must reproduce the scalar double-hashing loop
+    BIT-FOR-BIT (sidecar format and probe semantics are frozen)."""
+    import base64
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = [f"n_{i}" for i in range(500)] + ["dup"] * 40 + [None] * 5
+    grps = [i % 300 for i in range(len(names) - 5)] + [None] * 5
+    tbl = pa.table({"name": names, "grp": grps})
+    p = os.path.join(tmp_path, "f.parquet")
+    pq.write_table(tbl, p)
+
+    built = _bloom_build_for_file(p, ["name", "grp"])
+    for col in ("name", "grp"):
+        vals = tbl.column(col).to_pylist()
+        encoded = {_bloom_value_bytes(v) for v in vals if v is not None}
+        encoded.discard(None)
+        m = built[col]["m"]
+        assert m == max(64, min(1 << 23, len(encoded) * 10))
+        bits = bytearray((m + 7) // 8)
+        for e in encoded:
+            h1, h2 = _bloom_hash_pair(e)
+            for i in range(built[col]["k"]):
+                idx = (h1 + i * h2) % m
+                bits[idx >> 3] |= 1 << (idx & 7)
+        scalar_b64 = base64.b64encode(zlib.compress(bytes(bits))).decode(
+            "ascii"
+        )
+        assert built[col]["b64"] == scalar_b64
+        # numpy dtypes must not leak into the JSON sidecar
+        assert type(built[col]["m"]) is int
+
+
+def test_bloom_prune_sidecar_loads_are_cached(engine, spark):
+    engine.create.table(
+        "dbo.ca",
+        {"id": "bigint", "name": "nvarchar(20)"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["name"]},
+    )
+    for f in range(3):
+        engine.write.insert(
+            "dbo.ca",
+            spark.createDataFrame(
+                [(f * 10 + i, f"n_{f}_{i}") for i in range(5)],
+                "id long, name string",
+            ),
+        )
+    store = engine.store
+    t1, p1 = store.bloom_prune("dbo.ca", [("name", "n_1_2")])
+    before = _load_bloom_sidecar.cache_info()
+    t2, p2 = store.bloom_prune("dbo.ca", [("name", "n_1_2")])
+    after = _load_bloom_sidecar.cache_info()
+    assert (t2, p2) == (t1, p1)
+    assert after.misses == before.misses  # no file re-opened
+    assert after.hits > before.hits
