@@ -91,6 +91,24 @@ HEADLINE = [
     "timeseries_ewma_quantized",
 ]
 
+# Post-r6 additions, benched SEPARATELY (VERDICT r11 #2): the 57-entry
+# HEADLINE list is frozen for round-over-round continuity, so a perf
+# regression in the newest operator families (incremental-MV
+# maintenance, the stream->MV loop, bloom-index reads, IVF-PQ, CCNet
+# perplexity buckets, the PIT left-join contract) would be invisible
+# to BENCH files. This list carries them with its own total — never
+# merged into the headline number.
+SUPPLEMENTARY = [
+    "mv_minmax_partial_rescan",
+    "mv_distinct_count_two_level",
+    "mv_topk_maintenance",
+    "streaming_incremental_mv",
+    "verb_bloom_index_read",
+    "ivfpq_adc_search",
+    "corpus_perplexity_buckets",
+    "pit_left_unmatched_facts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,56 +128,69 @@ def main() -> None:
     # round regressions aren't attributable. The p50 is the steady-
     # state cost.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        samples: list[float] = []
-        # per-query fault isolation: one broken query must not erase the
-        # round's entire perf signal — record it and keep timing the
-        # rest (the registry lookup sits INSIDE the guard too: a
-        # renamed entry must degrade to one ERROR line, not a KeyError
-        # that erases every other timing)
-        try:
-            fn = Q.REGISTRY[name]["fn"]
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                # force FULL execution through the noop sink: count()
-                # lets Catalyst column-prune deterministic pandas-UDF /
-                # window projections, timing only the parquet scan for
-                # projection-shaped entries — the noop DataSource
-                # evaluates every output column with zero driver
-                # transfer (no collect/serialization skew)
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-                # drop persisted intermediates (LSH signatures etc.) so
-                # runs don't inherit each other's cache pressure
+
+    def time_list(names: list[str]) -> tuple[dict, dict]:
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        for name in names:
+            samples: list[float] = []
+            # per-query fault isolation: one broken query must not
+            # erase the round's entire perf signal — record it and
+            # keep timing the rest (the registry lookup sits INSIDE
+            # the guard too: a renamed entry must degrade to one ERROR
+            # line, not a KeyError that erases every other timing)
+            try:
+                fn = Q.REGISTRY[name]["fn"]
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    df = fn(spark, sf_dir)
+                    # force FULL execution through the noop sink:
+                    # count() lets Catalyst column-prune deterministic
+                    # pandas-UDF / window projections, timing only the
+                    # parquet scan for projection-shaped entries — the
+                    # noop DataSource evaluates every output column
+                    # with zero driver transfer (no collect/
+                    # serialization skew)
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+                    # drop persisted intermediates (LSH signatures
+                    # etc.) so runs don't inherit each other's cache
+                    # pressure
+                    spark.catalog.clearCache()
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 spark.catalog.clearCache()
-        except Exception as exc:  # noqa: BLE001 — harness boundary
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            spark.catalog.clearCache()
-            continue
-        timings[name] = round(statistics.median(samples), 3)
-        spread = ", ".join(f"{s:.3f}" for s in samples)
-        print(
-            f"# {name}: p50 {timings[name]}s of [{spread}]",
-            file=sys.stderr,
-        )
+                continue
+            timings[name] = round(statistics.median(samples), 3)
+            spread = ", ".join(f"{s:.3f}" for s in samples)
+            print(
+                f"# {name}: p50 {timings[name]}s of [{spread}]",
+                file=sys.stderr,
+            )
+        return timings, errors
+
+    timings, errors = time_list(HEADLINE)
+    supp_timings, supp_errors = time_list(SUPPLEMENTARY)
 
     total = round(sum(timings.values()), 3)
     out = {
+        # the headline metric stays the FROZEN 57-entry list so the
+        # round-over-round series remains comparable; the post-r6
+        # operators ride along under their own separately-summed keys
         "metric": "headline_queries_total_wall_clock_p50",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "supplementary_queries": supp_timings,
+        "supplementary_total": round(sum(supp_timings.values()), 3),
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if errors:
-        # the headline total excludes errored queries by construction —
-        # flag it so a crash-lowered total is never misread as a win
-        out["errors"] = errors
+    if errors or supp_errors:
+        # the totals exclude errored queries by construction — flag it
+        # so a crash-lowered total is never misread as a win
+        out["errors"] = {**errors, **supp_errors}
         out["incomplete"] = True
     print(json.dumps(out))
 
