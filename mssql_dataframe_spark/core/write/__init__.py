@@ -22,16 +22,19 @@ class write:
         self.include_metadata_timestamps = include_metadata_timestamps
 
     def insert(self, table_name, dataframe, include_metadata_timestamps=None,
-               extra_properties=None):
+               extra_properties=None, expected_version=None):
         # per-call override of the engine-level default (reference:
         # insert/update/merge accept include_metadata_timestamps
         # per call — tests/test_core/test_write/*_override_timestamps).
         # extra_properties ride the append commit atomically (the
-        # idempotent-sink ledger shape merge already exposes).
+        # idempotent-sink ledger shape merge already exposes);
+        # expected_version pins the commit's landing version for
+        # callers that record it before committing.
         return insert(
             self._store, table_name, dataframe,
             self._imt(include_metadata_timestamps),
             extra_properties=extra_properties,
+            expected_version=expected_version,
         )
 
     def _imt(self, override):

@@ -361,6 +361,25 @@ def delete_op(
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
+    if keep_entries is None and stats_decided and entries:
+        # stats kept nothing — interleaved/high-entropy layouts make
+        # min/max blind, but batch-key bloom probes (driver-side, no
+        # extra job) can still isolate the touched files; [] survivors
+        # = no key exists anywhere, so the delete is a no-op
+        from .update import bloom_narrow_entries
+
+        surviving = bloom_narrow_entries(
+            store, table_name, entries, keys, match
+        )
+        if surviving is not None:
+            if not surviving:
+                return 0  # nothing matches: no rewrite, no commit
+            if len(surviving) < len(entries):
+                spaths = {e["path"] for e in surviving}
+                keep_entries = [
+                    e for e in entries if e["path"] not in spaths
+                ]
+                target = store.read_files(table_name, sorted(spaths))
     if keep_entries is None and not stats_decided and entries:
         # content pruning fallback (the delete_where shape) for
         # composite-PK / non-PK match keys — e.g. an ON DELETE

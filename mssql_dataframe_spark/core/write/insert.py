@@ -105,8 +105,25 @@ def insert(
     dataframe: DataFrame,
     include_metadata_timestamps: bool = False,
     extra_properties: dict | None = None,
+    expected_version: int | None = None,
 ) -> DataFrame:
+    """``expected_version`` pins the commit to land at exactly that
+    version + 1 (store.append OCC) — callers that RECORD the commit's
+    version window before committing (the stream->MV sink's ledger)
+    pass the version they read, so a foreign writer racing in between
+    fails this insert cleanly instead of letting the recorded window
+    point at the foreign commit."""
     meta = store.meta(table_name)
+    if expected_version is not None and meta.version != int(
+        expected_version
+    ):
+        from ...errors import SQLConcurrentWriteConflict
+
+        raise SQLConcurrentWriteConflict(
+            f"table {table_name!r} is at version {meta.version}, not "
+            f"the expected {expected_version} — another writer "
+            "committed since the caller planned this insert"
+        )
     if include_metadata_timestamps:
         meta = ensure_time_columns(store, table_name, ["_time_insert"])
     generated.reject_explicit_writes(

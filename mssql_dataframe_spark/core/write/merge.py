@@ -205,6 +205,7 @@ def merge_op(
 
     keep_entries = None
     stats_decided = False
+    entries = store.manifest(table_name, meta.version)
     single_bounds = (bounds or {}).get(match[0]) if can_prune else None
     if single_bounds is not None and single_bounds[0] is not None:
         # stats pruning: zero-scan manifest min/max split on the PK.
@@ -219,7 +220,25 @@ def merge_op(
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
-    entries = store.manifest(table_name, meta.version)
+        elif entries:
+            # stats kept nothing — on an interleaved / high-entropy
+            # key layout every file's min/max spans the batch, but the
+            # batch keys probing each file's bloom sidecar (driver-
+            # side, no extra job) can still isolate the touched files
+            # (VERDICT r11 #4). [] survivors = no key exists anywhere:
+            # the merge is a pure insert, every file carries.
+            from .update import bloom_narrow_entries
+
+            surviving = bloom_narrow_entries(
+                store, table_name, entries,
+                src.select(*match).distinct(), match,
+            )
+            if surviving is not None and len(surviving) < len(entries):
+                spaths = {e["path"] for e in surviving}
+                keep_entries = [
+                    e for e in entries if e["path"] not in spaths
+                ]
+                target = store.read_files(table_name, sorted(spaths))
     if (
         keep_entries is None and structurally_prunable
         and not stats_decided and entries

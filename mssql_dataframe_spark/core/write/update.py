@@ -55,6 +55,57 @@ def resolve_match_columns(meta, dataframe, match_columns) -> list[str]:
     return cols
 
 
+#: batch-key bloom narrowing collects each match column's distinct
+#: source values driver-side. The cap is set by FPP COMPOUNDING, not
+#: collect cost: an innocent file survives an any-of-K probe with
+#: probability 1-(1-p)^K (p ≈ 0.07% at the 16-bits/value sizing), so
+#: at 512 keys ~30% of innocent files survive and the probe still
+#: prunes most of the manifest; far past that the probe approaches
+#: keep-everything and is pure waste. Larger batches fall back to
+#: stats + content discovery, whose cost is already ∝ candidate files.
+BLOOM_DISCOVERY_KEY_CAP = 512
+
+
+def bloom_narrow_entries(store, table_name, entries, src_keys, match):
+    """Batch-key bloom narrowing over manifest ``entries``: for each
+    bloom-indexed match column, the source's distinct non-NULL values
+    (collected, capped — the source is the small side by design) test
+    every entry's sidecar, and a file whose filter excludes EVERY
+    batch key for some column cannot hold a matching row — per-column
+    exclusion stays valid for composite keys (no tuple can match where
+    one component provably never occurs). Entirely driver-side: no
+    Spark job beyond the bounded distinct-collect.
+
+    Returns the surviving entries (possibly [] = no file can hold a
+    match), or None when blooms never engaged (no indexed match
+    column, every column past the cap). NULL source keys are dropped
+    before probing — equality never matches NULL."""
+    bcols = [c for c in match if c in store._bloom_cols(
+        store.meta(table_name)
+    )]
+    if not bcols:
+        return None
+    engaged = False
+    for c in bcols:
+        vals = [
+            r[0]
+            for r in src_keys.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .limit(BLOOM_DISCOVERY_KEY_CAP + 1)
+            .collect()
+        ]
+        if len(vals) > BLOOM_DISCOVERY_KEY_CAP:
+            continue  # too many keys to probe driver-side
+        engaged = True
+        entries = store.bloom_prune_entries_any(
+            table_name, entries, c, vals
+        )
+        if not entries:
+            return []
+    return entries if engaged else None
+
+
 def discover_matched_files(
     store, table_name, bounds, src_keys, match, pre_filter=None
 ):
@@ -74,12 +125,37 @@ def discover_matched_files(
 
     Callers must skip this for empty-manifest tables (their read is
     not a parquet scan, so ``_metadata`` does not resolve — and there
-    is nothing to prune)."""
+    is nothing to prune).
+
+    On top of the stats narrowing, bloom-indexed match columns narrow
+    by BATCH-KEY sidecar probes: for each such column the source's
+    distinct non-NULL values (collected, capped — the source is the
+    small side by design) test every candidate file's bloom; a file
+    whose sidecar excludes every batch key cannot hold a matching row
+    even when its min/max range overlaps everything (high-entropy or
+    interleaved keys make stats pruning blind). Past the cap the
+    column simply doesn't narrow — correctness never depends on the
+    blooms (reference merge semantics: mssql_dataframe merge.py's
+    update/delete clauses; this is purely the discovery cost)."""
     import os as _os
 
     candidates = stats_candidates(store, table_name, bounds)
     if candidates is not None and not candidates:
         return set()
+    entries = store.manifest(
+        table_name, store.meta(table_name).version
+    )
+    if candidates is not None:
+        cset = set(candidates)
+        entries = [e for e in entries if e["path"] in cset]
+    surviving = bloom_narrow_entries(
+        store, table_name, entries, src_keys, match
+    )
+    if surviving is not None:
+        if not surviving:
+            return set()  # every file provably holds no match
+        if len(surviving) < len(entries):
+            candidates = [e["path"] for e in surviving]
     scan = (
         store.read(table_name)
         if candidates is None
@@ -201,6 +277,24 @@ def update_op(
             keep_entries = kept
             target = store.read_files(table_name, touched)
     entries = store.manifest(table_name, meta.version)
+    if keep_entries is None and stats_decided and entries:
+        # stats kept nothing — interleaved/high-entropy layouts make
+        # min/max blind, but batch-key bloom probes (driver-side, no
+        # extra job) can still isolate the touched files; [] survivors
+        # = no key exists anywhere, so UPDATE changes nothing
+        surviving = bloom_narrow_entries(
+            store, table_name, entries,
+            src.select(*match).distinct(), match,
+        )
+        if surviving is not None:
+            if not surviving:
+                return src  # no-match: no rewrite, no commit
+            if len(surviving) < len(entries):
+                spaths = {e["path"] for e in surviving}
+                keep_entries = [
+                    e for e in entries if e["path"] not in spaths
+                ]
+                target = store.read_files(table_name, sorted(spaths))
     if keep_entries is None and not stats_decided and entries:
         # content pruning fallback for composite-PK / non-PK match
         # keys (shared tier-2 discovery — see discover_matched_files):

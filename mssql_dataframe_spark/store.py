@@ -151,8 +151,15 @@ def _truncate_string_bounds(lo, hi, limit: int = STRING_BOUND_LIMIT):
     return (lo, hi)
 
 
-#: bloom sizing: ~10 bits/value with 7 hashes ≈ 1% false-positive rate
-BLOOM_BITS_PER_VALUE = 10
+#: bloom sizing: 16 bits/value with 7 hashes ≈ 0.07% false-positive
+#: rate. Sized for BATCH-key probing, not just point lookups: write-
+#: path discovery tests a whole batch's key set against each file, and
+#: any-of-K probing compounds the per-value fpp (an innocent file
+#: survives with probability 1-(1-p)^K — at the classic 10-bits/1%
+#: design point a 1000-key batch kept EVERY file; at 0.07%, 256 keys
+#: still prune ~84% of innocent files). Readers use each sidecar's
+#: RECORDED (m, k), so old 10-bit sidecars stay valid side by side.
+BLOOM_BITS_PER_VALUE = 16
 BLOOM_K = 7
 #: per-(file, column) bit ceiling: 1 MiB of bits — a file with more
 #: distinct values than this gets a degraded (higher-fpp) filter
@@ -941,6 +948,71 @@ class TableStore:
             else:
                 pruned += 1
         return touched, pruned
+
+    def bloom_prune_entries_any(
+        self, name: str, entries: list[dict], col: str, values: list
+    ) -> list[dict]:
+        """Manifest entries that MAY hold ANY of ``values`` in ``col``
+        — the batch-key form of ``bloom_prune`` used by write-path
+        content discovery (merge/update/delete/SCD2): a file whose
+        sidecar excludes EVERY batch key for a match column cannot
+        contain a matching row, regardless of how coarse its min/max
+        stats are (high-entropy or interleaved keys overlap every
+        range). Per-column exclusion stays valid for composite keys:
+        if no source value of one column can be in the file, no source
+        TUPLE can match a row there.
+
+        Unlike the where-grammar path there is no literal rendering —
+        the caller's equality is a typed DataFrame join, so the exact
+        canonical bytes are correct for strings too. A value that
+        cannot canonicalize (non-int/str) disables pruning entirely
+        (it could live anywhere); an empty value list (the caller
+        pre-drops NULLs, which never equal) matches nothing. Files
+        without a sidecar for ``col`` always survive. Vectorized: one
+        md5 per value, then numpy-only per file (k probe positions per
+        value via per-operand-mod arithmetic, exact in uint64)."""
+        import hashlib
+
+        import numpy as np
+
+        if not values:
+            return []
+        probes = []
+        for v in values:
+            vb = _bloom_value_bytes(v)
+            if vb is None:
+                return entries  # uncanonicalizable key: no pruning
+            probes.append(vb)
+        digests = b"".join(hashlib.md5(p).digest() for p in probes)
+        h = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
+        h1, h2 = h[:, 0], h[:, 1] | np.uint64(1)
+        pool = self._pool_dir(name)
+        out = []
+        for e in entries:
+            if col not in (e.get("bloom") or []):
+                out.append(e)
+                continue
+            bl = _load_bloom_sidecar(
+                os.path.join(pool, e["path"] + ".bloom.json")
+            ).get(col)
+            if not bl:
+                out.append(e)
+                continue
+            m = bl["m"]
+            bits = np.frombuffer(bl["_bits"], dtype=np.uint8)
+            a1, a2 = h1 % m, h2 % m
+            idx = (
+                a1[:, None]
+                + np.arange(bl["k"], dtype=np.uint64) * a2[:, None]
+            ) % m
+            present = bits[idx >> 3] & (
+                np.uint64(1) << (idx & 7)
+            ).astype(np.uint8)
+            # a value is maybe-present iff all k bits are set; the
+            # file survives iff any value is maybe-present
+            if bool((present != 0).all(axis=1).any()):
+                out.append(e)
+        return out
 
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
                   stats_col: Optional[str],

@@ -879,6 +879,16 @@ def incremental_mv_sink(
                 "applied_batches": ledger,
                 "applied_through": applied_through,
             },
+            # pin the commit to land at exactly v_pre + 1: the ledger
+            # entry written above RECORDS that window, and a foreign
+            # writer racing between our meta read and this insert
+            # would otherwise make [v_pre, v_pre+1] describe the
+            # FOREIGN commit — the MV would apply its changes as this
+            # batch's delta and miss the batch's own rows. With the
+            # pin, the race fails this insert cleanly (ledger never
+            # published) and the stream's retry replans from fresh
+            # state.
+            expected_version=v_pre,
         )
     else:
         ledger = engine.store.meta(fact).properties["applied_batches"]

@@ -301,8 +301,12 @@ def test_vectorized_bloom_build_bit_identical_to_scalar(tmp_path):
         vals = tbl.column(col).to_pylist()
         encoded = {_bloom_value_bytes(v) for v in vals if v is not None}
         encoded.discard(None)
+        from mssql_dataframe_spark.store import BLOOM_BITS_PER_VALUE
+
         m = built[col]["m"]
-        assert m == max(64, min(1 << 23, len(encoded) * 10))
+        assert m == max(
+            64, min(1 << 23, len(encoded) * BLOOM_BITS_PER_VALUE)
+        )
         bits = bytearray((m + 7) // 8)
         for e in encoded:
             h1, h2 = _bloom_hash_pair(e)
@@ -340,3 +344,85 @@ def test_bloom_prune_sidecar_loads_are_cached(engine, spark):
     assert (t2, p2) == (t1, p1)
     assert after.misses == before.misses  # no file re-opened
     assert after.hits > before.hits
+
+
+# -- 5. batch-key bloom narrowing in write-path discovery ---------------
+# (VERDICT r11 #4: stats-coarse tables — interleaved key ranges make
+# min/max pruning blind; the batch's keys probing each candidate's
+# sidecar still isolates the touched files.)
+
+def _mk_interleaved(engine, spark, n_files=4, per=40):
+    """Every file's key range spans the whole domain (file f holds
+    keys f, f+n, f+2n, ...), so split_by_key_range keeps everything —
+    only sidecars can tell the files apart."""
+    engine.create.table(
+        "dbo.iv",
+        {"id": "bigint", "v": "bigint"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["id"]},
+    )
+    for f in range(n_files):
+        rows = [(f + i * n_files, f) for i in range(per)]
+        engine.write.insert(
+            "dbo.iv",
+            spark.createDataFrame(rows, "id long, v long").coalesce(1),
+        )
+    return engine.store
+
+
+def test_merge_discovery_narrows_by_batch_key_blooms(engine, spark):
+    store = _mk_interleaved(engine, spark)
+    n_files = len(store.manifest("dbo.iv", store.meta("dbo.iv").version))
+    assert n_files >= 4
+    # stats are blind here: every file's [min, max] covers the batch
+    lo = min(e["stats"]["id"][0] for e in
+             store.manifest("dbo.iv", store.meta("dbo.iv").version)
+             if e.get("stats", {}).get("id"))
+    read_files_calls = []
+    orig_rf = store.read_files
+
+    def tap_rf(name, paths, *a, **k):
+        read_files_calls.append(list(paths))
+        return orig_rf(name, paths, *a, **k)
+
+    store.read_files = tap_rf
+    try:
+        # batch touches keys living in ONE file (file 1's residue class)
+        batch = [(1, 100), (5, 100)]
+        engine.write.merge(
+            "dbo.iv",
+            spark.createDataFrame(batch, "id long, v long"),
+            upsert=True,
+        )
+    finally:
+        store.read_files = orig_rf
+    # the discovery scan AND the rewrite read strict subsets
+    assert read_files_calls
+    assert all(len(p) < n_files for p in read_files_calls)
+    got = {
+        (r.id, r.v)
+        for r in engine.read.table("dbo.iv", where="v = 100").collect()
+    }
+    assert got == {(1, 100), (5, 100)}
+    assert engine.read.table("dbo.iv").count() == 160
+
+
+def test_merge_discovery_bloom_absent_batch_rewrites_nothing(
+    engine, spark
+):
+    """Every batch key provably absent: the merge is pure insert —
+    zero files rewritten, every entry carries by reference."""
+    store = _mk_interleaved(engine, spark)
+    v0 = store.meta("dbo.iv").version
+    before = {
+        e["path"] for e in store.manifest("dbo.iv", v0)
+    }
+    engine.write.merge(
+        "dbo.iv",
+        spark.createDataFrame([(10_000, 1), (10_001, 1)], "id long, v long"),
+        upsert=True,
+    )
+    after = store.manifest("dbo.iv", store.meta("dbo.iv").version)
+    # all prior files intact by reference, plus the new insert file(s)
+    assert before <= {e["path"] for e in after}
+    assert engine.read.table("dbo.iv").count() == 162

@@ -1,6 +1,8 @@
 """Pure-python contract pins for the bloom sidecar math: the
-~1% false-positive sizing claim, cap behavior, and canonical value
-encoding — no Spark session needed."""
+false-positive sizing claim (16 bits/value, 7 hashes ≈ 0.07% — sized
+for batch-key probing, where any-of-K compounds the per-value fpp),
+cap behavior, and canonical value encoding — no Spark session
+needed."""
 
 from __future__ import annotations
 
@@ -43,13 +45,15 @@ def test_false_positive_rate_near_one_percent():
     # zero false negatives (the correctness contract)
     for v in members[:500]:
         assert _bloom_might_contain(bloom, _bloom_value_bytes(v))
-    # fpp near the 10-bits/7-hashes design point (~0.8%); generous
-    # ceiling to keep the test deterministic-robust
+    # fpp near the 16-bits/7-hashes design point (~0.07%); generous
+    # ceiling to keep the test deterministic-robust — and low enough
+    # to pin the batch-probe sizing (10 bits/value measured ~0.8%
+    # here, which compounded to keep-everything on 1000-key batches)
     hits = sum(
         _bloom_might_contain(bloom, _bloom_value_bytes(f"absent_{i}"))
         for i in range(10_000)
     )
-    assert hits / 10_000 < 0.03, hits
+    assert hits / 10_000 < 0.005, hits
 
 
 def test_value_encoding_canonicalization():
@@ -70,7 +74,10 @@ def test_bit_cap_degrades_gracefully():
     n = BLOOM_MAX_BITS // BLOOM_BITS_PER_VALUE + 1000
     members = [f"v{i}" for i in range(0, n, max(1, n // 2000))]
     bloom = _build(members)
-    assert bloom["m"] == BLOOM_MAX_BITS or len(members) * 10 < BLOOM_MAX_BITS
+    assert (
+        bloom["m"] == BLOOM_MAX_BITS
+        or len(members) * BLOOM_BITS_PER_VALUE < BLOOM_MAX_BITS
+    )
     for v in members[:200]:
         assert _bloom_might_contain(bloom, _bloom_value_bytes(v))
 

@@ -270,6 +270,88 @@ def main() -> None:
             f"| {n * mult:,} | {n_files} | {statistics.median(samples):.3f} |"
         )
 
+    # bloom-narrowed discovery scaling (VERDICT r11 #4): an
+    # INTERLEAVED key layout makes every file's min/max span the whole
+    # domain, so stats pruning keeps nothing and a pre-bloom engine
+    # rewrote every file for any upsert. Batch-key sidecar probes
+    # isolate the files that can actually hold the batch's keys —
+    # rewritten-file count stays ~flat as the table doubles.
+    lines += [
+        "",
+        "## Bloom-narrowed merge discovery "
+        "(stats-coarse interleaved keys, fixed 100-key upsert)",
+        "",
+        "Keys are interleaved across files (every file's [min, max] "
+        "covers the whole domain — range stats are blind); the upsert "
+        "touches one residue class. With `bloom_filter_columns` on the "
+        "key, batch-key sidecar probes narrow discovery to the files "
+        "that may hold those keys; without, every file rewrites. "
+        "Batch kept under BLOOM_DISCOVERY_KEY_CAP: any-of-K probing "
+        "compounds the per-value fpp, so huge batches fall back to "
+        "stats + content discovery by design. Read the REWRITTEN "
+        "column, not wall: at 60k-row toy files the bloom table's "
+        "sidecar maintenance on rewritten files outweighs the avoided "
+        "rewrites, while at production file sizes (~1 GB) rewriting "
+        "10 files vs 2 dominates everything.",
+        "",
+        "| table rows | files | rewritten (bloom) | wall p50 bloom (s) "
+        "| rewritten (no bloom) | wall p50 no bloom (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    n_iv_files = 16
+    for mult in (1, 2, 4):
+        row_cells = [f"{n * mult:,}"]
+        rewritten = {}
+        for use_bloom in (True, False):
+            eng = fresh_engine()
+            tbl = "dbo.scale_b"
+            props = (
+                {"bloom_filter_columns": ["k"]} if use_bloom else {}
+            )
+            eng.create.table(
+                tbl, {"k": "bigint", "v": "float"},
+                primary_key_column="k", properties=props,
+            )
+            big = spark.range(n * mult).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            ).withColumn("__f", F.col("k") % n_iv_files)
+            eng.write.insert(
+                tbl,
+                big.repartition(n_iv_files, "__f").drop("__f"),
+            )
+            before = {
+                e["path"]
+                for e in eng.store.manifest(
+                    tbl, eng.store.meta(tbl).version
+                )
+            }
+            # residue-0 keys: live in ~1/16th of the files
+            src = spark.range(100).select(
+                (F.col("id") * n_iv_files).alias("k"),
+                F.lit(1.5).cast("double").alias("v"),
+            )
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                eng.write.merge(tbl, src, upsert=True)
+                samples.append(time.perf_counter() - t0)
+            after_entries = eng.store.manifest(
+                tbl, eng.store.meta(tbl).version
+            )
+            carried = sum(
+                1 for e in after_entries if e["path"] in before
+            )
+            # rewritten = prior files NOT carried into the newest
+            # manifest (RUNS merges ran; report the first merge's
+            # verdict shape via total prior minus survivors)
+            rewritten[use_bloom] = len(before) - carried
+            if use_bloom:
+                row_cells.append(str(len(before)))
+            row_cells.append(str(rewritten[use_bloom]))
+            row_cells.append(f"{statistics.median(samples):.3f}")
+        lines.append("| " + " | ".join(row_cells) + " |")
+
     # stats-pruned composite-PK insert: the collision check against
     # the standing snapshot intersects per-column manifest min/max
     # across ALL key columns (split_by_key_ranges) — an insert whose
