@@ -137,7 +137,7 @@ def _check_restrict_references(
             if brow[f"__lo_{i}"] is not None
         }
 
-    def _candidates(t, key_bounds):
+    def _candidates(t, key_bounds, parent_keys=None, fk_cols=None):
         """Stats-pruned candidate files of ``t`` that could hold a
         row referencing the deleted keys: the key bounds intersect
         the child manifest's per-file FK-column stats, so a delete on
@@ -146,10 +146,26 @@ def _check_restrict_references(
         child-table size. Empty child manifests short-circuit the
         same way (and never hit the empty-table no-_metadata read
         shape). Re-evaluated against the CURRENT manifest on each
-        call (re-probes after an action see the post-action files)."""
+        call (re-probes after an action see the post-action files).
+
+        When the child bloom-indexes its FK columns, the deleted key
+        set additionally probes each candidate's sidecar — the same
+        batch-key narrowing as write discovery: high-entropy FKs
+        overlap every file's stats range, but the sidecars still
+        prove most files reference-free."""
         if not key_bounds:  # no non-NULL deleted keys: nothing can
             return []       # reference them
         touched, _ = store.split_by_key_ranges(t, key_bounds)
+        if not touched or parent_keys is None:
+            return touched
+        from .update import bloom_narrow_entries
+
+        entries_t = store.manifest(t, store.meta(t).version)
+        tset = set(touched)
+        cand = [e for e in entries_t if e["path"] in tset]
+        surv = bloom_narrow_entries(store, t, cand, parent_keys, fk_cols)
+        if surv is not None:
+            return [e["path"] for e in surv]
         return touched
 
     def _probe_hit(t, fk, parent_keys, touched) -> bool:
@@ -190,7 +206,7 @@ def _check_restrict_references(
             # revalidation pass below or by the parent commit's
             # precondition, never silently absorbed
             expected.setdefault(t, store.meta(t).version)
-            touched = _candidates(t, bounds)
+            touched = _candidates(t, bounds, parent_keys, fk["columns"])
             if not _probe_hit(t, fk, parent_keys, touched):
                 continue
             if action == "cascade":
@@ -210,7 +226,9 @@ def _check_restrict_references(
                 # that landed mid-action shows up here and fails
                 # cleanly instead of being orphaned
                 expected[t] = store.meta(t).version
-                if _probe_hit(t, fk, parent_keys, _candidates(t, bounds)):
+                if _probe_hit(t, fk, parent_keys,
+                             _candidates(t, bounds, parent_keys,
+                                         fk["columns"])):
                     _conflict(t)
             elif action == "set_null":
                 key_cols = set(fk["columns"])
@@ -270,7 +288,9 @@ def _check_restrict_references(
                 )
                 # own commit: capture AFTER + re-probe (see cascade)
                 expected[t] = store.meta(t).version
-                if _probe_hit(t, fk, parent_keys, _candidates(t, bounds)):
+                if _probe_hit(t, fk, parent_keys,
+                             _candidates(t, bounds, parent_keys,
+                                         fk["columns"])):
                     _conflict(t)
             else:
                 raise SQLForeignKeyViolation(
@@ -293,7 +313,8 @@ def _check_restrict_references(
                 continue
             for t2, fk, parent_keys, bounds in probed:
                 if t2 == t and _probe_hit(
-                    t, fk, parent_keys, _candidates(t, bounds)
+                    t, fk, parent_keys,
+                    _candidates(t, bounds, parent_keys, fk["columns"])
                 ):
                     _conflict(t)
             expected[t] = v_now

@@ -239,9 +239,27 @@ def insert(
         if entries and usable:
             touched, _ = store.split_by_key_ranges(table_name, usable)
             if touched:
-                existing_keys = store.read_files(
-                    table_name, touched
-                ).select(*pk)
+                # batch-key bloom narrowing on top of the stats
+                # verdict: random/high-entropy keys (UUIDs, hashes)
+                # overlap every file's min/max, but the batch's keys
+                # probing each candidate's sidecar still prove files
+                # collision-free — an all-fresh append then reads ZERO
+                # existing files (the only added cost is the helper's
+                # bounded distinct-collect of the batch keys, and only
+                # on tables that bloom-index their PK)
+                from .update import bloom_narrow_entries
+
+                tset = set(touched)
+                cand = [e for e in entries if e["path"] in tset]
+                surv = bloom_narrow_entries(
+                    store, table_name, cand, out.select(*pk), pk
+                )
+                if surv is not None:
+                    touched = [e["path"] for e in surv]
+                if touched:
+                    existing_keys = store.read_files(
+                        table_name, touched
+                    ).select(*pk)
         if existing_keys is not None:
             hit = (
                 out.select(*pk)
@@ -265,9 +283,24 @@ def insert(
         # the manifest (store._stats_cols), so an append outside every
         # file's recorded range reads zero existing files
         def _existing_for(cols, bounds):
-            if not store.manifest(table_name, meta.version):
+            centries = store.manifest(table_name, meta.version)
+            if not centries:
                 return None
             touched, _ = store.split_by_key_ranges(table_name, bounds)
+            if not touched:
+                return None
+            # batch-key bloom narrowing, same shape as the PK probe:
+            # a file whose sidecar excludes every batch value of some
+            # constraint column cannot collide with the batch
+            from .update import bloom_narrow_entries
+
+            tset = set(touched)
+            cand = [e for e in centries if e["path"] in tset]
+            surv = bloom_narrow_entries(
+                store, table_name, cand, out.select(*cols), list(cols)
+            )
+            if surv is not None:
+                touched = [e["path"] for e in surv]
             if not touched:
                 return None
             return store.read_files(table_name, touched)

@@ -426,3 +426,124 @@ def test_merge_discovery_bloom_absent_batch_rewrites_nothing(
     # all prior files intact by reference, plus the new insert file(s)
     assert before <= {e["path"] for e in after}
     assert engine.read.table("dbo.iv").count() == 162
+
+
+def test_insert_collision_probe_narrows_by_batch_key_blooms(
+    engine, spark
+):
+    """All-fresh keys on an interleaved bloom-indexed PK: the PK
+    collision probe reads ZERO existing files (stats are blind, the
+    sidecars are not)."""
+    store = _mk_interleaved(engine, spark)
+    reads = []
+    orig_rf = store.read_files
+
+    def tap_rf(name, paths, *a, **k):
+        reads.append(list(paths))
+        return orig_rf(name, paths, *a, **k)
+
+    store.read_files = tap_rf
+    try:
+        engine.write.insert(
+            "dbo.iv",
+            spark.createDataFrame(
+                [(50_001, 9), (50_017, 9)], "id long, v long"
+            ),
+        )
+    finally:
+        store.read_files = orig_rf
+    assert reads == []  # no existing file opened for the check
+    assert engine.read.table("dbo.iv").count() == 162
+    # and a COLLIDING batch is still caught (no false negatives)
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.errors import SQLUniqueConstraintViolation
+
+    with _pytest.raises(SQLUniqueConstraintViolation):
+        engine.write.insert(
+            "dbo.iv",
+            spark.createDataFrame([(1, 9)], "id long, v long"),
+        )
+
+
+def test_fk_noaction_probe_narrows_child_files_by_blooms(
+    engine, spark
+):
+    """Parent delete's referential probe on a child with interleaved
+    (stats-blind) FK values: sidecar probes isolate the child files
+    that could reference the deleted keys; the no-action violation is
+    still raised from the one real referencing file."""
+    import pytest as _pytest
+
+    from mssql_dataframe_spark.errors import SQLForeignKeyViolation
+
+    engine.create.table(
+        "dbo.par", {"pid": "bigint", "x": "bigint"},
+        primary_key_column="pid",
+    )
+    engine.write.insert(
+        "dbo.par",
+        spark.createDataFrame(
+            [(i, i) for i in range(64)], "pid long, x long"
+        ),
+    )
+    engine.create.table(
+        "dbo.chi",
+        {"cid": "bigint", "pid": "bigint"},
+        primary_key_column="cid",
+        properties={
+            "bloom_filter_columns": ["pid"],
+            "foreign_keys": {
+                "fk_p": {
+                    "columns": ["pid"],
+                    "ref_table": "dbo.par",
+                    "ref_columns": ["pid"],
+                    "on_delete": "no_action",
+                }
+            },
+        },
+    )
+    # interleaved child FK values: file f holds pids f, f+4, ... f+28
+    # (parent keys 32..63 stay unreferenced)
+    for f in range(4):
+        engine.write.insert(
+            "dbo.chi",
+            spark.createDataFrame(
+                [(f * 100 + i, f + i * 4) for i in range(8)],
+                "cid long, pid long",
+            ).coalesce(1),
+        )
+    store = engine.store
+    reads = []
+    orig_rf = store.read_files
+
+    def tap_rf(name, paths, *a, **k):
+        if name == "dbo.chi":
+            reads.append(list(paths))
+        return orig_rf(name, paths, *a, **k)
+
+    store.read_files = tap_rf
+    try:
+        # pid=1 is referenced only by the residue-1 child file: the
+        # probe must raise, reading a strict subset of child files
+        with _pytest.raises(SQLForeignKeyViolation):
+            engine.write.delete(
+                "dbo.par", spark.createDataFrame([(1,)], "pid long")
+            )
+    finally:
+        store.read_files = orig_rf
+    n_child_files = len(
+        store.manifest("dbo.chi", store.meta("dbo.chi").version)
+    )
+    assert n_child_files >= 4
+    assert reads and all(len(p) < n_child_files for p in reads)
+    # and a provably-unreferenced key deletes fine with NO child read
+    reads.clear()
+    store.read_files = tap_rf
+    try:
+        engine.write.delete(
+            "dbo.par", spark.createDataFrame([(63,)], "pid long")
+        )
+    finally:
+        store.read_files = orig_rf
+    assert reads == []
