@@ -250,12 +250,12 @@ class modify:
         ``optimize_zorder`` / any merge that touches them) — reads
         stay correct meanwhile because pruning keeps every file
         without a sidecar for the probed column. Columns must exist
-        and be bloom-hashable (integer family or string)."""
+        and be bloom-hashable (integer family, string, or date)."""
         meta = self._store.meta(table_name)
         cols = list(columns or [])
         fields = {f.name: f.dataType for f in meta.spark_schema.fields}
         hashable = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                    T.StringType)
+                    T.StringType, T.DateType)
         for c in cols:
             if c not in fields:
                 raise SQLColumnDoesNotExist(c)

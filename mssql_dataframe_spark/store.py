@@ -184,8 +184,15 @@ def _bloom_hash_pair(value_bytes: bytes) -> tuple[int, int]:
 def _bloom_value_bytes(v) -> Optional[bytes]:
     """Canonical hashed representation of one cell: integers as their
     decimal string (so the query literal '05' and the stored 5 agree
-    after int() normalization), strings as UTF-8. Anything else is not
-    bloom-indexable (None disables the filter for that value)."""
+    after int() normalization), strings as UTF-8, dates as ISO
+    ``YYYY-MM-DD`` (the form Arrow's date->string cast and Python's
+    ``date.isoformat`` both produce). datetimes are NOT dates here —
+    ``datetime`` subclasses ``date``, and hashing one under the date
+    canonicalization would desync from timestamp comparison
+    semantics. Anything else is not bloom-indexable (None disables
+    the filter for that value)."""
+    import datetime as _dt
+
     if isinstance(v, bool) or v is None:
         return None
     item = getattr(v, "item", None)
@@ -198,6 +205,10 @@ def _bloom_value_bytes(v) -> Optional[bytes]:
         return str(v).encode("utf-8")
     if isinstance(v, str):
         return v.encode("utf-8")
+    if isinstance(v, _dt.datetime):
+        return None
+    if isinstance(v, _dt.date):
+        return v.isoformat().encode("utf-8")
     return None
 
 
@@ -247,6 +258,13 @@ def _bloom_build_for_file(path: str, cols: list[str]) -> dict:
             )
         elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
             encoded = set(uniq.cast(pa.large_binary()).to_pylist())
+        elif pa.types.is_date(typ):
+            # date32 -> string renders ISO YYYY-MM-DD, matching
+            # _bloom_value_bytes' date.isoformat canonical form
+            encoded = set(
+                uniq.cast(pa.date32()).cast(pa.string())
+                .cast(pa.binary()).to_pylist()
+            )
         else:  # unusual physical type: per-value canonicalization
             encoded = {_bloom_value_bytes(v) for v in uniq.to_pylist()}
             encoded.discard(None)
@@ -816,9 +834,9 @@ class TableStore:
     ) -> list[str]:
         """Columns the ``bloom_filter_columns`` table property indexes
         (the Delta bloom-filter-index analog), restricted to the
-        bloom-hashable Spark types (integer family + string); others
-        are silently non-indexed — pruning just never engages for
-        them. ``schema`` overrides the catalog schema for
+        bloom-hashable Spark types (integer family, string, date);
+        others are silently non-indexed — pruning just never engages
+        for them. ``schema`` overrides the catalog schema for
         schema-evolving commits (a rename's rewrite must index the
         NEW column name, which only the commit's schema carries)."""
         cols = meta.properties.get("bloom_filter_columns") or []
@@ -829,7 +847,7 @@ class TableStore:
             for f in (schema or meta.spark_schema).fields
         }
         ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-              T.StringType)
+              T.StringType, T.DateType)
         return [
             c for c in cols
             if c in fields and isinstance(fields[c], ok)
@@ -894,6 +912,25 @@ class TableStore:
                     probes.append((c, int(raw)))
                 except ValueError:
                     pass
+            elif isinstance(fields[c], T.DateType):
+                # strict ISO only: Spark's string->date cast and
+                # Python's date.fromisoformat agree exactly on
+                # YYYY-MM-DD. Forms only one side accepts are safe to
+                # skip or harmless to probe — Spark casts them to
+                # NULL (matches nothing), or Python rejects them (no
+                # pruning) — but a form BOTH parse must parse to the
+                # same day, which only the strict form guarantees
+                # ('2024-1-1' casts in Spark but is rejected here).
+                import datetime as _dt
+                import re as _re
+
+                if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw):
+                    try:
+                        probes.append(
+                            (c, _dt.date.fromisoformat(raw))
+                        )
+                    except ValueError:
+                        pass  # e.g. month 13: Spark casts to NULL
             # any other recorded type (a later retype away from the
             # hashable set) simply never probes that column
         return probes

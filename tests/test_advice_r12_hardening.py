@@ -32,6 +32,7 @@ from mssql_dataframe_spark.identifiers import (
 from mssql_dataframe_spark.store import (
     _bloom_build_for_file,
     _bloom_hash_pair,
+    _bloom_might_contain,
     _bloom_value_bytes,
     _load_bloom_sidecar,
 )
@@ -547,3 +548,116 @@ def test_fk_noaction_probe_narrows_child_files_by_blooms(
     finally:
         store.read_files = orig_rf
     assert reads == []
+
+
+# -- 6. DATE bloom indexing (r12) ---------------------------------------
+
+def test_bloom_value_bytes_date_canonical_form():
+    import datetime as dt
+
+    assert _bloom_value_bytes(dt.date(2024, 1, 2)) == b"2024-01-02"
+    # datetime subclasses date but must NOT hash under the date form
+    assert _bloom_value_bytes(dt.datetime(2024, 1, 2, 3, 4)) is None
+
+
+def test_date_bloom_build_matches_scalar_canonicalization(tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    days = [dt.date(2024, 1, 1 + (i % 28)) for i in range(200)] + [None]
+    p = os.path.join(tmp_path, "d.parquet")
+    pq.write_table(pa.table({"d": days}), p)
+    built = _bloom_build_for_file(p, ["d"])
+    bl = built["d"]
+    for v in {x for x in days if x is not None}:
+        assert _bloom_might_contain(bl, _bloom_value_bytes(v))
+    assert not _bloom_might_contain(
+        bl, _bloom_value_bytes(dt.date(2030, 12, 31))
+    )
+
+
+def test_date_column_bloom_read_prunes_and_stays_exact(engine, spark):
+    engine.create.table(
+        "dbo.dt",
+        {"id": "bigint", "d": "date"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["d"]},
+    )
+    import datetime as dt
+
+    for f in range(3):
+        rows = [
+            (f * 10 + i, dt.date(2024, f + 1, 1 + i)) for i in range(5)
+        ]
+        engine.write.insert(
+            "dbo.dt",
+            spark.createDataFrame(rows, "id long, d date").coalesce(1),
+        )
+    store = engine.store
+    meta = store.meta("dbo.dt")
+    # strict ISO literal probes and prunes
+    assert store.typed_bloom_probes(meta, "d = 2024-02-03") == [
+        ("d", dt.date(2024, 2, 3))
+    ]
+    touched, pruned = store.bloom_prune(
+        "dbo.dt", [("d", dt.date(2024, 2, 3))]
+    )
+    assert pruned >= 1
+    got = engine.read.table("dbo.dt", where="d = 2024-02-03").collect()
+    assert [(r.id, r.d) for r in got] == [(12, dt.date(2024, 2, 3))]
+    # non-strict form: Spark casts it, Python must NOT probe it
+    assert store.typed_bloom_probes(meta, "d = 2024-2-3") == []
+    got2 = engine.read.table("dbo.dt", where="d = 2024-2-3").collect()
+    assert [(r.id, r.d) for r in got2] == [(12, dt.date(2024, 2, 3))]
+    # invalid date: no probe — and the filter itself raises under
+    # ANSI cast (Spark 4 default), the same loud failure any
+    # malformed typed literal gets; pruning must not pre-empt it
+    # with a silently-empty result
+    assert store.typed_bloom_probes(meta, "d = 2024-13-01") == []
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        engine.read.table("dbo.dt", where="d = 2024-13-01").count()
+
+
+def test_date_key_merge_discovery_narrows(engine, spark):
+    import datetime as dt
+
+    engine.create.table(
+        "dbo.dtm",
+        {"d": "date", "v": "bigint"},
+        primary_key_column="d",
+        properties={"bloom_filter_columns": ["d"]},
+    )
+    # interleaved months across files: stats ranges all overlap
+    for f in range(3):
+        rows = [
+            (dt.date(2024, 1 + i % 6, f + 1), f) for i in range(6)
+        ]
+        engine.write.insert(
+            "dbo.dtm",
+            spark.createDataFrame(rows, "d date, v long").coalesce(1),
+        )
+    store = engine.store
+    reads = []
+    orig_rf = store.read_files
+
+    def tap_rf(name, paths, *a, **k):
+        reads.append(list(paths))
+        return orig_rf(name, paths, *a, **k)
+
+    n_files = len(store.manifest("dbo.dtm", store.meta("dbo.dtm").version))
+    store.read_files = tap_rf
+    try:
+        engine.write.merge(
+            "dbo.dtm",
+            spark.createDataFrame(
+                [(dt.date(2024, 3, 2), 99)], "d date, v long"
+            ),
+            upsert=True,
+        )
+    finally:
+        store.read_files = orig_rf
+    assert reads and all(len(p) < n_files for p in reads)
+    got = engine.read.table("dbo.dtm", where="v = 99").collect()
+    assert [(r.d, r.v) for r in got] == [(dt.date(2024, 3, 2), 99)]
