@@ -320,6 +320,63 @@ def _bloom_might_contain(bloom: dict, value_bytes: bytes) -> bool:
     return True
 
 
+#: above this many sidecar-bearing candidate files, bloom probing runs
+#: as a DISTRIBUTED job over the file list (the same dispatch shape as
+#: the footer-stat harvest): executors open the sidecars, the driver
+#: collects only (path, keep) verdicts — a million-file point lookup
+#: costs the driver O(files) booleans, never O(files) zlib inflates.
+BLOOM_PRUNE_DISTRIBUTED_THRESHOLD = 4096
+
+
+def _bloom_file_keeps(
+    pool: str, path: str, bcols: list, probes: list
+) -> bool:
+    """Single-file verdict for ``bloom_prune``: False = every probed
+    value provably absent for some probed column (prune the file).
+    Module-level (picklable) so the large-manifest distributed probe
+    can run it on executors; executors share the pool directory the
+    same way the distributed footer harvest does."""
+    sidecar = None
+    for c, vb in probes:
+        if c not in bcols:
+            continue
+        if sidecar is None:
+            sidecar = _load_bloom_sidecar(
+                os.path.join(pool, path + ".bloom.json")
+            )
+        bl = sidecar.get(c)
+        if bl and not _bloom_might_contain(bl, vb):
+            return False
+    return True
+
+
+def _bloom_file_keeps_any(
+    pool: str, path: str, bcols: list, col: str, h_bytes: bytes
+) -> bool:
+    """Single-file verdict for ``bloom_prune_entries_any``: True when
+    ANY of the batch's hashed keys (``h_bytes`` = the packed (h1, h2)
+    uint64 pairs) may be present in ``col``. Module-level/picklable
+    for the distributed form."""
+    import numpy as np
+
+    if col not in bcols:
+        return True
+    bl = _load_bloom_sidecar(
+        os.path.join(pool, path + ".bloom.json")
+    ).get(col)
+    if not bl:
+        return True
+    h = np.frombuffer(h_bytes, dtype="<u8").reshape(-1, 2)
+    m = bl["m"]
+    bits = np.frombuffer(bl["_bits"], dtype=np.uint8)
+    a1, a2 = h[:, 0] % m, h[:, 1] % m
+    idx = (
+        a1[:, None] + np.arange(bl["k"], dtype=np.uint64) * a2[:, None]
+    ) % m
+    present = bits[idx >> 3] & (np.uint64(1) << (idx & 7)).astype(np.uint8)
+    return bool((present != 0).all(axis=1).any())
+
+
 @functools.lru_cache(maxsize=2048)
 def _load_bloom_sidecar(path: str) -> dict:
     """Parsed, pre-decompressed bloom sidecar for one pool file —
@@ -961,26 +1018,39 @@ class TableStore:
             if vb is not None:
                 probes.append((c, vb))
         pool = self._pool_dir(name)
+        pcols = {c for c, _ in probes}
+        need = [
+            e for e in entries
+            if pcols.intersection(e.get("bloom") or [])
+        ]
+        if len(need) > BLOOM_PRUNE_DISTRIBUTED_THRESHOLD:
+            # large manifest: executors open the sidecars (same
+            # dispatch shape as the footer harvest); the driver
+            # collects only (path, keep) booleans
+            pr = list(probes)
+            verdicts = dict(
+                self.spark.sparkContext.parallelize(
+                    [(e["path"], e.get("bloom") or []) for e in need],
+                    numSlices=min(512, max(1, len(need) // 64)),
+                )
+                .map(lambda t: (
+                    t[0], _bloom_file_keeps(pool, t[0], t[1], pr)
+                ))
+                .collect()
+            )
+        else:
+            # LRU-cached, pre-decompressed driver loop: the second
+            # probe against an unchanged snapshot costs O(probes),
+            # not O(files × zlib) (sidecars are immutable)
+            verdicts = {
+                e["path"]: _bloom_file_keeps(
+                    pool, e["path"], e.get("bloom") or [], probes
+                )
+                for e in need
+            }
         touched, pruned = [], 0
         for e in entries:
-            bcols = e.get("bloom") or []
-            keep = True
-            sidecar = None
-            for c, vb in probes:
-                if c not in bcols:
-                    continue
-                if sidecar is None:
-                    # LRU-cached, pre-decompressed: the second probe
-                    # against an unchanged snapshot costs O(probes),
-                    # not O(files × zlib) (sidecars are immutable)
-                    sidecar = _load_bloom_sidecar(
-                        os.path.join(pool, e["path"] + ".bloom.json")
-                    )
-                bl = sidecar.get(c)
-                if bl and not _bloom_might_contain(bl, vb):
-                    keep = False
-                    break
-            if keep:
+            if verdicts.get(e["path"], True):
                 touched.append(e["path"])
             else:
                 pruned += 1
@@ -1021,35 +1091,34 @@ class TableStore:
                 return entries  # uncanonicalizable key: no pruning
             probes.append(vb)
         digests = b"".join(hashlib.md5(p).digest() for p in probes)
-        h = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
-        h1, h2 = h[:, 0], h[:, 1] | np.uint64(1)
+        h = np.frombuffer(digests, dtype="<u8").reshape(-1, 2).copy()
+        h[:, 1] |= np.uint64(1)  # the |1 of _bloom_hash_pair, pre-applied
+        h_bytes = h.tobytes()
         pool = self._pool_dir(name)
-        out = []
-        for e in entries:
-            if col not in (e.get("bloom") or []):
-                out.append(e)
-                continue
-            bl = _load_bloom_sidecar(
-                os.path.join(pool, e["path"] + ".bloom.json")
-            ).get(col)
-            if not bl:
-                out.append(e)
-                continue
-            m = bl["m"]
-            bits = np.frombuffer(bl["_bits"], dtype=np.uint8)
-            a1, a2 = h1 % m, h2 % m
-            idx = (
-                a1[:, None]
-                + np.arange(bl["k"], dtype=np.uint64) * a2[:, None]
-            ) % m
-            present = bits[idx >> 3] & (
-                np.uint64(1) << (idx & 7)
-            ).astype(np.uint8)
-            # a value is maybe-present iff all k bits are set; the
-            # file survives iff any value is maybe-present
-            if bool((present != 0).all(axis=1).any()):
-                out.append(e)
-        return out
+        need = [e for e in entries if col in (e.get("bloom") or [])]
+        if len(need) > BLOOM_PRUNE_DISTRIBUTED_THRESHOLD:
+            verdicts = dict(
+                self.spark.sparkContext.parallelize(
+                    [(e["path"], e.get("bloom") or []) for e in need],
+                    numSlices=min(512, max(1, len(need) // 64)),
+                )
+                .map(lambda t: (
+                    t[0],
+                    _bloom_file_keeps_any(pool, t[0], t[1], col, h_bytes),
+                ))
+                .collect()
+            )
+        else:
+            verdicts = {
+                e["path"]: _bloom_file_keeps_any(
+                    pool, e["path"], e.get("bloom") or [], col, h_bytes
+                )
+                for e in need
+            }
+        # a value is maybe-present iff all k bits are set; the file
+        # survives iff any value is maybe-present (files without a
+        # sidecar for the column never entered `need` and survive)
+        return [e for e in entries if verdicts.get(e["path"], True)]
 
     def _stage_in(self, name: str, df: DataFrame, schema: T.StructType,
                   stats_col: Optional[str],

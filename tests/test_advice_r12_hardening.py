@@ -661,3 +661,37 @@ def test_date_key_merge_discovery_narrows(engine, spark):
     assert reads and all(len(p) < n_files for p in reads)
     got = engine.read.table("dbo.dtm", where="v = 99").collect()
     assert [(r.d, r.v) for r in got] == [(dt.date(2024, 3, 2), 99)]
+
+
+# -- 7. distributed bloom probing for large manifests --------------------
+
+def test_distributed_bloom_probe_matches_driver_loop(
+    engine, spark, monkeypatch
+):
+    """Past BLOOM_PRUNE_DISTRIBUTED_THRESHOLD sidecar-bearing files,
+    probing dispatches to executors (the footer-harvest shape);
+    verdicts must be identical to the driver loop for both the
+    point-lookup and the batch-key forms."""
+    import mssql_dataframe_spark.store as st
+
+    store = _mk_interleaved(engine, spark)
+    meta = store.meta("dbo.iv")
+    entries = store.manifest("dbo.iv", meta.version)
+
+    t_drv, p_drv = store.bloom_prune("dbo.iv", [("id", 5)])
+    any_drv = [
+        e["path"]
+        for e in store.bloom_prune_entries_any(
+            "dbo.iv", entries, "id", [1, 5, 9]
+        )
+    ]
+    monkeypatch.setattr(st, "BLOOM_PRUNE_DISTRIBUTED_THRESHOLD", 0)
+    t_dist, p_dist = store.bloom_prune("dbo.iv", [("id", 5)])
+    any_dist = [
+        e["path"]
+        for e in store.bloom_prune_entries_any(
+            "dbo.iv", entries, "id", [1, 5, 9]
+        )
+    ]
+    assert (t_dist, p_dist) == (t_drv, p_drv) and p_drv >= 1
+    assert any_dist == any_drv and len(any_drv) < len(entries)
