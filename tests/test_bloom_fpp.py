@@ -88,3 +88,79 @@ def test_serialization_roundtrip_json():
     for v in ("a", "b", "c", 42):
         assert _bloom_might_contain(again, _bloom_value_bytes(v))
     assert not _bloom_might_contain(again, _bloom_value_bytes("zz"))
+
+
+def test_batch_probe_never_false_negative_property(tmp_path):
+    """Property (hypothesis): a file containing ANY batch key is NEVER
+    pruned by the batch-key kernel — for int, string, and date values,
+    through the real vectorized build."""
+    import datetime as dt
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mssql_dataframe_spark.store import (
+        _bloom_build_for_file,
+        _bloom_file_keeps_any,
+    )
+
+    def pack(values):
+        probes = [_bloom_value_bytes(v) for v in values]
+        probes = [p for p in probes if p is not None]
+        digests = b"".join(hashlib.md5(p).digest() for p in probes)
+        h = np.frombuffer(digests, dtype="<u8").reshape(-1, 2).copy()
+        h[:, 1] |= np.uint64(1)
+        return h.tobytes()
+
+    ints = st.integers(min_value=-(10**12), max_value=10**12)
+    texts = st.text(min_size=0, max_size=12)
+    dates = st.dates(
+        min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 31)
+    )
+    counter = [0]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.one_of(
+            st.tuples(st.sets(ints, min_size=1, max_size=30),
+                      st.sets(ints, min_size=1, max_size=30)),
+            st.tuples(st.sets(texts, min_size=1, max_size=30),
+                      st.sets(texts, min_size=1, max_size=30)),
+            st.tuples(st.sets(dates, min_size=1, max_size=30),
+                      st.sets(dates, min_size=1, max_size=30)),
+        )
+    )
+    def prop(ab):
+        stored, batch = ab
+        # force overlap half the time so the interesting branch runs
+        if counter[0] % 2 == 0:
+            batch = set(batch) | {next(iter(stored))}
+        counter[0] += 1
+        p = os.path.join(tmp_path, f"p_{counter[0]}.parquet")
+        pq.write_table(pa.table({"c": list(stored)}), p)
+        built = _bloom_build_for_file(p, ["c"])
+        sidecar = {
+            "c": {
+                "m": built["c"]["m"],
+                "k": built["c"]["k"],
+                "_bits": __import__("zlib").decompress(
+                    __import__("base64").b64decode(built["c"]["b64"])
+                ),
+            }
+        }
+        import mssql_dataframe_spark.store as stmod
+
+        orig = stmod._load_bloom_sidecar
+        stmod._load_bloom_sidecar = lambda path: sidecar
+        try:
+            keeps = _bloom_file_keeps_any("", "x", ["c"], "c", pack(batch))
+        finally:
+            stmod._load_bloom_sidecar = orig
+        if stored & batch:
+            assert keeps  # no false negatives, ever
+
+    prop()

@@ -51,6 +51,9 @@ EXTRA = [
     "mv_topk_maintenance",
     "verb_bloom_index_read",
     "streaming_incremental_mv",
+    # r12: the PIT LEFT contract entry — one equi-join shuffle on the
+    # business key, interval containment post-join
+    "pit_left_unmatched_facts",
 ]
 
 SKIP = {
