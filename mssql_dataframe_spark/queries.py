@@ -10395,6 +10395,50 @@ def verb_bloom_index_read(spark, sf_dir):
     )
 
 
+@register(
+    "verb_bloom_date_read",
+    sql="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_od,
+           CAST(o_custkey AS BIGINT) AS o_custkey
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) = DATE '1995-06-15'
+    """,
+)
+def verb_bloom_date_read(spark, sf_dir):
+    """DATE bloom point lookup (r12; store._bloom_value_bytes date
+    canonicalization): a date-keyed table declaring
+    ``bloom_filter_columns`` on its DATE column prunes
+    provably-absent files for a strict-ISO equality literal — the
+    partition-date point-lookup shape. The sidecar hashes Arrow's
+    date32->string ISO text; the probe hashes date.fromisoformat of
+    the literal; both must agree or rows vanish (pinned no-false-
+    negative property in tests/test_bloom_fpp.py). The surfaced
+    column casts DATE->TIMESTAMP on both engines (dtype-compare
+    contract); the WHERE runs against the DATE column, so the bloom
+    path is what's graded."""
+    eng = _scratch_engine(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.to_date("o_orderdate").alias("o_od"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+    )
+    eng.create.table(
+        "dbo.orders_dtbloom",
+        {"o_orderkey": "bigint", "o_od": "date", "o_custkey": "bigint"},
+        primary_key_column="o_orderkey",
+        properties={"bloom_filter_columns": ["o_od"]},
+    )
+    eng.write.insert("dbo.orders_dtbloom", o)
+    return eng.read.table(
+        "dbo.orders_dtbloom", where="o_od = 1995-06-15"
+    ).select(
+        "o_orderkey",
+        F.col("o_od").cast("timestamp").alias("o_od"),
+        "o_custkey",
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------
