@@ -109,10 +109,61 @@ SUPPLEMENTARY = [
     "pit_left_unmatched_facts",
 ]
 
+# Host-noise self-certification (VERDICT r12 #2). The r12 session's
+# 1.63x "regression" was a degraded host, not code — proving that
+# cost a full judge-side re-measurement cycle because nothing in the
+# artifact recorded host state. Two sentinel queries whose code and
+# plan have been untouched since round 4 carry recorded quiet-session
+# medians (p50 across the r04-r11 BENCH_LOCAL files; the noisy r12
+# session showed 1.25x/1.47x on exactly these): if either deviates
+# >1.3x, or the 1-minute load average exceeds 2 before the bench has
+# spawned any work, the output flags host_noisy=true so a shifted
+# total is never misread as a code regression.
+SENTINELS = {
+    "q7_volume_shipping": 1.009,
+    "source_csv_roundtrip": 0.289,
+}
+SENTINEL_TOLERANCE = 1.3
+PRE_LOAD_LIMIT = 2.0
+
+
+def _read_proc_stat() -> dict[str, int] | None:
+    """First `cpu` line of /proc/stat as named jiffy counters."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    names = [
+        "user", "nice", "system", "idle", "iowait",
+        "irq", "softirq", "steal",
+    ]
+    return dict(zip(names, (int(v) for v in parts[1:1 + len(names)])))
+
+
+def _proc_stat_delta(pre: dict | None, post: dict | None) -> dict | None:
+    if not pre or not post:
+        return None
+    delta = {k: post[k] - pre[k] for k in pre}
+    total = sum(delta.values())
+    if total > 0:
+        delta["busy_frac"] = round(1.0 - delta["idle"] / total, 4)
+    return delta
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # sample host state BEFORE the JVM spawns: at this point any load
+    # is someone else's, so loadavg > PRE_LOAD_LIMIT is a clean
+    # foreign-noise signal (after bring-up the bench's own 32 threads
+    # dominate and the number stops being attributable)
+    try:
+        load_pre = tuple(round(v, 2) for v in os.getloadavg())
+    except OSError:
+        load_pre = None
+
     spark = connect(app_name="bench")
 
     # session warmup: initialize the JVM, codegen, shuffle and parquet
@@ -170,8 +221,34 @@ def main() -> None:
             )
         return timings, errors
 
+    stat_pre = _read_proc_stat()
     timings, errors = time_list(HEADLINE)
+    stat_mid = _read_proc_stat()
     supp_timings, supp_errors = time_list(SUPPLEMENTARY)
+    stat_post = _read_proc_stat()
+    try:
+        load_post = tuple(round(v, 2) for v in os.getloadavg())
+    except OSError:
+        load_post = None
+
+    # sentinel ratios vs the recorded quiet-session medians: these two
+    # queries' code and plans are frozen, so a uniform shift here is
+    # host state, not this round's changes
+    sentinel_ratios = {
+        name: round(timings[name] / median, 3)
+        for name, median in SENTINELS.items()
+        if name in timings
+    }
+    noisy_load = load_pre is not None and load_pre[0] > PRE_LOAD_LIMIT
+    noisy_sentinel = any(
+        r > SENTINEL_TOLERANCE for r in sentinel_ratios.values()
+    )
+    host_noisy = bool(noisy_load or noisy_sentinel)
+    print(
+        f"# host: load_pre={load_pre} load_post={load_post} "
+        f"sentinel_ratios={sentinel_ratios} host_noisy={host_noisy}",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -186,6 +263,20 @@ def main() -> None:
         "supplementary_total": round(sum(supp_timings.values()), 3),
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-noise self-certification (VERDICT r12 #2): see the
+        # SENTINELS comment for the recorded-median provenance
+        "host": {
+            "load_pre": load_pre,
+            "load_post": load_post,
+            "proc_stat_delta_headline": _proc_stat_delta(
+                stat_pre, stat_mid
+            ),
+            "proc_stat_delta_supplementary": _proc_stat_delta(
+                stat_mid, stat_post
+            ),
+        },
+        "sentinel_ratios": sentinel_ratios,
+        "host_noisy": host_noisy,
     }
     if errors or supp_errors:
         # the totals exclude errored queries by construction — flag it

@@ -137,7 +137,8 @@ def _check_restrict_references(
             if brow[f"__lo_{i}"] is not None
         }
 
-    def _candidates(t, key_bounds, parent_keys=None, fk_cols=None):
+    def _candidates(t, key_bounds, parent_keys=None, fk_cols=None,
+                    version=None):
         """Stats-pruned candidate files of ``t`` that could hold a
         row referencing the deleted keys: the key bounds intersect
         the child manifest's per-file FK-column stats, so a delete on
@@ -145,8 +146,17 @@ def _check_restrict_references(
         probe cost ∝ files that could reference the keys, not
         child-table size. Empty child manifests short-circuit the
         same way (and never hit the empty-table no-_metadata read
-        shape). Re-evaluated against the CURRENT manifest on each
-        call (re-probes after an action see the post-action files).
+        shape).
+
+        ``version`` pins BOTH manifest-shaped reads (the stats split
+        and the bloom candidates) to one snapshot — the caller passes
+        ``expected[t]``, the version every probe verdict on ``t`` is
+        declared valid against, so re-probes after an own action see
+        the post-action files via the refreshed ``expected[t]``. Two
+        unpinned reads straddling a foreign commit could each clear a
+        different file set and their intersection would silently drop
+        files from the FK probe (ADVICE r12); the revalidation pass
+        backstopped that only by repeating the same racy read pair.
 
         When the child bloom-indexes its FK columns, the deleted key
         set additionally probes each candidate's sidecar — the same
@@ -155,12 +165,16 @@ def _check_restrict_references(
         prove most files reference-free."""
         if not key_bounds:  # no non-NULL deleted keys: nothing can
             return []       # reference them
-        touched, _ = store.split_by_key_ranges(t, key_bounds)
+        if version is None:
+            version = store.meta(t).version
+        touched, _ = store.split_by_key_ranges(
+            t, key_bounds, version=version
+        )
         if not touched or parent_keys is None:
             return touched
         from .update import bloom_narrow_entries
 
-        entries_t = store.manifest(t, store.meta(t).version)
+        entries_t = store.manifest(t, version)
         tset = set(touched)
         cand = [e for e in entries_t if e["path"] in tset]
         surv = bloom_narrow_entries(store, t, cand, parent_keys, fk_cols)
@@ -206,7 +220,10 @@ def _check_restrict_references(
             # revalidation pass below or by the parent commit's
             # precondition, never silently absorbed
             expected.setdefault(t, store.meta(t).version)
-            touched = _candidates(t, bounds, parent_keys, fk["columns"])
+            touched = _candidates(
+                t, bounds, parent_keys, fk["columns"],
+                version=expected[t],
+            )
             if not _probe_hit(t, fk, parent_keys, touched):
                 continue
             if action == "cascade":
@@ -228,7 +245,8 @@ def _check_restrict_references(
                 expected[t] = store.meta(t).version
                 if _probe_hit(t, fk, parent_keys,
                              _candidates(t, bounds, parent_keys,
-                                         fk["columns"])):
+                                         fk["columns"],
+                                         version=expected[t])):
                     _conflict(t)
             elif action == "set_null":
                 key_cols = set(fk["columns"])
@@ -290,7 +308,8 @@ def _check_restrict_references(
                 expected[t] = store.meta(t).version
                 if _probe_hit(t, fk, parent_keys,
                              _candidates(t, bounds, parent_keys,
-                                         fk["columns"])):
+                                         fk["columns"],
+                                         version=expected[t])):
                     _conflict(t)
             else:
                 raise SQLForeignKeyViolation(
@@ -314,7 +333,8 @@ def _check_restrict_references(
             for t2, fk, parent_keys, bounds in probed:
                 if t2 == t and _probe_hit(
                     t, fk, parent_keys,
-                    _candidates(t, bounds, parent_keys, fk["columns"])
+                    _candidates(t, bounds, parent_keys, fk["columns"],
+                                version=v_now)
                 ):
                     _conflict(t)
             expected[t] = v_now
@@ -372,7 +392,8 @@ def delete_op(
         # when it runs, its verdict stands (see merge_op)
         stats_decided = True
         touched, kept = store.split_by_key_range(
-            table_name, match[0], single_bounds[0], single_bounds[1]
+            table_name, match[0], single_bounds[0], single_bounds[1],
+            version=meta.version,
         )
         if not touched:
             # no file's key range intersects the source: nothing can
@@ -390,7 +411,7 @@ def delete_op(
         from .update import bloom_narrow_entries
 
         surviving = bloom_narrow_entries(
-            store, table_name, entries, keys, match
+            store, table_name, entries, keys, match, meta=meta
         )
         if surviving is not None:
             if not surviving:
@@ -416,7 +437,7 @@ def delete_op(
         from .update import discover_matched_files, split_entries
 
         matched_files = discover_matched_files(
-            store, table_name, bounds, keys, match
+            store, table_name, bounds, keys, match, meta=meta
         )
         if not matched_files:
             return 0  # nothing matches: no rewrite, no commit
@@ -485,7 +506,9 @@ def delete_op(
                 continue  # no non-NULL deleted keys: nothing references
             probe = survivors.select(*fk["columns"])
             if keep_paths:
-                touched_c, _ = store.split_by_key_ranges(table_name, kb)
+                touched_c, _ = store.split_by_key_ranges(
+                    table_name, kb, version=meta.version
+                )
                 sel = [pth for pth in touched_c if pth in keep_paths]
                 if sel:
                     probe = probe.unionByName(

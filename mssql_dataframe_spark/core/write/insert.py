@@ -237,7 +237,9 @@ def insert(
             if b[0] is not None and b[1] is not None
         }
         if entries and usable:
-            touched, _ = store.split_by_key_ranges(table_name, usable)
+            touched, _ = store.split_by_key_ranges(
+                table_name, usable, version=meta.version
+            )
             if touched:
                 # batch-key bloom narrowing on top of the stats
                 # verdict: random/high-entropy keys (UUIDs, hashes)
@@ -252,7 +254,8 @@ def insert(
                 tset = set(touched)
                 cand = [e for e in entries if e["path"] in tset]
                 surv = bloom_narrow_entries(
-                    store, table_name, cand, out.select(*pk), pk
+                    store, table_name, cand, out.select(*pk), pk,
+                    meta=meta,
                 )
                 if surv is not None:
                     touched = [e["path"] for e in surv]
@@ -286,7 +289,9 @@ def insert(
             centries = store.manifest(table_name, meta.version)
             if not centries:
                 return None
-            touched, _ = store.split_by_key_ranges(table_name, bounds)
+            touched, _ = store.split_by_key_ranges(
+                table_name, bounds, version=meta.version
+            )
             if not touched:
                 return None
             # batch-key bloom narrowing, same shape as the PK probe:
@@ -297,7 +302,8 @@ def insert(
             tset = set(touched)
             cand = [e for e in centries if e["path"] in tset]
             surv = bloom_narrow_entries(
-                store, table_name, cand, out.select(*cols), list(cols)
+                store, table_name, cand, out.select(*cols), list(cols),
+                meta=meta,
             )
             if surv is not None:
                 touched = [e["path"] for e in surv]

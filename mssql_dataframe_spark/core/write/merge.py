@@ -215,7 +215,8 @@ def merge_op(
         # job.
         stats_decided = True
         touched, kept = store.split_by_key_range(
-            table_name, match[0], single_bounds[0], single_bounds[1]
+            table_name, match[0], single_bounds[0], single_bounds[1],
+            version=meta.version,
         )
         if kept:
             keep_entries = kept
@@ -231,7 +232,7 @@ def merge_op(
 
             surviving = bloom_narrow_entries(
                 store, table_name, entries,
-                src.select(*match).distinct(), match,
+                src.select(*match).distinct(), match, meta=meta,
             )
             if surviving is not None and len(surviving) < len(entries):
                 spaths = {e["path"] for e in surviving}
@@ -258,7 +259,7 @@ def merge_op(
 
         matched_files = discover_matched_files(
             store, table_name, bounds,
-            src.select(*match).distinct(), match,
+            src.select(*match).distinct(), match, meta=meta,
         )
         kept, touched = split_entries(entries, matched_files)
         if kept:

@@ -118,7 +118,9 @@ def merge_scd2(
         if b[0] is not None and b[1] is not None
     }
     if usable:
-        touched, kept = store.split_by_key_ranges(table_name, usable)
+        touched, kept = store.split_by_key_ranges(
+            table_name, usable, version=meta.version
+        )
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
@@ -140,6 +142,7 @@ def merge_scd2(
             store, table_name, bounds,
             src.select(*match).distinct(), match,
             pre_filter=(F.col(current_col) == F.lit(True)),
+            meta=meta,
         )
         kept, touched = split_entries(entries, matched_files)
         if kept:

@@ -66,7 +66,8 @@ def resolve_match_columns(meta, dataframe, match_columns) -> list[str]:
 BLOOM_DISCOVERY_KEY_CAP = 512
 
 
-def bloom_narrow_entries(store, table_name, entries, src_keys, match):
+def bloom_narrow_entries(store, table_name, entries, src_keys, match,
+                         meta=None):
     """Batch-key bloom narrowing over manifest ``entries``: for each
     bloom-indexed match column, the source's distinct non-NULL values
     (collected, capped — the source is the small side by design) test
@@ -74,27 +75,47 @@ def bloom_narrow_entries(store, table_name, entries, src_keys, match):
     batch key for some column cannot hold a matching row — per-column
     exclusion stays valid for composite keys (no tuple can match where
     one component provably never occurs). Entirely driver-side: no
-    Spark job beyond the bounded distinct-collect.
+    Spark job beyond ONE bounded distinct-collect covering every
+    indexed column (per-column capped distinct frames unioned with
+    allowMissingColumns, so each column keeps its native type and its
+    own LIMIT — a composite key costs one driver job, not one per
+    column).
+
+    ``meta`` is the caller's pinned TableMeta; callers hold one for
+    their OCC commit already, and re-reading it here could see a
+    foreign commit's bloom-column property diverging from the
+    ``entries`` snapshot being probed.
 
     Returns the surviving entries (possibly [] = no file can hold a
     match), or None when blooms never engaged (no indexed match
     column, every column past the cap). NULL source keys are dropped
     before probing — equality never matches NULL."""
-    bcols = [c for c in match if c in store._bloom_cols(
-        store.meta(table_name)
-    )]
+    if meta is None:
+        meta = store.meta(table_name)
+    bcols = [c for c in match if c in store._bloom_cols(meta)]
     if not bcols:
         return None
-    engaged = False
-    for c in bcols:
-        vals = [
-            r[0]
-            for r in src_keys.select(c)
-            .where(F.col(c).isNotNull())
+    frames = []
+    for i, c in enumerate(bcols):
+        # positional aliases (__v_0, __v_1, ...) so the union schema
+        # never collides with a user column name
+        frames.append(
+            src_keys.select(F.col(c).alias(f"__v_{i}"))
+            .where(F.col(f"__v_{i}").isNotNull())
             .distinct()
             .limit(BLOOM_DISCOVERY_KEY_CAP + 1)
-            .collect()
-        ]
+            .select(F.lit(i).alias("__i"), F.col(f"__v_{i}"))
+        )
+    unioned = frames[0]
+    for fr in frames[1:]:
+        unioned = unioned.unionByName(fr, allowMissingColumns=True)
+    by_col: dict[int, list] = {i: [] for i in range(len(bcols))}
+    for r in unioned.collect():
+        i = r["__i"]
+        by_col[i].append(r[f"__v_{i}"])
+    engaged = False
+    for i, c in enumerate(bcols):
+        vals = by_col[i]
         if len(vals) > BLOOM_DISCOVERY_KEY_CAP:
             continue  # too many keys to probe driver-side
         engaged = True
@@ -107,7 +128,8 @@ def bloom_narrow_entries(store, table_name, entries, src_keys, match):
 
 
 def discover_matched_files(
-    store, table_name, bounds, src_keys, match, pre_filter=None
+    store, table_name, bounds, src_keys, match, pre_filter=None,
+    meta=None,
 ):
     """Tier-2 content discovery shared by update/delete/merge/scd2:
     one slim scan (match columns + ``_metadata.file_path``) finds the
@@ -136,31 +158,43 @@ def discover_matched_files(
     interleaved keys make stats pruning blind). Past the cap the
     column simply doesn't narrow — correctness never depends on the
     blooms (reference merge semantics: mssql_dataframe merge.py's
-    update/delete clauses; this is purely the discovery cost)."""
+    update/delete clauses; this is purely the discovery cost).
+
+    ``meta`` is the caller's pinned TableMeta. Every manifest-shaped
+    read below (the stats split, the entries list, the bloom probe's
+    column set, the discovery scan's file list) is pinned to
+    ``meta.version`` so one consistent snapshot feeds the whole
+    verdict: two unpinned reads straddling a foreign commit would
+    each clear a different file set, and the intersection could drop
+    files neither check examined — unfixable downstream because the
+    no-match early return commits nothing, so the caller's
+    expected_version OCC backstop never fires (ADVICE r12)."""
     import os as _os
 
-    candidates = stats_candidates(store, table_name, bounds)
+    if meta is None:
+        meta = store.meta(table_name)
+    candidates = stats_candidates(
+        store, table_name, bounds, version=meta.version
+    )
     if candidates is not None and not candidates:
         return set()
-    entries = store.manifest(
-        table_name, store.meta(table_name).version
-    )
+    entries = store.manifest(table_name, meta.version)
     if candidates is not None:
         cset = set(candidates)
         entries = [e for e in entries if e["path"] in cset]
     surviving = bloom_narrow_entries(
-        store, table_name, entries, src_keys, match
+        store, table_name, entries, src_keys, match, meta=meta
     )
     if surviving is not None:
         if not surviving:
             return set()  # every file provably holds no match
         if len(surviving) < len(entries):
             candidates = [e["path"] for e in surviving]
-    scan = (
-        store.read(table_name)
-        if candidates is None
-        else store.read_files(table_name, candidates)
-    )
+    if candidates is None:
+        # full-table discovery still reads the PINNED snapshot's file
+        # list, never store.read's current-manifest view
+        candidates = [e["path"] for e in entries]
+    scan = store.read_files(table_name, candidates)
     if not all(c in scan.columns for c in match):
         return set()
     if pre_filter is not None:
@@ -184,7 +218,7 @@ def split_entries(entries, matched_files):
     return kept, touched
 
 
-def stats_candidates(store, table_name, bounds):
+def stats_candidates(store, table_name, bounds, version=None):
     """Stats pre-narrowing for the content-discovery fallback:
     per-column manifest bounds (composite PKs, FK columns, UNIQUE /
     declared stats columns are all footer-harvested) can prove files
@@ -204,7 +238,9 @@ def stats_candidates(store, table_name, bounds):
     }
     if not usable:
         return None
-    touched, kept = store.split_by_key_ranges(table_name, usable)
+    touched, kept = store.split_by_key_ranges(
+        table_name, usable, version=version
+    )
     return touched if kept else None
 
 
@@ -264,7 +300,8 @@ def update_op(
         # when it runs, its verdict stands (see merge_op)
         stats_decided = True
         touched, kept = store.split_by_key_range(
-            table_name, match[0], single_bounds[0], single_bounds[1]
+            table_name, match[0], single_bounds[0], single_bounds[1],
+            version=meta.version,
         )
         if not touched:
             # every file's key range misses the source: no target row
@@ -284,7 +321,7 @@ def update_op(
         # = no key exists anywhere, so UPDATE changes nothing
         surviving = bloom_narrow_entries(
             store, table_name, entries,
-            src.select(*match).distinct(), match,
+            src.select(*match).distinct(), match, meta=meta,
         )
         if surviving is not None:
             if not surviving:
@@ -302,7 +339,7 @@ def update_op(
         # source, so files with no matching row carry by reference.
         matched_files = discover_matched_files(
             store, table_name, bounds,
-            src.select(*match).distinct(), match,
+            src.select(*match).distinct(), match, meta=meta,
         )
         if not matched_files:
             # no target row matches the source: UPDATE changes nothing
@@ -372,7 +409,9 @@ def update_op(
         def _existing_for(cols, b):
             if not keep_paths:
                 return None
-            touched_p, _ = store.split_by_key_ranges(table_name, b)
+            touched_p, _ = store.split_by_key_ranges(
+                table_name, b, version=meta.version
+            )
             sel = [pth for pth in touched_p if pth in keep_paths]
             return store.read_files(table_name, sel) if sel else None
 

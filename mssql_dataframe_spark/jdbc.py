@@ -99,6 +99,21 @@ class JdbcTarget:
     encrypt: bool = True
     trust_server_certificate: bool = False
 
+    def __post_init__(self):
+        # the URL is assembled by interpolation, so a host/database
+        # carrying JDBC property metacharacters (';' starts a new
+        # key=value pair, '{}' are escape braces) could smuggle
+        # properties like authentication overrides into the URL —
+        # reject them here, the same never-interpolate posture the
+        # docstring promises for credentials
+        for field in ("host", "database"):
+            v = str(getattr(self, field))
+            if any(ch in v for ch in ";={}"):
+                raise ValueError(
+                    f"invalid character in JDBC target {field}: {v!r} "
+                    "(';', '=', '{', '}' would inject URL properties)"
+                )
+
     @property
     def url(self) -> str:
         return (
@@ -238,6 +253,19 @@ class JdbcEngine:
         self.spark = spark
         self.target = target
 
+    @classmethod
+    def _staging_name(cls, table_name: str) -> str:
+        """Per-call staging table name: random-suffixed (two
+        concurrent merges must not overwrite each other's staged
+        rows — and same-named tables in different schemas share the
+        dbo staging namespace), base-truncated so the result always
+        fits SYSNAME."""
+        import uuid as _uuid
+
+        suffix = "_" + _uuid.uuid4().hex[:12]
+        base = cls.STAGING_PREFIX + table_name.split(".")[-1]
+        return base[: _MAX_NAME_LEN - len(suffix)] + suffix
+
     # -- plumbing ------------------------------------------------------
     def _driver_connection(self):
         """A driver-side java.sql connection for the statements the
@@ -335,8 +363,20 @@ class JdbcEngine:
         opts = dict(self.target.options())
         opts["dbtable"] = f"({sub}) AS _pushdown"
         if partition_column is not None:
+            # Spark interpolates partitionColumn RAW into its
+            # generated per-partition predicates ("col >= lo AND col
+            # < hi") — an unvalidated name would be an injection
+            # point, so it gets the same QUOTENAME treatment as every
+            # other dynamic identifier. Bounds are mandatory with a
+            # partition column: str(None) would ship the literal
+            # "None" to the connector and fail server-side mid-scan.
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "partition_column requires lower_bound and "
+                    "upper_bound (the JDBC source cannot derive them)"
+                )
             opts.update(
-                partitionColumn=partition_column,
+                partitionColumn=quotename(partition_column),
                 lowerBound=str(lower_bound),
                 upperBound=str(upper_bound),
                 numPartitions=str(num_partitions or 8),
@@ -369,9 +409,34 @@ class JdbcEngine:
         """Reference-shape MERGE: stage ``df`` server-side via the
         batched writer, run ONE T-SQL MERGE joining staging to target,
         drop staging (reference: write/merge.py:23-131 +
-        _source_table staging). Returns the executed MERGE text."""
-        staging = self.STAGING_PREFIX + table_name.split(".")[-1]
-        staging_full = f"dbo.{staging}"
+        _source_table staging). Returns the executed MERGE text.
+
+        The staging name carries a per-call random suffix: a fixed
+        name collides under two concurrent merges into the same table
+        (each mode="overwrite" staging write drops the other's rows
+        mid-flight) and across same-named tables in different
+        schemas; the base is truncated so the result always fits
+        SYSNAME."""
+        missing = [c for c in match_columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"match columns {missing} not in dataframe — the MERGE "
+                "ON clause would fail server-side AFTER staging"
+            )
+        if delete_requires:
+            if not delete_unmatched:
+                raise ValueError(
+                    "delete_requires only applies with "
+                    "delete_unmatched=True (reference merge.py:85-86 "
+                    "rejects the combination the same way)"
+                )
+            bad = [c for c in delete_requires if c not in df.columns]
+            if bad:
+                raise ValueError(
+                    f"delete_requires columns {bad} not in dataframe — "
+                    "the IN-list guards select them FROM staging"
+                )
+        staging_full = f"dbo.{self._staging_name(table_name)}"
         (
             df.write.format("jdbc")
             .options(**self.target.options())

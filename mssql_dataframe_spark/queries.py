@@ -10439,6 +10439,137 @@ def verb_bloom_date_read(spark, sf_dir):
     )
 
 
+@register(
+    "window_percent_rank_cume_dist",
+    sql="""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey), 8) AS pr,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey), 8) AS cd
+    FROM orders WHERE o_custkey % 100 = 1
+    """,
+)
+def window_percent_rank_cume_dist(spark, sf_dir):
+    """Relative-rank window functions (PERCENT_RANK / CUME_DIST —
+    the SQL:2003 hypothetical-set family the window suite had not
+    yet pinned). The window is PARTITIONed on the customer key with
+    a unique tie-break, so every WindowExec instance stays
+    key-partitioned (no single-partition global sort — the
+    distributed_window module exists for the unpartitioned case)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.where(F.col("o_custkey") % 100 == 1)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.round(F.percent_rank().over(w), 8).alias("pr"),
+            F.round(F.cume_dist().over(w), 8).alias("cd"),
+        )
+    )
+
+
+@register(
+    "stats_skew_kurtosis",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(SKEWNESS(l_extendedprice) * (COUNT(*) - 2)
+                 / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 6) AS price_skew,
+           ROUND(KURTOSIS_POP(l_extendedprice), 6) AS price_kurt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_skew_kurtosis(spark, sf_dir):
+    """Third/fourth-moment aggregates. Spark's skewness/kurtosis are
+    the POPULATION statistics (g1 = m3/m2^1.5, g2 = m4/m2^2 - 3,
+    single-pass central-moment updates inside a regular hash agg —
+    the scale path); DuckDB's skewness is the SAMPLE-corrected G1, so
+    the oracle de-biases it analytically (g1 = G1*(n-2)/sqrt(n(n-1)))
+    and uses kurtosis_pop directly — the conversion is exact algebra,
+    verified against hand-computed moments, so the two engines agree
+    to rounding."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 6).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("price_kurt"),
+    )
+
+
+@register(
+    "bitmap_exact_distinct",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    """EXACT distinct counting through Spark 3.5+ bitmap aggregation —
+    the scale path for high-cardinality COUNT(DISTINCT): keys map to
+    (bucket, bit) via bitmap_bucket_number/bitmap_bit_position, each
+    (group, bucket) folds to a fixed 4KB bitmap with map-side partial
+    aggregation (bitmap_construct_agg), and the final count is a SUM
+    of per-bucket popcounts. State per group is bounded by
+    ceil(key_domain / 32768) bitmaps instead of one hash set holding
+    every distinct key — a count-distinct expand never materializes,
+    and the two-level shape parallelizes the count across buckets."""
+    o = _t(spark, sf_dir, "orders")
+    sub = o.select(
+        "o_orderpriority",
+        F.col("o_custkey").cast("bigint").alias("ck"),
+    ).select(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(ck)").alias("bkt"),
+        F.expr("bitmap_bit_position(ck)").alias("pos"),
+    )
+    per_bucket = sub.groupBy("o_orderpriority", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_custkeys")
+    )
+
+
+@register(
+    "hll_distinct_bounded",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def hll_distinct_bounded(spark, sf_dir):
+    """Apache DataSketches HLL distinct estimation (Spark 3.5+
+    hll_sketch_agg / hll_sketch_estimate) graded the recall-gate way
+    (ann_recall_at10's pattern): the entry computes BOTH the sketch
+    estimate and the exact count, surfaces the exact count plus an
+    error-bound verdict, and the oracle expects the verdict TRUE —
+    if the estimate ever drifted past 5% (~3 sigma at the default
+    lgConfigK=12) the hash would go red. Sketches are deterministic
+    for fixed input, and MERGEABLE: at 100 TB the per-partition
+    sketches combine without a key shuffle, which is why this is the
+    distinct path when exactness can be traded for state."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "hll_sketch_estimate(hll_sketch_agg(CAST(o_custkey AS BIGINT)))"
+        ).alias("est"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("est") / F.col("n_exact") - F.lit(1.0)) <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------
@@ -10451,70 +10582,69 @@ def verb_bloom_date_read(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r12 rotation (VERDICT r11 "Next round: do this" #1): (a) the
+    # r13 rotation (VERDICT r12 "Next round: do this" #1): (a) the
     # single registry row with no driver CORRECTNESS row anywhere
-    # (pit_left_unmatched_facts, added after the r11 window froze;
-    # gate_sim-green, judge re-verified at 2992 rows); (b) all 44
-    # rows whose latest driver evidence is r07 (window/events/
-    # timeseries shapes, source scan shapes, relational extensions,
-    # business analytics, the r07 LLM-text tail), in registry order;
-    # (c) the 5 earliest-positioned r08-vintage rows. After this
-    # window lands green every one of the 245 registry entries has a
-    # driver CORRECTNESS row and none is older than r08. COVERAGE.md
-    # "Grading manifest" documents the cycle.
+    # (verb_bloom_date_read, added after the r12 window froze;
+    # gate_sim-green, judge re-verified at 5 rows); (b) all 45 rows
+    # whose latest driver evidence is r08 (the LLM-text/dedup/ANN/
+    # multimodal suite plus the store-verb family), in registry
+    # order; (c) the 4 earliest-positioned r09-vintage rows. After
+    # this window lands green every one of the 246 registry entries
+    # has a driver CORRECTNESS row and none is older than r09.
+    # COVERAGE.md "Grading manifest" documents the cycle.
     # -- (a) never-graded --
-    "pit_left_unmatched_facts",
-    # -- (b) the 44 r07-vintage rows (registry order) --
-    "window_moving_avg_frames",
-    "events_mad_outliers",
-    "timeseries_ewma_quantized",
-    "global_topn_orders",
-    "window_time_range_frames",
-    "source_parquet_agg_pushdown",
-    "source_nested_struct_pruning",
-    "bucketed_join_no_shuffle",
-    "stats_aggregates",
-    "unpivot_lineitem_measures",
-    "string_split_rows",
-    "date_spine_calendar",
-    "argmax_aggregates",
-    "histogram_equi_width",
-    "lateral_topk_per_nation",
-    "recursive_cte_supplier_tree",
-    "source_partitioned_pruning",
-    "pandas_udf_embedding_norm",
-    "bloom_filter_join_prune",
-    "interval_overlap_join",
-    "variant_json_extraction",
-    "lang_id_confusion",
-    "decontamination_fuzzy",
-    "heavy_hitters_tokens",
-    "basket_brand_lift",
-    "events_time_to_convert",
-    "embedding_health_check",
-    "source_token_drift",
-    "orders_cohort_ltv",
-    "events_error_budget",
-    "orders_priority_mix_shift",
-    "supplier_otif_rate",
-    "customer_order_gaps",
-    "events_hourly_seasonality",
-    "events_dau_wau_stickiness",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "events_activity_streaks",
-    "try_cast_tolerant_ingest",
-    "null_safe_join_semantics",
-    "timeseries_gap_fill",
-    "bigram_logprob_quality",
-    "bigram_pmi_collocations",
-    # -- (c) the 5 earliest-positioned r08 rows --
-    "apply_in_pandas_zscore",
-    "map_in_pandas_tokens",
-    "posexplode_tokens",
-    "semi_anti_join",
-    "approx_percentile_sketch",
+    "verb_bloom_date_read",
+    # -- (b) the 45 r08-vintage rows (registry order) --
+    "range_join_price_bands",
+    "string_functions",
+    "date_functions",
+    "pandas_udaf_median",
+    "text_bpe_token_count",
+    "text_token_counts",
+    "text_quality_features",
+    "text_lang_id",
+    "doc_fingerprint",
+    "doc_rolling_hash",
+    "dedup_exact_text",
+    "dedup_exact_prefix",
+    "minhash_signatures",
+    "minhash_dedup_pairs",
+    "dedup_cluster_survivors",
+    "text_tfidf_top_terms",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs",
+    "multimodal_features",
+    "verb_identity_pk",
+    "multimodal_frame_sample",
+    "math_conditional_functions",
+    "array_agg_functions",
+    "verb_insert_read",
+    "verb_update",
+    "verb_merge_upsert",
+    "verb_merge_delete",
+    "verb_merge_delete_requires",
+    "verb_delete_keys",
+    "verb_check_constraints",
+    "verb_foreign_key_audit",
+    "verb_fk_delete_cascade",
+    "verb_fk_delete_set_null",
+    "verb_pk_informational",
+    "verb_merge_composite_key",
+    "verb_unique_constraint",
+    "verb_merge_auto_evolve",
+    "verb_delete_where",
+    "verb_truncate_reload",
+    "verb_merge_stale_flagging",
+    "verb_merge_scd2",
+    # -- (c) the 4 earliest-positioned r09 rows --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
 ]
 
 

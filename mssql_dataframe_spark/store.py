@@ -401,13 +401,23 @@ def _load_bloom_sidecar(path: str) -> dict:
     out = {}
     for c, bl in raw.items():
         try:
-            out[c] = {
-                "m": int(bl["m"]),
-                "k": int(bl["k"]),
-                "_bits": zlib.decompress(base64.b64decode(bl["b64"])),
-            }
+            m = int(bl["m"])
+            k = int(bl["k"])
+            bits = zlib.decompress(base64.b64decode(bl["b64"]))
         except (KeyError, TypeError, ValueError, zlib.error):
             continue
+        # semantic validation, not just parse validation: a PARSABLE
+        # sidecar with m<=0 / k<=0 (bit-rot, hand-edited JSON) would
+        # reach `% m` in the probe kernels and raise ZeroDivisionError
+        # — failing the read instead of degrading; a bits buffer whose
+        # length disagrees with m would index out of range or, worse,
+        # read the wrong positions and prune a file that holds the
+        # value. All three degrade to the conservative keep-everything
+        # path by dropping the column entry here (and the verdict is
+        # LRU-cached the same way a parse failure's {} is).
+        if m <= 0 or k <= 0 or len(bits) != (m + 7) // 8:
+            continue
+        out[c] = {"m": m, "k": k, "_bits": bits}
     return out
 
 
@@ -1366,7 +1376,8 @@ class TableStore:
         return self._read_paths(meta, paths)
 
     def split_by_key_range(
-        self, name: str, col: str, lo, hi
+        self, name: str, col: str, lo, hi,
+        version: Optional[int] = None,
     ) -> tuple[list[str], list[dict]]:
         """Partition the current manifest into (touched paths, kept
         entries) for a source whose ``col`` values span [lo, hi].
@@ -1378,10 +1389,13 @@ class TableStore:
         any recorded column can prune) with the legacy single
         stats_col/min/max triple as fallback. Files without usable
         stats for ``col`` are always touched (safe)."""
-        return self.split_by_key_ranges(name, {col: (lo, hi)})
+        return self.split_by_key_ranges(
+            name, {col: (lo, hi)}, version=version
+        )
 
     def split_by_key_ranges(
-        self, name: str, bounds: dict
+        self, name: str, bounds: dict,
+        version: Optional[int] = None,
     ) -> tuple[list[str], list[dict]]:
         """Multi-column generalization of ``split_by_key_range``:
         ``bounds`` maps column -> (lo, hi) of the source batch. An
@@ -1392,14 +1406,23 @@ class TableStore:
         data-skipping rule). Columns whose bounds are not plain
         int/str, or files without usable stats for every still-
         undecided column, count as touched (safe). An all-unusable
-        ``bounds`` touches everything."""
-        meta = self.meta(name)
+        ``bounds`` touches everything.
+
+        ``version`` pins the split to that snapshot's manifest so a
+        caller composing it with other per-version reads (content
+        discovery, bloom narrowing, the FK probe loop) sees ONE
+        consistent file set — two unpinned reads straddling a foreign
+        commit could each clear a different manifest and their
+        intersection would drop files neither verdict covered."""
         clean = {}
         for col, (lo, hi) in bounds.items():
             lo, hi = _plain_scalar(lo), _plain_scalar(hi)
             if lo is not None and hi is not None:
                 clean[col] = (lo, hi)
-        ents = self.manifest(name, meta.version)
+        ents = self.manifest(
+            name,
+            self.meta(name).version if version is None else int(version),
+        )
         if not clean:
             return [e["path"] for e in ents], []
         touched, kept = [], []

@@ -199,8 +199,13 @@ def enforce_foreign_keys(
     for name in sorted(fks):
         spec = fks[name]
         cols = list(spec["columns"])
+        # ONE version read per parent: the OCC dependency below and
+        # the stats-pruned scan are pinned to the same snapshot, so a
+        # foreign parent commit between them surfaces as an OCC
+        # failure at our commit instead of a mixed-snapshot verdict
+        parent_version = store.meta(spec["ref_table"]).version
         if spec["ref_table"] != table_name:  # self-refs ride table OCC
-            dep = (spec["ref_table"], store.meta(spec["ref_table"]).version)
+            dep = (spec["ref_table"], parent_version)
             if dep not in deps:
                 deps.append(dep)
         ref_bounds = {
@@ -211,7 +216,7 @@ def enforce_foreign_keys(
         parent_scan = None
         if ref_bounds:
             touched, kept = store.split_by_key_ranges(
-                spec["ref_table"], ref_bounds
+                spec["ref_table"], ref_bounds, version=parent_version
             )
             if kept:
                 parent_scan = store.read_files(spec["ref_table"], touched)

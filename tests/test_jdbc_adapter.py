@@ -124,11 +124,57 @@ def test_reader_options_pushdown(spark):
         "(SELECT [o_orderkey], [o_totalprice] FROM [dbo].[orders] "
         "WHERE [o_totalprice] > 100) AS _pushdown"
     )
-    assert opts["partitionColumn"] == "o_orderkey"
+    # the partition column is QUOTENAME'd: Spark interpolates it RAW
+    # into its generated per-partition range predicates
+    assert opts["partitionColumn"] == "[o_orderkey]"
     assert opts["numPartitions"] == "16"
     # invalid grammar never reaches the server
     with pytest.raises(SQLInvalidSyntax):
         eng.reader_options("dbo.orders", where="1; DROP TABLE x")
+
+
+def test_reader_options_partition_bounds_required(spark):
+    eng = JD.JdbcEngine(spark, JD.JdbcTarget("h", "d", user="u", password="p"))
+    # str(None) would ship the literal "None" to the connector
+    with pytest.raises(ValueError, match="lower_bound"):
+        eng.reader_options("dbo.orders", partition_column="o_orderkey")
+
+
+def test_target_rejects_url_property_injection():
+    # ';' starts a new key=value JDBC property — a database name
+    # carrying one could smuggle e.g. authentication overrides
+    with pytest.raises(ValueError, match="inject"):
+        JD.JdbcTarget("h", "d;integratedSecurity=true")
+    with pytest.raises(ValueError, match="inject"):
+        JD.JdbcTarget("h;foo=bar", "d")
+
+
+def test_merge_validates_columns_before_staging(spark):
+    eng = JD.JdbcEngine(spark, JD.JdbcTarget("h", "d", user="u", password="p"))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="match columns"):
+        eng.merge("dbo.t", df, match_columns=["nope"])
+    with pytest.raises(ValueError, match="delete_unmatched"):
+        eng.merge(
+            "dbo.t", df, match_columns=["id"], delete_requires=["id"]
+        )
+    with pytest.raises(ValueError, match="delete_requires columns"):
+        eng.merge(
+            "dbo.t", df, match_columns=["id"],
+            delete_unmatched=True, delete_requires=["nope"],
+        )
+
+
+def test_merge_staging_name_is_unique_and_sysname_bounded():
+    # the staging suffix prevents two concurrent merges into the same
+    # table from overwriting each other's staged rows; a long target
+    # name truncates so QUOTENAME's length bound never trips
+    a = JD.JdbcEngine._staging_name("dbo.orders")
+    b = JD.JdbcEngine._staging_name("dbo.orders")
+    assert a != b and a.startswith(JD.JdbcEngine.STAGING_PREFIX)
+    long_staging = JD.JdbcEngine._staging_name("dbo." + "t" * 120)
+    assert len(long_staging) <= 128
+    JD.quotename(long_staging)  # SYSNAME bound holds
 
 
 def test_execute_without_driver_raises_documented_error(spark):
