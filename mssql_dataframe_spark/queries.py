@@ -10440,40 +10440,6 @@ def verb_bloom_date_read(spark, sf_dir):
 
 
 @register(
-    "window_percent_rank_cume_dist",
-    sql="""
-    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
-           CAST(o_orderkey AS BIGINT) AS o_orderkey,
-           ROUND(PERCENT_RANK() OVER (
-             PARTITION BY o_custkey
-             ORDER BY o_totalprice, o_orderkey), 8) AS pr,
-           ROUND(CUME_DIST() OVER (
-             PARTITION BY o_custkey
-             ORDER BY o_totalprice, o_orderkey), 8) AS cd
-    FROM orders WHERE o_custkey % 100 = 1
-    """,
-)
-def window_percent_rank_cume_dist(spark, sf_dir):
-    """Relative-rank window functions (PERCENT_RANK / CUME_DIST —
-    the SQL:2003 hypothetical-set family the window suite had not
-    yet pinned). The window is PARTITIONed on the customer key with
-    a unique tie-break, so every WindowExec instance stays
-    key-partitioned (no single-partition global sort — the
-    distributed_window module exists for the unpartitioned case)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.where(F.col("o_custkey") % 100 == 1)
-        .select(
-            F.col("o_custkey").cast("bigint").alias("o_custkey"),
-            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
-            F.round(F.percent_rank().over(w), 8).alias("pr"),
-            F.round(F.cume_dist().over(w), 8).alias("cd"),
-        )
-    )
-
-
-@register(
     "stats_skew_kurtosis",
     sql="""
     SELECT l_returnflag,
@@ -10545,7 +10511,11 @@ def bitmap_exact_distinct(spark, sf_dir):
 )
 def hll_distinct_bounded(spark, sf_dir):
     """Apache DataSketches HLL distinct estimation (Spark 3.5+
-    hll_sketch_agg / hll_sketch_estimate) graded the recall-gate way
+    hll_sketch_agg / hll_sketch_estimate — the MERGEABLE sketch-OBJECT
+    family, distinct from approx_count_distinct's scalar HLL++: these
+    sketches can be stored, unioned across days/partitions with
+    hll_union_agg, and re-estimated, which scalar approx counts
+    cannot) graded the recall-gate way
     (ann_recall_at10's pattern): the entry computes BOTH the sketch
     estimate and the exact count, surfaces the exact count plus an
     error-bound verdict, and the oracle expects the verdict TRUE —

@@ -54,6 +54,13 @@ EXTRA = [
     # r12: the PIT LEFT contract entry — one equi-join shuffle on the
     # business key, interval containment post-join
     "pit_left_unmatched_facts",
+    # r13: the moment aggregates (one hash-agg pass) and the two
+    # scalable-distinct shapes (bitmap two-level agg; mergeable HLL
+    # sketch agg — neither may plan a count-distinct Expand over the
+    # sketch side)
+    "stats_skew_kurtosis",
+    "bitmap_exact_distinct",
+    "hll_distinct_bounded",
 ]
 
 SKIP = {
