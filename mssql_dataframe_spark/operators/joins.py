@@ -41,6 +41,17 @@ def asof_join(
     and a genuinely-NULL right value must surface as NULL). Right
     rows that share (key, time) are tie-broken by the struct's own
     ordering so results are engine-deterministic.
+
+    NULL semantics match SQL comparison rules: a right row with a
+    NULL key or NULL time can never satisfy ``key = key AND
+    right_time <= left_time`` (both comparisons are UNKNOWN), so such
+    rows are dropped before the union — without the filter, NULLs
+    sort FIRST under the ascending window order, making a NULL-timed
+    right row the silent fallback match for every left row that
+    precedes the key's first real right row (and NULL-keyed rows
+    would match each other through partitionBy, which groups NULLs).
+    Left rows with NULL key/time keep LEFT semantics: they surface
+    with NULL attached values.
     """
     if right_values is None:
         right_values = [
@@ -48,6 +59,9 @@ def asof_join(
         ]
     if not right_values:
         return left
+    right = right.where(
+        F.col(on).isNotNull() & F.col(right_time).isNotNull()
+    )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),

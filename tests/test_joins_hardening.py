@@ -150,3 +150,40 @@ def test_column_profile_empty_input_counts_zero(spark):
         assert out[c]["n_rows"] == 0
         assert out[c]["n_nulls"] == 0
         assert out[c]["n_distinct"] == 0
+
+
+def test_asof_join_null_timed_right_row_never_matches(spark):
+    # r13 review finding: a NULL-timed right row sorted FIRST under
+    # the window order and became the fallback match for every left
+    # row before the key's first real right row — SQL comparison
+    # rules say right_time <= left_time is UNKNOWN for NULL, so it
+    # must never match.
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25)], "k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "null_time"), (1, 20, "real")],
+        "k long, rt long, v string",
+    )
+    got = {
+        (r["lt"], r["v_asof"])
+        for r in J.asof_join(
+            left, right, on="k", left_time="lt", right_time="rt"
+        ).collect()
+    }
+    # lt=10: no right row at or before it -> NULL, NOT "null_time"
+    assert got == {(10, None), (25, "real")}
+
+
+def test_asof_join_null_keyed_rows_never_match_each_other(spark):
+    # NULL = NULL is UNKNOWN: a NULL-keyed right row must not attach
+    # to a NULL-keyed left row (window partitionBy would group them)
+    left = spark.createDataFrame([(None, 10)], "k string, lt long")
+    right = spark.createDataFrame(
+        [(None, 5, "ghost")], "k string, rt long, v string"
+    )
+    rows = J.asof_join(
+        left, right, on="k", left_time="lt", right_time="rt"
+    ).collect()
+    # LEFT semantics: the left row survives, with NULL attached
+    assert len(rows) == 1 and rows[0]["v_asof"] is None
