@@ -10540,6 +10540,52 @@ def hll_distinct_bounded(spark, sf_dir):
     )
 
 
+@register(
+    "hll_sketch_union_rollup",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def hll_sketch_union_rollup(spark, sf_dir):
+    """Two-level mergeable-sketch rollup (hll_sketch_agg per fine
+    grain, hll_union_agg to coarse) — THE incremental-distinct pattern
+    at 100 TB: per-(group, month) partial sketches are tiny, persist
+    in a summary table, and roll up to any coarser grain WITHOUT
+    re-reading the fact data, because HLL union in sketch space is
+    lossless (union of sketches == sketch of the union at equal lgK).
+    Graded recall-gate style like hll_distinct_bounded: the rolled-up
+    estimate must sit within 5% of the exact count per group, and the
+    surfaced columns are the exact count + the verdict the oracle can
+    check."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+            "month"
+        ),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+    )
+    partial = base.groupBy("o_orderpriority", "month").agg(
+        F.expr("hll_sketch_agg(ck)").alias("sk")
+    )
+    rolled = partial.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = base.groupBy("o_orderpriority").agg(
+        F.countDistinct("ck").cast("bigint").alias("n_exact")
+    )
+    return rolled.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("est") / F.col("n_exact") - F.lit(1.0)) <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -61,6 +61,7 @@ EXTRA = [
     "stats_skew_kurtosis",
     "bitmap_exact_distinct",
     "hll_distinct_bounded",
+    "hll_sketch_union_rollup",
 ]
 
 SKIP = {
