@@ -10586,6 +10586,43 @@ def hll_sketch_union_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "ansi_safe_arithmetic",
+    sql="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_extendedprice / NULLIF(l_quantity - 25, 0)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS sum_rate,
+           CAST(COUNT(*) FILTER (WHERE l_quantity = 25) AS BIGINT)
+             AS n_div0,
+           CAST(COUNT(l_extendedprice / NULLIF(l_quantity - 25, 0))
+                AS BIGINT) AS n_rated
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def ansi_safe_arithmetic(spark, sf_dir):
+    """ANSI-safe arithmetic (`try_divide`): Spark 4 defaults
+    spark.sql.ansi.enabled=true, where a plain division raises
+    DIVIDE_BY_ZERO and kills the job — at 100 TB one dirty row must
+    not fail a stage, so the try_* family (NULL on error) is the
+    production arithmetic path, mirrored by DuckDB's native
+    NULL-on-zero division in the oracle. The engineered denominator
+    (l_quantity - 25) hits zero on real rows; NULL rates drop out of
+    COUNT/SUM identically in both engines. Terms are decimal-cast
+    before summing so the aggregate is order-insensitive (the _dsum
+    idiom)."""
+    l = _t(spark, sf_dir, "lineitem")
+    rate = F.expr("try_divide(l_extendedprice, l_quantity - 25)")
+    return l.groupBy("l_linestatus").agg(
+        F.sum(rate.cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_rate"),
+        F.count_if(F.col("l_quantity") == 25)
+        .cast("bigint")
+        .alias("n_div0"),
+        F.count(rate).cast("bigint").alias("n_rated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

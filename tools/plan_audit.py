@@ -62,6 +62,7 @@ EXTRA = [
     "bitmap_exact_distinct",
     "hll_distinct_bounded",
     "hll_sketch_union_rollup",
+    "ansi_safe_arithmetic",
 ]
 
 SKIP = {
