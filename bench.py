@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO stdout lines: an early `BENCH_FULL {...}` line carrying the
+complete per-query record, then a FINAL compact JSON line (<=1500
+chars) that fits the driver's 2000-char stdout tail capture:
+{"metric": "...", "value": N, "unit": "sec", "total_min": N,
+ "supplementary_total": N, "runs_per_query": N, "sf": ...,
+ "host_noisy": bool, "sentinel_ratios": {...}, "top5_slowest": {...}}
 """
 
 from __future__ import annotations
@@ -180,8 +184,9 @@ def main() -> None:
     # state cost.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    def time_list(names: list[str]) -> tuple[dict, dict]:
+    def time_list(names: list[str]) -> tuple[dict, dict, dict]:
         timings: dict[str, float] = {}
+        minima: dict[str, float] = {}
         errors: dict[str, str] = {}
         for name in names:
             samples: list[float] = []
@@ -214,17 +219,21 @@ def main() -> None:
                 spark.catalog.clearCache()
                 continue
             timings[name] = round(statistics.median(samples), 3)
+            # per-query MIN alongside p50 (VERDICT r13 #7): minima are
+            # far more robust to foreign host load — the floor tracks
+            # code changes even when the medians are noise-inflated
+            minima[name] = round(min(samples), 3)
             spread = ", ".join(f"{s:.3f}" for s in samples)
             print(
                 f"# {name}: p50 {timings[name]}s of [{spread}]",
                 file=sys.stderr,
             )
-        return timings, errors
+        return timings, minima, errors
 
     stat_pre = _read_proc_stat()
-    timings, errors = time_list(HEADLINE)
+    timings, minima, errors = time_list(HEADLINE)
     stat_mid = _read_proc_stat()
-    supp_timings, supp_errors = time_list(SUPPLEMENTARY)
+    supp_timings, supp_minima, supp_errors = time_list(SUPPLEMENTARY)
     stat_post = _read_proc_stat()
     try:
         load_post = tuple(round(v, 2) for v in os.getloadavg())
@@ -251,7 +260,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         # the headline metric stays the FROZEN 57-entry list so the
         # round-over-round series remains comparable; the post-r6
         # operators ride along under their own separately-summed keys
@@ -259,7 +268,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # min-of-runs series alongside p50 (VERDICT r13 #7): per-query
+        # floors are noise-robust — on a loaded host the minima still
+        # track code changes while medians absorb foreign CPU
+        "queries_min": minima,
+        "total_min": round(sum(minima.values()), 3),
         "supplementary_queries": supp_timings,
+        "supplementary_queries_min": supp_minima,
         "supplementary_total": round(sum(supp_timings.values()), 3),
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -281,9 +296,40 @@ def main() -> None:
     if errors or supp_errors:
         # the totals exclude errored queries by construction — flag it
         # so a crash-lowered total is never misread as a win
-        out["errors"] = {**errors, **supp_errors}
-        out["incomplete"] = True
-    print(json.dumps(out))
+        full["errors"] = {**errors, **supp_errors}
+        full["incomplete"] = True
+
+    # The driver captures only the LAST 2000 characters of stdout, so
+    # the 57+8-entry per-query dict no longer fits on the final line
+    # (BENCH_r12/r13 recorded parsed=null; VERDICT r13 #2). Emit the
+    # FULL record on an EARLY stdout line (prefixed so humans can grep
+    # it, still one JSON object after the marker) and finish with a
+    # compact line that always fits the tail capture.
+    print("BENCH_FULL " + json.dumps(full))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "total_min": full["total_min"],
+        "supplementary_total": full["supplementary_total"],
+        "runs_per_query": runs,
+        "sf": full["sf"],
+        "host_noisy": host_noisy,
+        "sentinel_ratios": sentinel_ratios,
+        "n_queries": len(timings),
+        "n_errors": len(errors) + len(supp_errors),
+        "top5_slowest": slowest,
+    }
+    line = json.dumps(compact)
+    # hard guarantee: the driver tail is 2000 chars; stay well inside
+    # even if error counts or sentinel keys grow
+    if len(line) > 1500:
+        compact.pop("top5_slowest", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

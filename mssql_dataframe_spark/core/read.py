@@ -340,8 +340,42 @@ class read:
             ).values():
                 df = df.filter(compile_where(expr))
 
+        # WHERE and ORDER BY evaluate on the FULL relation, projection
+        # applies LAST — the reference compiles `SELECT {cols} FROM t
+        # {WHERE} {ORDER BY}` (read.py:137-146) and T-SQL lets both
+        # clauses reference columns the projection drops, so filtering
+        # or ordering after the select would reject queries the
+        # reference accepts (r14 read-path review).
+        if where is not None:
+            df = df.filter(compile_where(where))
+
+        # both-or-neither validation (reference: read.py:119-135)
+        if (order_column is None) != (order_direction is None):
+            raise ValueError(
+                "order_column and order_direction must be supplied together"
+            )
+        if order_column is not None:
+            direction = str(order_direction).upper()
+            if direction not in ("ASC", "DESC"):
+                raise ValueError("order_direction must be ASC or DESC")
+            if order_column not in df.columns:
+                raise SQLColumnDoesNotExist(
+                    f"order column {order_column!r} not in table {table_name!r}"
+                )
+            # SQL Server sorts NULLs first in ASC and last in DESC is
+            # engine-specific; tests show NULLs-first on DESC
+            # (reference tests/test_core/test_read.py:152-164)
+            col = F.col(order_column)
+            df = df.orderBy(
+                col.asc_nulls_first() if direction == "ASC"
+                else col.desc_nulls_first()
+            )
+
         # datetimeoffset companion offset columns are engine-internal;
         # hidden unless asked for (core/datetimeoffset.py)
+        if column_names is not None and isinstance(column_names, str):
+            # reference read.py:89-90: a bare string means one column
+            column_names = [column_names]
         comps = dto.companions(meta)
         if comps and not include_tz_offsets:
             wanted = set(column_names or ())
@@ -363,31 +397,6 @@ class read:
                     cols + [comps[c] for c in cols if c in comps]
                 ))
             df = df.select(*cols)
-
-        if where is not None:
-            df = df.filter(compile_where(where))
-
-        # both-or-neither validation (reference: read.py:119-135)
-        if (order_column is None) != (order_direction is None):
-            raise ValueError(
-                "order_column and order_direction must be supplied together"
-            )
-        if order_column is not None:
-            direction = str(order_direction).upper()
-            if direction not in ("ASC", "DESC"):
-                raise ValueError("order_direction must be ASC or DESC")
-            if order_column not in df.columns:
-                raise SQLColumnDoesNotExist(
-                    f"order column {order_column!r} not in result columns"
-                )
-            # SQL Server sorts NULLs first in ASC and last in DESC is
-            # engine-specific; tests show NULLs-first on DESC
-            # (reference tests/test_core/test_read.py:152-164)
-            col = F.col(order_column)
-            df = df.orderBy(
-                col.asc_nulls_first() if direction == "ASC"
-                else col.desc_nulls_first()
-            )
 
         if limit is not None:
             if not isinstance(limit, int) or isinstance(limit, bool):

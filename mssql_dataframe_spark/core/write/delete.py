@@ -182,14 +182,18 @@ def _check_restrict_references(
             return [e["path"] for e in surv]
         return touched
 
-    def _probe_hit(t, fk, parent_keys, touched) -> bool:
+    def _probe_hit(t, fk, parent_keys, touched, version=None) -> bool:
         """True iff a row of ``t``'s ``touched`` candidate files
         references a deleted key via ``fk`` — one keys-only semi
-        join."""
+        join. ``version`` pins the scan to the snapshot the candidate
+        list was computed against: reading pinned files under a LATER
+        schema (concurrent MODIFY COLUMN on the child) could mistype
+        the FK columns to NULL and a false no-hit would silently
+        delete a still-referenced parent (ADVICE r13 class)."""
         if not touched:
             return False
         return bool(
-            store.read_files(t, touched)
+            store.read_files(t, touched, version=version)
             .select(*fk["columns"])
             .na.drop(how="any")
             .join(parent_keys, fk["columns"], "left_semi")
@@ -224,7 +228,8 @@ def _check_restrict_references(
                 t, bounds, parent_keys, fk["columns"],
                 version=expected[t],
             )
-            if not _probe_hit(t, fk, parent_keys, touched):
+            if not _probe_hit(t, fk, parent_keys, touched,
+                              version=expected[t]):
                 continue
             if action == "cascade":
                 if t in _chain or t == table_name:
@@ -246,7 +251,8 @@ def _check_restrict_references(
                 if _probe_hit(t, fk, parent_keys,
                              _candidates(t, bounds, parent_keys,
                                          fk["columns"],
-                                         version=expected[t])):
+                                         version=expected[t]),
+                             version=expected[t]):
                     _conflict(t)
             elif action == "set_null":
                 key_cols = set(fk["columns"])
@@ -309,7 +315,8 @@ def _check_restrict_references(
                 if _probe_hit(t, fk, parent_keys,
                              _candidates(t, bounds, parent_keys,
                                          fk["columns"],
-                                         version=expected[t])):
+                                         version=expected[t]),
+                             version=expected[t]):
                     _conflict(t)
             else:
                 raise SQLForeignKeyViolation(
@@ -334,7 +341,8 @@ def _check_restrict_references(
                 if t2 == t and _probe_hit(
                     t, fk, parent_keys,
                     _candidates(t, bounds, parent_keys, fk["columns"],
-                                version=v_now)
+                                version=v_now),
+                    version=v_now,
                 ):
                     _conflict(t)
             expected[t] = v_now

@@ -260,8 +260,13 @@ def insert(
                 if surv is not None:
                     touched = [e["path"] for e in surv]
                 if touched:
+                    # pin the scan to the snapshot the candidate list
+                    # came from: a concurrent MODIFY COLUMN would
+                    # otherwise mistype the PK columns and a false
+                    # no-duplicate verdict lands duplicate keys
+                    # (ADVICE r13 class)
                     existing_keys = store.read_files(
-                        table_name, touched
+                        table_name, touched, version=meta.version
                     ).select(*pk)
         if existing_keys is not None:
             hit = (

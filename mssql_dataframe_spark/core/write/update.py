@@ -194,7 +194,13 @@ def discover_matched_files(
         # full-table discovery still reads the PINNED snapshot's file
         # list, never store.read's current-manifest view
         candidates = [e["path"] for e in entries]
-    scan = store.read_files(table_name, candidates)
+    # version=meta.version: the scan must read the PINNED snapshot's
+    # files under that snapshot's RECORDED schema — a concurrent
+    # MODIFY COLUMN between the caller's meta capture and this scan
+    # would otherwise read the pinned files mistyped/NULL, and the
+    # resulting false no-match early return escapes the OCC backstop
+    # (ADVICE r13)
+    scan = store.read_files(table_name, candidates, version=meta.version)
     if not all(c in scan.columns for c in match):
         return set()
     if pre_filter is not None:

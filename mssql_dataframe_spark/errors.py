@@ -98,3 +98,15 @@ class SQLForeignKeyViolation(Exception):
     (beyond-reference; warehouse engines typically declare FKs
     unenforced — this engine audits on ADD and enforces on write).
     SQL MATCH SIMPLE semantics: a row with any NULL FK column passes."""
+
+
+class SQLSnapshotUnavailable(Exception):
+    """A pinned snapshot version's manifest no longer exists — the
+    version was vacuumed out of retention (or the manifest was removed
+    externally) between the caller capturing ``meta.version`` and
+    reading the file list. Raised instead of degrading to an empty
+    manifest: an empty file set would make pinned discovery/split
+    reads report a false 'nothing matched', and the no-match early
+    returns commit nothing, so the expected_version OCC backstop never
+    fires (ADVICE r13). Beyond-reference: the Delta-style
+    VersionNotFoundException analog."""

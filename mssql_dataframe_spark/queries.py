@@ -10635,69 +10635,68 @@ def ansi_safe_arithmetic(spark, sf_dir):
 # already-green entries. Rotated each round as evidence lands
 # (VERDICT.md round 3, "Next round: do this" #3).
 _GRADE_FIRST = [
-    # r13 rotation (VERDICT r12 "Next round: do this" #1): (a) the
-    # single registry row with no driver CORRECTNESS row anywhere
-    # (verb_bloom_date_read, added after the r12 window froze;
-    # gate_sim-green, judge re-verified at 5 rows); (b) all 45 rows
-    # whose latest driver evidence is r08 (the LLM-text/dedup/ANN/
-    # multimodal suite plus the store-verb family), in registry
-    # order; (c) the 4 earliest-positioned r09-vintage rows. After
-    # this window lands green every one of the 246 registry entries
-    # has a driver CORRECTNESS row and none is older than r09.
+    # r14 rotation (VERDICT r13 "Next round: do this" #1): (a) the 5
+    # entries added during r13 that have no driver CORRECTNESS row
+    # anywhere (queries.py HLL/bitmap/stats/ANSI block; all
+    # judge-verified gate_sim-green in the r13 verdict); (b) the 45
+    # earliest-positioned rows whose latest driver evidence is r09
+    # (TPC-H tail, streaming suite, store verbs, curation slice), in
+    # registry order. After this window lands green all 251 entries
+    # are driver-evidenced and only one row
+    # (corpus_boilerplate_line_removal) remains at r09 vintage.
     # COVERAGE.md "Grading manifest" documents the cycle.
-    # -- (a) never-graded --
-    "verb_bloom_date_read",
-    # -- (b) the 45 r08-vintage rows (registry order) --
-    "range_join_price_bands",
-    "string_functions",
-    "date_functions",
-    "pandas_udaf_median",
-    "text_bpe_token_count",
-    "text_token_counts",
-    "text_quality_features",
-    "text_lang_id",
-    "doc_fingerprint",
-    "doc_rolling_hash",
-    "dedup_exact_text",
-    "dedup_exact_prefix",
-    "minhash_signatures",
-    "minhash_dedup_pairs",
-    "dedup_cluster_survivors",
-    "text_tfidf_top_terms",
-    "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup_pairs",
-    "multimodal_features",
-    "verb_identity_pk",
-    "multimodal_frame_sample",
-    "math_conditional_functions",
-    "array_agg_functions",
-    "verb_insert_read",
-    "verb_update",
-    "verb_merge_upsert",
-    "verb_merge_delete",
-    "verb_merge_delete_requires",
-    "verb_delete_keys",
-    "verb_check_constraints",
-    "verb_foreign_key_audit",
-    "verb_fk_delete_cascade",
-    "verb_fk_delete_set_null",
-    "verb_pk_informational",
-    "verb_merge_composite_key",
-    "verb_unique_constraint",
-    "verb_merge_auto_evolve",
-    "verb_delete_where",
-    "verb_truncate_reload",
-    "verb_merge_stale_flagging",
-    "verb_merge_scd2",
-    # -- (c) the 4 earliest-positioned r09 rows --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    # -- (a) never-graded (added r13) --
+    "stats_skew_kurtosis",
+    "bitmap_exact_distinct",
+    "hll_distinct_bounded",
+    "hll_sketch_union_rollup",
+    "ansi_safe_arithmetic",
+    # -- (b) the 45 earliest r09-vintage rows (registry order) --
+    "q9_product_profit",
+    "q12_late_shipments",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "window_top3_orders_per_customer",
+    "approx_count_distinct",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "broadcast_join_brand_volume",
+    "salted_join_user_events",
+    "json_object_extraction",
+    "json_extraction",
+    "multimodal_resize",
+    "multimodal_resize_stub_contract",
+    "streaming_sliding_counts",
+    "streaming_append_out_of_order",
+    "streaming_dedup_exact",
+    "streaming_session_windows",
+    "streaming_stream_stream_join",
+    "streaming_stateful_user_stats",
+    "verb_modify_schema",
+    "verb_primary_key_audit",
+    "verb_read_values_sql",
+    "verb_merge_identity",
+    "verb_schema_validate_convert",
+    "verb_read_where_grammar",
+    "multimodal_audio_features",
+    "pack_sequences_budget",
+    "verb_composite_pk_pruned_ingest",
+    "verb_merge_partition_reload",
+    "verb_scd2_composite_key",
+    "embedding_int8_quantize",
+    "window_value_functions",
+    "doc_chunking",
+    "char_entropy_quality",
+    "per_source_cap",
+    "python_udtf_char_ngrams",
+    "map_functions",
+    "text_repetition_features",
+    "corpus_quality_filter",
+    "decontamination_overlap",
+    "pii_redaction",
+    "corpus_mixture_audit",
+    "source_orc_roundtrip",
+    "doc_line_dedup",
 ]
 
 

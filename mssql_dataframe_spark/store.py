@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .errors import SQLTableDoesNotExist
+from .errors import SQLSnapshotUnavailable, SQLTableDoesNotExist
 
 _META = "_meta.json"
 
@@ -730,12 +730,33 @@ class TableStore:
     def _manifest_path(self, name: str, version: int) -> str:
         return os.path.join(self._table_dir(name), f"_manifest_v{version}.json")
 
-    def manifest(self, name: str, version: int) -> list[dict]:
+    def manifest(
+        self, name: str, version: int, missing_ok: bool = False,
+    ) -> list[dict]:
+        """File entries of ``version``'s manifest. Every version from
+        0 (written at CREATE) to the current pointer has a manifest
+        until ``_vacuum`` retires it, so a missing file for a version
+        a caller explicitly pinned means the snapshot fell out of
+        retention mid-operation — raise ``SQLSnapshotUnavailable``
+        rather than degrading to an empty manifest, which would turn
+        pinned discovery/split reads into a false 'nothing matched'
+        verdict that no OCC commit check can catch (the no-match
+        early-return paths commit nothing; ADVICE r13). Callers that
+        deliberately probe possibly-retired versions pass
+        ``missing_ok=True`` (or pre-check the path like history())."""
         try:
             with open(self._manifest_path(name, version)) as f:
                 return json.load(f)["files"]
         except FileNotFoundError:
-            return []
+            if missing_ok:
+                return []
+            raise SQLSnapshotUnavailable(
+                f"manifest for version {version} of table {name!r} "
+                "does not exist — the snapshot was vacuumed out of "
+                "retention (or removed externally) after the caller "
+                "pinned it; re-read the table meta and retry against "
+                "the current version"
+            ) from None
 
     def commit_info(self, name: str, version: int) -> dict:
         """Commit metadata recorded with a retained version's manifest
@@ -1514,9 +1535,9 @@ class TableStore:
         )
         next_v = base + 1
         try:
-            # inside the discard guard: a corrupt carried manifest
-            # (json error — only FileNotFoundError is swallowed) must
-            # not leak the staged files on disk
+            # inside the discard guard: a corrupt or vacuumed-out
+            # carried manifest (json error / SQLSnapshotUnavailable)
+            # must not leak the staged files on disk
             carried = self.manifest(name, base)
             self._check_no_concurrent_commit(name, base)
             self._check_preconditions(name, preconditions)

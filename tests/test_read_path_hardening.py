@@ -160,3 +160,49 @@ def test_registered_view_is_live_across_writes(engine, spark):
     assert spark.sql(f"select count(*) n from {name}").collect()[0].n == 2
     engine.store.drop("dbo.lv")
     assert not spark.catalog.tableExists(name)
+
+
+def test_where_and_order_on_non_projected_columns(engine, spark):
+    """T-SQL semantics (r14 read-path review): the reference compiles
+    `SELECT {cols} FROM t WHERE {w} ORDER BY {o}` (reference
+    read.py:137-146), so WHERE and ORDER BY may reference columns the
+    projection drops. Projection applies LAST."""
+    engine.create.table(
+        "dbo.wnp",
+        {"id": "bigint", "a": "int", "b": "int"},
+        primary_key_column="id",
+    )
+    engine.write.insert(
+        "dbo.wnp",
+        spark.createDataFrame(
+            [Row(id=1, a=10, b=3), Row(id=2, a=20, b=1),
+             Row(id=3, a=30, b=2), Row(id=4, a=5, b=4)]
+        ),
+    )
+    out = engine.read.table(
+        "dbo.wnp",
+        column_names=["a"],          # b NOT projected
+        where="b > 1",               # filters on b
+        order_column="b",            # orders on b
+        order_direction="DESC",
+        limit=2,
+    )
+    assert out.columns == ["id", "a"]
+    rows = out.collect()
+    # b DESC over b>1 -> b=4 (id 4), b=3 (id 1); TOP(2)
+    assert [r.id for r in rows] == [4, 1]
+    assert [r.a for r in rows] == [5, 10]
+
+
+def test_column_names_accepts_bare_string(engine, spark):
+    """Reference read.py:89-90: a bare string means one column."""
+    engine.create.table(
+        "dbo.cstr", {"id": "bigint", "name": "nvarchar(10)"},
+        primary_key_column="id",
+    )
+    engine.write.insert(
+        "dbo.cstr", spark.createDataFrame([Row(id=1, name="x")])
+    )
+    out = engine.read.table("dbo.cstr", column_names="name")
+    assert out.columns == ["id", "name"]
+    assert out.collect()[0].name == "x"
