@@ -65,6 +65,30 @@ def resolve_match_columns(meta, dataframe, match_columns) -> list[str]:
 #: stats + content discovery, whose cost is already ∝ candidate files.
 BLOOM_DISCOVERY_KEY_CAP = 512
 
+#: cost guard (VERDICT r13 #5): bloom narrowing pays one extra driver
+#: job (the capped batch-key distinct-collect) plus O(files) sidecar
+#: reads BEFORE any verdict exists, and its only payoff is the
+#: candidate bytes it excludes from the content scan / rewrite. Below
+#: this many candidate bytes the full scan-or-rewrite is cheaper than
+#: the probe itself (THROUGHPUT.md's toy-file bloom table: narrowing
+#: at 60k-row files costs 2-4x the unguarded rewrite), so narrowing
+#: disengages and discovery falls through to stats + content pruning.
+#: At production file sizes (~1 GB/file) any real candidate set clears
+#: the bar and behavior is unchanged. Per-table override via the
+#: ``bloom_narrow_min_bytes`` property (0 forces engagement — used by
+#: the THROUGHPUT scenario to keep demonstrating the narrowing shape
+#: at toy sizes). Legacy entries without recorded ``bytes`` estimate
+#: at a conservative 100 bytes/row.
+BLOOM_NARROW_MIN_BYTES = 64 << 20
+_EST_BYTES_PER_ROW = 100
+
+
+def _entry_bytes(e) -> int:
+    b = e.get("bytes")
+    if b:
+        return int(b)
+    return int(e.get("rows") or 0) * _EST_BYTES_PER_ROW
+
 
 def bloom_narrow_entries(store, table_name, entries, src_keys, match,
                          meta=None):
@@ -94,6 +118,13 @@ def bloom_narrow_entries(store, table_name, entries, src_keys, match,
         meta = store.meta(table_name)
     bcols = [c for c in match if c in store._bloom_cols(meta)]
     if not bcols:
+        return None
+    # cost guard: when the ENTIRE candidate set is small enough that
+    # scanning/rewriting it outright costs less than the probe's
+    # driver job, don't engage (see BLOOM_NARROW_MIN_BYTES)
+    floor = meta.properties.get("bloom_narrow_min_bytes")
+    floor = BLOOM_NARROW_MIN_BYTES if floor is None else int(floor)
+    if sum(_entry_bytes(e) for e in entries) < floor:
         return None
     frames = []
     for i, c in enumerate(bcols):

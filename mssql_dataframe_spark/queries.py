@@ -10623,6 +10623,145 @@ def ansi_safe_arithmetic(spark, sf_dir):
     )
 
 
+@register(
+    "string_agg_listagg",
+    sql="""
+    SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg_listagg(spark, sf_dir):
+    """Ordered string aggregation (Spark 4 ``listagg ... WITHIN GROUP
+    (ORDER BY ...)`` — the T-SQL STRING_AGG analog the reference's
+    users reach for in reporting queries; DuckDB mirrors it as
+    string_agg with ORDER BY). The WITHIN GROUP order makes the
+    result deterministic at any partitioning — an unordered listagg
+    concatenates in arrival order, which differs run to run on a
+    cluster, so ordered is the only form a distributed engine should
+    expose for comparable output. One hash-agg shuffle on the group
+    key; the per-group sort is local to the finalizer."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("regionkey")
+    ).agg(
+        F.expr(
+            "listagg(n_name, ',') within group (order by n_name)"
+        ).alias("names")
+    )
+
+
+@register(
+    "mode_median_functions",
+    sql="""
+    SELECT l_linestatus,
+           CAST(mode(CAST(least(l_quantity, 10) AS BIGINT)) AS BIGINT)
+             AS mode_qty,
+           CAST(median(l_quantity) AS DOUBLE) AS median_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def mode_median_functions(spark, sf_dir):
+    """Spark 3.4+ ``mode()`` / ``median()`` builtin aggregates (the
+    direct SQL forms of the most-frequent-value and exact-median
+    asks; pandas_udaf_median pins the UDAF route, this pins the
+    JVM-native one — zero Python, whole-stage codegen). Mode ties are
+    engine-arbitrary in BOTH Spark and DuckDB, so the probed column
+    is engineered unimodal: least(l_quantity, 10) folds the 10..50
+    range onto 10, making 10 the unique mode per group (~80% mass) —
+    the entry grades determinism-safe mode semantics, not tie luck.
+    l_quantity is integral-valued, so the DuckDB BIGINT cast (rounds)
+    and Spark's (truncates) agree, and medians land on .0/.5 values
+    that are exact in binary floating point."""
+    l = _t(spark, sf_dir, "lineitem")
+    capped = F.least(F.col("l_quantity"), F.lit(10)).cast("bigint")
+    return l.groupBy("l_linestatus").agg(
+        F.mode(capped).cast("bigint").alias("mode_qty"),
+        F.median(F.col("l_quantity")).cast("double").alias("median_qty"),
+    )
+
+
+@register(
+    "histogram_width_bucket",
+    sql="""
+    SELECT CASE WHEN FLOOR(l_extendedprice) >= 120000
+                THEN CAST(13 AS BIGINT)
+                ELSE CAST(FLOOR(FLOOR(l_extendedprice) / 10000) + 1
+                          AS BIGINT) END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def histogram_width_bucket(spark, sf_dir):
+    """Single-pass fixed-width histogram via ``width_bucket`` (SQL
+    2023; the profiling primitive for choosing range-partition bounds
+    and spotting skew before a big job). One scan, one hash-agg on
+    ~nb+2 groups — at 100 TB this is the cheap way to see a column's
+    distribution, vs an ORDER BY-based quantile pass. Bucketing is
+    floored to integral dollars first so the bucket arithmetic is
+    exact integer-in-double on both engines (DuckDB has no
+    width_bucket; the oracle mirrors the SQL-standard definition
+    arithmetically: values >= hi land in bucket nb+1). Sum uses the
+    decimal-cast _dsum idiom for order-insensitive totals."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.expr(
+            "width_bucket(floor(l_extendedprice), 0, 120000, 12)"
+        ).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "approx_topk_priorities",
+    sql="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS approx_hit
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY n DESC, o_orderpriority LIMIT 3
+    """,
+)
+def approx_topk_priorities(spark, sf_dir):
+    """Sketch-based frequent-items top-k (Spark 4.1 ``approx_top_k``)
+    graded the recall-gate way: the entry surfaces the EXACT top-3
+    (count + key tiebreak, both engines) plus a verdict that the
+    sketch's top-3 item SET matches it — at 100 TB the sketch is the
+    production path (bounded state, merges without a key shuffle,
+    like the HLL/bitmap family) and the exact groupBy is the oracle.
+    The probed column's rank-3/4 counts are distinct at every test
+    SF, so the top-3 SET is well-defined even where ranks 2/3 tie
+    (sketch-internal tie order never leaks into the output)."""
+    o = _t(spark, sf_dir, "orders")
+    approx = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 3)").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item")
+    )
+    exact = (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+        .limit(3)
+    )
+    # verdict via left join against the sketch's item set: every exact
+    # top-3 row must appear in the approx set (both are 3-item sets,
+    # so containment == equality)
+    return exact.join(
+        approx.withColumn("approx_hit", F.lit(True)),
+        exact["o_orderpriority"] == approx["item"],
+        "left",
+    ).select(
+        "o_orderpriority", "n",
+        F.coalesce(F.col("approx_hit"), F.lit(False)).alias("approx_hit"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -1260,6 +1260,10 @@ class TableStore:
                 # written schema, so restore() can reject a rollback
                 # across a column drop/rename instead of misreading
                 "schema_cols": list(schema.fieldNames()),
+                # on-disk size: cost input for discovery guards (e.g.
+                # bloom narrowing engages only when the avoidable
+                # rewrite bytes pay for the probe job — VERDICT r13 #5)
+                "bytes": int(os.path.getsize(dst)),
             }
             if file_bloom:
                 entry["bloom"] = file_bloom

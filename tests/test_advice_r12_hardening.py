@@ -47,7 +47,8 @@ def _mk_retype(engine, spark):
         "dbo.rt",
         {"id": "bigint", "val": "nvarchar(10)"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["val"]},
+        properties={"bloom_filter_columns": ["val"],
+                    "bloom_narrow_min_bytes": 0},
     )
     # numeric-SHAPED strings only: ALTER COLUMN is a strict cast-
     # rewrite (SQL Server semantics — unconvertible data fails the
@@ -92,7 +93,8 @@ def test_time_travel_retype_int_to_string_probes_under_recorded_int(
         "dbo.rti",
         {"id": "bigint", "val": "bigint"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["val"]},
+        properties={"bloom_filter_columns": ["val"],
+                    "bloom_narrow_min_bytes": 0},
     )
     engine.write.insert(
         "dbo.rti",
@@ -149,7 +151,8 @@ def test_delete_where_bloom_prune_pinned_to_snapshot_version(
         "dbo.dw",
         {"id": "bigint", "name": "nvarchar(20)"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["name"]},
+        properties={"bloom_filter_columns": ["name"],
+                    "bloom_narrow_min_bytes": 0},
     )
     engine.write.insert(
         "dbo.dw",
@@ -327,7 +330,8 @@ def test_bloom_prune_sidecar_loads_are_cached(engine, spark):
         "dbo.ca",
         {"id": "bigint", "name": "nvarchar(20)"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["name"]},
+        properties={"bloom_filter_columns": ["name"],
+                    "bloom_narrow_min_bytes": 0},
     )
     for f in range(3):
         engine.write.insert(
@@ -360,7 +364,8 @@ def _mk_interleaved(engine, spark, n_files=4, per=40):
         "dbo.iv",
         {"id": "bigint", "v": "bigint"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["id"]},
+        properties={"bloom_filter_columns": ["id"],
+                    "bloom_narrow_min_bytes": 0},
     )
     for f in range(n_files):
         rows = [(f + i * n_files, f) for i in range(per)]
@@ -494,6 +499,7 @@ def test_fk_noaction_probe_narrows_child_files_by_blooms(
         primary_key_column="cid",
         properties={
             "bloom_filter_columns": ["pid"],
+            "bloom_narrow_min_bytes": 0,
             "foreign_keys": {
                 "fk_p": {
                     "columns": ["pid"],
@@ -583,7 +589,8 @@ def test_date_column_bloom_read_prunes_and_stays_exact(engine, spark):
         "dbo.dt",
         {"id": "bigint", "d": "date"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["d"]},
+        properties={"bloom_filter_columns": ["d"],
+                    "bloom_narrow_min_bytes": 0},
     )
     import datetime as dt
 
@@ -627,7 +634,8 @@ def test_date_key_merge_discovery_narrows(engine, spark):
         "dbo.dtm",
         {"d": "date", "v": "bigint"},
         primary_key_column="d",
-        properties={"bloom_filter_columns": ["d"]},
+        properties={"bloom_filter_columns": ["d"],
+                    "bloom_narrow_min_bytes": 0},
     )
     # interleaved months across files: stats ranges all overlap
     for f in range(3):

@@ -43,7 +43,13 @@ from mssql_dataframe_spark.store import _load_bloom_sidecar
 def _mk_two_files(engine, spark, name="dbo.pin", bloom=False):
     """Two-file table: file 1 holds ids 0..9 / tags a_*, file 2 holds
     ids 100..109 / tags b_*. Returns the store."""
-    props = {"bloom_filter_columns": ["tag"]} if bloom else None
+    props = (
+        {"bloom_filter_columns": ["tag"],
+         # force-engage past the r14 cost guard: these tests pin
+         # the narrowing machinery itself at toy file sizes
+         "bloom_narrow_min_bytes": 0}
+        if bloom else None
+    )
     engine.create.table(
         name,
         {"id": "bigint", "tag": "nvarchar(20)", "v": "bigint"},
@@ -170,7 +176,8 @@ def test_bloom_narrow_multi_column_is_one_collect_job(
         "dbo.blm",
         {"id": "bigint", "k1": "nvarchar(20)", "k2": "bigint"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["k1", "k2"]},
+        properties={"bloom_filter_columns": ["k1", "k2"],
+                    "bloom_narrow_min_bytes": 0},
     )
     for f in range(3):
         engine.write.insert(
@@ -293,7 +300,8 @@ def _mk_interleaved(engine, spark, name="dbo.adv", n_files=4):
         {"id": "bigint", "k1": "nvarchar(20)", "k2": "bigint",
          "v": "bigint"},
         primary_key_column="id",
-        properties={"bloom_filter_columns": ["k1", "k2"]},
+        properties={"bloom_filter_columns": ["k1", "k2"],
+                    "bloom_narrow_min_bytes": 0},
     )
     for f in range(n_files):
         rows = [

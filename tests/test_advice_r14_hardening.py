@@ -166,3 +166,66 @@ def test_hll_sketch_store_roundtrip(engine, spark, sf_dir):
         assert abs(r["est"] / r["n_exact"] - 1.0) <= 0.05, (
             r["o_orderpriority"], r["est"], r["n_exact"],
         )
+
+
+# -- 4. bloom-narrowing cost guard (VERDICT r13 #5) -------------------
+
+
+def test_bloom_narrow_cost_guard_engage_skip(engine, spark):
+    """Narrowing pays a driver probe job BEFORE any verdict exists and
+    its only payoff is the candidate bytes it excludes, so below
+    BLOOM_NARROW_MIN_BYTES of candidates it must disengage (return
+    None -> discovery falls through to stats + content pruning, which
+    is correct regardless); above the bar, and under the per-table
+    force (bloom_narrow_min_bytes=0), the verdict is unchanged —
+    rewritten/surviving sets identical to the unguarded behavior."""
+    from mssql_dataframe_spark.core.write import update as upd
+
+    engine.create.table(
+        "dbo.bcg",
+        {"id": "bigint", "tag": "nvarchar(20)", "v": "bigint"},
+        primary_key_column="id",
+        properties={"bloom_filter_columns": ["tag"]},
+    )
+    for lo, pref in ((0, "a"), (100, "b")):
+        engine.write.insert(
+            "dbo.bcg",
+            spark.createDataFrame(
+                [(lo + i, f"{pref}_{i}", i) for i in range(10)],
+                "id long, tag string, v long",
+            ).coalesce(1),
+        )
+    store = engine.store
+    meta = store.meta("dbo.bcg")
+    entries = store.manifest("dbo.bcg", meta.version)
+    assert all(e.get("bytes") for e in entries)  # sizes now recorded
+    src = spark.createDataFrame([("a_3",)], "tag string")
+
+    # toy candidate set (a few KB) -> guard skips, probe never runs
+    assert upd.bloom_narrow_entries(
+        store, "dbo.bcg", entries, src, ["tag"], meta=meta
+    ) is None
+
+    # same candidates claiming production sizes -> engages and narrows
+    big = [dict(e, bytes=100 << 20) for e in entries]
+    surv = upd.bloom_narrow_entries(
+        store, "dbo.bcg", big, src, ["tag"], meta=meta
+    )
+    assert surv is not None and len(surv) == 1
+
+    # per-table force (THROUGHPUT scenario's knob): 0 always engages
+    forced_meta = dataclasses_replace_props(
+        meta, bloom_narrow_min_bytes=0
+    )
+    surv = upd.bloom_narrow_entries(
+        store, "dbo.bcg", entries, src, ["tag"], meta=forced_meta
+    )
+    assert surv is not None and len(surv) == 1
+
+
+def dataclasses_replace_props(meta, **extra):
+    import dataclasses
+
+    props = dict(meta.properties)
+    props.update(extra)
+    return dataclasses.replace(meta, properties=props)

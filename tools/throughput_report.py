@@ -288,11 +288,15 @@ def main() -> None:
         "that may hold those keys; without, every file rewrites. "
         "Batch kept under BLOOM_DISCOVERY_KEY_CAP: any-of-K probing "
         "compounds the per-value fpp, so huge batches fall back to "
-        "stats + content discovery by design. Read the REWRITTEN "
-        "column, not wall: at 60k-row toy files the bloom table's "
-        "sidecar maintenance on rewritten files outweighs the avoided "
-        "rewrites, while at production file sizes (~1 GB) rewriting "
-        "10 files vs 2 dominates everything.",
+        "stats + content discovery by design. This scenario sets "
+        "`bloom_narrow_min_bytes: 0` to FORCE narrowing at toy file "
+        "sizes so the REWRITTEN column keeps demonstrating the shape; "
+        "by default the r14 cost guard (BLOOM_NARROW_MIN_BYTES, 64 MB "
+        "of candidate bytes) disengages narrowing here, because at "
+        "60k-row toy files the probe job plus sidecar maintenance on "
+        "rewritten files outweighs the avoided rewrites. At "
+        "production file sizes (~1 GB/file) the guard always engages "
+        "and rewriting 10 files vs 2 dominates everything.",
         "",
         "| table rows | files | rewritten (bloom) | wall p50 bloom (s) "
         "| rewritten (no bloom) | wall p50 no bloom (s) |",
@@ -306,7 +310,10 @@ def main() -> None:
             eng = fresh_engine()
             tbl = "dbo.scale_b"
             props = (
-                {"bloom_filter_columns": ["k"]} if use_bloom else {}
+                {"bloom_filter_columns": ["k"],
+                 # force-engage past the r14 cost guard: the point of
+                 # this table is the narrowing shape at toy sizes
+                 "bloom_narrow_min_bytes": 0} if use_bloom else {}
             )
             eng.create.table(
                 tbl, {"k": "bigint", "v": "float"},
