@@ -63,6 +63,15 @@ EXTRA = [
     "hll_distinct_bounded",
     "hll_sketch_union_rollup",
     "ansi_safe_arithmetic",
+    # r14: ordered listagg (one hash-agg shuffle, finalizer-local
+    # sort), native mode/median (single agg pass, no Expand), the
+    # width_bucket single-pass histogram (one scan + one tiny-group
+    # agg), and the sketch top-k whose exact side is one agg + a
+    # broadcast-sized verdict join
+    "string_agg_listagg",
+    "mode_median_functions",
+    "histogram_width_bucket",
+    "approx_topk_priorities",
 ]
 
 SKIP = {
