@@ -6,9 +6,11 @@ reader only accepts as ``bigint`` via
 ``spark.sql.legacy.parquet.nanosAsLong`` — and plain ``timestamp[us]``
 (TIMESTAMP_NTZ in Spark). Branching on the LOADED dtype instead of
 assuming one encoding makes every consumer robust to either file
-vintage; the nanos->us floor-conversion uses integer ``div`` because
-the ns epoch exceeds double mantissa precision (float division would
-corrupt timestamps). Matches DuckDB's ns->us truncation semantics.
+vintage; the nanos->us conversion is exact-bigint FLOOR division
+because the ns epoch exceeds double mantissa precision (float division
+would corrupt timestamps) and because DuckDB's ns->us cast floors —
+plain ``div`` truncates toward zero and would disagree by 1 us on
+every pre-epoch timestamp with sub-us residue.
 """
 
 from __future__ import annotations
@@ -33,7 +35,19 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     """
     dt = df.schema["ts"].dataType
     if isinstance(dt, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # FLOOR division, in exact bigint arithmetic: `div` truncates
+        # toward zero, so a pre-epoch -1500 ns would land on -1 us
+        # while DuckDB's ns->us cast floors to -2 us; the % adjustment
+        # (sign follows the dividend in Spark) restores floor. Double
+        # floor(ts/1000.0) is NOT an option — current ns epochs
+        # (~1.7e18) far exceed the 53-bit mantissa.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(ts div 1000"
+                " - (case when ts % 1000 < 0 then 1 else 0 end))"
+            ),
+        )
     elif isinstance(dt, T.TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -18,6 +18,17 @@ from pyspark.sql.window import Window
 from .text import token_count
 
 
+def _bin_index(before_col: str, budget: int) -> Column:
+    """Bin index of a document whose first token lands at running
+    offset ``before_col``: exact-bigint ``div`` (== floor for the
+    non-negative cumsum), NOT ``/`` — bigint ``/`` returns DOUBLE and
+    mis-bins once the running token count passes 2^53 (first
+    divergence at 2^53+255 for budget=256) while exact-arithmetic
+    engines keep dividing correctly. Takes the column NAME because
+    ``div`` is an SQL operator with no Column-API twin."""
+    return F.expr(f"`{before_col}` div {int(budget)}").cast("bigint")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
@@ -64,10 +75,10 @@ def pack_sequences(
         # bin index advances at each budget boundary; oversized docs
         # occupy floor(before/budget) like everything else (they spill
         # past their bin's nominal budget — padding/truncation is the
-        # tokenizer's concern, not the packer's)
-        .withColumn(
-            "bin_id", (F.col("__before") / F.lit(budget)).cast("bigint")
-        )
+        # tokenizer's concern, not the packer's). __before >= 0
+        # (token_count clamps at 0) so _bin_index's exact `div` ==
+        # floor, matching SQL `//`.
+        .withColumn("bin_id", _bin_index("__before", budget))
         .withColumn(
             "bin_fill",
             F.col("__before") - F.col("bin_id") * F.lit(budget) + F.col("n_tokens"),

@@ -102,3 +102,48 @@ def test_shuffle_deterministic_is_a_total_permutation(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_bin_index_exact_past_double_mantissa(spark):
+    """Pin the r14 review fix: bin assignment must use exact bigint
+    division — the old double path (`__before / budget` -> DOUBLE ->
+    cast) mis-bins once the running token count passes 2^53. First
+    divergence: 2^53+255 with budget=256 rounds UP under double to
+    bin 2^45+1 while exact floor keeps it in bin 2^45."""
+    from pyspark.sql import functions as F
+
+    from mssql_dataframe_spark.operators.training import _bin_index
+
+    probe = [2**53 + 255, 2**53 - 1, 2**53, 0, 255, 256, 10**18]
+    df = spark.createDataFrame([(v,) for v in probe], "before long")
+    got = {
+        r["before"]: r["bin"]
+        for r in df.select(
+            "before", _bin_index("before", 256).alias("bin")
+        ).collect()
+    }
+    for v in probe:
+        assert got[v] == v // 256, f"{v}: {got[v]} != {v // 256}"
+    # the double path really does diverge on the pinned boundary value
+    assert int(float(2**53 + 255) / 256) != (2**53 + 255) // 256
+
+
+def test_normalize_event_ts_floors_pre_epoch(spark):
+    """Pin the r14 review fix: nanos->micros must FLOOR (DuckDB's
+    ns->us cast semantics) — plain `div` truncates toward zero and
+    lands pre-epoch -1500 ns on -1 us instead of -2 us."""
+    from pyspark.sql import functions as F
+
+    from mssql_dataframe_spark.events_source import normalize_event_ts
+
+    ns = [-1500, -1000, -1, 0, 1, 999, 1500, 1_700_000_000_123_456_789]
+    df = spark.createDataFrame([(v,) for v in ns], "ts long")
+    out = {
+        v: us
+        for v, us in normalize_event_ts(df)
+        .select(F.col("ts"))
+        .toPandas()["ts"]
+        .pipe(lambda s: zip(ns, [int(t.value // 1000) for t in s]))
+    }
+    for v in ns:
+        assert out[v] == v // 1000, f"{v}: {out[v]} != {v // 1000}"
