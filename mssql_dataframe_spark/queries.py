@@ -1031,12 +1031,21 @@ def window_running(spark, sf_dir):
     """,
 )
 def window_sessionization(spark, sf_dir):
+    """30-minute-gap sessionization. The gap test compares FULL
+    microsecond epochs (unix_micros), not second-truncated casts:
+    ``ts.cast("long")`` floors each timestamp to whole seconds, so a
+    true gap of 1800.5 s could truncate to exactly 1800 and FAIL the
+    strict > test the SQL interval comparison passes — every ts in the
+    events table carries sub-second parts, so the truncated form was
+    one boundary-straddling pair away from a wrong session count
+    (r14 queries.py entry-body review)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("ts").over(w)
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+           > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     return (
