@@ -10771,6 +10771,219 @@ def approx_topk_priorities(spark, sf_dir):
     )
 
 
+@register(
+    "events_acf_daily",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT d, n,
+             LAG(n, 1) OVER (ORDER BY d) AS l1,
+             LAG(n, 2) OVER (ORDER BY d) AS l2,
+             LAG(n, 3) OVER (ORDER BY d) AS l3,
+             LAG(n, 7) OVER (ORDER BY d) AS l7
+      FROM daily
+    )
+    SELECT CAST(1 AS INT) AS lag, ROUND(corr(n, l1), 6) AS acf FROM lagged
+    UNION ALL
+    SELECT CAST(2 AS INT), ROUND(corr(n, l2), 6) FROM lagged
+    UNION ALL
+    SELECT CAST(3 AS INT), ROUND(corr(n, l3), 6) FROM lagged
+    UNION ALL
+    SELECT CAST(7 AS INT), ROUND(corr(n, l7), 6) FROM lagged
+    """,
+)
+def events_acf_daily(spark, sf_dir):
+    """Autocorrelation of daily event volume at lags 1/2/3/7 — the
+    seasonality probe behind capacity forecasts (a strong lag-7 says
+    week-shaped load). The raw scan reduces to ONE tiny daily series
+    (O(days) rows) before any window touches it, so the global
+    ORDER BY d window is a deliberate single-partition pass over an
+    already-aggregated frame — the same slim-series shape as the
+    mix-shift monitor, never a sort of raw events. Lags are
+    SEQUENCE lags over observed days (both engines window the same
+    ordered rows); Pearson corr is scale-invariant so sample/
+    population variants agree, and ROUND(6) absorbs accumulation-
+    order ulps."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("d")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "n",
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lag("n", 2).over(w).alias("l2"),
+        F.lag("n", 3).over(w).alias("l3"),
+        F.lag("n", 7).over(w).alias("l7"),
+    )
+    agg = lagged.agg(
+        *[
+            F.round(F.corr("n", f"l{k}"), 6).alias(f"a{k}")
+            for k in (1, 2, 3, 7)
+        ]
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 1, a1, 2, a2, 3, a3, 7, a7) as (lag, acf)"
+        )
+    ).select(F.col("lag").cast("int").alias("lag"), "acf")
+
+
+@register(
+    "benford_first_digit",
+    sql="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
+    SELECT c.digit, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.n_total, 6) AS observed_share,
+           ROUND(LN(1.0 + 1.0 / c.digit) / LN(10.0), 6) AS benford_share,
+           ROUND(CAST(c.n AS DOUBLE) / t.n_total
+                 - LN(1.0 + 1.0 / c.digit) / LN(10.0), 6) AS excess
+    FROM counts c, tot t
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the
+    data-quality / fraud screen that flags fabricated or truncated
+    numeric feeds (synthetic uniform prices diverge from Benford
+    loudly, which is itself the signal here). Digit extraction is
+    engine-exact: FLOOR to whole dollars (exact in double, prices
+    >= 1), cast to BIGINT, take the first character of the INTEGER
+    rendering — never a double's string form, which engines format
+    differently. One scan into a 9-group agg; the share divides by a
+    window total over the 9-row aggregated frame, so nothing about
+    this query grows with the table. ROUND(6) absorbs libm log ulps.
+    """
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias(
+            "observed_share"
+        ),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(
+            F.col("n").cast("double") / total - benford, 6
+        ).alias("excess"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq
+    WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+    GROUP BY prev_type
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: for every purchase, credit
+    the event type IMMEDIATELY preceding it in the user's timeline
+    (LAG over ts,event_id — deterministic tiebreak) — the marketing
+    report behind channel budgets. Distinct from the Markov entry:
+    that counts ALL transitions; this conditions on conversions only.
+    One user_id shuffle for the window, then a |types|-group agg —
+    map-side combinable, no self-join."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_type").isNotNull()
+        )
+        .groupBy(F.col("prev_type").alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_seasonal_anomaly",
+    sql="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), baseline AS (
+      SELECT CAST(EXTRACT(ISODOW FROM h) AS INT) AS dow,
+             CAST(EXTRACT(HOUR FROM h) AS INT) AS hod,
+             MEDIAN(n) AS med
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT hourly.h AS hour_ts, hourly.n,
+           CAST(b.med AS DOUBLE) AS baseline,
+           (hourly.n > 2.0 * b.med) AS is_anomaly
+    FROM hourly JOIN baseline b
+      ON CAST(EXTRACT(ISODOW FROM hourly.h) AS INT) = b.dow
+     AND CAST(EXTRACT(HOUR FROM hourly.h) AS INT) = b.hod
+    """,
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: each hour's event count
+    vs the MEDIAN count of its (ISO weekday, hour-of-day) slot, with
+    a 2x-median burn flag — the load-anomaly monitor that doesn't
+    false-alarm on ordinary weekly shape the way a global mean
+    threshold does. The raw scan reduces to one hourly frame
+    (O(hours) rows); the per-slot median runs over at most 7x24
+    groups and broadcasts back. The median of integer counts is x.0
+    or x.5 exactly, so 2.0*med is exact in double and the STRICT >
+    verdict cannot split on rounding (the sessionization lesson,
+    applied at design time)."""
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    dow = F.expr("extract(DAYOFWEEK_ISO FROM h)").cast("int")
+    hod = F.hour("h").cast("int")
+    baseline = hourly.groupBy(
+        dow.alias("dow"), hod.alias("hod")
+    ).agg(F.median("n").alias("med"))
+    return (
+        hourly.select("h", "n", dow.alias("dow"), hod.alias("hod"))
+        .join(F.broadcast(baseline), ["dow", "hod"])
+        .select(
+            F.col("h").alias("hour_ts"),
+            "n",
+            F.col("med").cast("double").alias("baseline"),
+            (F.col("n") > F.lit(2.0) * F.col("med")).alias("is_anomaly"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------
