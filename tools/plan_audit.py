@@ -72,6 +72,15 @@ EXTRA = [
     "mode_median_functions",
     "histogram_width_bucket",
     "approx_topk_priorities",
+    # r14 continuation: ACF runs its global window over the
+    # pre-aggregated O(days) series only; Benford is one scan into a
+    # 9-group agg; attribution is one user_id window shuffle + tiny
+    # agg; seasonal anomaly joins the hourly frame to a broadcast
+    # 7x24 baseline
+    "events_acf_daily",
+    "benford_first_digit",
+    "attribution_last_touch",
+    "events_seasonal_anomaly",
 ]
 
 SKIP = {
