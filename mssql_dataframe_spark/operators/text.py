@@ -255,13 +255,27 @@ def unigram_logprob(
             F.sum(qlp).alias("__qsum"),
         )
     )
+    # Same FLOOR-quantized form as bigram_logprob (see the comment
+    # there): qsum/n is a lattice rational whose 6th decimal can land
+    # exactly on a ROUND half-boundary, where engine ROUND semantics
+    # split. The corpus term is quantized to micro-units once (a
+    # single ROUND of a continuous ln value — its half-boundary risk
+    # is measure-zero, unlike the lattice), then everything is integer
+    # micro-units until one exact final division.
+    qcorp = F.round(F.log(F.col("__corpus_n")) * F.lit(1e6)).cast(
+        "bigint"
+    )
     return per_doc.crossJoin(F.broadcast(total)).select(
         F.col(id_col),
         "n_tokens",
-        F.round(
-            F.col("__qsum") / F.lit(1e6) / F.col("n_tokens")
-            - F.log(F.col("__corpus_n")),
-            6,
+        (
+            (
+                F.floor(
+                    F.col("__qsum").cast("double") / F.col("n_tokens")
+                )
+                - qcorp
+            ).cast("double")
+            / F.lit(1e6)
         ).alias("mean_logprob"),
     )
 
@@ -597,10 +611,24 @@ def bigram_logprob(
             .alias("qterm"),
         )
     )
+    # FLOOR-quantized mean, not ROUND: qsum/n is a LATTICE rational
+    # (micro-units over n), so its 6th decimal lands EXACTLY on .5
+    # whenever qsum = n/2 (mod n) — ~1/n of documents — and there the
+    # two engines' ROUND implementations split on the same double
+    # (Spark rounds the binary expansion's exact decimal HALF_UP;
+    # DuckDB multiplies by 1e6, snapping to .5, then rounds half away
+    # from zero). FLOOR has no half boundary, and the true fraction is
+    # k/n >= 1/n away from the next integer — far beyond double error
+    # — so the floored micro-unit mean is engine-exact by construction.
+    # (Found by the r14 sf0.1 sweep: sf0.01's 500 docs dodged the
+    # boundary, sf0.1's 5000 hit it.)
     return scored.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
-        F.round(F.sum("qterm") / 1e6 / F.count("*"), 6)
-        .alias("mean_logprob"),
+        (
+            F.floor(F.sum("qterm").cast("double") / F.count("*"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("mean_logprob"),
     )
 
 

@@ -3120,7 +3120,9 @@ def text_tfidf_top_terms(spark, sf_dir):
       GROUP BY t.doc_id
     )
     SELECT doc_id, n_tokens,
-           ROUND(qsum / 1e6 / n_tokens - LN(corpus_n), 6) AS mean_logprob
+           (FLOOR(CAST(qsum AS DOUBLE) / n_tokens)
+            - CAST(ROUND(LN(corpus_n) * 1e6) AS BIGINT)) / 1e6
+             AS mean_logprob
     FROM perdoc, tot
     """,
 )
@@ -4517,7 +4519,8 @@ def tokenizer_apply_merges(spark, sf_dir):
                    JOIN ctx x ON p.t1 = x.t1, vocab
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(SUM(qterm) / 1e6 / COUNT(*), 6) AS mean_logprob
+           FLOOR(CAST(SUM(qterm) AS DOUBLE) / COUNT(*)) / 1e6
+             AS mean_logprob
     FROM scored GROUP BY doc_id
     """,
 )
