@@ -4,9 +4,9 @@ made testable.
 Every ``queries()`` entry is run TWICE on the same data under two
 deliberately different execution layouts —
 
-  run A: spark.sql.shuffle.partitions=7,  files.maxPartitionBytes=1 MB
-         (many small input splits, few reducers)
-  run B: spark.sql.shuffle.partitions=32, files.maxPartitionBytes=128 MB
+  run A: shuffle.partitions=7, maxPartitionBytes=1 MB, AQE OFF
+         (many small input splits, few reducers, no runtime re-plan)
+  run B: shuffle.partitions=32, maxPartitionBytes=128 MB, AQE ON
          (the session default layout)
 
 — and the canonicalized results (sorted columns, sorted rows, floats at
@@ -46,12 +46,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry_mod  # noqa: E402
 
 LAYOUT_A = {
+    # AQE disabled in layout A: runtime re-planning (partition
+    # coalescing, skew splits, join demotions) is a second axis a real
+    # cluster varies that a fixed local run never exercises — results
+    # must not depend on it either.
     "spark.sql.shuffle.partitions": "7",
     "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+    "spark.sql.adaptive.enabled": "false",
 }
 LAYOUT_B = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.adaptive.enabled": "true",
 }
 
 
@@ -152,7 +158,8 @@ def run(sf_dir: str, names: list[str], write_out: bool) -> int:
             "",
             "Generated by tools/determinism_sweep.py. Each entry ran twice "
             f"at {os.path.basename(sf_dir)} under two execution layouts "
-            "(shuffle.partitions 7 vs 32, maxPartitionBytes 1 MB vs 128 MB); "
+            "(shuffle.partitions 7 vs 32, maxPartitionBytes 1 MB vs 128 MB, "
+            "AQE off vs on); "
             "canonicalized results (sorted rows/columns, floats at 12 "
             "significant digits) must be identical. Streaming entries are "
             "excluded (replay determinism is pinned in "
