@@ -10987,6 +10987,163 @@ def events_seasonal_anomaly(spark, sf_dir):
     )
 
 
+@register(
+    "events_adoption_curve",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY user_id
+    ), adds AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM adds
+    """,
+)
+def events_adoption_curve(spark, sf_dir):
+    """Cumulative-adoption curve: distinct users ever seen, by day —
+    the growth chart. This is the SCALABLE translation of the naive
+    'COUNT(DISTINCT user) OVER (ORDER BY day)' (which no engine
+    supports and whose semi-naive forms re-scan history per day):
+    each user reduces to ONE first-seen row, those fold to a per-day
+    new-user count, and the cumsum runs over the tiny O(days) series
+    — raw events are scanned exactly once, and the only window input
+    is the aggregated frame (the ACF/mix-shift slim-series shape)."""
+    e = load_events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    adds = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return adds.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias(
+            "cumulative_users"
+        ),
+    )
+
+
+@register(
+    "events_peak_hours",
+    sql="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), neigh AS (
+      SELECT h, n, LAG(n) OVER (ORDER BY h) AS p,
+             LEAD(n) OVER (ORDER BY h) AS nx
+      FROM hourly
+    )
+    SELECT h AS hour_ts, n
+    FROM neigh
+    WHERE p IS NOT NULL AND nx IS NOT NULL AND n > p AND n > nx
+    """,
+)
+def events_peak_hours(spark, sf_dir):
+    """Local-extrema detection: hours whose event count strictly
+    exceeds BOTH sequence neighbors (LAG/LEAD over the hourly series)
+    — the peak finder behind alerting and capacity reports. Neighbors
+    are sequence neighbors over OBSERVED hours (a gap-filled calendar
+    variant would first join the date spine); strict > on exact
+    integer counts means the verdict cannot split on ties or
+    rounding. The raw scan reduces to the O(hours) frame before any
+    window touches it."""
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.orderBy("h")
+    neigh = hourly.select(
+        "h",
+        "n",
+        F.lag("n").over(w).alias("p"),
+        F.lead("n").over(w).alias("nx"),
+    )
+    return neigh.filter(
+        F.col("p").isNotNull()
+        & F.col("nx").isNotNull()
+        & (F.col("n") > F.col("p"))
+        & (F.col("n") > F.col("nx"))
+    ).select(F.col("h").alias("hour_ts"), "n")
+
+
+@register(
+    "customer_revenue_gini",
+    sql="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn
+      FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_revenue,
+           ROUND(2.0 * CAST(SUM(rn * cents) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark, sf_dir):
+    """Gini coefficient of customer lifetime revenue — the
+    concentration metric behind whale-risk reports ("do 1% of
+    customers carry half the revenue?"). Revenue goes to exact
+    integer cents (prices are 2-decimal, so cents are exact in both
+    engines); the ascending rank comes from distributed_window.
+    global_row_number (range-partitioned two-pass — NO global
+    single-partition window, the same machinery as the RFM quintiles)
+    with a (cents, custkey) tiebreak; rank x cents accumulates in
+    DECIMAL(38,0) on the Spark side mirroring DuckDB's HUGEINT, so
+    both engines convert the SAME exact integers to double for the
+    final Gini ratio. At far larger row counts than the test SFs the
+    int64 oracle form would need the same widening."""
+    from .operators import distributed_window as DW
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    pins = []
+    ranked, n = DW.global_row_number(
+        rev, [F.col("cents").asc(), F.col("o_custkey").asc()],
+        out="rn", pins=pins,
+    )
+    out = ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias(
+            "total_revenue"
+        ),
+        F.round(
+            F.lit(2.0)
+            * F.sum(
+                (F.col("rn") * F.col("cents")).cast("decimal(38,0)")
+            ).cast("double")
+            / (F.count("*") * F.sum("cents").cast("double"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+    return DW.finalize(out, pins)
+
+
 # ---------------------------------------------------------------------------
 # entry-point helpers used by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -81,6 +81,12 @@ EXTRA = [
     "benford_first_digit",
     "attribution_last_touch",
     "events_seasonal_anomaly",
+    # r14 continuation batch 2: adoption curve and peak finder window
+    # only the aggregated O(days)/O(hours) series; the Gini ranks via
+    # the range-partitioned two-pass (no single-partition window)
+    "events_adoption_curve",
+    "events_peak_hours",
+    "customer_revenue_gini",
 ]
 
 SKIP = {
