@@ -152,11 +152,19 @@ def _signature_base(
     # with odd A_i < 2^23 (product < 2^63: overflow-safe in any engine,
     # and expressible in ANSI SQL for the oracle). 16x fewer md5 calls
     # than salting the digest per function — md5 dominates the scan.
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 10), 16, 10).cast("long")
+    # The per-function min aggregates are built as SQL strings (one
+    # py4j round trip each) instead of stacked Column operators (~8
+    # round trips each): plan CONSTRUCTION is driver wall clock paid
+    # on every call, and the Column form measured ~0.3 s of pure py4j
+    # chatter here at 16 hash functions. Arithmetic is identical —
+    # integer literals are pinned to BIGINT with the L suffix, matching
+    # lit(int)'s Long typing.
+    h_sql = "CAST(conv(substring(md5(sh), 1, 10), 16, 10) AS BIGINT)"
     mins = rows.groupBy(id_col).agg(
         *[
-            F.min((F.lit(_mh_a(i)) * h + F.lit(_mh_b(i))) % F.lit(1 << 40)).alias(
-                f"mh_{i}"
+            F.expr(
+                f"min(({_mh_a(i)}L * {h_sql} + {_mh_b(i)}L) % "
+                f"{1 << 40}L) AS mh_{i}"
             )
             for i in range(n_hashes)
         ]
@@ -164,19 +172,17 @@ def _signature_base(
     # keep the raw min-hashes alongside the band signatures: the cheap
     # per-pair Jaccard ESTIMATE (fraction of agreeing min-hashes) uses
     # them to prune candidates before the expensive exact verification
-    base = mins.select(
-        id_col,
-        *[F.col(f"mh_{i}") for i in range(n_hashes)],
+    base = mins.selectExpr(
+        f"`{id_col}`",
+        *[f"mh_{i}" for i in range(n_hashes)],
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias(f"sig_{b}")
+            "md5(concat_ws('|', {cols})) AS sig_{b}".format(
+                cols=", ".join(
+                    f"mh_{b * rows_per_band + r}"
+                    for r in range(rows_per_band)
+                ),
+                b=b,
+            )
             for b in range(n_bands)
         ],
     )
@@ -269,22 +275,35 @@ def _estimate_prune(
     ``threshold - margin`` drop with a cheap n_hashes-column
     comparison — no shingle join. Returns the surviving
     ``(key1, key2)`` pairs."""
-    m1 = base1.select(
-        F.col(id_col).alias(key1),
-        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(n_hashes)],
+    # SQL-string projections/aggregate: one py4j round trip per
+    # selectExpr instead of one per aliased column — the n_hashes-term
+    # agreement sum alone was ~100 Column-operator round trips of pure
+    # driver-side plan-construction latency. Semantics identical: the
+    # CASE sum is the same integer sum, and the divisor is pinned
+    # CAST(... AS DOUBLE) to reproduce lit(float(n_hashes))'s double
+    # division (a bare `16.0` literal would parse as DECIMAL and
+    # change the division's type).
+    m1 = base1.selectExpr(
+        f"`{id_col}` AS `{key1}`",
+        *[f"mh_{i} AS a{i}" for i in range(n_hashes)],
     )
-    m2 = base2.select(
-        F.col(id_col).alias(key2),
-        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(n_hashes)],
+    m2 = base2.selectExpr(
+        f"`{id_col}` AS `{key2}`",
+        *[f"mh_{i} AS b{i}" for i in range(n_hashes)],
     )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+    agree_sql = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)"
         for i in range(n_hashes)
     )
     return (
         raw_cands.join(m1, key1)
         .join(m2, key2)
-        .withColumn("__est", agree / F.lit(float(n_hashes)))
+        .withColumn(
+            "__est",
+            F.expr(
+                f"({agree_sql}) / CAST({n_hashes} AS DOUBLE)"
+            ),
+        )
         .filter(F.col("__est") >= threshold - margin)
         .select(key1, key2)
     )
@@ -819,6 +838,22 @@ def _token_hash(tok: Column, token_hash: str) -> tuple[Column, int]:
     raise ValueError(f"unknown token_hash {token_hash!r}")
 
 
+def _token_hash_sql(tok_sql: str, token_hash: str) -> tuple[str, int]:
+    """SQL-string twin of :func:`_token_hash` (same expressions, same
+    usable-bit counts) for the string-built aggregates in
+    :func:`simhash_table` — one py4j round trip per expression instead
+    of one per Column operator."""
+    if token_hash == "xxhash64":
+        return f"xxhash64({tok_sql})", 64
+    if token_hash == "md5_60":
+        return (
+            f"CAST(conv(substring(md5({tok_sql}), 1, 15), 16, 10) "
+            "AS BIGINT)",
+            60,
+        )
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str,
     token_hash: str = "xxhash64",
@@ -835,23 +870,28 @@ def simhash_table(
     toks = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h, bits = _token_hash(F.col("tok"), token_hash)
+    h_sql, bits = _token_hash_sql("tok", token_hash)
+    # per-bit aggregates and the 64-term bit-pack are built as SQL
+    # strings: the stacked-Column form cost ~1000 py4j round trips of
+    # plan construction per call (~2 s of driver wall clock under
+    # load) for the identical expression tree. Same arithmetic: the
+    # CASE sums are the same ±1 integer sums, shiftleft operates on a
+    # pinned BIGINT 1, and the OR chain matches the bitwiseOR fold.
     sums = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright({h_sql}, {j}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS s{j}"
+            )
             for j in range(bits)
         ]
     )
-    packed = F.lit(0).cast("long")
-    for j in range(bits):
-        packed = packed.bitwiseOR(
-            F.when(
-                F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    hashed = sums.select("id", packed.alias("h"))
+    packed_sql = " | ".join(
+        f"(CASE WHEN s{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    hashed = sums.selectExpr("id", f"({packed_sql}) AS h")
     return (
         df.select(F.col(id_col).alias("id"))
         .join(hashed, "id", "left")
