@@ -392,8 +392,15 @@ def minhash_dedup_pairs(
     margin = 0.2
     n_hashes = n_bands * rows_per_band
     # ONE shingle-explode scan feeds both the signatures and the exact
-    # verifier (it used to run twice)
-    rows = _pin(shingle_rows(df, id_col, text_col, k))
+    # verifier (it used to run twice). The shingle cache is LAZY: the
+    # signature base is built FROM it and eagerly pinned, so the one
+    # materialization job below fills both caches in a single chain —
+    # a separate eager rows count was one extra full job (r14 opt,
+    # ~0.5-1 s at sf0.1). By the time the verifier's stages run, the
+    # shingle cache is already warm, so no consumer races to
+    # recompute it.
+    rows = shingle_rows(df, id_col, text_col, k).persist()
+    _SESSION_PINS.append(rows)
     base = _signature_base(
         df, id_col, text_col, n_bands, k, rows_per_band, rows=rows
     )
@@ -434,8 +441,12 @@ def minhash_dedup_incremental(
     """
     margin = 0.2
     n_hashes = n_bands * rows_per_band
-    new_rows = _pin(shingle_rows(new_df, id_col, text_col, k))
-    cor_rows = _pin(shingle_rows(corpus_df, id_col, text_col, k))
+    # lazy shingle caches, materialized by their signature bases' pin
+    # jobs — same single-chain reasoning as minhash_dedup_pairs
+    new_rows = shingle_rows(new_df, id_col, text_col, k).persist()
+    _SESSION_PINS.append(new_rows)
+    cor_rows = shingle_rows(corpus_df, id_col, text_col, k).persist()
+    _SESSION_PINS.append(cor_rows)
     nb = _signature_base(
         new_df, id_col, text_col, n_bands, k, rows_per_band, rows=new_rows
     )
@@ -672,23 +683,31 @@ def connected_components(
     """
     import logging
 
-    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    # EAGER localCheckpoint, not persist: sym is referenced by every
-    # round's plan, and with a deep edge lineage (typically a MinHash
-    # DAG) Catalyst re-analyzes that whole subtree each round — the
-    # re-planning cost dominates the actual sub-second iteration work
-    # (measured 40% of wall-clock at sf0.1). Checkpointing collapses
-    # sym to a leaf: one materialization job, then every round plans
-    # against a scan. Same reasoning for the initial labels.
+    # EAGER localCheckpoint of the FORWARD edges, not of sym: sym is
+    # referenced by every round's plan, and with a deep edge lineage
+    # (typically a MinHash DAG) Catalyst re-analyzes that whole
+    # subtree each round — the re-planning cost dominates the actual
+    # sub-second iteration work (measured 40% of wall-clock at sf0.1).
+    # Checkpointing collapses the edges to a leaf: one materialization
+    # job, then every round plans against a scan. Checkpointing BEFORE
+    # the symmetrizing union matters: a union of the raw edge plan
+    # with its own reversal executes the upstream DAG TWICE inside the
+    # materialization job (both branches contain it), so the old
+    # sym-side checkpoint paid the entire MinHash verify pipeline
+    # twice (r14 opt). The reversal of a checkpointed scan is free.
+    fwd = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint(eager=True)
     sym = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    # sym holds both directions of every input edge — halve its count
-    # so the documented "at most small_graph_edges EDGES" cutover
-    # compares like with like instead of engaging at half the input
-    # threshold
-    if sym.count() // 2 <= small_graph_edges:
+    )
+    if fwd.count() <= small_graph_edges:
         return _cc_union_find(sym, nodes, id_col)
+    # big-graph path: re-collapse sym itself to a leaf so each
+    # propagation round scans one checkpointed relation instead of
+    # two branches of the fwd scan (cheap — two scans of the already
+    # materialized fwd, never the upstream DAG)
+    sym = sym.localCheckpoint(eager=True)
     if nodes is None:
         # default: iterate only edge-incident nodes (every other node
         # is trivially its own component). Near-dup graphs are sparse,
