@@ -846,15 +846,31 @@ def pq_train_encode(
     ))
     init = qe.orderBy("vec_id").limit(k).collect()
 
-    out = None
-    codebooks = []
-    for s in range(m):
+    # the m per-subspace Lloyd trainings are INDEPENDENT driver loops
+    # (each round blocks on a k*dim/m-int collect); running them
+    # sequentially leaves the cluster idle during every round's
+    # driver turnaround. A small thread pool overlaps them (guide
+    # §2.6 — concurrent jobs back-fill each other's stragglers);
+    # results are bit-identical because each subspace's training is
+    # deterministic and touches only its own slice of the persisted
+    # quantized corpus.
+    def _train(s: int) -> list:
         e = qe.select("vec_id", F.col(f"q{s}").alias("q")).withColumn(
             "nv", _q_sqsum(F.col("q"))
         )
         cents = [(i, list(r[f"q{s}"])) for i, r in enumerate(init)]
-        cents = _lloyd_train(spark, e, cents, iters)
-        codebooks.append(cents)
+        return _lloyd_train(spark, e, cents, iters)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        codebooks = list(pool.map(_train, range(m)))
+
+    out = None
+    for s, cents in enumerate(codebooks):
+        e = qe.select("vec_id", F.col(f"q{s}").alias("q")).withColumn(
+            "nv", _q_sqsum(F.col("q"))
+        )
         final = _lloyd_assign(spark, e, cents).select(
             "vec_id",
             F.col("cid").alias(f"code_{s}"),
