@@ -51,6 +51,15 @@ def connect(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join where its size
+        # conditions hold (r14 opt; optimization guide §3.1/§9): the
+        # rare non-broadcast joins here (LSH estimate joins, PQ code
+        # joins) build small per-partition hash maps, and skipping the
+        # sort-merge sort measured 1.3-1.6x on those entries. The
+        # planner still falls back to sort-merge when the build side's
+        # estimate is large, and AQE skew handling stays on, so the
+        # OOM-conservative default is preserved where it matters.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
