@@ -446,9 +446,6 @@ class read:
         file). For such tables pass explicit ``match_columns`` to
         force the full-snapshot path.
         """
-        from functools import reduce
-        from operator import and_, or_
-
         meta = self._store.meta(table_name)
         keys = list(match_columns or meta.primary_key)
         if not keys:
@@ -501,56 +498,70 @@ class read:
         # unrepresentable, rather than failing under ANSI)
         target = {c: new_t.get(c, old_t.get(c)) for c in others}
 
+        # SQL-text projections/predicates (guide §1.2): the CDC plan is
+        # rebuilt once per micro-batch in streaming sinks, and the
+        # Column-operator form paid one py4j round trip per operator —
+        # O(columns) round trips per batch; the text form pays one per
+        # expression with identical parsed trees.
+        from ..validation import _bq
+
         def _side(df, prefix, types):
             cols = []
             for c in others:
                 if c in df.columns:
-                    col = F.col(c)
+                    col = _bq(c)
                     if types[c] != target[c]:
-                        col = col.try_cast(target[c])
+                        col = (
+                            f"try_cast({col} AS "
+                            f"{target[c].simpleString()})"
+                        )
                 else:
-                    col = F.lit(None).cast(target[c])
-                cols.append(col.alias(f"{prefix}_{c}"))
+                    col = f"CAST(NULL AS {target[c].simpleString()})"
+                cols.append(f"{col} AS {_bq(f'{prefix}_{c}')}")
             return cols
 
-        o = old.select(
-            *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        o = old.selectExpr(
+            *[f"{_bq(k)} AS {_bq(f'__ko_{k}')}" for k in keys],
             *_side(old, "old", old_t),
-        ).withColumn("__o", F.lit(True))
-        n = new.select(
-            *[F.col(k).alias(f"__kn_{k}") for k in keys],
+            "true AS `__o`",
+        )
+        n = new.selectExpr(
+            *[f"{_bq(k)} AS {_bq(f'__kn_{k}')}" for k in keys],
             *_side(new, "new", new_t),
-        ).withColumn("__n", F.lit(True))
-        cond = reduce(
-            and_, [o[f"__ko_{k}"] == n[f"__kn_{k}"] for k in keys]
+            "true AS `__n`",
+        )
+        # the two sides' column names are disjoint by construction, so
+        # a by-name expression resolves unambiguously across the join
+        cond = F.expr(
+            " AND ".join(
+                f"{_bq(f'__ko_{k}')} = {_bq(f'__kn_{k}')}" for k in keys
+            )
         )
         j = o.join(n, cond, "full_outer")
         changed = (
-            reduce(
-                or_,
-                [
-                    ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-                    for c in others
-                ],
+            " OR ".join(
+                f"(NOT ({_bq(f'old_{c}')} <=> {_bq(f'new_{c}')}))"
+                for c in others
             )
             if others
-            else F.lit(False)
+            else "false"
         )
         change_type = (
-            F.when(F.col("__o").isNull(), F.lit("insert"))
-            .when(F.col("__n").isNull(), F.lit("delete"))
-            .when(changed, F.lit("update"))
+            "CASE WHEN `__o` IS NULL THEN 'insert' "
+            "WHEN `__n` IS NULL THEN 'delete' "
+            f"WHEN {changed} THEN 'update' END"
         )
         return (
-            j.withColumn("change_type", change_type)
-            .filter(F.col("change_type").isNotNull())
-            .select(
+            j.selectExpr("*", f"({change_type}) AS `change_type`")
+            .filter("`change_type` IS NOT NULL")
+            .selectExpr(
                 *[
-                    F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+                    f"coalesce({_bq(f'__ko_{k}')}, {_bq(f'__kn_{k}')}) "
+                    f"AS {_bq(k)}"
                     for k in keys
                 ],
-                "change_type",
-                *[F.col(f"old_{c}") for c in others],
-                *[F.col(f"new_{c}") for c in others],
+                "`change_type`",
+                *[_bq(f"old_{c}") for c in others],
+                *[_bq(f"new_{c}") for c in others],
             )
         )

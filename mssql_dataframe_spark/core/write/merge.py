@@ -399,32 +399,41 @@ def merge_op(
             src = src.withColumn(identity, F.lit(None).cast(dtype))
         pre_assigned_identity = True
 
-    renamed = src.select(
-        *[F.col(c).alias(f"__s_{c}") for c in src.columns]
-    ).withColumn("__s", F.lit(True))
-    tgt = target.withColumn("__t", F.lit(True))
+    # SQL-text projections/predicates from here on (guide §1.2): the
+    # stacked Column-operator form paid one py4j round trip per
+    # operator — several hundred per merge; the text form pays one
+    # per expression with an identical parsed tree.
+    from ...validation import _bq
+
+    renamed = src.selectExpr(
+        *[f"{_bq(c)} AS {_bq(f'__s_{c}')}" for c in src.columns],
+        "true AS `__s`",
+    )
+    tgt = target.selectExpr("*", "true AS `__t`")
 
     cond = [tgt[k] == renamed[f"__s_{k}"] for k in match]
     joined = tgt.join(renamed, cond, "full_outer")
 
-    is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-    is_insert = F.col("__t").isNull()
-    is_tgt_only = F.col("__s").isNull()
+    is_matched = "(`__t` IS NOT NULL AND `__s` IS NOT NULL)"
+    is_insert = "(`__t` IS NULL)"
+    is_tgt_only = "(`__s` IS NULL)"
 
     # keep rule for target-only rows (the delete clause); an UPDATE
     # clause for not-matched-by-source keeps the row by definition
     if upsert or nmbs_set:
-        keep_tgt_only = F.lit(True)
+        keep_tgt_only = "true"
     elif dr_flags:
         # delete only when EVERY delete_requires membership holds
-        all_in = F.lit(True)
-        for flag in dr_flags:
-            all_in = all_in & F.col(flag).isNotNull()
-        keep_tgt_only = ~all_in
+        all_in = " AND ".join(
+            f"{_bq(flag)} IS NOT NULL" for flag in dr_flags
+        )
+        keep_tgt_only = f"(NOT ({all_in}))"
     else:
-        keep_tgt_only = F.lit(False)
+        keep_tgt_only = "false"
 
-    joined = joined.filter(is_matched | is_insert | (is_tgt_only & keep_tgt_only))
+    joined = joined.filter(
+        f"{is_matched} OR {is_insert} OR ({is_tgt_only} AND {keep_tgt_only})"
+    )
 
     # inserted rows take tgt[c] (= NULL on the null-extended side) for
     # every column absent from the source — a NOT NULL or PRIMARY KEY
@@ -449,7 +458,7 @@ def merge_op(
         and c not in computed_cols
         and c not in engine_stamped
     ]
-    if missing_nn and joined.filter(is_insert).limit(1).count():
+    if missing_nn and joined.filter(is_insert).limit(1).count() > 0:
         from ...errors import DataframeColumnInvalidValue
 
         raise DataframeColumnInvalidValue(
@@ -471,10 +480,12 @@ def merge_op(
         if c in {*meta.not_nullable, *meta.primary_key}
     ]
     if nmbs_nn:
-        null_hit = F.lit(False)
-        for c in nmbs_nn:
-            null_hit = null_hit | F.expr(str(nmbs_set[c])).isNull()
-        if joined.filter(is_tgt_only & null_hit).limit(1).count():
+        null_hit = " OR ".join(
+            f"(({nmbs_set[c]}) IS NULL)" for c in nmbs_nn
+        )
+        if joined.filter(
+            f"{is_tgt_only} AND ({null_hit})"
+        ).limit(1).count():
             from ...errors import DataframeColumnInvalidValue
 
             raise DataframeColumnInvalidValue(
@@ -484,27 +495,39 @@ def merge_op(
                 "on at least one target row"
             )
 
-    now = F.current_timestamp().cast("timestamp_ntz")
+    # current_timestamp() is evaluated once per query, so its multiple
+    # textual occurrences below all carry the same instant — exactly
+    # like the shared Column object did
+    now = "CAST(current_timestamp() AS TIMESTAMP_NTZ)"
     out_cols = []
     for f in meta.spark_schema.fields:
         c = f.name
+        q, qs = _bq(c), _bq(f"__s_{c}")
         if c in match:
-            col = F.coalesce(tgt[c], F.col(f"__s_{c}"))
+            col = f"coalesce({q}, {qs})"
         elif identity and c == identity and pre_assigned_identity:
-            col = F.coalesce(tgt[c], F.col(f"__s_{c}"))
+            col = f"coalesce({q}, {qs})"
         elif c in update_cols:
-            col = F.when(is_matched | is_insert, F.col(f"__s_{c}")).otherwise(tgt[c])
+            col = (
+                f"CASE WHEN {is_matched} OR {is_insert} THEN {qs} "
+                f"ELSE {q} END"
+            )
         elif c == "_time_insert" and include_metadata_timestamps:
-            col = F.when(is_insert, now).otherwise(tgt[c])
+            col = f"CASE WHEN {is_insert} THEN {now} ELSE {q} END"
         elif c == "_time_update" and include_metadata_timestamps:
-            col = F.when(is_matched, now).otherwise(tgt[c])
+            col = f"CASE WHEN {is_matched} THEN {now} ELSE {q} END"
         else:
-            col = tgt[c]
+            col = q
         if c in nmbs_set:
-            col = F.when(is_tgt_only, F.expr(str(nmbs_set[c]))).otherwise(col)
-        out_cols.append(col.cast(f.dataType).alias(c))
+            col = (
+                f"CASE WHEN {is_tgt_only} THEN ({nmbs_set[c]}) "
+                f"ELSE ({col}) END"
+            )
+        out_cols.append(
+            f"CAST(({col}) AS {f.dataType.simpleString()}) AS {q}"
+        )
 
-    result = joined.select(*out_cols)
+    result = joined.selectExpr(*out_cols)
     result = generated.materialize(result, meta)
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}

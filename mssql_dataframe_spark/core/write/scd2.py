@@ -101,9 +101,15 @@ def merge_scd2(
     ts_type = meta.spark_schema[valid_from_col].dataType
     as_of = as_of.cast(ts_type)
 
-    renamed = src.select(
-        *[F.col(c).alias(f"__s_{c}") for c in src.columns]
-    ).withColumn("__s", F.lit(True))
+    # SQL-text projections/predicates below (guide §1.2): one py4j
+    # round trip per expression instead of one per Column operator;
+    # the parsed trees are identical
+    from ...validation import _bq, _sq
+
+    renamed = src.selectExpr(
+        *[f"{_bq(c)} AS {_bq(f'__s_{c}')}" for c in src.columns],
+        "true AS `__s`",
+    )
 
     # file pruning: SCD2 never deletes, and it only mutates rows whose
     # business key appears in the source — files whose stats ranges
@@ -150,18 +156,21 @@ def merge_scd2(
             target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
-    tgt = target.withColumn("__t", F.lit(True))
+    tgt = target.selectExpr("*", "true AS `__t`")
 
     cond = reduce(
         and_, [tgt[k] == renamed[f"__s_{k}"] for k in match]
     ) & (tgt[current_col] == F.lit(True))
-    j = tgt.join(renamed, cond, "full_outer")
+    # the caller's ``as_of`` may be an arbitrary Column — surface it
+    # as ONE helper column so every SQL-text reference below shares
+    # the same per-row value (identical to reusing the Column object)
+    j = tgt.join(renamed, cond, "full_outer").withColumn("__asof", as_of)
 
-    is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-    is_src_only = F.col("__t").isNull()
-    changed = reduce(
-        and_, [tgt[c].eqNullSafe(F.col(f"__s_{c}")) for c in tracked]
-    ) == F.lit(False)
+    is_matched = "(`__t` IS NOT NULL AND `__s` IS NOT NULL)"
+    is_src_only = "(`__t` IS NULL)"
+    changed = "((" + " AND ".join(
+        f"({_bq(c)} <=> {_bq(f'__s_{c}')})" for c in tracked
+    ) + ") = false)"
 
     # new-current rows take NULL for every schema column absent from
     # the source (``row_struct("new")`` below) — a NOT NULL or PRIMARY
@@ -183,7 +192,7 @@ def merge_scd2(
         and c not in scd_cols
     ]
     if missing_nn and j.filter(
-        is_src_only | (is_matched & changed)
+        f"{is_src_only} OR ({is_matched} AND {changed})"
     ).limit(1).count():
         from ...errors import DataframeColumnInvalidValue
 
@@ -194,38 +203,44 @@ def merge_scd2(
             "there"
         )
 
-    def row_struct(kind: str) -> Column:
+    def row_struct(kind: str) -> str:
         fields = []
         for f in meta.spark_schema.fields:
             c = f.name
             if kind == "new":
                 if c == valid_from_col:
-                    col = as_of
+                    col = "`__asof`"
                 elif c == valid_to_col:
-                    col = F.lit(None)
+                    col = "NULL"
                 elif c == current_col:
-                    col = F.lit(True)
+                    col = "true"
                 elif c in src.columns:
-                    col = F.col(f"__s_{c}")
+                    col = _bq(f"__s_{c}")
                 else:
-                    col = F.lit(None)
+                    col = "NULL"
             else:  # pass-through target row, optionally closed
                 if kind == "closed" and c == valid_to_col:
-                    col = as_of
+                    col = "`__asof`"
                 elif kind == "closed" and c == current_col:
-                    col = F.lit(False)
+                    col = "false"
                 else:
-                    col = tgt[c]
-            fields.append(col.cast(f.dataType).alias(c))
-        return F.struct(*fields)
+                    col = _bq(c)
+            fields.append(
+                f"{_sq(c)}, CAST(({col}) AS {f.dataType.simpleString()})"
+            )
+        return "named_struct(" + ", ".join(fields) + ")"
 
     variants = (
-        F.when(is_src_only, F.array(row_struct("new")))
-        .when(is_matched & changed, F.array(row_struct("closed"), row_struct("new")))
-        .otherwise(F.array(row_struct("keep")))
+        f"CASE WHEN {is_src_only} THEN array({row_struct('new')}) "
+        f"WHEN {is_matched} AND {changed} "
+        f"THEN array({row_struct('closed')}, {row_struct('new')}) "
+        f"ELSE array({row_struct('keep')}) END"
     )
-    out = j.select(F.explode(variants).alias("__r")).select(
-        *[F.col(f"__r.{f.name}").alias(f.name) for f in meta.spark_schema.fields]
+    out = j.selectExpr(f"explode({variants}) AS `__r`").selectExpr(
+        *[
+            f"`__r`.{_bq(f.name)} AS {_bq(f.name)}"
+            for f in meta.spark_schema.fields
+        ]
     )
     out = generated.materialize(out, meta)
     enforce_check_constraints(

@@ -390,28 +390,37 @@ def update_op(
             target = store.read_files(table_name, touched)
     if keep_entries is None:
         target = store.read(table_name)
-    renamed = src.select(
-        *[F.col(c).alias(f"__s_{c}") for c in src.columns]
-    ).withColumn("__s", F.lit(True))
+    # SQL-text projection (guide §1.2 — one py4j round trip per
+    # expression instead of one per Column operator; identical trees)
+    from ...validation import _bq
+
+    renamed = src.selectExpr(
+        *[f"{_bq(c)} AS {_bq(f'__s_{c}')}" for c in src.columns],
+        "true AS `__s`",
+    )
 
     cond = [target[k] == renamed[f"__s_{k}"] for k in match]
     joined = target.join(renamed, cond, "left")
 
-    matched = F.col("__s").isNotNull()
+    matched = "(`__s` IS NOT NULL)"
     out_cols = []
     for f in meta.spark_schema.fields:
         c = f.name
+        q, qs = _bq(c), _bq(f"__s_{c}")
         if c in update_cols:
-            col = F.when(matched, F.col(f"__s_{c}")).otherwise(target[c])
+            col = f"CASE WHEN {matched} THEN {qs} ELSE {q} END"
         elif c == "_time_update" and include_metadata_timestamps:
-            col = F.when(
-                matched, F.current_timestamp().cast("timestamp_ntz")
-            ).otherwise(target[c])
+            col = (
+                f"CASE WHEN {matched} THEN "
+                f"CAST(current_timestamp() AS TIMESTAMP_NTZ) ELSE {q} END"
+            )
         else:
-            col = target[c]
-        out_cols.append(col.cast(f.dataType).alias(c))
+            col = q
+        out_cols.append(
+            f"CAST(({col}) AS {f.dataType.simpleString()}) AS {q}"
+        )
 
-    result = joined.select(*out_cols)
+    result = joined.selectExpr(*out_cols)
     result = generated.materialize(result, meta)
     enforce_check_constraints(
         result, meta.properties.get("check_constraints") or {}

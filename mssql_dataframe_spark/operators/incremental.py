@@ -48,34 +48,47 @@ def agg_delta(
 
     One union + one hash aggregate over the change feed — map-side
     combinable, and the change feed is small by construction.
+
+    Plans are built as SQL text (guide §1.2): this operator re-plans
+    once per micro-batch inside streaming sinks, so the per-operator
+    py4j round trips of the Column form were a per-batch driver tax.
     """
-    ct = F.col("change_type")
+    from ..validation import _bq
 
     def side(prefix: str) -> DataFrame:
         sign = 1 if prefix == "new" else -1
-        part = changes.filter(
-            ct != ("insert" if prefix == "old" else "delete")
-        )
+        skip = "insert" if prefix == "old" else "delete"
+        part = changes.filter(f"`change_type` != '{skip}'")
         cols = []
         for k in keys:
             src = f"{prefix}_{k}" if f"{prefix}_{k}" in changes.columns else k
-            cols.append(F.col(src).alias(k))
-        cols.append(F.lit(sign).alias("__cnt"))
+            cols.append(f"{_bq(src)} AS {_bq(k)}")
+        cols.append(f"{sign} AS `__cnt`")
         for out_name, src_col in sum_cols.items():
             # zero literal in the fact column's own type: with DECIMAL
             # fact columns the delta arithmetic stays exact (bit-equal
             # to a full recompute); DOUBLE facts would be subject to
             # summation-order drift — prefer decimal-cast facts.
             src = f"{prefix}_{src_col}"
-            zero = F.lit(0).cast(changes.schema[src].dataType)
-            val = F.coalesce(F.col(src), zero)
-            cols.append((val if sign == 1 else -val).alias(f"__v_{out_name}"))
-        return part.select(*cols)
+            zero = (
+                f"CAST(0 AS {changes.schema[src].dataType.simpleString()})"
+            )
+            val = f"coalesce({_bq(src)}, {zero})"
+            if sign != 1:
+                val = f"(- {val})"
+            cols.append(f"{val} AS {_bq(f'__v_{out_name}')}")
+        return part.selectExpr(*cols)
 
     contrib = side("old").unionByName(side("new"))
-    aggs = [F.sum("__cnt").cast("bigint").alias(f"d_{count_col}")]
+    aggs = [
+        F.expr(f"CAST(sum(`__cnt`) AS BIGINT) AS {_bq(f'd_{count_col}')}")
+    ]
     for out_name in sum_cols:
-        aggs.append(F.sum(f"__v_{out_name}").alias(f"d_{out_name}"))
+        aggs.append(
+            F.expr(
+                f"sum({_bq(f'__v_{out_name}')}) AS {_bq(f'd_{out_name}')}"
+            )
+        )
     return contrib.groupBy(*keys).agg(*aggs)
 
 
@@ -102,57 +115,61 @@ def apply_agg_delta(
     Cost at 100 TB: one broadcast of the (small) delta + one shuffle
     of (delta + key-projection); the wide MV is scanned once in place.
     """
+    from ..validation import _bq
+
     # the delta plan feeds BOTH the left join and the anti join below;
     # a small frame by construction, so pin it rather than re-running
     # the CDC union + hash aggregate twice
     delta = delta.localCheckpoint(eager=True)
-    d = delta.select(
-        *[F.col(k).alias(f"__d_{k}") for k in keys],
-        f"d_{count_col}",
-        *[F.col(f"d_{c}") for c in sum_cols],
+    d = delta.selectExpr(
+        *[f"{_bq(k)} AS {_bq(f'__d_{k}')}" for k in keys],
+        _bq(f"d_{count_col}"),
+        *[_bq(f"d_{c}") for c in sum_cols],
     )
-    cond = None
-    for k in keys:
-        # NULL-SAFE key equality: a nullable group key's NULL group is
-        # a real group in the MV; plain == would silently drop its
-        # deletes (stale count forever) and duplicate it on inserts
-        c = mv[k].eqNullSafe(d[f"__d_{k}"])
-        cond = c if cond is None else (cond & c)
+    # NULL-SAFE key equality: a nullable group key's NULL group is a
+    # real group in the MV; plain == would silently drop its deletes
+    # (stale count forever) and duplicate it on inserts. The two
+    # sides' names are disjoint, so a by-name expression resolves
+    # unambiguously.
+    cond = F.expr(
+        " AND ".join(f"{_bq(k)} <=> {_bq(f'__d_{k}')}" for k in keys)
+    )
     j = mv.join(F.broadcast(d), cond, "left")
-    new_count = F.coalesce(mv[count_col], F.lit(0)) + F.coalesce(
-        d[f"d_{count_col}"], F.lit(0)
-    )
-    out_cols = [mv[k] for k in keys] + [
-        new_count.cast("bigint").alias(count_col)
+    qn = _bq(count_col)
+    qdn = _bq(f"d_{count_col}")
+    out_cols = [_bq(k) for k in keys] + [
+        f"CAST((coalesce({qn}, 0) + coalesce({qdn}, 0)) AS BIGINT) AS {qn}"
     ]
     mv_types = {c: mv.schema[c].dataType for c in sum_cols}
     for c in sum_cols:
-        zero_mv = F.lit(0).cast(mv_types[c])
-        zero_d = F.lit(0).cast(delta.schema[f"d_{c}"].dataType)
-        out_cols.append(
-            (F.coalesce(mv[c], zero_mv) + F.coalesce(d[f"d_{c}"], zero_d))
-            .cast(mv_types[c])
-            .alias(c)
+        zero_mv = f"CAST(0 AS {mv_types[c].simpleString()})"
+        zero_d = (
+            f"CAST(0 AS {delta.schema[f'd_{c}'].dataType.simpleString()})"
         )
-    existing = j.select(*out_cols).filter(F.col(count_col) > 0)
-    mvk = mv.select(*[F.col(k).alias(f"__m_{k}") for k in keys])
-    anti_cond = None
-    for k in keys:
-        # same null-safe semantics as above: a delta to an EXISTING
-        # NULL-key group must not be classified as a fresh group
-        c = delta[k].eqNullSafe(mvk[f"__m_{k}"])
-        anti_cond = c if anti_cond is None else (anti_cond & c)
+        out_cols.append(
+            f"CAST((coalesce({_bq(c)}, {zero_mv}) + "
+            f"coalesce({_bq(f'd_{c}')}, {zero_d})) AS "
+            f"{mv_types[c].simpleString()}) AS {_bq(c)}"
+        )
+    existing = j.selectExpr(*out_cols).filter(f"{qn} > 0")
+    mvk = mv.selectExpr(*[f"{_bq(k)} AS {_bq(f'__m_{k}')}" for k in keys])
+    # same null-safe semantics as above: a delta to an EXISTING
+    # NULL-key group must not be classified as a fresh group
+    anti_cond = F.expr(
+        " AND ".join(f"{_bq(k)} <=> {_bq(f'__m_{k}')}" for k in keys)
+    )
     fresh = (
         delta.join(mvk, anti_cond, "left_anti")
-        .select(
-            *keys,
-            F.col(f"d_{count_col}").cast("bigint").alias(count_col),
+        .selectExpr(
+            *[_bq(k) for k in keys],
+            f"CAST({qdn} AS BIGINT) AS {qn}",
             *[
-                F.col(f"d_{c}").cast(mv_types[c]).alias(c)
+                f"CAST({_bq(f'd_{c}')} AS "
+                f"{mv_types[c].simpleString()}) AS {_bq(c)}"
                 for c in sum_cols
             ],
         )
-        .filter(F.col(count_col) > 0)
+        .filter(f"{qn} > 0")
     )
     return existing.unionByName(fresh)
 

@@ -54,6 +54,19 @@ logger = logging.getLogger("mssql_dataframe_spark")
 _NO_BOUNDS = object()
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for inline SQL text. Unlike
+    ``identifiers.escape`` this does NOT enforce the 128-char SYSNAME
+    bound: internal probe aliases like ``{col}__min`` may legally
+    exceed it for near-limit column names."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def _sq(text: str) -> str:
+    """Single-quote a string literal for inline SQL text."""
+    return "'" + str(text).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def precheck_dataframe(
     df: DataFrame,
     column_types: dict[str, str],
@@ -347,8 +360,20 @@ def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
         if widest is not None and not isinstance(
             df.schema[col].dataType, (T.StringType,)
         ):
-            casts[col] = F.col(col).cast(widest)
-    return df.withColumns(casts) if casts else df
+            casts[col] = (
+                f"CAST({_bq(col)} AS {widest.simpleString()}) AS {_bq(col)}"
+            )
+    return df.selectExpr(*_full_select(df, casts)) if casts else df
+
+
+def _full_select(df: DataFrame, replacements: dict[str, str]) -> list[str]:
+    """Column-positional select list replacing some columns with SQL
+    expression text — the ``withColumns`` shape (same names, same
+    order) at one py4j round trip per column instead of one per
+    Column operator."""
+    return [
+        replacements.get(c, _bq(c)) for c in df.columns
+    ]
 
 
 _GUID_RE = (
@@ -382,8 +407,15 @@ def _validate_single_pass(
     partial (min/max/sum-style); at 100 TB this is a single scan +
     lightweight final reduce. ``count_distinct`` over the match-key
     struct adds an Expand but stays inside the same job.
+
+    The aggregate expressions are built as SQL TEXT and submitted in
+    one ``selectExpr`` (guide §1.2 driver-side plan cost): the stacked
+    Column-operator form crossed the py4j boundary once per operator —
+    several hundred driver round trips per write at ~0.3–2 ms each —
+    while the text form pays one round trip per aggregate. The parsed
+    expression trees (and therefore results) are identical.
     """
-    aggs: list[F.Column] = []
+    aggs: list[str] = []
     range_checks: list[tuple] = []   # (col, kind, lo, hi)
     unicode_cols: list[str] = []
     dchg_cols: list[tuple] = []      # (col, precision-scale string)
@@ -391,7 +423,7 @@ def _validate_single_pass(
 
     for col, spec in specs.items():
         rule = spec.rule
-        c = F.col(col)
+        q = _bq(col)
         dt = df.schema[col].dataType
         if rule.sql_category in (
             "boolean",
@@ -399,7 +431,7 @@ def _validate_single_pass(
             "approximate_decimal_numeric",
             "date_time",
         ) and rule.min_value is not None:
-            probe = c
+            probe = q
             if isinstance(dt, T.StringType):
                 # a string source's raw min/max are lexicographic and
                 # incomparable with the rule bounds — the comparison
@@ -407,64 +439,55 @@ def _validate_single_pass(
                 # check ('10000' into tinyint stored unchecked).
                 # Probe the parsed value instead; unparseable strings
                 # are flagged by the __bad try_cast probe.
-                probe = c.try_cast(
+                wt = (
                     WIDEST_SPARK_TYPE.get(rule.sql_category)
                     or spec.spark_type
                 )
+                probe = f"try_cast({q} AS {wt.simpleString()})"
             aggs += [
-                F.min(probe).alias(f"{col}__min"),
-                F.max(probe).alias(f"{col}__max"),
+                f"min({probe}) AS {_bq(f'{col}__min')}",
+                f"max({probe}) AS {_bq(f'{col}__max')}",
             ]
             range_checks.append((col, "range", rule.min_value, rule.max_value))
         elif rule.sql_category == "character string" and spec.size:
-            aggs.append(F.max(F.length(c)).alias(f"{col}__len"))
+            aggs.append(f"max(length({q})) AS {_bq(f'{col}__len')}")
             range_checks.append((col, "length", None, spec.size))
         elif rule.sql_category == "binary" and spec.size:
-            aggs.append(F.max(F.octet_length(c)).alias(f"{col}__len"))
+            aggs.append(f"max(octet_length({q})) AS {_bq(f'{col}__len')}")
             range_checks.append((col, "length", None, spec.size))
 
         if spec.sql_type in ("char", "varchar"):
             unicode_cols.append(col)
             aggs.append(
-                F.max(
-                    (F.length(c) != F.octet_length(c)).cast("int")
-                ).alias(f"{col}__uni")
+                f"max(CAST((length({q}) != octet_length({q})) AS INT)) "
+                f"AS {_bq(f'{col}__uni')}"
             )
 
         if spec.sql_type == "uniqueidentifier":
             # malformed GUIDs are invalid values, not length errors
             aggs.append(
-                F.max(
-                    (c.isNotNull() & ~c.cast("string").rlike(_GUID_RE)).cast(
-                        "int"
-                    )
-                ).alias(f"{col}__bad")
+                f"max(CAST(({q} IS NOT NULL AND NOT (CAST({q} AS STRING) "
+                f"RLIKE {_sq(_GUID_RE)})) AS INT)) AS {_bq(f'{col}__bad')}"
             )
             bad_cols.append(col)
 
         if spec.sql_type in _DECIMAL_SQL_TYPES:
             target = _decimal_target(spec)
+            ts = target.simpleString()
             # rounding-changed flag (warning gate): try_cast keeps it
             # NULL-safe under ANSI mode too — a plain cast of an
             # overflowing or malformed value would ABORT the whole
             # validation job instead of deferring to the __bad probe
             # below, which owns the error contract.
             aggs.append(
-                F.max(
-                    (
-                        c.isNotNull()
-                        & (
-                            c.try_cast("double")
-                            != c.try_cast(target).try_cast("double")
-                        )
-                    ).cast("int")
-                ).alias(f"{col}__dchg")
+                f"max(CAST(({q} IS NOT NULL AND (try_cast({q} AS DOUBLE) "
+                f"!= try_cast(try_cast({q} AS {ts}) AS DOUBLE))) AS INT)) "
+                f"AS {_bq(f'{col}__dchg')}"
             )
             dchg_cols.append((col, f"({target.precision},{target.scale})"))
             aggs.append(
-                F.max(
-                    (c.isNotNull() & c.try_cast(target).isNull()).cast("int")
-                ).alias(f"{col}__bad")
+                f"max(CAST(({q} IS NOT NULL AND try_cast({q} AS {ts}) "
+                f"IS NULL) AS INT)) AS {_bq(f'{col}__bad')}"
             )
             bad_cols.append(col)
         elif isinstance(dt, T.StringType) and not isinstance(
@@ -473,16 +496,16 @@ def _validate_single_pass(
             # string source into a non-string target: flag values the
             # cast cannot convert (would otherwise become silent NULLs)
             aggs.append(
-                F.max(
-                    (c.isNotNull() & c.try_cast(spec.spark_type).isNull()).cast(
-                        "int"
-                    )
-                ).alias(f"{col}__bad")
+                f"max(CAST(({q} IS NOT NULL AND try_cast({q} AS "
+                f"{spec.spark_type.simpleString()}) IS NULL) AS INT)) "
+                f"AS {_bq(f'{col}__bad')}"
             )
             bad_cols.append(col)
 
     for col in not_nullable:
-        aggs.append(F.max(F.col(col).isNull().cast("int")).alias(f"{col}__nul"))
+        aggs.append(
+            f"max(CAST(({_bq(col)} IS NULL) AS INT)) AS {_bq(f'{col}__nul')}"
+        )
 
     if unique_key:
         # only fully-non-NULL keys can match (and therefore double-
@@ -490,15 +513,14 @@ def _validate_single_pass(
         # matching nothing, so two NULL-keyed source rows are two
         # inserts, not duplicates. Count keyed rows and distinct keys
         # over the same non-NULL predicate.
-        keyed = F.lit(True)
-        for k in unique_key:
-            keyed = keyed & F.col(k).isNotNull()
-        key_struct = F.struct(*[F.col(k) for k in unique_key])
+        keyed = " AND ".join(f"{_bq(k)} IS NOT NULL" for k in unique_key)
+        key_struct = "named_struct(" + ", ".join(
+            f"{_sq(k)}, {_bq(k)}" for k in unique_key
+        ) + ")"
+        aggs.append(f"count(CASE WHEN {keyed} THEN 1 END) AS `__n_rows`")
         aggs.append(
-            F.count(F.when(keyed, F.lit(1))).alias("__n_rows")
-        )
-        aggs.append(
-            F.count_distinct(F.when(keyed, key_struct)).alias("__n_keys")
+            f"count(DISTINCT CASE WHEN {keyed} THEN {key_struct} END) "
+            "AS `__n_keys`"
         )
 
     bound_cols = (
@@ -507,7 +529,7 @@ def _validate_single_pass(
         else []
     )
     for i, c in enumerate(bound_cols):
-        bc = F.col(c)
+        bc = _bq(c)
         if c in specs and specs[c].sql_type == "uniqueidentifier":
             # bounds must describe the STORED form: GUIDs are
             # canonicalized to uppercase by _prepare_values AFTER this
@@ -515,15 +537,15 @@ def _validate_single_pass(
             # would declare every file disjoint — pruning away files
             # that DO hold matching keys (silently dropped updates,
             # duplicate primary keys)
-            bc = F.upper(bc.cast("string"))
+            bc = f"upper(CAST({bc} AS STRING))"
         aggs += [
-            F.min(bc).alias(f"__bounds_lo_{i}"),
-            F.max(bc).alias(f"__bounds_hi_{i}"),
+            f"min({bc}) AS `__bounds_lo_{i}`",
+            f"max({bc}) AS `__bounds_hi_{i}`",
         ]
 
     if not aggs:
         return None
-    row = df.agg(*aggs).collect()[0].asDict()
+    row = df.selectExpr(*aggs).collect()[0].asDict()
 
     errors = []
     for col, kind, lo, hi in range_checks:
@@ -606,82 +628,89 @@ def _prepare_values(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     casts = {}
     for col, spec in specs.items():
         dt = df.schema[col].dataType
+        q = _bq(col)
         if spec.sql_type in _DECIMAL_SQL_TYPES:
-            casts[col] = F.col(col).cast(_decimal_target(spec))
+            casts[col] = (
+                f"CAST({q} AS {_decimal_target(spec).simpleString()}) AS {q}"
+            )
         elif spec.sql_type == "uniqueidentifier":
             # canonical upper-case GUID rendering (SQL Server compares
             # case-insensitively and renders upper)
-            casts[col] = F.upper(F.col(col).cast("string"))
+            casts[col] = f"upper(CAST({q} AS STRING)) AS {q}"
         elif spec.sql_type == "smalldatetime" and isinstance(
             dt, (*_TS, T.StringType)
         ):
-            src = F.col(col)
+            src = q
             if isinstance(dt, T.StringType):
-                src = src.try_cast("timestamp_ntz")
-            casts[col] = _smalldatetime_grid(src)
+                src = f"try_cast({q} AS TIMESTAMP_NTZ)"
+            casts[col] = f"({_smalldatetime_grid_sql(src)}) AS {q}"
         elif spec.sql_type == "datetime" and isinstance(
             dt, (*_TS, T.StringType)
         ):
             # round ms to SQL Server DATETIME's .000/.003/.007 grid
             # (reference: conversion.py:448-483, increments at 460-471)
-            src = F.col(col)
+            src = q
             if isinstance(dt, T.StringType):
-                src = src.try_cast("timestamp_ntz")
-            casts[col] = _datetime_grid(src)
+                src = f"try_cast({q} AS TIMESTAMP_NTZ)"
+            casts[col] = f"({_datetime_grid_sql(src)}) AS {q}"
         elif spec.sql_type == "binary" and spec.size:
             # right-pad binary(n) with 0x00 (reference: conversion.py:611-620)
-            casts[col] = F.when(
-                F.col(col).isNotNull(),
-                F.concat(
-                    F.col(col),
-                    F.expr(
-                        f"repeat(X'00', {spec.size} - octet_length(`{col}`))"
-                    ).cast("binary"),
-                ),
+            casts[col] = (
+                f"CASE WHEN {q} IS NOT NULL THEN concat({q}, "
+                f"CAST(repeat(X'00', {spec.size} - octet_length({q})) "
+                f"AS BINARY)) END AS {q}"
             )
-    return df.withColumns(casts) if casts else df
+    return df.selectExpr(*_full_select(df, casts)) if casts else df
 
 
-def _datetime_grid(c: F.Column) -> F.Column:
+def _datetime_grid_sql(src: str) -> str:
     """Legacy DATETIME rounds milliseconds to the nearest of
-    {.xx0, .xx3, .xx7} (reference: conversion.py:460-471).
+    {.xx0, .xx3, .xx7} (reference: conversion.py:460-471) — SQL text
+    form of the former Column builder (same expression tree, one py4j
+    round trip instead of ~30).
 
     Exact integer arithmetic throughout: a double intermediate would
     lose precision above 2^53 µs (~year 2255), and Spark 4 refuses
     TIMESTAMP_NTZ -> DOUBLE casts outright. The NTZ wall clock is
-    preserved because the session timezone is pinned to UTC."""
-    micros = F.unix_micros(c.cast("timestamp"))
-    r = F.pmod(micros, F.lit(1000))
+    preserved because the session timezone is pinned to UTC.
+    Textual duplication of the sub-terms mirrors the Column form —
+    reusing a Column object also copies its expression subtree."""
+    micros = f"unix_micros(CAST({src} AS TIMESTAMP))"
+    r = f"pmod({micros}, 1000)"
     # (micros - r) is a multiple of 1000; the quotient < 2^53 so the
     # double division below is exact
-    base = ((micros - r) / F.lit(1000)).cast("long")
-    ms = base + F.when(r >= 500, F.lit(1)).otherwise(F.lit(0))
-    last = F.pmod(ms, F.lit(10))
+    base = f"CAST(({micros} - {r}) / 1000 AS LONG)"
+    ms = f"({base} + CASE WHEN {r} >= 500 THEN 1 ELSE 0 END)"
+    last = f"pmod({ms}, 10)"
     snapped = (
-        F.when(last <= 1, ms - last)
-        .when(last <= 4, ms - last + 3)
-        .when(last <= 8, ms - last + 7)
-        .otherwise(ms - last + 10)
+        f"CASE WHEN {last} <= 1 THEN {ms} - {last} "
+        f"WHEN {last} <= 4 THEN {ms} - {last} + 3 "
+        f"WHEN {last} <= 8 THEN {ms} - {last} + 7 "
+        f"ELSE {ms} - {last} + 10 END"
     )
-    return F.timestamp_micros(snapped * F.lit(1000)).cast("timestamp_ntz")
+    return f"CAST(timestamp_micros(({snapped}) * 1000) AS TIMESTAMP_NTZ)"
 
 
-def _smalldatetime_grid(c: F.Column) -> F.Column:
+def _smalldatetime_grid_sql(src: str) -> str:
     """smalldatetime rounds to the MINUTE: second parts of 29.998 s or
     less round down, 29.999 s or more round up (SQL Server contract);
     the boundary lands at 29.9985 s. Integer µs arithmetic — same
     exactness argument as the DATETIME grid above."""
-    micros = F.unix_micros(c.cast("timestamp"))
-    m = F.pmod(micros, F.lit(60_000_000))
-    rounded = micros - m + F.when(
-        m >= 29_998_500, F.lit(60_000_000)
-    ).otherwise(F.lit(0))
-    return F.timestamp_micros(rounded).cast("timestamp_ntz")
+    micros = f"unix_micros(CAST({src} AS TIMESTAMP))"
+    m = f"pmod({micros}, 60000000)"
+    rounded = (
+        f"{micros} - {m} + CASE WHEN {m} >= 29998500 "
+        "THEN 60000000 ELSE 0 END"
+    )
+    return f"CAST(timestamp_micros({rounded}) AS TIMESTAMP_NTZ)"
 
 
 def _cast_to_rules(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
     # one projection for every column — a withColumn loop builds one
-    # nested Project per column: O(n²) analyzer work on wide tables
-    return df.withColumns(
-        {col: F.col(col).cast(spec.spark_type) for col, spec in specs.items()}
-    )
+    # nested Project per column: O(n²) analyzer work on wide tables.
+    # SQL text, one round trip per column (specs covers every column:
+    # precheck_dataframe builds it from df.columns).
+    return df.selectExpr(*[
+        f"CAST({_bq(col)} AS {spec.spark_type.simpleString()}) AS {_bq(col)}"
+        for col, spec in specs.items()
+    ])
