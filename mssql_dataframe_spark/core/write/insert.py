@@ -16,6 +16,7 @@ single-partition window, so the append scales.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,7 +29,7 @@ from .. import generated
 from ...validation import (
     enforce_check_constraints,
     enforce_foreign_keys,
-    precheck_dataframe,
+    precheck_dataframe_deferred,
 )
 from .. import datetimeoffset as dto
 
@@ -156,36 +157,32 @@ def insert(
             "modify.identity_reseed for migration loads)"
         )
     dataframe = dto.derive(dataframe, meta)
-    # PRIMARY KEY enforcement (SQL Server raises "Violation of PRIMARY
-    # KEY constraint" on every INSERT; the reference surfaces that
-    # server error — create.py:148). The batch-internal duplicate
-    # check rides the SAME single validation agg as the NULL/range
-    # checks (unique_key), and per-PK-column bounds ride it too so the
-    # existing-table collision check below can stats-prune. An
-    # engine-assigned identity PK is unique by construction (atomic
-    # counter, reseed refuses collisions) and skips both checks.
-    # Cost at 150k rows: ~0.6 s (countDistinct Expand + pruned semi
-    # join) — tables that prefer Delta/Synapse-style informational
-    # PRIMARY KEY NOT ENFORCED semantics opt out with the
-    # ``pk_not_enforced`` table property and pay nothing.
+    # Validation is DEFERRED onto the staging write (guide §2.4): the
+    # fused agg's expressions ride the write as ``observe()`` metrics
+    # and are applied in ``store.append``'s pre-commit hook, so an
+    # insert executes the source plan ONCE (the eager path paid a
+    # second full pass — and for a source that is itself an expensive
+    # pipeline, a second full recompute). PRIMARY KEY enforcement (SQL
+    # Server raises "Violation of PRIMARY KEY constraint" on every
+    # INSERT; the reference surfaces that server error — create.py:148)
+    # moves post-stage with it: batch-internal duplicates and the
+    # standing-snapshot collision are ONE keys-only job over the
+    # STAGED files (columnar read of just the PK columns — never a
+    # source re-execution), stats+bloom-pruned by the observed
+    # per-PK-column bounds exactly as before. An engine-assigned
+    # identity PK is unique by construction (atomic counter, reseed
+    # refuses collisions) and skips the checks; tables preferring
+    # Delta/Synapse-style informational PRIMARY KEY NOT ENFORCED
+    # semantics opt out with ``pk_not_enforced`` and pay nothing.
     pk = [c for c in meta.primary_key if c in dataframe.columns]
     if meta.properties.get("pk_not_enforced"):
         pk = []
-    try:
-        df, pk_bounds = precheck_dataframe(
-            dataframe,
-            {c: meta.column_types[c] for c in dataframe.columns},
-            not_nullable=required,
-            unique_key=pk or None,
-            bounds_col=pk or None,
-        )
-    except ValueError as e:
-        if "duplicate match-key" in str(e):
-            raise SQLUniqueConstraintViolation(
-                f"Violation of PRIMARY KEY constraint on {pk}: the "
-                "insert batch contains duplicate key values"
-            ) from None
-        raise
+    df, finish_validation = precheck_dataframe_deferred(
+        dataframe,
+        {c: meta.column_types[c] for c in dataframe.columns},
+        not_nullable=required,
+        bounds_col=pk or None,
+    )
 
     if include_metadata_timestamps:
         df = df.withColumn("_time_insert", F.current_timestamp().cast("timestamp_ntz"))
@@ -216,19 +213,40 @@ def insert(
         store, out, meta.properties.get("foreign_keys") or {},
         table_name=table_name,
     )
-    if pk:
-        # PK collision vs the standing snapshot: keys-only semi join,
-        # stats-PRUNED to just the files whose key range intersects
-        # the batch. Single AND composite PKs prune: every PK column's
-        # per-file min/max is in the manifest (store._stats_cols), and
-        # a file is skipped when ANY key column's range excludes every
-        # batch value (split_by_key_ranges). An append beyond the
-        # current range (the identity/ordered-ingest shape) reads
-        # ZERO existing files; an empty table — or an empty batch,
-        # whose bounds are all NULL — skips the join. Files written
-        # before composite stats were recorded lack the per-column
-        # entries and count as touched (safe fallback, self-heals as
-        # they are rewritten).
+    def _pre_commit(stage_entries, stage_dir):
+        # Runs inside store.append's discard guard, after the staging
+        # write and before the version claim: a raise here aborts the
+        # commit and drops the staged files — the same "nothing
+        # visible on failure" contract the eager checks gave.
+        #
+        # 1) Deferred validation: the staging write already computed
+        #    the fused agg as observe() metrics; apply them (raises
+        #    the eager path's exact errors) and take the per-PK-column
+        #    pruning bounds from the same metrics.
+        pk_bounds = finish_validation()
+        if not pk:
+            return
+        paths = [os.path.join(stage_dir, e["path"]) for e in stage_entries]
+        if not paths:
+            return  # empty batch: nothing can collide
+        # 2) PK enforcement, one keys-only job over the STAGED files.
+        #    Collision discovery vs the standing snapshot is
+        #    stats-PRUNED to just the files whose key range intersects
+        #    the batch. Single AND composite PKs prune: every PK
+        #    column's per-file min/max is in the manifest
+        #    (store._stats_cols), and a file is skipped when ANY key
+        #    column's range excludes every batch value
+        #    (split_by_key_ranges). An append beyond the current range
+        #    (the identity/ordered-ingest shape) reads ZERO existing
+        #    files; an empty table skips the probe entirely. Files
+        #    written before composite stats were recorded lack the
+        #    per-column entries and count as touched (safe fallback,
+        #    self-heals as they are rewritten).
+        spark = out.sparkSession
+        kschema = T.StructType([meta.spark_schema[c] for c in pk])
+        staged_keys = (
+            spark.read.schema(kschema).parquet(*paths).select(*pk)
+        )
         entries = store.manifest(table_name, meta.version)
         existing_keys = None
         usable = {
@@ -247,14 +265,16 @@ def insert(
                 # probing each candidate's sidecar still prove files
                 # collision-free — an all-fresh append then reads ZERO
                 # existing files (the only added cost is the helper's
-                # bounded distinct-collect of the batch keys, and only
-                # on tables that bloom-index their PK)
+                # bounded distinct-collect of the batch keys — now
+                # read from the staged files, not a source
+                # re-execution — and only on tables that bloom-index
+                # their PK)
                 from .update import bloom_narrow_entries
 
                 tset = set(touched)
                 cand = [e for e in entries if e["path"] in tset]
                 surv = bloom_narrow_entries(
-                    store, table_name, cand, out.select(*pk), pk,
+                    store, table_name, cand, staged_keys, pk,
                     meta=meta,
                 )
                 if surv is not None:
@@ -268,14 +288,52 @@ def insert(
                     existing_keys = store.read_files(
                         table_name, touched, version=meta.version
                     ).select(*pk)
-        if existing_keys is not None:
-            hit = (
-                out.select(*pk)
-                .join(existing_keys, pk, "left_semi")
-                .limit(1)
-                .count()
+        if existing_keys is None:
+            # batch-internal duplicates only (no standing key overlaps)
+            dup = (
+                staged_keys.groupBy(*pk).count()
+                .where(F.col("count") > 1).limit(1).count()
             )
-            if hit:
+            if dup:
+                raise SQLUniqueConstraintViolation(
+                    f"Violation of PRIMARY KEY constraint on {pk}: the "
+                    "insert batch contains duplicate key values"
+                )
+        else:
+            # batch duplicates AND snapshot collisions in the SAME job:
+            # union the staged keys (tagged new) with the pruned
+            # existing keys, one hash aggregate per key
+            merged = staged_keys.select(
+                *pk, F.lit(1).alias("__new")
+            ).unionByName(
+                existing_keys.select(*pk, F.lit(0).alias("__new"))
+            )
+            flags = (
+                merged.groupBy(*pk)
+                .agg(
+                    F.sum("__new").alias("__n_new"),
+                    F.count("*").alias("__n_all"),
+                )
+                .agg(
+                    F.max(
+                        F.when(F.col("__n_new") > 1, 1).otherwise(0)
+                    ).alias("dup"),
+                    F.max(
+                        F.when(
+                            (F.col("__n_new") >= 1)
+                            & (F.col("__n_all") > F.col("__n_new")),
+                            1,
+                        ).otherwise(0)
+                    ).alias("hit"),
+                )
+                .first()
+            )
+            if flags["dup"]:
+                raise SQLUniqueConstraintViolation(
+                    f"Violation of PRIMARY KEY constraint on {pk}: the "
+                    "insert batch contains duplicate key values"
+                )
+            if flags["hit"]:
                 raise SQLUniqueConstraintViolation(
                     f"Violation of PRIMARY KEY constraint on {pk}: the "
                     "insert batch repeats key values already in "
@@ -322,6 +380,6 @@ def insert(
     store.append(
         table_name, out, extra_properties=extra_properties,
         preconditions=fk_deps, expected_version=meta.version,
-        extra_meta=identity_meta,
+        extra_meta=identity_meta, pre_commit_check=_pre_commit,
     )
     return df

@@ -1501,6 +1501,7 @@ class TableStore:
         preconditions: Optional[list[tuple]] = None,
         expected_version: Optional[int] = None,
         extra_meta: Optional[dict] = None,
+        pre_commit_check: Optional[callable] = None,
     ) -> None:
         """Commit the next snapshot as the current manifest's entries
         (carried by reference — manifest-only cost) plus the new files
@@ -1525,7 +1526,15 @@ class TableStore:
         version's manifest exclusively, publish files, move the meta
         pointer — keeps readers and concurrent vacuums safe at every
         step (the manifest claim makes the files referenced BEFORE
-        they enter the shared pool)."""
+        they enter the shared pool).
+
+        ``pre_commit_check(entries, stage_dir)`` runs AFTER staging and
+        BEFORE the version claim, inside the discard guard: a raise
+        aborts the commit and drops the staged files. Insert uses it
+        for deferred validation (the checks ride the staging write as
+        ``observe()`` metrics) and for the post-stage PK probe — the
+        staged files are readable at ``stage_dir`` and their manifest
+        ``entries`` already carry harvested per-file column stats."""
         meta = self.meta(name)
         base = meta.version if expected_version is None else int(
             expected_version
@@ -1542,6 +1551,8 @@ class TableStore:
             # inside the discard guard: a corrupt or vacuumed-out
             # carried manifest (json error / SQLSnapshotUnavailable)
             # must not leak the staged files on disk
+            if pre_commit_check is not None:
+                pre_commit_check(entries, stage_dir)
             carried = self.manifest(name, base)
             self._check_no_concurrent_commit(name, base)
             self._check_preconditions(name, preconditions)

@@ -117,6 +117,102 @@ def precheck_dataframe(
     return out if bounds_col is _NO_BOUNDS else (out, bounds)
 
 
+def precheck_dataframe_deferred(
+    df: DataFrame,
+    column_types: dict[str, str],
+    not_nullable: Sequence[str] = (),
+    bounds_col=None,
+):
+    """Deferred-validation variant of ``precheck_dataframe`` for
+    APPEND-shaped writes: instead of running the fused validation agg
+    as its own Spark job (one full pass over the source), the SAME
+    aggregate expressions ride the caller's staging write as
+    ``observe()`` metrics, so validating an insert costs zero extra
+    passes (guide §2.4 — remove a source scan per commit).
+
+    Returns ``(out_df, finish)``. ``finish()`` must be called after
+    the first action on ``out_df`` (the staging write); it raises
+    exactly the eager path's errors and returns the ``bounds_col``
+    pruning bounds (metric values are identical — same expressions,
+    observed at the same pre-cast point in the plan).
+
+    Two deliberate differences from the eager path, both safe:
+
+    - The eager path's plain ANSI casts would abort the write job on a
+      value no ``__bad`` probe covers (e.g. double NaN into INT); the
+      deferred pipeline uses ``try_cast`` end to end so the staging
+      write always completes, and every silently-NULLed value is
+      caught by a per-column non-null-count invariant observed before
+      and after the cast chain (``try_cast`` yields NULL exactly where
+      ANSI ``CAST`` raises). Violations surface as the same
+      ``DataframeColumnInvalidValue`` BEFORE anything commits — the
+      staged files are discarded by the caller's abort path.
+    - ``unique_key`` batch-duplicate checking is not supported here:
+      ``count(DISTINCT ...)`` is barred from ``observe()`` metrics.
+      Insert folds that check into its post-stage keys job instead
+      (one job over the staged key columns, not the source).
+    """
+    specs: dict[str, ColumnSpec] = {}
+    for col in df.columns:
+        if col not in column_types:
+            raise DataframeColumnDoesNotExist(
+                f"dataframe column {col!r} is not a column of the target table"
+            )
+        specs[col] = parse_column_spec(column_types[col])
+
+    cols = list(df.columns)
+    if not cols:
+        return df, lambda: None
+
+    from pyspark.sql import Observation
+
+    # nn0 BEFORE the widening upcast: the safe upcast try_casts (e.g.
+    # double NaN into an integer category), and a value it NULLs must
+    # still trip the invariant — counting after it would hide the NULL.
+    obs_raw = Observation()
+    df = df.observe(
+        obs_raw,
+        *[F.expr(f"count({_bq(c)}) AS {_bq(c + '__nn0')}") for c in cols],
+    )
+    df = _upcast_widest(df, specs, safe=True)
+    aggs, ctx = _build_validation_aggs(
+        df, specs,
+        not_nullable=[c for c in not_nullable if c in df.columns],
+        unique_key=None,
+        bounds_col=bounds_col,
+    )
+    obs_aggs = Observation() if aggs else None
+    if obs_aggs is not None:
+        df = df.observe(obs_aggs, *[F.expr(a) for a in aggs])
+    out = _cast_to_rules(_prepare_values(df, specs, safe=True), specs,
+                         safe=True)
+    obs_post = Observation()
+    out = out.observe(
+        obs_post,
+        *[F.expr(f"count({_bq(c)}) AS {_bq(c + '__nn1')}") for c in cols],
+    )
+
+    done: dict = {}
+
+    def finish():
+        if "bounds" in done:  # idempotent — callers may retry
+            return done["bounds"]
+        row = {**obs_raw.get, **obs_post.get}
+        if obs_aggs is not None:
+            row.update(obs_aggs.get)
+        bounds = _apply_validation_row(row, ctx)
+        nulled = [c for c in cols if row[f"{c}__nn1"] < row[f"{c}__nn0"]]
+        if nulled:
+            raise DataframeColumnInvalidValue(
+                f"column(s) {nulled} contain values that cannot be "
+                f"converted to their declared SQL type"
+            )
+        done["bounds"] = bounds
+        return bounds
+
+    return out, finish
+
+
 def enforce_check_constraints(df: DataFrame, checks: dict) -> None:
     """Enforce declared CHECK constraints on rows about to be written
     — ONE agg job over ``df`` (the new/rewritten rows only; rows
@@ -345,13 +441,21 @@ def enforce_unique_constraints(
             )
 
 
-def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
+def _upcast_widest(
+    df: DataFrame, specs: dict[str, ColumnSpec], safe: bool = False
+) -> DataFrame:
     """Upcast numeric columns to their category's widest type before
     range checks (reference: conversion.py:214-253). Exact decimals
     are exempt: their probes try_cast to the DECLARED precision/scale
     directly, and an intermediate Decimal(38,18) widening would
     overflow legal high-precision values (10^21 into NUMERIC(38,0))
-    and abort the validation job under ANSI mode."""
+    and abort the validation job under ANSI mode.
+
+    ``safe``: try_cast for the deferred path (see _prepare_values) —
+    e.g. double NaN into an integer category throws under ANSI CAST;
+    the deferred path's pre-upcast non-null counts convert the
+    resulting NULL into ``DataframeColumnInvalidValue``."""
+    _C = "try_cast" if safe else "CAST"
     casts = {}
     for col, spec in specs.items():
         if spec.rule.sql_category == "exact_decimal_numeric":
@@ -361,7 +465,7 @@ def _upcast_widest(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
             df.schema[col].dataType, (T.StringType,)
         ):
             casts[col] = (
-                f"CAST({_bq(col)} AS {widest.simpleString()}) AS {_bq(col)}"
+                f"{_C}({_bq(col)} AS {widest.simpleString()}) AS {_bq(col)}"
             )
     return df.selectExpr(*_full_select(df, casts)) if casts else df
 
@@ -394,14 +498,18 @@ def _decimal_target(spec: ColumnSpec) -> T.DecimalType:
     )
 
 
-def _validate_single_pass(
+def _build_validation_aggs(
     df: DataFrame,
     specs: dict[str, ColumnSpec],
     not_nullable: list[str],
     unique_key: Optional[list[str]],
     bounds_col: Optional[str] = None,
-) -> Optional[tuple]:
-    """ONE distributed agg job evaluating every data-dependent check.
+) -> tuple[list[str], dict]:
+    """Build the validation aggregate expressions (SQL text) and the
+    context `_apply_validation_row` needs to interpret the resulting
+    row. Split from `_validate_single_pass` so the deferred path can
+    attach the same aggregates as ``observe()`` metrics on the staging
+    write instead of running a separate source pass.
 
     Scale note: every term is an algebraic aggregate with a map-side
     partial (min/max/sum-style); at 100 TB this is a single scan +
@@ -543,9 +651,46 @@ def _validate_single_pass(
             f"max({bc}) AS `__bounds_hi_{i}`",
         ]
 
+    ctx = {
+        "range_checks": range_checks,
+        "unicode_cols": unicode_cols,
+        "dchg_cols": dchg_cols,
+        "bad_cols": bad_cols,
+        "not_nullable": not_nullable,
+        "unique_key": unique_key,
+        "bounds_col": bounds_col,
+        "bound_cols": bound_cols,
+    }
+    return aggs, ctx
+
+
+def _validate_single_pass(
+    df: DataFrame,
+    specs: dict[str, ColumnSpec],
+    not_nullable: list[str],
+    unique_key: Optional[list[str]],
+    bounds_col: Optional[str] = None,
+) -> Optional[tuple]:
+    aggs, ctx = _build_validation_aggs(
+        df, specs, not_nullable, unique_key, bounds_col
+    )
     if not aggs:
         return None
     row = df.selectExpr(*aggs).collect()[0].asDict()
+    return _apply_validation_row(row, ctx)
+
+
+def _apply_validation_row(row: dict, ctx: dict):
+    """Interpret one validation-aggregate row: raise on violations,
+    emit the rounding warning, return the requested pruning bounds."""
+    range_checks = ctx["range_checks"]
+    unicode_cols = ctx["unicode_cols"]
+    dchg_cols = ctx["dchg_cols"]
+    bad_cols = ctx["bad_cols"]
+    not_nullable = ctx["not_nullable"]
+    unique_key = ctx["unique_key"]
+    bounds_col = ctx["bounds_col"]
+    bound_cols = ctx["bound_cols"]
 
     errors = []
     for col, kind, lo, hi in range_checks:
@@ -617,21 +762,31 @@ def _validate_single_pass(
     return None
 
 
-def _prepare_values(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
+def _prepare_values(
+    df: DataFrame, specs: dict[str, ColumnSpec], safe: bool = False
+) -> DataFrame:
     """Precision adjustments (pure transformations — the warning probes
     ran inside the single validation agg). String-typed temporal
     sources are parsed BEFORE the grid rounding so the same logical
     value stores identically whether it arrived as a timestamp or a
     string (unparseable strings were already rejected by the __bad
-    probe). One projection total (withColumns), not one per column."""
+    probe). One projection total (withColumns), not one per column.
+
+    ``safe``: use ``try_cast`` where a plain ANSI ``CAST`` could abort
+    the executing job — the deferred-validation path runs BEFORE its
+    violation checks are applied (they ride the write as ``observe()``
+    metrics), so the pipeline itself must never throw; every value a
+    try_cast silently NULLs is caught by the deferred path's
+    non-null-count invariant."""
     _TS = (T.TimestampType, T.TimestampNTZType)
+    _C = "try_cast" if safe else "CAST"
     casts = {}
     for col, spec in specs.items():
         dt = df.schema[col].dataType
         q = _bq(col)
         if spec.sql_type in _DECIMAL_SQL_TYPES:
             casts[col] = (
-                f"CAST({q} AS {_decimal_target(spec).simpleString()}) AS {q}"
+                f"{_C}({q} AS {_decimal_target(spec).simpleString()}) AS {q}"
             )
         elif spec.sql_type == "uniqueidentifier":
             # canonical upper-case GUID rendering (SQL Server compares
@@ -705,12 +860,16 @@ def _smalldatetime_grid_sql(src: str) -> str:
     return f"CAST(timestamp_micros({rounded}) AS TIMESTAMP_NTZ)"
 
 
-def _cast_to_rules(df: DataFrame, specs: dict[str, ColumnSpec]) -> DataFrame:
+def _cast_to_rules(
+    df: DataFrame, specs: dict[str, ColumnSpec], safe: bool = False
+) -> DataFrame:
     # one projection for every column — a withColumn loop builds one
     # nested Project per column: O(n²) analyzer work on wide tables.
     # SQL text, one round trip per column (specs covers every column:
     # precheck_dataframe builds it from df.columns).
+    # ``safe``: try_cast for the deferred path (see _prepare_values).
+    _C = "try_cast" if safe else "CAST"
     return df.selectExpr(*[
-        f"CAST({_bq(col)} AS {spec.spark_type.simpleString()}) AS {_bq(col)}"
+        f"{_C}({_bq(col)} AS {spec.spark_type.simpleString()}) AS {_bq(col)}"
         for col, spec in specs.items()
     ])

@@ -1,0 +1,141 @@
+"""Insert's deferred-validation fusion (round-14 optimization #8):
+the validation agg rides the staging write as ``observe()`` metrics
+instead of running as its own full pass over the source, and PK
+batch-dup/collision checks fold into one keys-only job over the
+STAGED files. These tests pin the internals the fusion changed:
+
+- the source plan executes exactly ONCE per insert,
+- a validation violation aborts BEFORE anything commits (staged files
+  discarded, version unchanged) with the eager path's error classes,
+- values only ``try_cast`` can NULL (no eager probe covered them —
+  e.g. double NaN into INT) now surface as the engine's own
+  ``DataframeColumnInvalidValue``, pre-commit, instead of a raw Spark
+  ANSI error mid-write,
+- both deferred PK branches (no-overlap dup check; merged
+  dup+collision job when standing files overlap) raise the same
+  errors as before.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mssql_dataframe_spark import errors
+
+
+def test_insert_executes_source_plan_once(engine, spark):
+    """The eager path paid two full source executions (validation agg
+    + staging write); deferred pays one. Counted with an accumulator
+    inside the source plan — local mode, no task retries."""
+    engine.create.table(
+        "dbo.once", {"k": "bigint", "v": "bigint"}, primary_key_column="k"
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = (
+        spark.range(1000)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .mapInPandas(tick, "k long, v long")
+    )
+    engine.write.insert("dbo.once", src)
+    assert engine.read.table("dbo.once").count() == 1000
+    assert acc.value == 1000  # one execution, not 2000
+
+
+def test_invalid_value_aborts_pre_commit_and_discards_stage(engine, spark):
+    engine.create.table("dbo.bad1", {"k": "bigint", "n": "int"},
+                        primary_key_column="k")
+    engine.write.insert(
+        "dbo.bad1",
+        spark.createDataFrame([Row(k=1, n=10)], "k long, n int"),
+    )
+    store = engine.store
+    v_before = store.meta("dbo.bad1").version
+    with pytest.raises(errors.DataframeColumnInvalidValue):
+        engine.write.insert(
+            "dbo.bad1",
+            spark.createDataFrame(
+                [Row(k=2, n="7"), Row(k=3, n="not-a-number")],
+                "k long, n string",
+            ),
+        )
+    meta = store.meta("dbo.bad1")
+    assert meta.version == v_before  # nothing committed
+    rows = engine.read.table("dbo.bad1").collect()
+    assert [(r["k"], r["n"]) for r in rows] == [(1, 10)]
+    # the losing commit's staging directory was discarded
+    tdir = store._table_dir("dbo.bad1")
+    assert not [d for d in os.listdir(tdir) if d.startswith(".stage_")]
+
+
+def test_nan_into_int_raises_engine_error_not_spark_error(engine, spark):
+    """Double NaN into INT: no eager probe covered it (NaN compares
+    False against range bounds), so the eager path died with a raw
+    Spark ANSI cast error mid-write. The deferred non-null-count
+    invariant converts it into the engine's own error, pre-commit."""
+    engine.create.table("dbo.nan1", {"k": "bigint", "n": "int"},
+                        primary_key_column="k")
+    src = spark.createDataFrame(
+        [Row(k=1, n=1.0), Row(k=2, n=float("nan"))], "k long, n double"
+    )
+    with pytest.raises(errors.DataframeColumnInvalidValue, match="'n'"):
+        engine.write.insert("dbo.nan1", src)
+    assert engine.read.table("dbo.nan1").count() == 0
+
+
+def test_merged_dup_and_collision_job_branches(engine, spark):
+    """When standing files overlap the batch's key range, batch dups
+    and snapshot collisions are detected by ONE merged job — both
+    branches must still raise, dup taking precedence."""
+    engine.create.table("dbo.pkm", {"k": "bigint", "v": "bigint"},
+                        primary_key_column="k")
+    engine.write.insert(
+        "dbo.pkm",
+        spark.createDataFrame([Row(k=1, v=1), Row(k=5, v=5)], "k long, v long"),
+    )
+    # overlapping range (k=2 in [1,5]) + batch-internal duplicate
+    with pytest.raises(errors.SQLUniqueConstraintViolation,
+                       match="duplicate key values"):
+        engine.write.insert(
+            "dbo.pkm",
+            spark.createDataFrame(
+                [Row(k=2, v=0), Row(k=2, v=0)], "k long, v long"
+            ),
+        )
+    # overlapping range, no batch dup, collides with standing key
+    with pytest.raises(errors.SQLUniqueConstraintViolation,
+                       match="already in"):
+        engine.write.insert(
+            "dbo.pkm",
+            spark.createDataFrame(
+                [Row(k=3, v=3), Row(k=5, v=99)], "k long, v long"
+            ),
+        )
+    assert engine.read.table("dbo.pkm").count() == 2
+
+
+def test_rounding_warning_still_emitted_from_staging(engine, spark, caplog):
+    """The decimal rounding warning now fires post-stage (the probe
+    rides the write); it must still be emitted by the insert call."""
+    import logging
+
+    engine.create.table("dbo.dec1", {"k": "bigint", "d": "decimal(5,2)"},
+                        primary_key_column="k")
+    with caplog.at_level(logging.WARNING, logger="mssql_dataframe_spark"):
+        engine.write.insert(
+            "dbo.dec1",
+            spark.createDataFrame([Row(k=1, d=1.2345)], "k long, d double"),
+        )
+    assert any("rounded to precision and scale" in r.message
+               for r in caplog.records)
+    val = engine.read.table("dbo.dec1").collect()[0]["d"]
+    assert str(val) == "1.23"
