@@ -29,6 +29,7 @@ from .. import generated
 from ...validation import (
     enforce_check_constraints,
     enforce_foreign_keys,
+    enforce_unique_constraints,
     precheck_dataframe_deferred,
 )
 from .. import datetimeoffset as dto
@@ -206,29 +207,83 @@ def insert(
 
     out = df.select(*meta.spark_schema.fieldNames())
     out = generated.materialize(out, meta)
-    enforce_check_constraints(
-        out, meta.properties.get("check_constraints") or {}
-    )
-    fk_deps = enforce_foreign_keys(
-        store, out, meta.properties.get("foreign_keys") or {},
-        table_name=table_name,
-    )
+    checks = meta.properties.get("check_constraints") or {}
+    fks = meta.properties.get("foreign_keys") or {}
+    uniques = meta.properties.get("unique_constraints") or {}
+
     def _pre_commit(stage_entries, stage_dir):
         # Runs inside store.append's discard guard, after the staging
         # write and before the version claim: a raise here aborts the
         # commit and drops the staged files — the same "nothing
-        # visible on failure" contract the eager checks gave.
+        # visible on failure" contract the eager checks gave. EVERY
+        # data-dependent probe runs here over the STAGED files (a
+        # columnar read of the new files only), so the SOURCE plan
+        # executes exactly once per insert regardless of which
+        # constraints the table declares — the eager shape re-executed
+        # it once per probe family (validation, CHECK, FK bounds +
+        # per-FK anti joins, UNIQUE, PK), which for a source that is
+        # an expensive pipeline meant up to five recomputes.
         #
         # 1) Deferred validation: the staging write already computed
         #    the fused agg as observe() metrics; apply them (raises
         #    the eager path's exact errors) and take the per-PK-column
         #    pruning bounds from the same metrics.
         pk_bounds = finish_validation()
-        if not pk:
-            return
         paths = [os.path.join(stage_dir, e["path"]) for e in stage_entries]
         if not paths:
-            return  # empty batch: nothing can collide
+            # empty batch: nothing can violate or collide (and with
+            # no rows published, no FK parent pin is needed either)
+            return None
+        spark = out.sparkSession
+        staged = None
+        if checks or fks or uniques:
+            staged = spark.read.schema(meta.spark_schema).parquet(*paths)
+        # 2) CHECK constraints — same single agg job, over the staged
+        #    files instead of a source re-execution.
+        enforce_check_constraints(staged, checks)
+        # 3) FOREIGN KEYs — keys-only bounds + per-FK anti-join probes
+        #    over the staged files; the returned parent-version pins
+        #    become cross-table OCC preconditions via the hook's
+        #    return value (checked by store.append immediately after
+        #    this hook, so the probe-to-commit window is minimal and
+        #    still OCC-covered).
+        fk_deps = enforce_foreign_keys(
+            store, staged, fks, table_name=table_name,
+        ) if fks else None
+        # 4) UNIQUE constraints — batch-dup + pruned-snapshot probes,
+        #    keys read from the staged files.
+        if uniques:
+            def _existing_for(cols, bounds):
+                centries = store.manifest(table_name, meta.version)
+                if not centries:
+                    return None
+                touched, _ = store.split_by_key_ranges(
+                    table_name, bounds, version=meta.version
+                )
+                if not touched:
+                    return None
+                # batch-key bloom narrowing, same shape as the PK
+                # probe: a file whose sidecar excludes every batch
+                # value of some constraint column cannot collide
+                from .update import bloom_narrow_entries
+
+                tset = set(touched)
+                cand = [e for e in centries if e["path"] in tset]
+                surv = bloom_narrow_entries(
+                    store, table_name, cand, staged.select(*cols),
+                    list(cols), meta=meta,
+                )
+                if surv is not None:
+                    touched = [e["path"] for e in surv]
+                if not touched:
+                    return None
+                return store.read_files(table_name, touched)
+
+            enforce_unique_constraints(
+                staged, uniques, existing_for=_existing_for
+            )
+        if not pk:
+            return fk_deps
         # 2) PK enforcement, one keys-only job over the STAGED files.
         #    Collision discovery vs the standing snapshot is
         #    stats-PRUNED to just the files whose key range intersects
@@ -242,7 +297,6 @@ def insert(
         #    written before composite stats were recorded lack the
         #    per-column entries and count as touched (safe fallback,
         #    self-heals as they are rewritten).
-        spark = out.sparkSession
         kschema = T.StructType([meta.spark_schema[c] for c in pk])
         staged_keys = (
             spark.read.schema(kschema).parquet(*paths).select(*pk)
@@ -339,47 +393,15 @@ def insert(
                     "insert batch repeats key values already in "
                     f"{table_name!r}"
                 )
-    uniques = meta.properties.get("unique_constraints") or {}
-    if uniques:
-        from ...validation import enforce_unique_constraints
+        return fk_deps
 
-        # appended rows must not collide among themselves or with the
-        # current snapshot; the snapshot probe is stats-pruned per
-        # constraint — unique-constraint columns are harvested into
-        # the manifest (store._stats_cols), so an append outside every
-        # file's recorded range reads zero existing files
-        def _existing_for(cols, bounds):
-            centries = store.manifest(table_name, meta.version)
-            if not centries:
-                return None
-            touched, _ = store.split_by_key_ranges(
-                table_name, bounds, version=meta.version
-            )
-            if not touched:
-                return None
-            # batch-key bloom narrowing, same shape as the PK probe:
-            # a file whose sidecar excludes every batch value of some
-            # constraint column cannot collide with the batch
-            from .update import bloom_narrow_entries
-
-            tset = set(touched)
-            cand = [e for e in centries if e["path"] in tset]
-            surv = bloom_narrow_entries(
-                store, table_name, cand, out.select(*cols), list(cols),
-                meta=meta,
-            )
-            if surv is not None:
-                touched = [e["path"] for e in surv]
-            if not touched:
-                return None
-            return store.read_files(table_name, touched)
-
-        enforce_unique_constraints(out, uniques, existing_for=_existing_for)
-    # cross-table OCC: the commit fails cleanly if any probed FK
-    # parent changed between the existence probe and this publish
+    # cross-table OCC: the FK probe inside _pre_commit returns its
+    # parent-version pins through the hook, and store.append checks
+    # them immediately after — the commit fails cleanly if a probed
+    # parent changed between the probe and this publish
     store.append(
         table_name, out, extra_properties=extra_properties,
-        preconditions=fk_deps, expected_version=meta.version,
+        expected_version=meta.version,
         extra_meta=identity_meta, pre_commit_check=_pre_commit,
     )
     return df

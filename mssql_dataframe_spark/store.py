@@ -1532,9 +1532,15 @@ class TableStore:
         BEFORE the version claim, inside the discard guard: a raise
         aborts the commit and drops the staged files. Insert uses it
         for deferred validation (the checks ride the staging write as
-        ``observe()`` metrics) and for the post-stage PK probe — the
-        staged files are readable at ``stage_dir`` and their manifest
-        ``entries`` already carry harvested per-file column stats."""
+        ``observe()`` metrics) and for the post-stage PK/CHECK/FK/
+        UNIQUE probes — the staged files are readable at ``stage_dir``
+        and their manifest ``entries`` already carry harvested
+        per-file column stats. The hook may return a list of
+        ``(table, version)`` cross-table OCC preconditions (e.g. the
+        FK probe's parent-version pins), merged into ``preconditions``
+        before the precondition check — probing inside the guard keeps
+        the probe-to-commit race window minimal while the OCC check
+        still covers what remains of it."""
         meta = self.meta(name)
         base = meta.version if expected_version is None else int(
             expected_version
@@ -1552,7 +1558,11 @@ class TableStore:
             # carried manifest (json error / SQLSnapshotUnavailable)
             # must not leak the staged files on disk
             if pre_commit_check is not None:
-                pre_commit_check(entries, stage_dir)
+                extra_pre = pre_commit_check(entries, stage_dir)
+                if extra_pre:
+                    preconditions = list(preconditions or []) + list(
+                        extra_pre
+                    )
             carried = self.manifest(name, base)
             self._check_no_concurrent_commit(name, base)
             self._check_preconditions(name, preconditions)

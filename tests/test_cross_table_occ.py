@@ -52,21 +52,26 @@ def test_child_insert_fails_if_parent_changes_after_probe(engine, spark):
     would publish rows referencing the deleted key)."""
     _mk(engine, spark)
     store = engine.store
-    orig_append = store.append
+    # the FK probe now runs INSIDE store.append's pre-commit hook
+    # (post-stage, over the staged files), so "after every probe ran,
+    # before the publish" is the window between the hook and the
+    # precondition check — _check_no_concurrent_commit sits exactly
+    # there; firing the delete from it lands the parent change after
+    # the probe recorded its parent-version pin
+    orig_check = store._check_no_concurrent_commit
     raced = {"done": False}
 
-    def racing_append(name, df, **kw):
-        # fire the concurrent parent delete at the last pre-commit
-        # moment — after every probe ran, before the publish
+    def racing_check(name, base):
         if name == "dbo.xc" and not raced["done"]:
             raced["done"] = True
-            store.append = orig_append  # the delete itself commits freely
+            # the delete itself commits freely
+            store._check_no_concurrent_commit = orig_check
             engine.write.delete(
                 "dbo.xp", spark.createDataFrame([Row(pk=4)], "pk long")
             )
-        return orig_append(name, df, **kw)
+        return orig_check(name, base)
 
-    store.append = racing_append
+    store._check_no_concurrent_commit = racing_check
     try:
         with pytest.raises(errors.SQLConcurrentWriteConflict):
             engine.write.insert(
@@ -74,7 +79,7 @@ def test_child_insert_fails_if_parent_changes_after_probe(engine, spark):
                 spark.createDataFrame([Row(id=1, ref=4)], "id long, ref long"),
             )
     finally:
-        store.append = orig_append
+        store._check_no_concurrent_commit = orig_check
     # the losing write left nothing behind; retry now fails the FK
     # check itself (the key is really gone)
     assert engine.read.table("dbo.xc").count() == 0

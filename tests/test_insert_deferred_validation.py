@@ -51,6 +51,57 @@ def test_insert_executes_source_plan_once(engine, spark):
     assert acc.value == 1000  # one execution, not 2000
 
 
+def test_constraint_laden_insert_executes_source_once(engine, spark):
+    """CHECK, FK, and PK probes all moved post-stage (over the staged
+    files): even a fully constraint-laden table executes the SOURCE
+    plan exactly once per insert — the eager shape paid one extra
+    full execution per probe family."""
+    engine.create.table("dbo.par1", {"pk": "bigint"}, primary_key_column="pk")
+    engine.write.insert(
+        "dbo.par1", spark.createDataFrame([Row(pk=1), Row(pk=2)], "pk long")
+    )
+    engine.create.table(
+        "dbo.con1", {"k": "bigint", "ref": "bigint", "qty": "int"},
+        primary_key_column="k",
+    )
+    engine.modify.check_constraint("dbo.con1", "add", "qty_pos", "qty > 0")
+    engine.modify.foreign_key(
+        "dbo.con1", "add", "fk_p",
+        columns="ref", ref_table="dbo.par1", ref_columns="pk",
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = (
+        spark.range(100)
+        .selectExpr("id AS k", "1 + id % 2 AS ref", "CAST(1 AS INT) AS qty")
+        .mapInPandas(tick, "k long, ref long, qty int")
+    )
+    engine.write.insert("dbo.con1", src)
+    assert engine.read.table("dbo.con1").count() == 100
+    assert acc.value == 100  # one execution despite CHECK+FK+PK probes
+    # and the probes still enforce: violating batches all fail
+    with pytest.raises(errors.SQLCheckConstraintViolation):
+        engine.write.insert(
+            "dbo.con1",
+            spark.createDataFrame(
+                [Row(k=200, ref=1, qty=-5)], "k long, ref long, qty int"
+            ),
+        )
+    with pytest.raises(errors.SQLForeignKeyViolation):
+        engine.write.insert(
+            "dbo.con1",
+            spark.createDataFrame(
+                [Row(k=201, ref=99, qty=1)], "k long, ref long, qty int"
+            ),
+        )
+    assert engine.read.table("dbo.con1").count() == 100
+
+
 def test_invalid_value_aborts_pre_commit_and_discards_stage(engine, spark):
     engine.create.table("dbo.bad1", {"k": "bigint", "n": "int"},
                         primary_key_column="k")
