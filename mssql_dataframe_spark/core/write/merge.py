@@ -23,6 +23,7 @@ distinct source key values (the scale-safe version of the reference's
 from __future__ import annotations
 
 import logging
+import os
 
 from typing import Optional
 
@@ -529,13 +530,8 @@ def merge_op(
 
     result = joined.selectExpr(*out_cols)
     result = generated.materialize(result, meta)
-    enforce_check_constraints(
-        result, meta.properties.get("check_constraints") or {}
-    )
-    fk_deps = enforce_foreign_keys(
-        store, result, meta.properties.get("foreign_keys") or {},
-        table_name=table_name,
-    )
+    checks = meta.properties.get("check_constraints") or {}
+    fks = meta.properties.get("foreign_keys") or {}
     uniques = dict(meta.properties.get("unique_constraints") or {})
     pk = list(meta.primary_key)
     pk_at_risk = bool(pk) and not meta.properties.get(
@@ -559,18 +555,44 @@ def merge_op(
         # columns, not update columns, and a matched key can only
         # update its own row)
         uniques["PRIMARY KEY"] = pk
-    if uniques:
-        from ...validation import enforce_unique_constraints
 
-        enforce_unique_constraints(
-            result, uniques,
-            existing=(
-                store.read_files(
-                    table_name, [e["path"] for e in keep_entries]
-                )
-                if keep_entries else None
-            ),
-        )
+    def _pre_commit(stage_entries, stage_dir):
+        # CHECK/FK/UNIQUE probes run post-stage over the STAGED
+        # (rewritten) files — a columnar read — so the merge's
+        # full-outer-join rewrite executes exactly once (the staging
+        # write); the eager shape re-executed it once per probe family.
+        # Runs inside the commit's discard guard: a violation aborts
+        # the commit and drops the staged files (with auto-evolve, the
+        # deferred schema publication is discarded with them). The FK
+        # probe's parent pins return as cross-table OCC preconditions.
+        if not (checks or fks or uniques):
+            return None
+        paths = [
+            os.path.join(stage_dir, e["path"]) for e in stage_entries
+        ]
+        if not paths:
+            return None  # nothing written: nothing can violate
+        staged = result.sparkSession.read.schema(
+            meta.spark_schema
+        ).parquet(*paths)
+        enforce_check_constraints(staged, checks)
+        fk_deps = enforce_foreign_keys(
+            store, staged, fks, table_name=table_name,
+        ) if fks else None
+        if uniques:
+            from ...validation import enforce_unique_constraints
+
+            enforce_unique_constraints(
+                staged, uniques,
+                existing=(
+                    store.read_files(
+                        table_name, [e["path"] for e in keep_entries]
+                    )
+                    if keep_entries else None
+                ),
+            )
+        return fk_deps
+
     # schema evolution (if any) rides the SAME meta write that moves
     # the version pointer, inside the commit's exclusive claim — an
     # OCC loss discards the evolved columns with the staged files
@@ -583,15 +605,17 @@ def merge_op(
     if keep_entries is not None:
         store.replace_files(
             table_name, result, keep_entries, op="merge",
-            preconditions=fk_deps, expected_version=meta.version,
-            new_schema=evolved_schema, new_column_types=evolved_types,
-            extra_meta=identity_meta, extra_properties=extra_properties,
-        )
-    else:
-        store.overwrite(
-            table_name, result, op="merge", preconditions=fk_deps,
             expected_version=meta.version,
             new_schema=evolved_schema, new_column_types=evolved_types,
             extra_meta=identity_meta, extra_properties=extra_properties,
+            pre_commit_check=_pre_commit,
+        )
+    else:
+        store.overwrite(
+            table_name, result, op="merge",
+            expected_version=meta.version,
+            new_schema=evolved_schema, new_column_types=evolved_types,
+            extra_meta=identity_meta, extra_properties=extra_properties,
+            pre_commit_check=_pre_commit,
         )
     return src

@@ -20,6 +20,8 @@ one shuffle any MERGE pays; nothing else.
 
 from __future__ import annotations
 
+import os
+
 from functools import reduce
 from operator import and_
 from typing import Optional
@@ -243,13 +245,8 @@ def merge_scd2(
         ]
     )
     out = generated.materialize(out, meta)
-    enforce_check_constraints(
-        out, meta.properties.get("check_constraints") or {}
-    )
-    fk_deps = enforce_foreign_keys(
-        store, out, meta.properties.get("foreign_keys") or {},
-        table_name=table_name,
-    )
+    checks = meta.properties.get("check_constraints") or {}
+    fks = meta.properties.get("foreign_keys") or {}
     # PK uniqueness at risk (same shapes as write.merge): a business
     # key STRICTLY WIDER than the PK inserts a new current row even
     # when its PK value already exists; a tracked (rewritten) PK
@@ -279,26 +276,51 @@ def merge_scd2(
     uniques = dict(meta.properties.get("unique_constraints") or {})
     if pk_at_risk:
         uniques["PRIMARY KEY"] = pk
-    if uniques:
-        from ...validation import enforce_unique_constraints
 
-        enforce_unique_constraints(
-            out, uniques,
-            existing=(
-                store.read_files(
-                    table_name, [e["path"] for e in keep_entries]
-                )
-                if keep_entries else None
-            ),
-        )
+    def _pre_commit(stage_entries, stage_dir):
+        # CHECK/FK/UNIQUE probes run post-stage over the STAGED
+        # (rewritten) files — a columnar read — so the SCD2 join+explode
+        # rewrite executes exactly once (the staging write); the eager
+        # shape re-executed it once per probe family. Runs inside the
+        # commit's discard guard ("nothing visible on failure"
+        # unchanged); the FK probe's parent pins return as cross-table
+        # OCC preconditions.
+        if not (checks or fks or uniques):
+            return None
+        paths = [
+            os.path.join(stage_dir, e["path"]) for e in stage_entries
+        ]
+        if not paths:
+            return None  # nothing written: nothing can violate
+        staged = out.sparkSession.read.schema(
+            meta.spark_schema
+        ).parquet(*paths)
+        enforce_check_constraints(staged, checks)
+        fk_deps = enforce_foreign_keys(
+            store, staged, fks, table_name=table_name,
+        ) if fks else None
+        if uniques:
+            from ...validation import enforce_unique_constraints
+
+            enforce_unique_constraints(
+                staged, uniques,
+                existing=(
+                    store.read_files(
+                        table_name, [e["path"] for e in keep_entries]
+                    )
+                    if keep_entries else None
+                ),
+            )
+        return fk_deps
+
     if keep_entries is not None:
         store.replace_files(
             table_name, out, keep_entries, op="merge_scd2",
-            preconditions=fk_deps, expected_version=meta.version,
+            expected_version=meta.version, pre_commit_check=_pre_commit,
         )
     else:
         store.overwrite(
-            table_name, out, op="merge_scd2", preconditions=fk_deps,
-            expected_version=meta.version,
+            table_name, out, op="merge_scd2",
+            expected_version=meta.version, pre_commit_check=_pre_commit,
         )
     return src

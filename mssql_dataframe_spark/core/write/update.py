@@ -17,6 +17,8 @@ broadcast join, i.e. no shuffle of the big side.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -422,13 +424,8 @@ def update_op(
 
     result = joined.selectExpr(*out_cols)
     result = generated.materialize(result, meta)
-    enforce_check_constraints(
-        result, meta.properties.get("check_constraints") or {}
-    )
-    fk_deps = enforce_foreign_keys(
-        store, result, meta.properties.get("foreign_keys") or {},
-        table_name=table_name,
-    )
+    checks = meta.properties.get("check_constraints") or {}
+    fks = meta.properties.get("foreign_keys") or {}
     uniques = dict(meta.properties.get("unique_constraints") or {})
     if (
         meta.primary_key
@@ -439,37 +436,66 @@ def update_op(
         # SQL Server still enforces the PK there (match==PK never
         # enters: PK columns are then match columns, no extra jobs)
         uniques["PRIMARY KEY"] = list(meta.primary_key)
-    if uniques:
-        from ...validation import enforce_unique_constraints
 
-        # when pruned, `result` is only the rewritten files — the
-        # carried-over files' keys are the cross-check side, and the
-        # probe stats-prunes to just the kept files whose recorded key
-        # ranges intersect the batch (insert's existing_for shape:
-        # scanning ALL kept files made the probe cost proportional to
-        # table size instead of to the overlap)
-        keep_paths = (
-            {e["path"] for e in keep_entries} if keep_entries else set()
-        )
+    def _pre_commit(stage_entries, stage_dir):
+        # CHECK/FK/UNIQUE probes run post-stage over the STAGED
+        # (rewritten) files — a columnar read — so the rewrite join
+        # executes exactly once (the staging write); the eager shape
+        # re-executed it once per probe family. Runs inside the commit's
+        # discard guard: a violation aborts the commit and drops the
+        # staged files ("nothing visible on failure" unchanged). The FK
+        # probe's parent pins return as cross-table OCC preconditions.
+        if not (checks or fks or uniques):
+            return None
+        paths = [
+            os.path.join(stage_dir, e["path"]) for e in stage_entries
+        ]
+        if not paths:
+            return None  # nothing written: nothing can violate
+        staged = result.sparkSession.read.schema(
+            meta.spark_schema
+        ).parquet(*paths)
+        enforce_check_constraints(staged, checks)
+        fk_deps = enforce_foreign_keys(
+            store, staged, fks, table_name=table_name,
+        ) if fks else None
+        if uniques:
+            from ...validation import enforce_unique_constraints
 
-        def _existing_for(cols, b):
-            if not keep_paths:
-                return None
-            touched_p, _ = store.split_by_key_ranges(
-                table_name, b, version=meta.version
+            # when pruned, the staged files hold only the rewritten
+            # rows — the carried-over files' keys are the cross-check
+            # side, and the probe stats-prunes to just the kept files
+            # whose recorded key ranges intersect the batch (insert's
+            # existing_for shape: scanning ALL kept files made the
+            # probe cost proportional to table size instead of to the
+            # overlap)
+            keep_paths = (
+                {e["path"] for e in keep_entries} if keep_entries
+                else set()
             )
-            sel = [pth for pth in touched_p if pth in keep_paths]
-            return store.read_files(table_name, sel) if sel else None
 
-        enforce_unique_constraints(result, uniques, existing_for=_existing_for)
+            def _existing_for(cols, b):
+                if not keep_paths:
+                    return None
+                touched_p, _ = store.split_by_key_ranges(
+                    table_name, b, version=meta.version
+                )
+                sel = [pth for pth in touched_p if pth in keep_paths]
+                return store.read_files(table_name, sel) if sel else None
+
+            enforce_unique_constraints(
+                staged, uniques, existing_for=_existing_for
+            )
+        return fk_deps
+
     if keep_entries is not None:
         store.replace_files(
             table_name, result, keep_entries, op="update",
-            preconditions=fk_deps, expected_version=meta.version,
+            expected_version=meta.version, pre_commit_check=_pre_commit,
         )
     else:
         store.overwrite(
-            table_name, result, op="update", preconditions=fk_deps,
-            expected_version=meta.version,
+            table_name, result, op="update",
+            expected_version=meta.version, pre_commit_check=_pre_commit,
         )
     return src

@@ -1798,7 +1798,8 @@ class TableStore:
                   preconditions: Optional[list[tuple]] = None,
                   expected_version: Optional[int] = None,
                   extra_properties: Optional[dict] = None,
-                  extra_meta: Optional[dict] = None) -> None:
+                  extra_meta: Optional[dict] = None,
+                  pre_commit_check: Optional[callable] = None) -> None:
         """Materialize ``df`` as the next snapshot, then atomically move
         the table pointer. Readers of the old version are unaffected —
         old snapshots are vacuumed only once they fall
@@ -1812,7 +1813,8 @@ class TableStore:
                      preconditions=preconditions,
                      expected_version=expected_version,
                      extra_properties=extra_properties,
-                     extra_meta=extra_meta)
+                     extra_meta=extra_meta,
+                     pre_commit_check=pre_commit_check)
 
     def replace_files(
         self, name: str, df: DataFrame, keep_entries: list[dict],
@@ -1823,12 +1825,21 @@ class TableStore:
         new_column_types: Optional[dict[str, str]] = None,
         extra_properties: Optional[dict] = None,
         extra_meta: Optional[dict] = None,
+        pre_commit_check: Optional[callable] = None,
     ) -> None:
         """Commit the next snapshot as ``keep_entries`` (untouched files
         carried over BY REFERENCE — no rewrite, no copy) plus the
         materialized ``df`` (the rewritten touched files). This is the
         Delta ``MERGE INTO`` commit shape: write cost ∝ touched data.
         ``op`` labels the commit in ``history()`` (merge/update/...).
+
+        ``pre_commit_check(staged_entries, stage_dir)`` — same contract
+        as ``append``'s hook: runs AFTER the staging write and BEFORE
+        the version claim, inside the discard guard; a raise aborts the
+        commit and drops the staged files, and a returned list of
+        ``(table, version)`` pairs merges into ``preconditions``.
+        update/merge/SCD2 run their CHECK/FK/UNIQUE probes here over
+        the staged files so the rewrite plan executes exactly once.
 
         Callers computed ``keep_entries`` against a specific snapshot;
         pass that snapshot's version as ``expected_version`` so a
@@ -1851,7 +1862,8 @@ class TableStore:
                      new_schema=new_schema,
                      new_column_types=new_column_types,
                      extra_properties=extra_properties,
-                     extra_meta=extra_meta)
+                     extra_meta=extra_meta,
+                     pre_commit_check=pre_commit_check)
 
     def _commit(self, name: str, df: DataFrame, keep_entries: list[dict],
                 new_schema: Optional[T.StructType] = None,
@@ -1860,7 +1872,8 @@ class TableStore:
                 preconditions: Optional[list[tuple]] = None,
                 expected_version: Optional[int] = None,
                 extra_properties: Optional[dict] = None,
-                extra_meta: Optional[dict] = None) -> None:
+                extra_meta: Optional[dict] = None,
+                pre_commit_check: Optional[callable] = None) -> None:
         """``extra_meta`` sets top-level TableMeta fields (e.g.
         ``not_nullable``) in the SAME meta write that advances the
         version pointer — the non-properties sibling of
@@ -1892,6 +1905,12 @@ class TableStore:
         )
         entries = keep_entries + staged
         try:
+            if pre_commit_check is not None:
+                extra_pre = pre_commit_check(staged, stage_dir)
+                if extra_pre:
+                    preconditions = list(preconditions or []) + list(
+                        extra_pre
+                    )
             self._check_no_concurrent_commit(name, base)
             self._check_preconditions(name, preconditions)
             # exclusive claim of next_v: the authoritative OCC point —
