@@ -190,3 +190,71 @@ def test_rounding_warning_still_emitted_from_staging(engine, spark, caplog):
                for r in caplog.records)
     val = engine.read.table("dbo.dec1").collect()[0]["d"]
     assert str(val) == "1.23"
+
+
+def test_constraint_laden_merge_executes_source_twice_not_per_probe(
+    engine, spark
+):
+    """update/merge/SCD2 CHECK/FK/UNIQUE probes run post-stage over
+    the STAGED (rewritten) files: the rewrite join — and with it the
+    SOURCE plan — executes exactly TWICE per merge (the pre-write
+    validation agg, whose bounds feed file pruning, and the staging
+    write itself). The eager shape re-executed the rewrite once more
+    per probe family (CHECK + FK + PK unique = 3 extra source passes
+    on this table)."""
+    engine.create.table(
+        "dbo.mpar", {"pk": "bigint"}, primary_key_column="pk"
+    )
+    engine.write.insert(
+        "dbo.mpar", spark.createDataFrame([Row(pk=1), Row(pk=2)], "pk long")
+    )
+    engine.create.table(
+        "dbo.mcon", {"k": "bigint", "ref": "bigint", "qty": "int"},
+        primary_key_column="k",
+    )
+    engine.modify.check_constraint("dbo.mcon", "add", "qty_pos", "qty > 0")
+    engine.modify.foreign_key(
+        "dbo.mcon", "add", "fk_mp",
+        columns="ref", ref_table="dbo.mpar", ref_columns="pk",
+    )
+    engine.write.insert(
+        "dbo.mcon",
+        spark.range(50).selectExpr(
+            "id AS k", "1 + id % 2 AS ref", "CAST(1 AS INT) AS qty"
+        ),
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = (
+        spark.range(25, 75)
+        .selectExpr("id AS k", "1 + id % 2 AS ref", "CAST(2 AS INT) AS qty")
+        .mapInPandas(tick, "k long, ref long, qty int")
+    )
+    engine.write.merge("dbo.mcon", src, match_columns=["k"], upsert=True)
+    assert engine.read.table("dbo.mcon").count() == 75
+    assert acc.value == 2 * 50  # validation agg + staging write only
+    # the deferred probes still enforce, pre-commit (nothing published)
+    v_now = engine.store.meta("dbo.mcon").version
+    with pytest.raises(errors.SQLCheckConstraintViolation):
+        engine.write.merge(
+            "dbo.mcon",
+            spark.createDataFrame(
+                [Row(k=200, ref=1, qty=-5)], "k long, ref long, qty int"
+            ),
+            match_columns=["k"], upsert=True,
+        )
+    with pytest.raises(errors.SQLForeignKeyViolation):
+        engine.write.merge(
+            "dbo.mcon",
+            spark.createDataFrame(
+                [Row(k=201, ref=99, qty=1)], "k long, ref long, qty int"
+            ),
+            match_columns=["k"], upsert=True,
+        )
+    assert engine.store.meta("dbo.mcon").version == v_now
+    assert engine.read.table("dbo.mcon").count() == 75
