@@ -63,6 +63,15 @@ def pagerank_quantized(
     )
     if not assume_distinct:
         e = e.distinct()
+    # collapse the caller's edge DAG to a LEAF before fanning out: e
+    # feeds the degree aggregate, the degree join's probe side, AND
+    # the node-set union (twice — both union branches scan it), so a
+    # non-trivial upstream plan (a join + distinct in the bench's
+    # bipartite builder) executed up to four times inside the lazy
+    # cache fills. One materialization job, then every consumer scans
+    # the checkpointed edge list — the same lesson as the
+    # connected-components forward-edge checkpoint.
+    e = e.localCheckpoint(eager=True)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_w = e.join(outdeg, "src").persist()
     nodes = (

@@ -98,6 +98,7 @@ def apply_agg_delta(
     keys: list[str],
     sum_cols: list[str],
     count_col: str = "n_rows",
+    delta_pinned: bool = False,
 ) -> DataFrame:
     """Apply ``agg_delta`` output to the stored aggregate.
 
@@ -119,8 +120,12 @@ def apply_agg_delta(
 
     # the delta plan feeds BOTH the left join and the anti join below;
     # a small frame by construction, so pin it rather than re-running
-    # the CDC union + hash aggregate twice
-    delta = delta.localCheckpoint(eager=True)
+    # the CDC union + hash aggregate twice. Callers that already hold
+    # a pinned delta (e.g. a streaming sink that also feeds it to
+    # other joins) pass delta_pinned=True to skip the redundant
+    # re-materialization job.
+    if not delta_pinned:
+        delta = delta.localCheckpoint(eager=True)
     d = delta.selectExpr(
         *[f"{_bq(k)} AS {_bq(f'__d_{k}')}" for k in keys],
         _bq(f"d_{count_col}"),

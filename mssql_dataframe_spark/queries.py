@@ -8674,6 +8674,12 @@ def pagerank_customer_supplier(spark, sf_dir):
             (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
+        # both union branches below carry this join+distinct; pin it
+        # so the symmetrizing union is two projections of a leaf, not
+        # two executions of the lineitem join (the operator pins the
+        # UNIONED edge list again, but that materialization would
+        # otherwise run this DAG twice inside one job)
+        .localCheckpoint(eager=True)
     )
     edges = bp.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")

@@ -901,11 +901,37 @@ def incremental_mv_sink(
     cdc = engine.read.table_changes(
         fact, from_version=v_pre, to_version=v_post,
     )
-    delta = agg_delta(cdc, ["user_id"], {"sum_value": "value"})
+    # pin the (small) delta ONCE: every consumer below — the MV
+    # key-slice, apply_agg_delta's two join legs, the changed-keys
+    # semi — re-plans it, and the merge re-executes its source for the
+    # validation agg and the staging write; without the pin each of
+    # those re-ran the CDC union + hash aggregate.
+    delta = agg_delta(
+        cdc, ["user_id"], {"sum_value": "value"}
+    ).localCheckpoint(eager=True)
     mv_cur = engine.read.table(mvt)
-    new_mv = apply_agg_delta(mv_cur, delta, ["user_id"], ["sum_value"])
+    # slice the MV to the batch's keys BEFORE applying the delta: the
+    # final semi-join below discards untouched keys anyway, so the
+    # delta-application work (and the checkpoint materialization) is
+    # ∝ the batch's keys, never the MV. Null-safe match keeps the
+    # pre-filter a superset of the final plain-equality semi.
+    dk = delta.select(F.col("user_id").alias("__dk_user_id")).distinct()
+    mv_touched = mv_cur.join(
+        F.broadcast(dk),
+        F.col("user_id").eqNullSafe(F.col("__dk_user_id")),
+        "left_semi",
+    )
+    new_mv = apply_agg_delta(
+        mv_touched, delta, ["user_id"], ["sum_value"], delta_pinned=True
+    )
     # only the batch's keys changed — merge that slice (an append-only
-    # fact can never empty a key, so no delete leg)
+    # fact can never empty a key, so no delete leg). The slice plan the
+    # merge re-executes (validation agg + staging write) is now a pair
+    # of broadcast joins over the pinned delta leaf and the key-sliced
+    # MV scan. (An eager checkpoint of the slice itself was measured
+    # and rejected: the extra materialization job costs more than the
+    # two cheap re-executions it saves at any batch size — the heavy
+    # part, the delta, is already a leaf.)
     changed = new_mv.join(
         delta.select("user_id").distinct(), "user_id", "left_semi"
     )
