@@ -523,3 +523,42 @@ def test_topk_mv_seeded_fuzz(engine, spark):
         (r.grp, r.id, str(r.amt)) for r in _topk(post, k=3).collect()
     )
     assert got == want
+
+
+def test_apply_agg_delta_delta_pinned_flag_equivalent(engine, spark):
+    """delta_pinned=True (caller already localCheckpoint-ed the delta,
+    e.g. the streaming incremental-MV sink) must produce exactly the
+    default path's rows — the flag only skips the operator's internal
+    re-materialization job."""
+    base = _df(
+        spark,
+        [(1, "a", "10.00"), (2, "a", "20.00"), (3, "b", "30.00")],
+    )
+    engine.create.table("dbo.fpin", COLS, primary_key_column="id")
+    engine.write.insert("dbo.fpin", base)
+    v_ins = engine.store.meta("dbo.fpin").version
+    mv0 = _mv(engine.read.table("dbo.fpin", version=v_ins))
+    final = _df(
+        spark, [(1, "a", "15.00"), (3, "c", "30.00"), (4, "b", "40.00")]
+    )
+    engine.write.merge("dbo.fpin", final, match_columns=["id"])
+    cdc = engine.read.table_changes("dbo.fpin", from_version=v_ins)
+    delta = agg_delta(cdc, ["grp"], {"sum_amt": "amt"})
+    want = sorted(
+        (r.grp, r.n_rows, str(r.sum_amt))
+        for r in apply_agg_delta(mv0, delta, ["grp"], ["sum_amt"]).collect()
+    )
+    pinned = delta.localCheckpoint(eager=True)
+    got = sorted(
+        (r.grp, r.n_rows, str(r.sum_amt))
+        for r in apply_agg_delta(
+            mv0, pinned, ["grp"], ["sum_amt"], delta_pinned=True
+        ).collect()
+    )
+    assert got == want
+    # and both equal the full recompute
+    recomputed = sorted(
+        (r.grp, r.n_rows, str(r.sum_amt))
+        for r in _mv(engine.read.table("dbo.fpin")).collect()
+    )
+    assert got == recomputed
