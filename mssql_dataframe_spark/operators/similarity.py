@@ -575,6 +575,14 @@ def semantic_dedup(
         )
     )
 
+    # NOTE (r14 optimization pass): a map-side argmin here (the
+    # _argmin_sql shape that removed kmeans/PQ's per-pass corpus
+    # shuffle) was tested and REJECTED for this operator: without the
+    # groupBy exchange there is no reuse point, so the representative
+    # aggregate and the final join each re-ran the quantize + argmin
+    # scan (0.85 s -> 1.41 s; persisting the grid still measured
+    # 1.27 s with +4 cache jobs). The combiner aggregation below keeps
+    # ONE corpus pass whose exchange both downstream consumers reuse.
     fanned = qe.crossJoin(F.broadcast(cent)).select(
         "vec_id", "q", "nv", "cid", "nc",
         F.aggregate(
@@ -673,37 +681,56 @@ def _q_sqsum(c: Column) -> Column:
     )
 
 
-def _q_dot(a: Column, b: Column) -> Column:
-    """Exact int64 dot product of two quantized vector columns."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda a_, x: a_ + x,
+def _argmin_sql(cents_rows: list, q: str = "q", nv: str = "nv") -> str:
+    """SQL text for the MAP-SIDE integer-squared-L2 argmin over a
+    centroid list known on the driver: ``array_min`` over one
+    ``named_struct('dist', .., 'cid', ..)`` per centroid — the (dist,
+    cid) struct ordering IS the lowest-cid tie-break the old
+    ``min(struct(dist, cid, ..))`` aggregation used, and the
+    arithmetic (``nv + nc - 2 * dot`` with an int64 zip_with/aggregate
+    dot product) is token-identical to the aggregation form, so
+    results are bit-equal. The win is structural: the argmin happens
+    inside the scan projection, so NO shuffle ever carries the corpus
+    vectors — the old crossJoin + groupBy(vec_id) shape exchanged
+    every vector's array once per assignment pass (guide §2.3/§2.4:
+    the argmin over k broadcast-size centroids never needed a
+    shuffle). Emitted as one SQL string (one py4j round trip, the
+    round's expression-tree lesson); k*dim integer literals in the
+    plan are the same bytes the broadcast shipped before."""
+    items = ",".join(
+        "named_struct('cid', {cid}, 'cq', array({cq}), 'nc', {nc}L)".format(
+            cid=int(cid),
+            cq=",".join(f"{int(x)}L" for x in cq),
+            nc=sum(int(x) * int(x) for x in cq),
+        )
+        for cid, cq in cents_rows
+    )
+    return (
+        f"array_min(transform(array({items}), c -> named_struct("
+        f"'dist', {nv} + c.nc - 2 * aggregate("
+        f"zip_with({q}, c.cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v), "
+        f"'cid', c.cid)))"
     )
 
 
 def _lloyd_assign(spark, e: DataFrame, cents_rows: list) -> DataFrame:
     """One integer-exact Lloyd assignment pass: ``e`` carries
-    (vec_id, q, nv); the centroids broadcast and each vector takes
-    its integer-squared-L2 argmin with lowest-cid tie-break. Shared
-    by kmeans_quantized and the per-subspace PQ loop so the
-    bit-reproducible arithmetic has exactly one implementation."""
-    cdf = spark.createDataFrame(
-        [(cid, cq) for cid, cq in cents_rows],
-        "cid int, cq array<bigint>",
-    ).withColumn("nc", _q_sqsum(F.col("cq")))
-    fan = e.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "q", "cid",
-        (F.col("nv") + F.col("nc") - 2 * _q_dot(F.col("q"), F.col("cq")))
-        .alias("dist"),
-    )
+    (vec_id, q, nv); each vector takes its integer-squared-L2 argmin
+    with lowest-cid tie-break, computed MAP-SIDE against the centroid
+    literal array (see :func:`_argmin_sql` — zero shuffles; the old
+    crossJoin + groupBy(vec_id) argmin exchanged the full corpus,
+    vectors included, once per pass). Shared by kmeans_quantized and
+    the per-subspace PQ loop so the bit-reproducible arithmetic has
+    exactly one implementation."""
     return (
-        fan.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid", "q")).alias("m"))
+        e.select(
+            "vec_id", F.expr(_argmin_sql(cents_rows)).alias("m"), "q"
+        )
         .select(
             "vec_id",
             F.col("m.dist").alias("dist"),
             F.col("m.cid").alias("cid"),
-            F.col("m.q").alias("q"),
+            "q",
         )
     )
 
@@ -803,6 +830,7 @@ def pq_train_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     _return_codebooks: bool = False,
+    _include_q: bool = False,
 ) -> DataFrame | tuple:
     """Product quantization (the IVF-PQ compression standard for
     billion-vector ANN): the vector is split into ``m`` contiguous
@@ -824,9 +852,10 @@ def pq_train_encode(
     per subspace each Lloyd round is one map-side cross join against
     k broadcast centroids + one combiner argmin + one (cid, pos)
     combiner mean whose k*dim/m ints are collected for the next
-    broadcast — vectors never shuffle. The m per-subspace code frames
-    join back on the vector id; at scale that id join is the only
-    shuffle, and m is a constant (8-16 in production).
+    broadcast — vectors never shuffle. Encoding is ONE map-side
+    projection computing all m argmins per row (no per-subspace
+    frames, no id join — the codes frame has zero shuffles end to
+    end), and m is a constant (8-16 in production).
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
@@ -866,24 +895,45 @@ def pq_train_encode(
     with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
         codebooks = list(pool.map(_train, range(m)))
 
-    out = None
-    for s, cents in enumerate(codebooks):
-        e = qe.select("vec_id", F.col(f"q{s}").alias("q")).withColumn(
-            "nv", _q_sqsum(F.col("q"))
-        )
-        final = _lloyd_assign(spark, e, cents).select(
-            "vec_id",
-            F.col("cid").alias(f"code_{s}"),
-            F.col("dist").alias(f"__d{s}"),
-        )
-        out = final if out is None else out.join(final, "vec_id")
-    err = sum(
-        (F.col(f"__d{s}") for s in range(1, m)), F.col("__d0")
-    )
-    res = out.select(
+    # encode all m subspaces in ONE map-side projection over the
+    # persisted quantized corpus: each subspace's argmin is a
+    # _argmin_sql expression (zero shuffles), so the old shape — m
+    # per-subspace assignment frames, each paying a full-corpus
+    # groupBy exchange, re-joined m-1 times on vec_id — collapses to a
+    # single scan with no join at all. Arithmetic per subspace is the
+    # same _lloyd_assign argmin; recon_err_q is the same int64 sum.
+    # _include_q additionally emits the full quantized vector (the
+    # contiguous subspace slices re-concatenated) so ivfpq_topk can
+    # fold its coarse assignment into THIS scan instead of joining the
+    # codes to a second corpus scan on vec_id.
+    mins = qe.selectExpr(
         "vec_id",
-        *[F.col(f"code_{s}") for s in range(m)],
-        err.cast("long").alias("recon_err_q"),
+        *[
+            _argmin_sql(
+                cents,
+                q=f"q{s}",
+                nv=(
+                    f"aggregate(transform(q{s}, z -> z * z), 0L, "
+                    f"(sa, sv) -> sa + sv)"
+                ),
+            )
+            + f" AS __m{s}"
+            for s, cents in enumerate(codebooks)
+        ],
+        *(
+            ["concat({}) AS __q".format(
+                ", ".join(f"q{s}" for s in range(m))
+            )]
+            if _include_q
+            else []
+        ),
+    )
+    err = " + ".join(f"__m{s}.dist" for s in range(m))
+    res = mins.selectExpr(
+        "vec_id",
+        *[f"__m{s}.cid AS code_{s}" for s in range(m)],
+        f"CAST({err} AS BIGINT) AS recon_err_q",
+        *(["__q"] if _include_q else []),
     )
     if _return_codebooks:
         return res, codebooks
@@ -1089,9 +1139,11 @@ def ivfpq_topk(
     ``max_codebook``) and ships via ``sc.broadcast`` into ONE
     Arrow-batched assignment pass (each corpus vector crosses the
     boundary once; the N×C distance matrix never materializes
-    row-wise). The codes⋈assignment id join happens at BUILD time —
-    at 100 TB the index (ccid, codes) is written bucketed by ccid, so
-    the probe equi-join is shuffle-free and search touches only
+    row-wise). The PQ codes ride through that same pass — they are
+    map-side expressions over the same quantized corpus — so the index
+    (vec_id, codes, ccid) is built in ONE scan with no id join; at
+    100 TB the index is written bucketed by ccid, so the probe
+    equi-join is shuffle-free and search touches only
     ``nprobe/C`` of the codes. The probe pair list (Q × nprobe) and
     the ADC tables (Q × m × k ints) broadcast; top-k uses the
     per-partition running accumulator, never a full-corpus window.
@@ -1101,6 +1153,7 @@ def ivfpq_topk(
     encoded, codebooks = pq_train_encode(
         embeddings, m=m, k=k, iters=iters, quant=quant, dim=dim,
         id_col=id_col, vec_col=vec_col, _return_codebooks=True,
+        _include_q=True,
     )
     sub = dim // m
     spark = embeddings.sparkSession
@@ -1127,6 +1180,8 @@ def ivfpq_topk(
     cnorm = (cmat * cmat).sum(axis=1)
     bc = spark.sparkContext.broadcast((cid_arr, cmat, cnorm))
 
+    code_cols = [f"code_{s}" for s in range(m)]
+
     def assign(batches):
         cids, cm, cn = bc.value
         for pdf in batches:
@@ -1136,18 +1191,38 @@ def ivfpq_topk(
             # argmin returns the FIRST minimum; cids ascend, so ties
             # break on the lowest centroid id like the SQL oracle
             best = np.argmin(dist, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "ccid": cids[best]}
-            )
+            out = {"vec_id": pdf["vec_id"]}
+            out.update({c: pdf[c] for c in code_cols})
+            out["ccid"] = cids[best]
+            yield pd.DataFrame(out)
 
     from pyspark.sql import types as _T
 
-    assigned = qn.mapInPandas(
-        assign,
-        schema=_T.StructType([
-            _T.StructField("vec_id", encoded.schema["vec_id"].dataType),
-            _T.StructField("ccid", _T.LongType()),
-        ]),
+    # the PQ codes ride THROUGH the coarse-assignment scan (they are
+    # map-side expressions over the same persisted quantized corpus),
+    # so the index (vec_id, codes, ccid) is built in ONE pass — the
+    # old shape scanned the corpus a second time for the coarse
+    # assignment and shuffle-joined codes to it on vec_id. The NULL
+    # filter on the re-concatenated vector reproduces
+    # _drop_null_vectors' row set (quantization is NULL-propagating).
+    assigned = (
+        encoded.filter(F.col("__q").isNotNull())
+        .select("vec_id", *code_cols, F.col("__q").alias("q"))
+        .mapInPandas(
+            assign,
+            schema=_T.StructType(
+                [
+                    _T.StructField(
+                        "vec_id", encoded.schema["vec_id"].dataType
+                    ),
+                ]
+                + [
+                    _T.StructField(c, encoded.schema[c].dataType)
+                    for c in code_cols
+                ]
+                + [_T.StructField("ccid", _T.LongType())]
+            ),
+        )
     )
 
     # probes: exact int64 distance of each (few) collected query to
@@ -1168,10 +1243,7 @@ def ivfpq_topk(
         ]),
     )
 
-    index = encoded.select(
-        "vec_id", *[f"code_{s}" for s in range(m)]
-    ).join(assigned, "vec_id")
-    cand = index.join(F.broadcast(probes), "ccid").drop("ccid")
+    cand = assigned.join(F.broadcast(probes), "ccid").drop("ccid")
     tables = _adc_tables(spark, qrows, codebooks, m, sub, id_type)
     return _adc_score_topk(
         cand, tables, m, topk, id_type,
