@@ -27,6 +27,7 @@ def pagerank_quantized(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_distinct: bool = False,
+    assume_all_nodes_have_in_edges: bool = False,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, integer-exact.
 
@@ -57,6 +58,17 @@ def pagerank_quantized(
     guarantee unique (src, dst) pairs (e.g. built via ``distinct()`` or
     a group-by). The update rule counts parallel edges twice, so the
     flag is a correctness contract, not a hint.
+
+    ``assume_all_nodes_have_in_edges=True`` skips the per-iteration
+    ``nodes`` left join: that join exists only to re-attach nodes with
+    NO in-edges (pure sources, whose rank is the teleport base). When
+    the caller guarantees every node appears as a destination — true
+    for any symmetrized edge list, where each undirected edge
+    contributes both directions — the contribution aggregate already
+    covers exactly the node set and the join is algebraically a no-op,
+    so skipping it removes one join (and its exchanges) per iteration.
+    Like ``assume_distinct`` this is a correctness contract: a source
+    node would silently VANISH from the result under a wrong promise.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -73,18 +85,42 @@ def pagerank_quantized(
     # connected-components forward-edge checkpoint.
     e = e.localCheckpoint(eager=True)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_w = e.join(outdeg, "src").persist()
+    # hash-partition the degree-annotated edges by the join key ONCE:
+    # each iteration joins on src, and without an explicit partitioning
+    # the cached frame's layout (the checkpoint RDD's) satisfies no
+    # join requirement, so EVERY iteration re-exchanged the full edge
+    # list into a sort-merge join (guide §2.4 — establish the
+    # partitioning once and let all consumers reuse it; this is the
+    # in-session analog of writing edges bucketed by src). Cached
+    # plans keep their partitioning under AQE
+    # (canChangeCachedPlanOutputPartitioning=false), so the
+    # per-iteration join now exchanges only the |V|-sized rank frame.
+    edges_w = e.join(outdeg, "src").repartition(F.col("src")).persist()
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
         .distinct()
-        .persist()
     )
+    if not assume_all_nodes_have_in_edges:
+        # consumed once per iteration by the left join — cache it
+        nodes = nodes.persist()
     base = ((d_den - d_num) * unit) // d_den
     ranks = nodes.withColumn("rank_q", F.lit(unit).cast("bigint"))
+    rank_expr = (
+        F.lit(base)
+        + F.expr(f"({d_num} * coalesce(in_sum, 0L)) div {d_den}")
+    ).cast("bigint").alias("rank_q")
     for _ in range(iters):
+        # hint the rank side into a shuffled-hash build: the checkpoint
+        # leaf has no stats, so the planner would fall back to
+        # sort-merge and re-SORT the (unchanging) cached edge
+        # partitions every iteration; hashing the |V|-sized rank side
+        # instead does per-partition work ∝ ranks, not ∝ edges
         contribs = (
-            edges_w.join(ranks, edges_w.src == ranks.node_id)
+            edges_w.join(
+                ranks.hint("shuffle_hash"),
+                edges_w.src == ranks.node_id,
+            )
             .select(
                 F.col("dst").alias("node_id"),
                 F.expr("rank_q div outdeg").alias("contrib"),
@@ -92,19 +128,17 @@ def pagerank_quantized(
             .groupBy("node_id")
             .agg(F.sum("contrib").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contribs, "node_id", "left")
-            .select(
-                "node_id",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({d_num} * coalesce(in_sum, 0L)) div {d_den}"
-                    )
-                ).cast("bigint").alias("rank_q"),
+        if assume_all_nodes_have_in_edges:
+            # the aggregate's key set IS the node set (caller contract)
+            ranks = contribs.select("node_id", rank_expr).localCheckpoint(
+                eager=False
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            ranks = (
+                nodes.join(contribs, "node_id", "left")
+                .select("node_id", rank_expr)
+                .localCheckpoint(eager=False)
+            )
     # materialize BEFORE releasing the caches: persist() is lazy, so
     # unpersisting here without an action would deregister the caches
     # while still empty and every iteration would recompute the edge
@@ -115,5 +149,6 @@ def pagerank_quantized(
     # and then the frames are safe to free.
     out = ranks.select("node_id", "rank_q").localCheckpoint(eager=True)
     edges_w.unpersist()
-    nodes.unpersist()
+    if not assume_all_nodes_have_in_edges:
+        nodes.unpersist()
     return out

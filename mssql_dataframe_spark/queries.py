@@ -8662,7 +8662,11 @@ def pagerank_customer_supplier(spark, sf_dir):
     The edge list is distinct by construction (``bp`` is a distinct
     projection and the two union branches have disjoint node parity),
     so the operator's defensive edge dedup — a full shuffle of the
-    largest frame — is skipped via ``assume_distinct=True``."""
+    largest frame — is skipped via ``assume_distinct=True``; and the
+    symmetrizing union guarantees every node appears as a destination
+    (each bp pair emits both directions), so the per-iteration
+    no-in-edge left join is skipped via
+    ``assume_all_nodes_have_in_edges=True``."""
     from mssql_dataframe_spark.operators import graph as G
 
     l = _t(spark, sf_dir, "lineitem")
@@ -8686,7 +8690,12 @@ def pagerank_customer_supplier(spark, sf_dir):
     ).unionAll(
         bp.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    return G.pagerank_quantized(edges, iters=5, assume_distinct=True)
+    return G.pagerank_quantized(
+        edges,
+        iters=5,
+        assume_distinct=True,
+        assume_all_nodes_have_in_edges=True,
+    )
 
 
 @register("kmeans_codebook_train", sql=_kmeans_oracle_sql())
