@@ -62,3 +62,38 @@ def test_assume_distinct_contract(spark):
     admitted = _ranks(pagerank_quantized(dup, iters=3, assume_distinct=True))
     assert admitted[2] > deduped[2]  # double edge -> double share
     assert admitted != deduped
+
+
+def test_assume_all_nodes_have_in_edges_contract(spark):
+    """assume_all_nodes_have_in_edges=True skips the per-iteration
+    nodes LEFT JOIN (it only re-attaches nodes with no in-edges): on a
+    symmetrized edge list — every node appears as a destination — the
+    results are identical to the default path; on a graph WITH a pure
+    source the flag (per its documented contract) drops that node from
+    the output while the default path keeps it at the teleport base."""
+    # symmetrized: asymmetric degrees (1 is a hub), every node a dst
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2), (1, 4), (4, 1)]
+    sym = _edges(spark, pairs)
+    base = _ranks(pagerank_quantized(sym, iters=4))
+    fast = _ranks(
+        pagerank_quantized(
+            sym, iters=4, assume_all_nodes_have_in_edges=True
+        )
+    )
+    assert fast == base
+    # pure source 9 (never a dst): default keeps it at the teleport
+    # base; the flag's contract drops it (wrong promise -> it vanishes)
+    with_src = _edges(spark, pairs + [(9, 1)])
+    kept = _ranks(pagerank_quantized(with_src, iters=3))
+    assert kept[9] == 150_000
+    dropped = _ranks(
+        pagerank_quantized(
+            with_src, iters=3, assume_all_nodes_have_in_edges=True
+        )
+    )
+    assert 9 not in dropped
+    # and the damage propagates: once 9 vanishes from the rank frame
+    # (after iter 1) its contribution to node 1 stops flowing, so the
+    # hub is strictly poorer than under the default path — the flag is
+    # a real correctness contract, not a cosmetic projection
+    assert dropped[1] < kept[1]
