@@ -306,29 +306,40 @@ def main() -> None:
     # it, still one JSON object after the marker) and finish with a
     # compact line that always fits the tail capture.
     print("BENCH_FULL " + json.dumps(full))
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
+    # The final line carries the FULL per-query dict (the driver
+    # contract names it), made to fit the tail by compact separators
+    # and 2-decimal seconds: 57 entries ≈ 1730 chars with the
+    # host-noise fields, ~1900 all-in — inside the 2000-char capture
+    # with margin. The lossless 3-decimal series stays on BENCH_FULL.
     compact = {
         "metric": full["metric"],
         "value": total,
         "unit": "sec",
-        "total_min": full["total_min"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": full["sf"],
         "supplementary_total": full["supplementary_total"],
         "runs_per_query": runs,
-        "sf": full["sf"],
         "host_noisy": host_noisy,
         "sentinel_ratios": sentinel_ratios,
-        "n_queries": len(timings),
         "n_errors": len(errors) + len(supp_errors),
-        "top5_slowest": slowest,
     }
-    line = json.dumps(compact)
-    # hard guarantee: the driver tail is 2000 chars; stay well inside
-    # even if error counts or sentinel keys grow
-    if len(line) > 1500:
-        compact.pop("top5_slowest", None)
-        line = json.dumps(compact)
+    line = json.dumps(compact, separators=(",", ":"))
+    # hard guarantee: the driver tail is 2000 chars; if the registry
+    # ever grows the queries dict past the margin, shed the
+    # supplementary fields first (they are all on BENCH_FULL), and as
+    # a last resort round to 1 decimal — never drop the queries dict
+    if len(line) > 1900:
+        for k in ("sentinel_ratios", "runs_per_query",
+                  "supplementary_total"):
+            compact.pop(k, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    if len(line) > 1900:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in timings.items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
