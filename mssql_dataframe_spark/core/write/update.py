@@ -18,6 +18,8 @@ broadcast join, i.e. no shuffle of the big side.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from typing import Optional
 
@@ -30,10 +32,90 @@ from .. import generated
 from ...validation import (
     enforce_check_constraints,
     enforce_foreign_keys,
-    precheck_dataframe,
+    precheck_dataframe_deferred,
 )
 from .. import datetimeoffset as dto
 from .insert import ensure_time_columns
+
+
+def stage_validated_source(store, table_name, plan, finish,
+                           unique_key=None):
+    """Execute a rewrite verb's SOURCE plan exactly ONCE (guide §2.4):
+    write the deferred-validated plan to a private ``.stage_src_*``
+    directory — the validation aggregates ride that write as
+    ``observe()`` metrics — then apply them and hand back a LEAF read
+    of the staged files. Every later consumer (pruning-bounds use,
+    bloom/content discovery, the rewrite join, identity assignment)
+    scans the staged parquet instead of re-executing the source
+    pipeline, so update/merge/SCD2 become source-single-pass like
+    insert (the eager shape paid one validation-agg pass PLUS a full
+    re-execution inside the staged rewrite, and partial re-executions
+    in discovery). A side benefit: the rewrite and the pruning bounds
+    now provably see the SAME rows even for a non-deterministic
+    source (the eager path documented that hazard and hoped).
+
+    The duplicate-match-key check (T-SQL MERGE's "cannot UPDATE the
+    same row more than once") cannot ride ``observe()`` —
+    ``count(DISTINCT ...)`` is barred there — so it becomes one
+    keys-only COLUMNAR job over the staged files (same error, same
+    message, still before anything commits).
+
+    Returns ``(leaf_df, bounds, stage_dir)``. The caller must remove
+    ``stage_dir`` when the verb finishes (try/finally); the
+    ``.stage_`` prefix keeps crash litter under vacuum's age-gated
+    reaper. Raises exactly the eager path's validation errors before
+    returning.
+    """
+    tdir = store._table_dir(table_name)
+    os.makedirs(tdir, exist_ok=True)
+    stage = os.path.join(tdir, f".stage_src_{uuid.uuid4().hex}")
+    try:
+        plan.write.mode("overwrite").parquet(stage)
+        bounds = finish()
+        # read the part FILES by explicit path (the pre-commit hooks'
+        # idiom): the dot-prefixed stage dir is hidden to Spark's path
+        # resolution when passed as a directory root, which logs a
+        # spurious "All paths were ignored" per verb
+        parts = sorted(
+            os.path.join(stage, fn)
+            for fn in os.listdir(stage)
+            if fn.endswith(".parquet")
+        )
+        spark = plan.sparkSession
+        if parts:
+            leaf = spark.read.schema(plan.schema).parquet(*parts)
+        else:  # empty source: nothing was written
+            leaf = spark.createDataFrame([], plan.schema)
+        if unique_key:
+            from ...validation import _bq, _sq
+
+            keyed = " AND ".join(
+                f"{_bq(k)} IS NOT NULL" for k in unique_key
+            )
+            key_struct = "named_struct(" + ", ".join(
+                f"{_sq(k)}, {_bq(k)}" for k in unique_key
+            ) + ")"
+            row = (
+                leaf.select(*unique_key)
+                .selectExpr(
+                    f"count(CASE WHEN {keyed} THEN 1 END) AS `__n_rows`",
+                    f"count(DISTINCT CASE WHEN {keyed} THEN {key_struct} "
+                    "END) AS `__n_keys`",
+                )
+                .collect()[0]
+            )
+            if row["__n_rows"] != row["__n_keys"]:
+                raise ValueError(
+                    f"source dataframe contains duplicate match-key rows "
+                    f"on {list(unique_key)} ({row['__n_rows']} rows, "
+                    f"{row['__n_keys']} distinct keys); T-SQL "
+                    f"MERGE/UPDATE cannot apply the same target row "
+                    f"twice — dedupe the source first"
+                )
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    return leaf, bounds, stage
 
 
 def resolve_match_columns(meta, dataframe, match_columns) -> list[str]:
@@ -305,10 +387,15 @@ def update_op(
     pk_match = match == list(meta.primary_key)
     can_prune = pk_match and len(match) == 1
     dataframe = dto.derive(dataframe, meta)
-    # per-match-column pruning bounds ({col: (lo, hi)}) ride the same
-    # single validation agg job; any stats-tracked match column can
-    # then narrow the content-discovery scan
-    src, bounds = precheck_dataframe(
+    update_cols = [c for c in dataframe.columns if c not in match]
+    if not update_cols:
+        raise ValueError("dataframe has no non-match columns to update")
+    # stage the source ONCE (guide §2.4): the validation aggregates —
+    # including the per-match-column pruning bounds ({col: (lo, hi)})
+    # — ride the staging write as observe() metrics, and everything
+    # downstream (bloom/content discovery, the rewrite join) reads the
+    # staged LEAF, so the source plan executes exactly once per update
+    plan, finish = precheck_dataframe_deferred(
         dataframe,
         {c: meta.column_types[c] for c in dataframe.columns},
         # PK columns join the NOT NULL set like insert does: an update
@@ -320,13 +407,28 @@ def update_op(
             )
             if c not in match and c in dataframe.columns
         ],
-        unique_key=match,
         bounds_col=match,
     )
-    update_cols = [c for c in src.columns if c not in match]
-    if not update_cols:
-        raise ValueError("dataframe has no non-match columns to update")
+    src, bounds, src_stage = stage_validated_source(
+        store, table_name, plan, finish, unique_key=match
+    )
+    try:
+        _update_apply(
+            store, table_name, meta, match, src, bounds, update_cols,
+            can_prune, include_metadata_timestamps,
+        )
+    finally:
+        shutil.rmtree(src_stage, ignore_errors=True)
+    return plan
 
+
+def _update_apply(
+    store, table_name, meta, match, src, bounds, update_cols,
+    can_prune, include_metadata_timestamps,
+) -> None:
+    """Discovery + rewrite + commit over the staged-source LEAF
+    ``src`` (see ``stage_validated_source``). Early returns are the
+    no-match cases: UPDATE changes nothing, commit nothing."""
     # file pruning: UPDATE never inserts or deletes, so rows in files
     # whose PK range misses the source are bit-identical — carry them
     # over by manifest reference and rewrite only touched files
@@ -348,7 +450,7 @@ def update_op(
             # (the same no-match contract the content-discovery path
             # below honors; committing here published phantom
             # versions for no-op updates)
-            return src
+            return
         if kept:
             keep_entries = kept
             target = store.read_files(table_name, touched)
@@ -364,7 +466,7 @@ def update_op(
         )
         if surviving is not None:
             if not surviving:
-                return src  # no-match: no rewrite, no commit
+                return  # no-match: no rewrite, no commit
             if len(surviving) < len(entries):
                 spaths = {e["path"] for e in surviving}
                 keep_entries = [
@@ -385,7 +487,7 @@ def update_op(
             # — commit nothing (the delete/no-match contract). Without
             # this, an empty match rewrote the ENTIRE table
             # byte-identically: a catastrophic no-op at 100 TB.
-            return src
+            return
         kept, touched = split_entries(entries, matched_files)
         if kept:
             keep_entries = kept
@@ -498,4 +600,3 @@ def update_op(
             table_name, result, op="update",
             expected_version=meta.version, pre_commit_check=_pre_commit,
         )
-    return src

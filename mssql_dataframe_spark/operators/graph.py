@@ -96,6 +96,20 @@ def pagerank_quantized(
     # (canChangeCachedPlanOutputPartitioning=false), so the
     # per-iteration join now exchanges only the |V|-sized rank frame.
     edges_w = e.join(outdeg, "src").repartition(F.col("src")).persist()
+    # materialize the cache EAGERLY, before any iteration is planned:
+    # every iteration's physical plan is constructed up front (the
+    # lazy checkpoints chain), and an UNmaterialized InMemoryRelation
+    # reports UnknownPartitioning at that moment — EnsureRequirements
+    # then puts an Exchange hashpartitioning(src) ON TOP of the cache
+    # scan in every iteration (the r14 plan capture showed exactly
+    # that), re-shuffling the unchanging edge list per pass. With the
+    # cache hot at planning time, InMemoryTableScan reports the pinned
+    # hashpartitioning(src, N) and every loop-body join plans with NO
+    # edge-side exchange: iterations move only the |V|-sized rank
+    # frame (verified in plans/r15/pagerank_iteration_after.txt). The
+    # count() is not extra work — it IS the cache-fill job iteration 1
+    # used to pay lazily.
+    edges_w.count()
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))

@@ -681,6 +681,13 @@ def _q_sqsum(c: Column) -> Column:
     )
 
 
+#: hard cap on the k*dim int64 literals _argmin_sql inlines into one
+#: SQL expression (~2 MB of text at the cap — parse/analysis stays
+#: sub-second there; production PQ codebooks are k<=256 over <=512-dim
+#: subspaces = 131072 literals, half the cap)
+ARGMIN_SQL_MAX_LITERALS = 1 << 18
+
+
 def _argmin_sql(cents_rows: list, q: str = "q", nv: str = "nv") -> str:
     """SQL text for the MAP-SIDE integer-squared-L2 argmin over a
     centroid list known on the driver: ``array_min`` over one
@@ -696,7 +703,22 @@ def _argmin_sql(cents_rows: list, q: str = "q", nv: str = "nv") -> str:
     the argmin over k broadcast-size centroids never needed a
     shuffle). Emitted as one SQL string (one py4j round trip, the
     round's expression-tree lesson); k*dim integer literals in the
-    plan are the same bytes the broadcast shipped before."""
+    plan are the same bytes the broadcast shipped before.
+
+    Guarded by ``ARGMIN_SQL_MAX_LITERALS`` (ADVICE r14): the literal
+    array grows as k*dim ints, and far past typical codebook sizes
+    (k=256 at dim<=512 stays well under the cap) the multi-MB
+    expression text risks slow analysis / Janino constant-pool limits
+    the old broadcast shape never had — refuse loudly instead."""
+    n_literals = sum(len(cq) for _, cq in cents_rows)
+    if n_literals > ARGMIN_SQL_MAX_LITERALS:
+        raise ValueError(
+            f"map-side argmin over {n_literals} centroid literals "
+            f"(k={len(cents_rows)}) exceeds ARGMIN_SQL_MAX_LITERALS="
+            f"{ARGMIN_SQL_MAX_LITERALS}; reduce the codebook size or "
+            "dimensionality (the inlined-literal plan would be "
+            "multi-MB and risks codegen/analysis limits)"
+        )
     items = ",".join(
         "named_struct('cid', {cid}, 'cq', array({cq}), 'nc', {nc}L)".format(
             cid=int(cid),
@@ -906,18 +928,23 @@ def pq_train_encode(
     # contiguous subspace slices re-concatenated) so ivfpq_topk can
     # fold its coarse assignment into THIS scan instead of joining the
     # codes to a second corpus scan on vec_id.
-    mins = qe.selectExpr(
+    # per-subspace squared norms are projected as COLUMNS first, so
+    # each is evaluated once per row — spliced into _argmin_sql's
+    # transform lambda they were re-evaluated once per centroid
+    # (k times per row; ADVICE r14). Same arithmetic, same results.
+    normed = qe.selectExpr(
+        "vec_id",
+        *[f"q{s}" for s in range(m)],
+        *[
+            f"aggregate(transform(q{s}, z -> z * z), 0L, "
+            f"(sa, sv) -> sa + sv) AS __nv{s}"
+            for s in range(m)
+        ],
+    )
+    mins = normed.selectExpr(
         "vec_id",
         *[
-            _argmin_sql(
-                cents,
-                q=f"q{s}",
-                nv=(
-                    f"aggregate(transform(q{s}, z -> z * z), 0L, "
-                    f"(sa, sv) -> sa + sv)"
-                ),
-            )
-            + f" AS __m{s}"
+            _argmin_sql(cents, q=f"q{s}", nv=f"__nv{s}") + f" AS __m{s}"
             for s, cents in enumerate(codebooks)
         ],
         *(
@@ -1160,8 +1187,13 @@ def ivfpq_topk(
     id_type = embeddings.schema[id_col].dataType
 
     qcol = _quantize_col(vec_col, quant)
+    # slice to exactly ``dim`` components: the assignment pass's V is
+    # built from __q = concat(q0..q{m-1}) (dim elements by
+    # construction), so the centroid matrix must use the same
+    # dim-truncated representation — a longer embedding column would
+    # otherwise shape-error the V @ cm.T matmul (ADVICE r14)
     qn = _drop_null_vectors(embeddings, vec_col).select(
-        F.col(id_col).alias("vec_id"), qcol.alias("q")
+        F.col(id_col).alias("vec_id"), F.slice(qcol, 1, dim).alias("q")
     )
     # bounded collect: the cap guard must fire BEFORE an unbounded
     # codebook can OOM the driver
@@ -1230,7 +1262,8 @@ def ivfpq_topk(
     qrows = _pq_query_rows(embeddings, query_ids, quant, id_col, vec_col)
     probe_rows = []
     for r in qrows:
-        qv = np.array(r["q"], dtype="int64")
+        # same dim truncation as the centroid matrix above
+        qv = np.array(r["q"][:dim], dtype="int64")
         d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
         order = np.lexsort((cid_arr, d))
         for ci in order[:nprobe]:

@@ -192,16 +192,16 @@ def test_rounding_warning_still_emitted_from_staging(engine, spark, caplog):
     assert str(val) == "1.23"
 
 
-def test_constraint_laden_merge_executes_source_twice_not_per_probe(
+def test_constraint_laden_merge_executes_source_once(
     engine, spark
 ):
-    """update/merge/SCD2 CHECK/FK/UNIQUE probes run post-stage over
-    the STAGED (rewritten) files: the rewrite join — and with it the
-    SOURCE plan — executes exactly TWICE per merge (the pre-write
-    validation agg, whose bounds feed file pruning, and the staging
-    write itself). The eager shape re-executed the rewrite once more
-    per probe family (CHECK + FK + PK unique = 3 extra source passes
-    on this table)."""
+    """The merge SOURCE plan executes exactly ONCE per merge: the
+    validation aggregates ride the source staging write as observe()
+    metrics, and pruning/discovery/the rewrite join all read the
+    staged LEAF (round-15 staged-source fusion). The r14 shape paid
+    2 source executions (validation agg + rewrite staging write); the
+    eager shape before that paid one more per probe family (CHECK +
+    FK + PK unique = up to 5 on this table)."""
     engine.create.table(
         "dbo.mpar", {"pk": "bigint"}, primary_key_column="pk"
     )
@@ -237,7 +237,7 @@ def test_constraint_laden_merge_executes_source_twice_not_per_probe(
     )
     engine.write.merge("dbo.mcon", src, match_columns=["k"], upsert=True)
     assert engine.read.table("dbo.mcon").count() == 75
-    assert acc.value == 2 * 50  # validation agg + staging write only
+    assert acc.value == 50  # ONE source execution, despite all probes
     # the deferred probes still enforce, pre-commit (nothing published)
     v_now = engine.store.meta("dbo.mcon").version
     with pytest.raises(errors.SQLCheckConstraintViolation):
@@ -258,3 +258,77 @@ def test_constraint_laden_merge_executes_source_twice_not_per_probe(
         )
     assert engine.store.meta("dbo.mcon").version == v_now
     assert engine.read.table("dbo.mcon").count() == 75
+
+
+def test_update_executes_source_once(engine, spark):
+    """write.update's source plan executes exactly once (the source
+    staging write); bounds, discovery, and the rewrite all read the
+    staged leaf."""
+    engine.create.table(
+        "dbo.uonce", {"k": "bigint", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.uonce",
+        spark.range(100).selectExpr("id AS k", "id AS v"),
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = (
+        spark.range(40)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .mapInPandas(tick, "k long, v long")
+    )
+    engine.write.update("dbo.uonce", src)
+    assert acc.value == 40  # one execution
+    got = {
+        r["k"]: r["v"]
+        for r in engine.read.table("dbo.uonce").collect()
+    }
+    assert got[0] == 0 and got[39] == 390 and got[99] == 99
+
+
+def test_scd2_executes_source_once(engine, spark):
+    """merge_scd2's source plan executes exactly once (the source
+    staging write feeds bounds, discovery, and the full-outer
+    rewrite)."""
+    engine.create.table(
+        "dbo.sonce",
+        {"k": "bigint", "attr": "bigint", "_valid_from": "datetime2",
+         "_valid_to": "datetime2", "_is_current": "bit"},
+    )
+    from pyspark.sql import functions as F
+
+    engine.write.merge_scd2(
+        "dbo.sonce",
+        spark.range(50).selectExpr("id AS k", "id AS attr"),
+        match_columns=["k"],
+        as_of=F.lit("2024-01-01 00:00:00").cast("timestamp"),
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = (
+        spark.range(25, 60)
+        .selectExpr("id AS k", "id * 2 AS attr")
+        .mapInPandas(tick, "k long, attr long")
+    )
+    engine.write.merge_scd2(
+        "dbo.sonce", src, match_columns=["k"],
+        as_of=F.lit("2024-02-01 00:00:00").cast("timestamp"),
+    )
+    assert acc.value == 35  # one execution
+    out = engine.read.table("dbo.sonce")
+    # 50 original keys (25 now closed + replaced) + 10 fresh keys
+    assert out.count() == 50 + 25 + 10
+    cur = out.filter("_is_current = true").count()
+    assert cur == 60
