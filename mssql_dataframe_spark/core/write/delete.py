@@ -16,6 +16,7 @@ Cost ∝ touched data, not table size.
 from __future__ import annotations
 
 import os
+import shutil
 
 from typing import Optional
 
@@ -23,8 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ...store import TableStore
-from ...validation import precheck_dataframe
-from .update import resolve_match_columns
+from ...validation import precheck_dataframe_deferred
+from .update import resolve_match_columns, stage_validated_source
 
 
 def fk_references(store, table_name) -> list[tuple]:
@@ -386,12 +387,35 @@ def delete_op(
         return 0
     pk_match = match == list(meta.primary_key)
     can_prune = pk_match and len(match) == 1
-    keys, bounds = precheck_dataframe(
+    # stage the distinct key set ONCE (guide §2.4): the pruning bounds
+    # ride the staging write as observe() metrics, and every consumer
+    # below — bloom/content discovery, the per-child referential-action
+    # probes, the survivors anti-join, the self-FK check — reads the
+    # staged LEAF instead of re-executing the caller's key pipeline
+    # (+ its distinct shuffle) once per consumption.
+    plan, finish = precheck_dataframe_deferred(
         dataframe.select(*match).distinct(),
         {c: meta.column_types[c] for c in match},
         bounds_col=match,
     )
+    keys, bounds, src_stage = stage_validated_source(
+        store, table_name, plan, finish
+    )
+    try:
+        return _delete_apply(
+            store, table_name, meta, match, keys, bounds, entries,
+            can_prune, _chain,
+        )
+    finally:
+        shutil.rmtree(src_stage, ignore_errors=True)
 
+
+def _delete_apply(
+    store, table_name, meta, match, keys, bounds, entries, can_prune,
+    _chain,
+) -> int:
+    """Discovery + referential actions + rewrite + commit over the
+    staged key LEAF ``keys`` (see ``stage_validated_source``)."""
     keep_entries = None
     stats_decided = False
     single_bounds = (bounds or {}).get(match[0]) if can_prune else None

@@ -841,7 +841,7 @@ def incremental_mv_sink(
     prior attempt already committed (each table's ledger rides its own
     commit); ``fail_between_commits`` injects the crash window between
     the fact insert and the MV merge for the replay tests."""
-    from ..operators.incremental import agg_delta, apply_agg_delta
+    from ..operators.incremental import apply_agg_delta
 
     sbid = str(batch_id)
     fmeta = engine.store.meta(fact)
@@ -898,24 +898,41 @@ def incremental_mv_sink(
     if last_mv is not None and batch_id <= last_mv:
         return
     v_pre, v_post = ledger[sbid]
-    cdc = engine.read.table_changes(
-        fact, from_version=v_pre, to_version=v_post,
-    )
+    # the recorded window holds exactly THIS sink's insert commit
+    # (expected_version-pinned above), so its change feed is
+    # all-'insert' and equals the window's ADDED files — compute the
+    # per-key delta as ONE plain aggregate over those files instead of
+    # the generic CDC old/new union + relabel legs (r15: two AQE
+    # stages per batch removed; replay semantics identical because the
+    # same manifest diff fed table_changes). coalesce reproduces
+    # agg_delta's NULL-value handling (an all-NULL group sums to 0,
+    # not NULL) and count(*) its NULL-inclusive row count.
+    mf_old, mf_new = engine.store.version_file_sets(fact, v_pre, v_post)
+    new_files = sorted(mf_new - mf_old)
+    batch_rows = engine.store.read_files(
+        fact, new_files, version=v_post,
+    ) if new_files else engine.read.table(fact, version=v_post).limit(0)
     # pin the (small) delta ONCE: every consumer below — the MV
-    # key-slice, apply_agg_delta's two join legs, the changed-keys
-    # semi — re-plans it, and the merge re-executes its source for the
-    # validation agg and the staging write; without the pin each of
-    # those re-ran the CDC union + hash aggregate.
-    delta = agg_delta(
-        cdc, ["user_id"], {"sum_value": "value"}
+    # key-slice, apply_agg_delta's two join legs — re-plans it, and
+    # the merge re-executes it inside its source staging write;
+    # without the pin each of those re-ran the aggregate.
+    delta = batch_rows.selectExpr(
+        "user_id",
+        "CAST(1 AS BIGINT) AS __c",
+        "coalesce(value, CAST(0 AS decimal(18,4))) AS __v",
+    ).groupBy("user_id").agg(
+        F.expr("CAST(sum(__c) AS BIGINT) AS d_n_rows"),
+        F.expr("sum(__v) AS d_sum_value"),
     ).localCheckpoint(eager=True)
     mv_cur = engine.read.table(mvt)
-    # slice the MV to the batch's keys BEFORE applying the delta: the
-    # final semi-join below discards untouched keys anyway, so the
-    # delta-application work (and the checkpoint materialization) is
-    # ∝ the batch's keys, never the MV. Null-safe match keeps the
-    # pre-filter a superset of the final plain-equality semi.
-    dk = delta.select(F.col("user_id").alias("__dk_user_id")).distinct()
+    # slice the MV to the batch's keys BEFORE applying the delta:
+    # apply_agg_delta's work (and the merge's staged source) is then
+    # ∝ the batch's keys, never the MV. No ``.distinct()`` on the key
+    # frame — delta is per-key unique by construction (an aggregate
+    # output), and a semi join ignores right-side duplicates anyway,
+    # so the distinct was one pure-overhead exchange per batch (r15).
+    # Null-safe match keeps the slice a superset of every delta key.
+    dk = delta.select(F.col("user_id").alias("__dk_user_id"))
     mv_touched = mv_cur.join(
         F.broadcast(dk),
         F.col("user_id").eqNullSafe(F.col("__dk_user_id")),
@@ -925,18 +942,14 @@ def incremental_mv_sink(
         mv_touched, delta, ["user_id"], ["sum_value"], delta_pinned=True
     )
     # only the batch's keys changed — merge that slice (an append-only
-    # fact can never empty a key, so no delete leg). The slice plan the
-    # merge re-executes (validation agg + staging write) is now a pair
-    # of broadcast joins over the pinned delta leaf and the key-sliced
-    # MV scan. (An eager checkpoint of the slice itself was measured
-    # and rejected: the extra materialization job costs more than the
-    # two cheap re-executions it saves at any batch size — the heavy
-    # part, the delta, is already a leaf.)
-    changed = new_mv.join(
-        delta.select("user_id").distinct(), "user_id", "left_semi"
-    )
+    # fact can never empty a key, so no delete leg). new_mv carries
+    # ONLY delta keys by construction (both apply_agg_delta legs
+    # derive from the delta and the delta-key-sliced MV), so the old
+    # changed-keys semi join here was algebraically the identity — the
+    # slice above made it redundant; r15 drops it (one less exchange
+    # in the staged merge source per batch).
     engine.write.merge(
-        mvt, changed, match_columns=["user_id"], upsert=True,
+        mvt, new_mv, match_columns=["user_id"], upsert=True,
         extra_properties={"last_stream_batch_id": batch_id},
     )
 
