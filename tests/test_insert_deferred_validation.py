@@ -332,3 +332,42 @@ def test_scd2_executes_source_once(engine, spark):
     assert out.count() == 50 + 25 + 10
     cur = out.filter("_is_current = true").count()
     assert cur == 60
+
+
+def test_delete_executes_key_source_once(engine, spark):
+    """write.delete stages the distinct key set exactly once (r15):
+    bloom/content discovery, the referential-action probes, the
+    survivors anti-join and the bounds all read the staged leaf, so
+    the caller's key pipeline executes once — not once per consumer."""
+    engine.create.table(
+        "dbo.donce", {"k": "bigint", "v": "bigint"},
+        primary_key_column="k",
+    )
+    engine.write.insert(
+        "dbo.donce",
+        spark.range(200).selectExpr("id AS k", "id AS v"),
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    # duplicate key rows on purpose: the staged frame is the DISTINCT
+    # key set, but the caller's pipeline (where the accumulator sits)
+    # must still run exactly once over all 80 input rows.
+    src = (
+        spark.range(40)
+        .selectExpr("id AS k")
+        .unionAll(spark.range(40).selectExpr("id AS k"))
+        .mapInPandas(tick, "k long")
+    )
+    n = engine.write.delete("dbo.donce", src)
+    assert acc.value == 80  # one execution of the key pipeline
+    assert n == 40
+    assert engine.read.table("dbo.donce").count() == 160
+    remaining = engine.read.table("dbo.donce").agg(
+        F.min("k").alias("lo")
+    ).collect()[0]["lo"]
+    assert remaining == 40
